@@ -1,0 +1,195 @@
+"""Flagship query: the reference's full per-series pipeline, Spark-first.
+
+Re-expresses ``PRACTICA3.py`` end-to-end (clean -> dense W-SUN weekly
+resample -> admission gates -> winsorize -> trailing-4-week moving-
+average forecast -> safety-stock / reorder-point / order-qty -> top
+reorder recommendations) as ONE lazy DataFrame plan with zero Python
+UDFs. The statistical-model ensemble members (Prophet / Holt-Winters,
+PRACTICA3.py:114-140) live in operators/forecast_udf.py; with only the
+moving-average member present the reference's median-ensemble equals
+the MA forecast, which keeps this plan fully SQL-expressible for the
+DuckDB oracle.
+
+Scale shape (100 TB posture):
+- one wide shuffle on (product_id, store_id, week) doing the heavy
+  fact -> weekly reduction with map-side partial aggregation;
+- everything after runs on the ~1000x smaller weekly table: one
+  shuffle on (product_id, store_id) serves the spine join, ALL window
+  functions (winsorize quantiles, recency rank, MA), and the final
+  per-series aggregate;
+- top-k via row_number, no global sort of the full result.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..functions.inventory import LEAD_TIME_WEEKS, SERVICE_LEVEL_Z, inventory_columns
+from ..operators.cleaning import clean_sales
+from ..operators.resample import weekly_dense_resample
+from ..operators.split import add_recency_rank
+from ..operators.winsorize import winsorize_by_group
+from ..sources.readers import load_table
+
+KEYS = ["product_id", "store_id"]
+HORIZON = 4  # FORECAST_HORIZON_WEEKS (PRACTICA3.py:35)
+MIN_WEEKS = 12  # PRACTICA3.py:37
+MIN_TOTAL_SALES = 10  # PRACTICA3.py:38
+
+
+def flagship(spark: SparkSession, sf_dir: str, top_k: int = 100) -> DataFrame:
+    dense = weekly_dense_resample(
+        clean_sales(load_table(spark, sf_dir, "lineitem")),
+        KEYS,
+        "invoice_date",
+        "units_sold",
+    )
+    dense = winsorize_by_group(dense, KEYS, "units_sold", "units_w")
+    dense = add_recency_rank(dense, KEYS, "week")
+
+    ps = Window.partitionBy(*KEYS)
+    rn = F.col("rn")
+    # Trailing-4-week MA over the train slice (rn in [5, 8]); fallback
+    # to the whole-train mean mirrors PRACTICA3.py:144's len(train)<4 arm.
+    train_avg = F.avg(F.when(rn > HORIZON, F.col("units_w"))).over(ps)
+    scored = dense.withColumns(
+        {
+            "ma_val": F.coalesce(
+                F.avg(
+                    F.when((rn > HORIZON) & (rn <= 2 * HORIZON), F.col("units_w"))
+                ).over(ps),
+                train_avg,
+            ),
+            "hist_avg": F.greatest(F.lit(1.0), train_avg),
+        }
+    )
+    # Single-member ensemble: median([MA]) = MA, then the reference's
+    # floor-at-0 and upper-cap clip (PRACTICA3.py:145,150-154).
+    ma0 = F.greatest(F.col("ma_val"), F.lit(0.0))
+    scored = scored.withColumn(
+        "ens", F.least(ma0, F.greatest(F.lit(10.0) * F.col("hist_avg"), ma0))
+    )
+
+    t = F.col("units_w")
+    is_test = rn <= HORIZON
+    per_series = (
+        scored.groupBy(*KEYS)
+        .agg(
+            F.count("*").alias("n_weeks"),
+            F.sum("units_sold").alias("total_units_raw"),
+            F.max("ens").alias("ens"),
+            # safe_mape of the 4 test weeks vs the constant ensemble
+            # (PRACTICA3.py:44-51,157-158).
+            F.coalesce(
+                F.avg(F.when(is_test & (t != 0), F.abs((t - F.col("ens")) / t))) * 100,
+                F.avg(F.when(is_test, F.abs(t - F.col("ens")))),
+            ).alias("mape_raw"),
+            F.coalesce(
+                F.stddev_pop(F.when(rn > HORIZON, t)), F.lit(0.0)
+            ).alias("sigma"),
+            # train.iloc[-1]: the most recent train bucket (rn = H+1)
+            # (PRACTICA3.py:75).
+            F.max(F.when(rn == HORIZON + 1, t)).alias("last_stock"),
+        )
+        .filter(
+            (F.col("n_weeks") >= MIN_WEEKS)
+            & (F.col("total_units_raw") >= MIN_TOTAL_SALES)
+        )
+    )
+
+    inv = inventory_columns(
+        sigma=F.col("sigma"),
+        avg_forecast=F.col("ens"),  # constant forecast -> mean == value
+        last_stock=F.col("last_stock"),
+    )
+    result = per_series.select(
+        *KEYS,
+        F.col("n_weeks"),
+        F.round("total_units_raw", 2).alias("total_units"),
+        F.round("ens", 4).alias("forecast_wk"),
+        # Python round() is half-even -> bround (PRACTICA3.py:168).
+        F.bround("mape_raw", 3).alias("mape"),
+        inv["Safety_Stock"].alias("safety_stock"),
+        inv["Reorder_Point"].alias("reorder_point"),
+        inv["Qty_to_Order"].alias("qty_to_order"),
+        (inv["Qty_to_Order"] > 0).alias("need_reorder"),
+    )
+
+    topw = Window.orderBy(
+        F.col("qty_to_order").desc(), F.col("product_id"), F.col("store_id")
+    )
+    return (
+        result.withColumn("rk", F.row_number().over(topw))
+        .filter(F.col("rk") <= top_k)
+        .drop("rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle. Shared CTE prefix is reused by other per-operator
+# oracles (see plans/oracle_fragments.py).
+# ---------------------------------------------------------------------------
+
+def flagship_oracle(top_k: int = 100) -> str:
+    from .oracle_fragments import DENSE_SERIES_CTES
+
+    return f"""
+WITH {DENSE_SERIES_CTES},
+scored AS (
+  SELECT *,
+    coalesce(
+      avg(CASE WHEN rn > 4 AND rn <= 8 THEN units_w END) OVER ps,
+      avg(CASE WHEN rn > 4 THEN units_w END) OVER ps) AS ma_val,
+    greatest(1.0, avg(CASE WHEN rn > 4 THEN units_w END) OVER ps) AS hist_avg
+  FROM ranked
+  WINDOW ps AS (PARTITION BY product_id, store_id)
+),
+ens_t AS (
+  SELECT *,
+    least(greatest(ma_val, 0.0),
+          greatest(10.0 * hist_avg, greatest(ma_val, 0.0))) AS ens
+  FROM scored
+),
+per_series AS (
+  SELECT product_id, store_id,
+    count(*) AS n_weeks,
+    sum(units_sold) AS total_units_raw,
+    max(ens) AS ens,
+    coalesce(
+      avg(CASE WHEN rn <= 4 AND units_w != 0
+               THEN abs((units_w - ens) / units_w) END) * 100,
+      avg(CASE WHEN rn <= 4 THEN abs(units_w - ens) END)) AS mape_raw,
+    coalesce(stddev_pop(CASE WHEN rn > 4 THEN units_w END), 0.0) AS sigma,
+    max(CASE WHEN rn = 5 THEN units_w END) AS last_stock
+  FROM ens_t
+  GROUP BY 1, 2
+  HAVING count(*) >= 12 AND sum(units_sold) >= 10
+),
+inv AS (
+  SELECT product_id, store_id, n_weeks, total_units_raw, ens, mape_raw,
+    {SERVICE_LEVEL_Z} * sigma * sqrt({LEAD_TIME_WEEKS}) AS ss,
+    ens * {LEAD_TIME_WEEKS} + {SERVICE_LEVEL_Z} * sigma * sqrt({LEAD_TIME_WEEKS}) AS rop,
+    last_stock
+  FROM per_series
+),
+final AS (
+  SELECT product_id, store_id,
+    n_weeks,
+    round(total_units_raw, 2) AS total_units,
+    round(ens, 4) AS forecast_wk,
+    round_even(mape_raw, 3) AS mape,
+    CAST(round_even(greatest(0.0, ss), 0) AS BIGINT) AS safety_stock,
+    CAST(round_even(greatest(0.0, rop), 0) AS BIGINT) AS reorder_point,
+    CAST(round_even(greatest(0.0, greatest(0.0, rop - last_stock)), 0) AS BIGINT) AS qty_to_order,
+    CAST(round_even(greatest(0.0, greatest(0.0, rop - last_stock)), 0) AS BIGINT) > 0 AS need_reorder
+  FROM inv
+)
+SELECT product_id, store_id, n_weeks, total_units, forecast_wk, mape,
+       safety_stock, reorder_point, qty_to_order, need_reorder
+FROM (
+  SELECT *, row_number() OVER (
+    ORDER BY qty_to_order DESC, product_id, store_id) AS rk
+  FROM final
+) WHERE rk <= {top_k}
+"""

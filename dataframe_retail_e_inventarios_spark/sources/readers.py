@@ -1,0 +1,59 @@
+"""Readers [SURVEY §2.1 S1-S3, S5].
+
+All CSV reads take an explicit schema (never ``inferSchema`` — an extra
+full scan and nondeterministic typing at 100 TB). Parquet is the
+primary format: columnar at rest, predicate pushdown + column pruning
+reach the scan, and ArrayType columns stay native (no stringify/reparse
+round-trip, unlike the reference's CSV intermediate —
+``PRACTICA3.py:209`` / ``generador.py:46-69``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def read_csv(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
+    """CSV scan with explicit schema [S1/S2: PRACTICA3.py:183, generador.py:31].
+
+    Timestamp columns parse directly from the schema (the reference's
+    ``parse_dates=``); malformed rows become nulls (PERMISSIVE), the
+    moral equivalent of ``errors='coerce'`` downstream.
+    """
+    return spark.read.csv(path, header=True, schema=schema, mode="PERMISSIVE")
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def require_path(path: str) -> str:
+    """Existence guard on a source [S5: generador.py:25-28]."""
+    if not os.path.exists(path):
+        raise FileNotFoundError(f"input path does not exist: {path}")
+    return path
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver testdata table (TESTDATA.md)."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in (names or TESTDATA_TABLES)}
