@@ -20,15 +20,17 @@ def _c(c: Column | str) -> Column:
 def parse_float_list(c: Column | str) -> Column:
     """Parse '"[1.0, 2.0]"' -> array<double> [T1: generador.py:48-64].
 
-    Strip brackets/whitespace, split on commas, try_cast each element
-    (malformed elements -> null, dropped like the reference skips
-    blanks); a wholly unparseable/null cell yields [] (the reference's
-    failure fallback, generador.py:62-64).
+    Strip brackets/whitespace, split on commas, skip blanks, float()
+    each. The reference's failure mode is ATOMIC (generador.py:62-64):
+    if ANY element fails float(), the whole cell becomes [] — not just
+    the bad element dropped. Mirrored with an exists-null check.
     """
     s = F.regexp_replace(_c(c).cast("string"), r"[\[\]\s]", "")
     parts = F.filter(F.split(s, ","), lambda x: x != "")
     parsed = F.transform(parts, lambda x: x.try_cast("double"))
-    return F.coalesce(F.filter(parsed, lambda x: x.isNotNull()), F.array().cast("array<double>"))
+    any_bad = F.exists(parsed, lambda x: x.isNull())
+    empty = F.array().cast("array<double>")
+    return F.when(~F.coalesce(any_bad, F.lit(True)), parsed).otherwise(empty)
 
 
 def array_total(c: Column | str) -> Column:
@@ -42,10 +44,16 @@ def array_len(c: Column | str) -> Column:
     return F.coalesce(F.size(_c(c)), F.lit(0)).cast("long")
 
 
-# DuckDB oracle fragments ({c} = string-encoded list column).
-PARSE_FLOAT_LIST_SQL = (
-    "coalesce(list_filter(list_transform("
-    "list_filter(string_split(regexp_replace({c}, '[\\[\\]\\s]', '', 'g'), ','), x -> x != ''),"
-    " x -> TRY_CAST(x AS DOUBLE)), x -> x IS NOT NULL), [])"
+# DuckDB oracle fragments ({c} = string-encoded list column). Same
+# atomic-failure semantics: any unparseable element -> [].
+_PARSED = (
+    "list_transform(list_filter(string_split("
+    "regexp_replace({c}, '[\\[\\]\\s]', '', 'g'), ','), x -> x != ''), "
+    "x -> TRY_CAST(x AS DOUBLE))"
 )
-ARRAY_TOTAL_SQL = "list_aggregate({c}, 'sum')"
+PARSE_FLOAT_LIST_SQL = (
+    "CASE WHEN len(list_filter(" + _PARSED + ", x -> x IS NULL)) = 0 "
+    "THEN " + _PARSED + " ELSE CAST([] AS DOUBLE[]) END"
+)
+# Python sum(list) == left fold from 0.0; coalesce for empty lists.
+ARRAY_TOTAL_SQL = "coalesce(list_aggregate({c}, 'sum'), 0.0)"

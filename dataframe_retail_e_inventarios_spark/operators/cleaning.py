@@ -43,9 +43,13 @@ def add_column_if_missing(df: DataFrame, name: str, default: object) -> DataFram
 
 
 def round_to_long(c: Column | str) -> Column:
-    """``int(round(x))`` [P11: PRACTICA3.py:78-80, generador.py:83-84]."""
+    """``int(round(x))`` / ``.round(0).astype(int)`` [P11:
+    PRACTICA3.py:78-80, generador.py:83-84].
+
+    Python round() and pandas/numpy .round() are half-even -> bround.
+    """
     c = F.col(c) if isinstance(c, str) else c
-    return F.round(c, 0).cast("long")
+    return F.bround(c, 0).cast("long")
 
 
 def clean_sales(

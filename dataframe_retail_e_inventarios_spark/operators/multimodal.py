@@ -1,0 +1,91 @@
+"""Multimodal column plumbing [SURVEY §2.11 N5].
+
+Image/audio/video payloads are opaque ``binary`` columns with typed
+metadata, processed by Arrow-batched ``mapInPandas`` pipelines. The
+real codec work (image decode, resize, frame sampling) needs libraries
+not present in this container, so the decode step is STUBBED — either
+a deterministic byte-level feature extractor (default) or an explicit
+NotImplementedError — while everything Spark-side (schema, batch
+iteration, partitioning, UDF signature) is real and tested.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("payload_len", LongType()),
+        StructField("header_hex", StringType()),
+        StructField("content_md5", StringType()),
+    ]
+)
+
+
+def decode_stub(payload: bytes) -> dict:
+    """Deterministic stand-in for a real media decoder.
+
+    A real deployment replaces this with PIL/ffmpeg/torchaudio calls;
+    the Spark-side contract (bytes in, feature dict out, executed in
+    Arrow batches) is identical.
+    """
+    return {
+        "payload_len": len(payload),
+        "header_hex": payload[:8].hex(),
+        "content_md5": hashlib.md5(payload).hexdigest(),
+    }
+
+
+def resize_stub(payload: bytes, width: int, height: int) -> bytes:
+    raise NotImplementedError(
+        "image resize requires an imaging library not present in this "
+        "container; payload plumbing is exercised via decode_stub"
+    )
+
+
+def extract_media_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """mapInPandas feature extraction over a binary payload column.
+
+    Arrow ships each partition to Python in batches; the iterator
+    contract keeps memory bounded regardless of partition size — the
+    shape a 100 TB media pipeline needs (no per-row Python round trips,
+    no whole-partition materialization).
+    """
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = pdf[payload_col].map(lambda b: decode_stub(bytes(b)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "payload_len": feats.map(lambda f: f["payload_len"]),
+                    "header_hex": feats.map(lambda f: f["header_hex"]),
+                    "content_md5": feats.map(lambda f: f["content_md5"]),
+                }
+            )
+
+    return df.mapInPandas(extract, MEDIA_FEATURE_SCHEMA)
+
+
+def documents_as_media(docs: DataFrame) -> DataFrame:
+    """Adapt the documents table into a (doc_id, media_type, payload)
+    multimodal frame: utf-8 text bytes stand in for the opaque payload."""
+    return docs.select(
+        "doc_id",
+        F.lit("text/plain").alias("media_type"),
+        F.encode("text", "utf-8").alias("payload"),
+    )

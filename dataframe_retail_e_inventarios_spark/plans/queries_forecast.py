@@ -1,0 +1,63 @@
+"""Model-UDF and multimodal queries [SURVEY §2.9 U1-U6, §2.11 N5].
+
+``forecast_udf_ensemble`` is the applyInPandas port of the reference's
+process_sku — non-SQL-expressible once Prophet/Holt-Winters are
+present, so it's registered rows-only (the driver records the weaker
+check; pytest differential-tests it against the native flagship).
+
+``multimodal_features`` runs the Arrow mapInPandas plumbing but its
+stub features are pure byte functions, so it IS oracle-checked —
+proving the UDF transport (schema, batching, binary columns) is exact.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.cleaning import clean_sales
+from ..operators.forecast_udf import forecast_with_models
+from ..operators.multimodal import documents_as_media, extract_media_features
+from ..operators.resample import weekly_dense_resample
+from ..registry import register
+from ..sources.readers import load_table
+from .flagship import KEYS
+
+
+def q_forecast_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dense = weekly_dense_resample(
+        clean_sales(load_table(spark, sf_dir, "lineitem")), KEYS, "invoice_date", "units_sold"
+    )
+    res = forecast_with_models(dense)
+    # Arrays are kept for consumers; the registered check is rows-only.
+    return res.select(
+        "SKU",
+        "Store",
+        "MAPE",
+        "Safety_Stock",
+        "Reorder_Point",
+        "Qty_to_Order",
+        F.round(F.element_at("Forecast", 1), 4).alias("forecast_wk1"),
+    )
+
+
+register("forecast_udf_ensemble", q_forecast_udf, None)  # model fits: rows-only
+
+
+def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = documents_as_media(load_table(spark, sf_dir, "documents"))
+    return extract_media_features(media)
+
+
+register(
+    "multimodal_features",
+    q_multimodal,
+    """
+SELECT doc_id,
+       'text/plain' AS media_type,
+       CAST(octet_length(encode(text)) AS BIGINT) AS payload_len,
+       lower(hex(encode(substr(text, 1, 8)))) AS header_hex,
+       md5(text) AS content_md5
+FROM documents
+""",
+)

@@ -1,0 +1,379 @@
+"""Training-data pipeline queries over documents/embeddings
+[SURVEY §2.11 N1-N5]: dedup (exact / Jaccard / MinHash-LSH / SimHash),
+similarity search (brute-force + LSH-bucketed), text analysis.
+
+Everything except the LSH-bucketed ANN variant is oracle-checked —
+including MinHash and SimHash, whose signatures are built from md5 hex
+strings that DuckDB reproduces byte-for-byte.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.dedup import (
+    exact_dedup_groups,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    simhash_pairs,
+)
+from ..operators.similarity import cosine_neardup_pairs, cosine_topk, lsh_bucketed_topk
+from ..operators.textops import (
+    FINGERPRINT_SQL,
+    SHINGLES_SQL,
+    STOPWORDS,
+    TOKENS_SQL,
+    punct_ratio,
+    stopword_ratio,
+    tokens,
+)
+from ..registry import register
+from ..sources.readers import load_table
+
+_TOKS = TOKENS_SQL.format(t="text")
+_SH = SHINGLES_SQL.format(toks="toks")
+
+_SHINGLE_INDEX_SQL = f"""
+toks_t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+shingled AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 3 THEN {_SH}
+              ELSE CAST([] AS VARCHAR[]) END AS shingles
+  FROM toks_t
+),
+ds AS (SELECT doc_id, unnest(shingles) AS shingle FROM shingled),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM ds GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT id_a, id_b,
+         n_inter / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+)"""
+
+
+# -- N1: exact dedup via normalized fingerprint ----------------------------
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup_groups(load_table(spark, sf_dir, "documents"))
+
+
+register(
+    "dedup_exact",
+    q_dedup_exact,
+    f"""
+SELECT {FINGERPRINT_SQL.format(t="text")} AS fp,
+       min(doc_id) AS keep_id, count(*) AS n_dups
+FROM documents GROUP BY 1
+""",
+)
+
+
+# -- N2: exact n-gram Jaccard near-dup pairs -------------------------------
+def q_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.35)
+
+
+register(
+    "dedup_ngram_jaccard",
+    q_jaccard,
+    f"""
+WITH {_SHINGLE_INDEX_SQL.strip()}
+SELECT id_a, id_b, round(jaccard, 4) AS jaccard
+FROM jac WHERE jaccard >= 0.35
+""",
+)
+
+
+# -- N2: MinHash signatures + LSH candidate/verify -------------------------
+def q_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_signatures(load_table(spark, sf_dir, "documents"), k=8)
+
+
+_MINHASH_AGGS = ",\n  ".join(
+    f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(8)
+)
+register(
+    "dedup_minhash_signatures",
+    q_minhash_sig,
+    f"""
+WITH toks_t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+shingled AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 3 THEN {_SH}
+              ELSE CAST([] AS VARCHAR[]) END AS shingles
+  FROM toks_t
+),
+ds AS (SELECT doc_id, unnest(shingles) AS shingle FROM shingled)
+SELECT doc_id,
+  {_MINHASH_AGGS}
+FROM ds GROUP BY doc_id
+""",
+)
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.3, k=16, bands=4
+    )
+
+
+_SIG16 = ",\n  ".join(f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(16))
+_BANDS = ",\n  ".join(
+    "concat_ws('|', '%d', %s) AS band%d"
+    % (b, ", ".join(f"h{b * 4 + r}" for r in range(4)), b)
+    for b in range(4)
+)
+register(
+    "dedup_minhash_lsh",
+    q_minhash_lsh,
+    f"""
+WITH {_SHINGLE_INDEX_SQL.strip()},
+sig AS (
+  SELECT doc_id,
+  {_SIG16}
+  FROM ds GROUP BY doc_id
+),
+banded AS (
+  SELECT doc_id,
+  {_BANDS}
+  FROM sig
+),
+melted AS (
+  SELECT doc_id, unnest([band0, band1, band2, band3]) AS band_key FROM banded
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM melted a JOIN melted b
+    ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+SELECT c.id_a, c.id_b, round(j.jaccard, 4) AS jaccard
+FROM cands c JOIN jac j ON c.id_a = j.id_a AND c.id_b = j.id_b
+WHERE j.jaccard >= 0.3
+""",
+)
+
+
+# -- N2: SimHash near-dup pairs --------------------------------------------
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_pairs(load_table(spark, sf_dir, "documents"), max_hamming=3)
+
+
+def _simhash_sql(bits: int = 32) -> str:
+    votes = []
+    for bit in range(bits):
+        ch = f"substr(h, {1 + bit // 4}, 1)"
+        val = f"(strpos('0123456789abcdef', {ch}) - 1)"
+        bit_on = f"(({val} >> {3 - bit % 4}) & 1)"
+        votes.append(f"sum(CASE WHEN {bit_on} = 1 THEN 1 ELSE -1 END) AS v{bit}")
+    acc = " + ".join(
+        f"CASE WHEN v{bit} > 0 THEN CAST({2**bit} AS BIGINT) ELSE 0 END"
+        for bit in range(bits)
+    )
+    return f"""
+toks_t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+tok AS (SELECT doc_id, unnest(list_distinct(toks)) AS tok FROM toks_t),
+hashed AS (SELECT doc_id, md5(tok) AS h FROM tok),
+votes AS (
+  SELECT doc_id, {", ".join(votes)}
+  FROM hashed GROUP BY doc_id
+),
+sh AS (SELECT doc_id, {acc} AS simhash FROM votes)
+"""
+
+
+register(
+    "dedup_simhash_pairs",
+    q_simhash,
+    f"""
+WITH {_simhash_sql().strip()}
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+""",
+)
+
+
+# -- N4: text quality scoring ----------------------------------------------
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    n_tokens = F.size(toks).cast("long")
+    avg_tok_len = F.when(
+        n_tokens > 0,
+        F.aggregate(
+            F.transform(toks, lambda x: F.length(x).cast("long")),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        )
+        / n_tokens,
+    ).otherwise(F.lit(0.0))
+    quality = (
+        F.lit(0.4) * F.least(F.lit(1.0), n_tokens / F.lit(100.0))
+        + F.lit(0.3) * (1 - stopword_ratio(toks))
+        + F.lit(0.3) * (1 - punct_ratio("text"))
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.length("text").cast("long").alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        F.round(avg_tok_len, 4).alias("avg_tok_len"),
+        F.round(stopword_ratio(toks), 4).alias("stop_ratio"),
+        F.round(punct_ratio("text"), 4).alias("punct_ratio"),
+        F.round(quality, 4).alias("quality"),
+    )
+
+
+_STOP_IN = ", ".join(f"'{s}'" for s in STOPWORDS)
+register(
+    "text_quality_scores",
+    q_text_quality,
+    f"""
+WITH t AS (
+  SELECT doc_id, lang, text, {_TOKS} AS toks FROM documents
+),
+m AS (
+  SELECT doc_id, lang,
+    CAST(length(text) AS BIGINT) AS n_chars,
+    CAST(len(toks) AS BIGINT) AS n_tokens,
+    CASE WHEN len(toks) > 0
+         THEN list_aggregate(list_transform(toks, x -> CAST(len(x) AS BIGINT)), 'sum') / CAST(len(toks) AS BIGINT)
+         ELSE 0.0 END AS avg_tok_len,
+    CASE WHEN len(toks) > 0
+         THEN len(list_filter(toks, x -> x IN ({_STOP_IN}))) / len(toks)
+         ELSE 0.0 END AS stop_ratio,
+    CASE WHEN length(text) > 0
+         THEN (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) / length(text)
+         ELSE 0.0 END AS punct_ratio
+  FROM t
+)
+SELECT doc_id, lang, n_chars, n_tokens,
+  round(avg_tok_len, 4) AS avg_tok_len,
+  round(stop_ratio, 4) AS stop_ratio,
+  round(punct_ratio, 4) AS punct_ratio,
+  round(0.4 * least(1.0, n_tokens / 100.0)
+        + 0.3 * (1 - stop_ratio) + 0.3 * (1 - punct_ratio), 4) AS quality
+FROM m
+""",
+)
+
+
+# -- N4: language-ID heuristic ---------------------------------------------
+_LANG_MARKERS = {
+    "en": ("the", "and", "of", "is"),
+    "es": ("el", "la", "de", "que"),
+    "de": ("der", "die", "und", "das"),
+    "fr": ("le", "la", "et", "les"),
+}
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    scores = {
+        lang: F.size(F.filter(toks, lambda x: x.isin(*marks)))
+        for lang, marks in _LANG_MARKERS.items()
+    }
+    pred = F.lit("unknown")
+    best = F.lit(0)
+    # deterministic priority order on ties: first hit wins
+    for lang in ("en", "es", "de", "fr"):
+        cond = scores[lang] > best
+        pred = F.when(cond, F.lit(lang)).otherwise(pred)
+        best = F.when(cond, scores[lang]).otherwise(best)
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        pred.alias("pred_lang"),
+        (pred == F.col("lang")).alias("agree"),
+    )
+
+
+def _lang_sql() -> str:
+    score = {
+        lang: f"len(list_filter(toks, x -> x IN ({', '.join(repr(m) for m in marks)})))"
+        for lang, marks in _LANG_MARKERS.items()
+    }
+    pred, best = "'unknown'", "0"
+    for lang in ("en", "es", "de", "fr"):
+        pred = f"CASE WHEN {score[lang]} > {best} THEN '{lang}' ELSE {pred} END"
+        best = f"CASE WHEN {score[lang]} > {best} THEN {score[lang]} ELSE {best} END"
+    return f"""
+WITH t AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents)
+SELECT doc_id, lang AS labeled_lang,
+       {pred} AS pred_lang,
+       ({pred}) = lang AS agree
+FROM t
+"""
+
+
+register("lang_id_heuristic", q_lang_id, _lang_sql())
+
+
+# -- N3: brute-force cosine top-k ------------------------------------------
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, F.col("vec_id") < 5, k=10)
+
+
+register(
+    "ann_cosine_topk",
+    q_ann_topk,
+    """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 5
+),
+c AS (SELECT vec_id AS cand_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+scored AS (
+  SELECT query_id, cand_id,
+    CASE WHEN sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(cv, cv)) != 0
+         THEN list_inner_product(qv, cv)
+              / (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(cv, cv)))
+         ELSE 0.0 END AS cos
+  FROM c CROSS JOIN q WHERE cand_id != query_id
+)
+SELECT query_id, cand_id, round(cos, 6) AS cos, rk FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, cand_id) AS rk
+  FROM scored
+) WHERE rk <= 10
+""",
+)
+
+
+# -- N1/N3: embedding-cosine near-duplicate pairs --------------------------
+def q_cos_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cosine_neardup_pairs(load_table(spark, sf_dir, "embeddings"), threshold=0.35)
+
+
+register(
+    "embedding_cosine_neardup",
+    q_cos_neardup,
+    """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_inner_product(a.v, b.v)
+             / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))), 6) AS cos
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_inner_product(a.v, b.v)
+      / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))) >= 0.35
+""",
+)
+
+
+# -- N3 scale path: LSH-bucketed ANN (approximate -> rows-only check) ------
+def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_bucketed_topk(emb, F.col("vec_id") < 5, k=10)
+
+
+register("ann_lsh_bucketed_topk", q_lsh_topk, None)  # approximate: rows-only

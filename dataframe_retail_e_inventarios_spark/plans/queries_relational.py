@@ -1,0 +1,448 @@
+"""Relational operator queries: projections/cleaning, join family,
+window ops, sorts/top-k, set ops [SURVEY §2.2, §2.3, §2.5, §2.6].
+
+Every query pairs with a DuckDB oracle; all heavy work is expressed so
+Catalyst pushes filters/projections into the parquet scan and AQE
+handles runtime sizing.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..operators.cleaning import coerce_numeric, rename_if_present, round_to_long
+from ..operators.resample import daily_resample_sum, densify_days
+from ..operators.split import add_lags
+from ..registry import register
+from ..sources.readers import load_table
+
+
+# -- P1-P5, P11-P12: the cleaning block as one projection -------------------
+def q_clean_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rename -> coerce (null-on-error) -> fillna -> filter -> round/cast
+    [PRACTICA3.py:186-194, generador.py:41-46, 83-84]."""
+    df = load_table(spark, sf_dir, "lineitem")
+    df = rename_if_present(
+        df, {"l_partkey": "Product_ID", "l_suppkey": "Store_ID", "l_quantity": "Units_Sold"}
+    )
+    df = coerce_numeric(df, "Units_Sold")
+    df = df.na.fill({"Units_Sold": 0.0})
+    df = df.filter(F.col("Units_Sold") >= 0)
+    return df.select(
+        F.col("l_orderkey").alias("order_id"),
+        F.col("l_linenumber").alias("line_no"),
+        F.col("Product_ID").cast("string").alias("product_code"),
+        F.col("Store_ID").alias("store_id"),
+        F.col("Units_Sold").alias("units"),
+        round_to_long(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net_price_units"),
+    )
+
+
+register(
+    "clean_project_filter",
+    q_clean_project,
+    """
+SELECT l_orderkey AS order_id,
+       l_linenumber AS line_no,
+       CAST(l_partkey AS VARCHAR) AS product_code,
+       l_suppkey AS store_id,
+       coalesce(TRY_CAST(l_quantity AS DOUBLE), 0.0) AS units,
+       CAST(round_even(l_extendedprice * (1 - l_discount), 0) AS BIGINT) AS net_price_units
+FROM lineitem
+WHERE coalesce(TRY_CAST(l_quantity AS DOUBLE), 0.0) >= 0
+""",
+)
+
+
+# -- P6: conjunctive equality predicate (limpieza_de_datos.py:17) ----------
+def q_conjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load_table(spark, sf_dir, "lineitem")
+    return (
+        df.filter((F.col("l_partkey") % 100 == 0) & (F.col("l_suppkey") % 10 == 0))
+        .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+    )
+
+
+register(
+    "conjunctive_filter",
+    q_conjunctive_filter,
+    """
+SELECT l_orderkey, l_partkey, l_suppkey, l_quantity
+FROM lineitem
+WHERE l_partkey % 100 = 0 AND l_suppkey % 10 = 0
+""",
+)
+
+
+# -- A3 + W2 + P8: daily resample -> lag features -> dropna ----------------
+# (the notebook flow, limpieza_de_datos.py:23-29, on the events table)
+def q_daily_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = daily_resample_sum(ev, ["event_type"], "ts", "value", day_col="ds")
+    daily = densify_days(
+        daily.withColumnRenamed("value", "y"), ["event_type"], "ds", ("y",)
+    )
+    lagged = add_lags(daily, ["event_type"], "ds", "y", lags=(1, 7))
+    return (
+        lagged.na.drop(subset=["lag1", "lag7"])
+        .select(
+            "event_type",
+            "ds",
+            F.round("y", 4).alias("y"),
+            F.round("lag1", 4).alias("lag1"),
+            F.round("lag7", 4).alias("lag7"),
+        )
+    )
+
+
+register(
+    "daily_lag_features",
+    q_daily_lags,
+    """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS ds, sum(value) AS y
+  FROM events GROUP BY 1, 2
+),
+bounds AS (
+  SELECT event_type, min(ds) AS mn, max(ds) AS mx FROM daily GROUP BY 1
+),
+spine AS (
+  SELECT event_type,
+         CAST(unnest(generate_series(CAST(mn AS TIMESTAMP),
+                                     CAST(mx AS TIMESTAMP),
+                                     INTERVAL 1 DAY)) AS DATE) AS ds
+  FROM bounds
+),
+dense AS (
+  SELECT s.event_type, s.ds, coalesce(d.y, 0.0) AS y
+  FROM spine s LEFT JOIN daily d USING (event_type, ds)
+),
+lagged AS (
+  SELECT event_type, ds, y,
+         lag(y, 1) OVER (PARTITION BY event_type ORDER BY ds) AS lag1,
+         lag(y, 7) OVER (PARTITION BY event_type ORDER BY ds) AS lag7
+  FROM dense
+)
+SELECT event_type, ds, round(y, 4) AS y, round(lag1, 4) AS lag1,
+       round(lag7, 4) AS lag7
+FROM lagged WHERE lag1 IS NOT NULL AND lag7 IS NOT NULL
+""",
+)
+
+
+# -- J1 + A12-A15: forecast-vs-actuals alignment join + backtest metrics ---
+# (limpieza_de_datos.py:42-46; seasonal-naive pred = lag-7 value)
+def q_backtest_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = densify_days(
+        daily_resample_sum(ev, ["event_type"], "ts", "value", day_col="ds")
+        .withColumnRenamed("value", "y"),
+        ["event_type"],
+        "ds",
+        ("y",),
+    )
+    w = Window.partitionBy("event_type").orderBy("ds")
+    scored = daily.withColumn("pred", F.lag("y", 7).over(w)).na.drop(subset=["pred"])
+    from ..functions.metrics import mae, mape, rmse, smape
+
+    return scored.groupBy("event_type").agg(
+        F.count("*").alias("n_days"),
+        F.round(mape("y", "pred"), 4).alias("mape"),
+        F.round(smape("y", "pred"), 4).alias("smape"),
+        F.round(rmse("y", "pred"), 4).alias("rmse"),
+        F.round(mae("y", "pred"), 4).alias("mae"),
+    )
+
+
+register(
+    "backtest_metrics",
+    q_backtest_metrics,
+    """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS ds, sum(value) AS y
+  FROM events GROUP BY 1, 2
+),
+bounds AS (SELECT event_type, min(ds) AS mn, max(ds) AS mx FROM daily GROUP BY 1),
+spine AS (
+  SELECT event_type,
+         CAST(unnest(generate_series(CAST(mn AS TIMESTAMP), CAST(mx AS TIMESTAMP),
+                                     INTERVAL 1 DAY)) AS DATE) AS ds
+  FROM bounds
+),
+dense AS (
+  SELECT s.event_type, s.ds, coalesce(d.y, 0.0) AS y
+  FROM spine s LEFT JOIN daily d USING (event_type, ds)
+),
+scored AS (
+  SELECT *, lag(y, 7) OVER (PARTITION BY event_type ORDER BY ds) AS pred
+  FROM dense
+)
+SELECT event_type,
+  count(*) AS n_days,
+  round(coalesce(avg(CASE WHEN y != 0 THEN abs((y - pred) / y) END) * 100,
+                 avg(abs(y - pred))), 4) AS mape,
+  round(coalesce(avg(CASE WHEN abs(y) + abs(pred) != 0
+                     THEN 2.0 * abs(pred - y) / (abs(y) + abs(pred)) END) * 100,
+                 avg(abs(y - pred))), 4) AS smape,
+  round(sqrt(avg(pow(y - pred, 2))), 4) AS rmse,
+  round(avg(abs(y - pred)), 4) AS mae
+FROM scored WHERE pred IS NOT NULL
+GROUP BY event_type
+""",
+)
+
+
+# -- Join family over the star schema --------------------------------------
+def q_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi-joins with broadcast dims: revenue per region/nation.
+    The fact (lineitem) never shuffles for dimension joins."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(
+                __import__(
+                    "dataframe_retail_e_inventarios_spark.functions.exact",
+                    fromlist=["exact_decimal_sum"],
+                ).exact_decimal_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                2,
+            ).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+    return rev
+
+
+register(
+    "star_join_revenue",
+    q_star_join_revenue,
+    """
+SELECT r_name, n_name,
+       round(sum(CAST(round_even(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)) / 10000.0, 2) AS revenue,
+       count(*) AS n_lines
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY 1, 2
+""",
+)
+
+
+def q_left_join_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left join preserving unmatched rows + null-aware aggregation."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    from ..functions.exact import exact_decimal_sum
+
+    agg = orders.groupBy("o_custkey").agg(
+        F.count("*").alias("n_orders"),
+        F.round(exact_decimal_sum(F.col("o_totalprice"), 2), 2).alias("total_spent"),
+    )
+    return (
+        cust.join(agg, cust.c_custkey == agg.o_custkey, "left")
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.coalesce("total_spent", F.lit(0.0)).alias("total_spent"),
+        )
+    )
+
+
+register(
+    "left_join_null_fill",
+    q_left_join_nulls,
+    """
+SELECT c_custkey, c_mktsegment,
+       coalesce(a.n_orders, 0) AS n_orders,
+       coalesce(a.total_spent, 0.0) AS total_spent
+FROM customer
+LEFT JOIN (
+  SELECT o_custkey, count(*) AS n_orders,
+         round(sum(CAST(round_even(o_totalprice * 100, 0) AS BIGINT)) / 100.0, 2) AS total_spent
+  FROM orders GROUP BY 1
+) a ON c_custkey = a.o_custkey
+""",
+)
+
+
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with at least one open ('O') order (left-semi)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+register(
+    "semi_join_open_orders",
+    q_semi_join,
+    """
+SELECT c_custkey, c_name, c_mktsegment FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+""",
+)
+
+
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no orders at all (left-anti)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+register(
+    "anti_join_no_orders",
+    q_anti_join,
+    """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+""",
+)
+
+
+# -- Set ops: unionByName of two period slices (SURVEY §2.6 parity-plus) ---
+def q_union_periods(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.filter(F.year("l_shipdate") == 1998).select(
+        "l_orderkey", "l_partkey", "l_quantity", F.lit("y1998").alias("period")
+    )
+    b = li.filter(F.year("l_shipdate") == 1999).select(
+        "l_partkey", "l_orderkey", "l_quantity", F.lit("y1999").alias("period")
+    )  # shuffled column order: unionByName aligns by name
+    return (
+        a.unionByName(b)
+        .groupBy("period")
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("qty"))
+    )
+
+
+register(
+    "union_two_periods",
+    q_union_periods,
+    """
+SELECT period, count(*) AS n, round(sum(l_quantity), 2) AS qty FROM (
+  SELECT l_orderkey, l_partkey, l_quantity, 'y1998' AS period
+  FROM lineitem WHERE year(l_shipdate) = 1998
+  UNION ALL
+  SELECT l_orderkey, l_partkey, l_quantity, 'y1999' AS period
+  FROM lineitem WHERE year(l_shipdate) = 1999
+) GROUP BY 1
+""",
+)
+
+
+# -- W4/O1-O2: top-k per group via row_number ------------------------------
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 parts per supplier by revenue — rank inside the group, no
+    global sort (SURVEY §2.5 parity-plus; the flagship's top-k pattern)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    from ..functions.exact import exact_decimal_sum
+
+    rev = li.groupBy("l_suppkey", "l_partkey").agg(
+        exact_decimal_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev")
+    )
+    w = Window.partitionBy("l_suppkey").orderBy(F.col("rev").desc(), F.col("l_partkey"))
+    return (
+        rev.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("l_suppkey", "l_partkey", F.round("rev", 2).alias("rev"), F.col("rk").cast("long").alias("rk"))
+    )
+
+
+register(
+    "topk_parts_per_supplier",
+    q_topk_per_group,
+    """
+SELECT l_suppkey, l_partkey, round(rev, 2) AS rev, rk FROM (
+  SELECT l_suppkey, l_partkey, rev,
+         row_number() OVER (PARTITION BY l_suppkey
+                            ORDER BY rev DESC, l_partkey) AS rk
+  FROM (
+    SELECT l_suppkey, l_partkey,
+           sum(CAST(round_even(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)) / 10000.0 AS rev
+    FROM lineitem GROUP BY 1, 2
+  )
+) WHERE rk <= 3
+""",
+)
+
+
+# -- W5: deterministic last-value-per-group --------------------------------
+def q_last_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """train.iloc[-1] generalization [PRACTICA3.py:75]: latest lineitem
+    per (part, supplier) with a total deterministic tiebreak."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_partkey", "l_suppkey").orderBy(
+        F.col("l_shipdate").desc(), F.col("l_orderkey").desc(), F.col("l_linenumber").desc()
+    )
+    return (
+        li.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("l_partkey", "l_suppkey", "l_shipdate", "l_quantity", "l_orderkey")
+    )
+
+
+register(
+    "last_sale_per_series",
+    q_last_per_group,
+    """
+SELECT l_partkey, l_suppkey, l_shipdate, l_quantity, l_orderkey FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY l_partkey, l_suppkey
+    ORDER BY l_shipdate DESC, l_orderkey DESC, l_linenumber DESC) AS rk
+  FROM lineitem
+) WHERE rk = 1
+""",
+)
+
+
+# -- W3: trailing moving average (PRACTICA3.py:143-145) --------------------
+def q_trailing_ma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-week trailing MA over each weekly series (frame rowsBetween(-3,0))."""
+    from ..operators.cleaning import clean_sales
+    from ..operators.resample import weekly_dense_resample
+    from .flagship import KEYS
+
+    dense = weekly_dense_resample(
+        clean_sales(load_table(spark, sf_dir, "lineitem")), KEYS, "invoice_date", "units_sold"
+    )
+    w = Window.partitionBy(*KEYS).orderBy("week").rowsBetween(-3, 0)
+    return dense.select(
+        *KEYS,
+        "week",
+        F.round("units_sold", 2).alias("units"),
+        F.round(F.avg("units_sold").over(w), 4).alias("ma4"),
+    )
+
+
+from . import oracle_fragments as _OF  # noqa: E402
+
+register(
+    "trailing_moving_average",
+    q_trailing_ma,
+    f"""
+WITH {_OF.CLEAN_SALES_CTE.strip()},
+{_OF.WEEKLY_CTE.strip()},
+{_OF.DENSE_CTE.strip()}
+SELECT product_id, store_id, week, round(units_sold, 2) AS units,
+       round(avg(units_sold) OVER (
+         PARTITION BY product_id, store_id ORDER BY week
+         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS ma4
+FROM dense
+""",
+)

@@ -1,0 +1,105 @@
+"""Event-stream analytics in batch form [SURVEY §7.6]: tumbling-window
+counts and gap-based sessionization over the events table. The same
+logic runs as Structured Streaming in streaming/events.py; the batch
+form is oracle-checked (timestamps surfaced as epoch seconds so the
+comparison is timezone-proof).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..registry import register
+from ..sources.readers import load_table
+
+SESSION_GAP_MIN = 30
+
+from ..functions.exact import exact_decimal_sum as _exact_sum  # noqa: E402
+
+
+def _exact2(c):
+    return _exact_sum(c, 2)
+
+
+def _epoch_s(c) -> F.Column:
+    return F.floor(F.unix_micros(c) / 1_000_000).cast("long")
+
+
+# -- tumbling hourly counts per event type ---------------------------------
+def q_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hour = (F.floor(F.unix_micros("ts") / F.lit(3_600_000_000)) * 3600).cast("long")
+    return (
+        ev.groupBy(hour.alias("hour_epoch"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(_exact2(F.col("value")), 2).alias("total_value"))
+    )
+
+
+register(
+    "events_hourly_counts",
+    q_hourly_counts,
+    """
+SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS hour_epoch,
+       event_type, count(*) AS n, round(sum(CAST(round_even(value * 100, 0) AS BIGINT)) / 100.0, 2) AS total_value
+FROM events GROUP BY 1, 2
+""",
+)
+
+
+# -- gap-based sessionization (batch twin of session_window) ---------------
+def q_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: a new session starts when the gap to the
+    previous event of the same user exceeds 30 minutes. Matches
+    session_window(ts, '30 minutes') semantics on static data."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_flag = (
+        F.when(
+            F.col("prev_ts").isNull()
+            | (
+                (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("prev_ts")))
+                > SESSION_GAP_MIN * 60 * 1_000_000
+            ),
+            1,
+        ).otherwise(0)
+    )
+    sessions = (
+        ev.withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn("new_s", gap_flag)
+        .withColumn("session_no", F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    )
+    return sessions.groupBy("user_id", "session_no").agg(
+        _epoch_s(F.min("ts")).alias("session_start_epoch"),
+        _epoch_s(F.max("ts")).alias("session_last_epoch"),
+        F.count("*").alias("n_events"),
+        F.round(_exact2(F.col("value")), 2).alias("total_value"),
+    )
+
+
+register(
+    "events_sessionization",
+    q_sessions,
+    f"""
+WITH ordered AS (
+  SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+),
+flagged AS (
+  SELECT *, CASE WHEN prev_ts IS NULL
+                  OR (epoch_us(ts) - epoch_us(prev_ts)) > {SESSION_GAP_MIN * 60 * 1_000_000}
+             THEN 1 ELSE 0 END AS new_s
+  FROM ordered
+),
+numbered AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM flagged
+)
+SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+       CAST(floor(epoch_us(min(ts)) / 1000000) AS BIGINT) AS session_start_epoch,
+       CAST(floor(epoch_us(max(ts)) / 1000000) AS BIGINT) AS session_last_epoch,
+       count(*) AS n_events, round(sum(CAST(round_even(value * 100, 0) AS BIGINT)) / 100.0, 2) AS total_value
+FROM numbered GROUP BY 1, 2
+""",
+)

@@ -52,6 +52,7 @@ def _load_all() -> None:
         "queries_report",
         "queries_llm",
         "queries_forecast",
+        "queries_streaming",
     ):
         try:
             __import__(f"{__package__}.plans.{mod}", fromlist=["*"])

@@ -51,7 +51,25 @@ def require_path(path: str) -> str:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one driver testdata table (TESTDATA.md)."""
+    """Load one driver testdata table (TESTDATA.md).
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark cannot read
+    natively (PARQUET_TYPE_ILLEGAL); with the ``nanosAsLong`` legacy
+    conf it arrives as LongType nanos, which we truncate to a micro
+    timestamp — exactly what DuckDB does when it reads the same file,
+    keeping both engines bucket-identical.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType
+
+        if isinstance(df.schema["ts"].dataType, LongType):
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
+            )
+        return df
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 

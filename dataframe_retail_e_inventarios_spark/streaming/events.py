@@ -1,0 +1,87 @@
+"""Structured Streaming over the events table [SURVEY §2.10, §7.6 —
+explicitly beyond the reference, which is pure batch].
+
+The same windowed aggregations exist twice:
+- batch form (plans/queries_streaming.py) with a DuckDB oracle;
+- streaming form here (readStream -> watermark -> window -> sink),
+  demonstrated in tests with a file source + memory sink.
+
+At scale the stream source would be Kafka; the plan shape (watermarked
+tumbling/session windows, append mode) is identical.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EVENTS_STREAM_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-based stream source (stands in for Kafka in tests)."""
+    return spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(path)
+
+
+def hourly_counts_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling hourly counts per event type; late rows
+    beyond the watermark are dropped, state is bounded."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("win.start").alias("hour_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def user_sessions_stream(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Session windows per user: events closer than ``gap`` merge into
+    one session (stateful; watermark bounds session state)."""
+    return (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def run_stream_to_memory(
+    spark: SparkSession, stream_df: DataFrame, query_name: str
+) -> None:
+    """Drain a bounded file stream into a memory sink (test harness)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)

@@ -1,0 +1,58 @@
+"""The applyInPandas model pipeline (reference port) and the native
+flagship plan must agree exactly when only the MA model is available
+(SURVEY §7.4: two code paths, one oracle)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from dataframe_retail_e_inventarios_spark.operators.cleaning import clean_sales
+from dataframe_retail_e_inventarios_spark.operators.forecast_udf import (
+    HW_AVAILABLE,
+    PROPHET_AVAILABLE,
+    forecast_with_models,
+)
+from dataframe_retail_e_inventarios_spark.operators.resample import weekly_dense_resample
+from dataframe_retail_e_inventarios_spark.plans.flagship import KEYS, flagship
+from dataframe_retail_e_inventarios_spark.sources.readers import load_table
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def udf_results(spark):
+    dense = weekly_dense_resample(
+        clean_sales(load_table(spark, SF_SMOKE, "lineitem")),
+        KEYS,
+        "invoice_date",
+        "units_sold",
+    )
+    return forecast_with_models(dense).toPandas()
+
+
+def test_udf_properties(udf_results):
+    df = udf_results
+    assert len(df) > 0
+    assert (df["Qty_to_Order"] >= 0).all()  # PRACTICA3.py:76-80
+    assert (df["Safety_Stock"] >= 0).all()
+    assert df["Forecast"].map(lambda a: all(v >= 0 for v in a)).all()  # :125,138,154
+    assert df["Forecast"].map(len).eq(4).all()  # horizon
+    assert df["Test"].map(len).eq(4).all()
+
+
+@pytest.mark.skipif(
+    PROPHET_AVAILABLE or HW_AVAILABLE,
+    reason="with stat models present the UDF ensemble adds members and "
+    "legitimately diverges from the native MA-only plan",
+)
+def test_udf_matches_native_flagship(spark, udf_results):
+    native = flagship(spark, SF_SMOKE, top_k=10**9).toPandas()
+    u = udf_results.assign(
+        product_id=lambda d: d["SKU"].astype(int),
+        store_id=lambda d: d["Store"].astype(int),
+    ).set_index(["product_id", "store_id"])
+    n = native.set_index(["product_id", "store_id"])
+    assert set(u.index) == set(n.index)
+    joined = u.join(n, how="inner", lsuffix="_u")
+    assert (joined["Safety_Stock"] == joined["safety_stock"]).all()
+    assert (joined["Reorder_Point"] == joined["reorder_point"]).all()
+    assert (joined["Qty_to_Order"] == joined["qty_to_order"]).all()
+    assert (joined["MAPE"] - joined["mape"]).abs().max() <= 1e-9

@@ -1,0 +1,32 @@
+"""Multimodal plumbing: Arrow mapInPandas over binary payloads
+(SURVEY §2.11 N5). Decode is stubbed; the Spark-side contract is real."""
+
+import hashlib
+
+import pytest
+
+from dataframe_retail_e_inventarios_spark.operators.multimodal import (
+    documents_as_media,
+    extract_media_features,
+    resize_stub,
+)
+from dataframe_retail_e_inventarios_spark.sources.readers import load_table
+from tests.conftest import SF_SMOKE
+
+
+def test_media_features_roundtrip(spark):
+    docs = load_table(spark, SF_SMOKE, "documents").limit(50)
+    src = {r.doc_id: r.text for r in docs.collect()}
+    feats = extract_media_features(documents_as_media(docs)).toPandas()
+    assert len(feats) == len(src)
+    for r in feats.itertuples(index=False):
+        payload = src[r.doc_id].encode("utf-8")
+        assert r.payload_len == len(payload)
+        assert r.header_hex == payload[:8].hex()
+        assert r.content_md5 == hashlib.md5(payload).hexdigest()
+        assert r.media_type == "text/plain"
+
+
+def test_resize_is_explicitly_stubbed():
+    with pytest.raises(NotImplementedError):
+        resize_stub(b"\x89PNG", 64, 64)

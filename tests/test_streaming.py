@@ -1,0 +1,62 @@
+"""Structured Streaming demo: the streaming hourly-count plan over a
+file source must agree with the batch twin (queries_streaming)."""
+
+import shutil
+
+import pyspark.sql.functions as F
+import pytest
+
+from dataframe_retail_e_inventarios_spark.sources.readers import load_table
+from dataframe_retail_e_inventarios_spark.streaming.events import (
+    hourly_counts_stream,
+    read_events_stream,
+    run_stream_to_memory,
+)
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture()
+def events_dir(spark, tmp_path):
+    # Re-write events as micro-precision parquet (the raw file is
+    # nanos, unreadable by a stream source without the legacy conf).
+    out = str(tmp_path / "events_stream")
+    load_table(spark, SF_SMOKE, "events").write.parquet(out)
+    yield out
+    shutil.rmtree(out, ignore_errors=True)
+
+
+def test_streaming_hourly_matches_batch(spark, events_dir):
+    stream = read_events_stream(spark, events_dir)
+    assert stream.isStreaming
+    counts = hourly_counts_stream(stream)
+    run_stream_to_memory(spark, counts, "hourly_counts_test")
+    got = (
+        spark.table("hourly_counts_test")
+        .select("hour_start", "event_type", "n")
+        .toPandas()
+        .sort_values(["hour_start", "event_type"], ignore_index=True)
+    )
+    batch = (
+        load_table(spark, SF_SMOKE, "events")
+        .groupBy(
+            F.date_trunc("hour", "ts").alias("hour_start"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"))
+        .toPandas()
+        .sort_values(["hour_start", "event_type"], ignore_index=True)
+    )
+    assert len(got) == len(batch) > 0
+    assert (got["n"].to_numpy() == batch["n"].to_numpy()).all()
+
+
+def test_session_stream_plan_builds(spark, events_dir):
+    from dataframe_retail_e_inventarios_spark.streaming.events import (
+        user_sessions_stream,
+    )
+
+    sessions = user_sessions_stream(read_events_stream(spark, events_dir))
+    run_stream_to_memory(spark, sessions, "sessions_test")
+    out = spark.table("sessions_test").toPandas()
+    assert len(out) > 0
+    assert (out["n_events"] >= 1).all()
