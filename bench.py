@@ -1,0 +1,71 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced to full materialization with a count() over the
+final plan (no toPandas — we measure engine time, not Arrow transfer).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from dataframe_retail_e_inventarios_spark.registry import queries
+from dataframe_retail_e_inventarios_spark.session import get_spark
+
+HEADLINE = [
+    "flagship_inventory",
+    "weekly_resample_dense",
+    "series_admission_gates",
+    "star_join_revenue",
+    "topk_parts_per_supplier",
+    "backtest_metrics",
+    "trailing_moving_average",
+    "report_enrich",
+    "dedup_minhash_lsh",
+    "dedup_simhash_pairs",
+    "ann_cosine_topk",
+    "events_sessionization",
+    "text_quality_scores",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bench")
+    qs = queries()
+    # Warm the JVM/IO path once with a trivial action so q1 doesn't pay
+    # session startup.
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.time()
+        fn(spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -34,11 +34,25 @@ def exact_dedup_groups(docs: DataFrame, text_col: str = "text", id_col: str = "d
 
 
 def doc_shingles(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
-    """(doc_id, shingle) exploded inverted-index input."""
-    sh = docs.select(
-        F.col(id_col), word_shingles(tokens(text_col), n).alias("shingles")
+    """(doc_id, shingle) exploded inverted-index input.
+
+    Tokenization is materialized in its own projection BEFORE the
+    shingle transform: the shingle lambda references the token array
+    ~3x per shingle, and Catalyst will not common-subexpression-
+    eliminate an expensive regex split into a lambda — inlining it
+    re-splits the text per element_at (measured 10x slowdown).
+    """
+    toked = docs.select(F.col(id_col), tokens(text_col).alias("toks"))
+    sh = toked.select(F.col(id_col), word_shingles(F.col("toks"), n).alias("shingles"))
+    # explode_outer, NOT explode: InferFiltersFromGenerate turns a plain
+    # explode into a pre-filter `size(<whole shingle expr>) > 0` that
+    # re-evaluates the entire pipeline per row outside codegen
+    # (measured ~30x slowdown). explode_outer infers nothing; the
+    # null row an empty array produces is dropped with a cheap filter
+    # on the generated column instead.
+    return sh.select(id_col, F.explode_outer("shingles").alias("shingle")).filter(
+        F.col("shingle").isNotNull()
     )
-    return sh.select(id_col, F.explode("shingles").alias("shingle"))
 
 
 def jaccard_pairs(
@@ -129,11 +143,29 @@ def minhash_lsh_pairs(
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
     )
-    exact = jaccard_pairs(docs, 0.0, text_col, id_col).withColumnRenamed("jaccard", "jaccard")
+    # Exact-Jaccard verification ONLY on the candidate pairs — this is
+    # the entire point of LSH: the quadratic shingle comparison runs on
+    # the (tiny) candidate set, never the corpus.
+    ds = doc_shingles(docs, text_col, id_col)
+    sizes = ds.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    sh_a = ds.select(F.col(id_col).alias("id_a"), F.col("shingle").alias("sh_a"))
+    sh_b = ds.select(F.col(id_col).alias("_idb"), F.col("shingle").alias("sh_b"))
+    inter = (
+        cands.join(sh_a, "id_a")
+        .join(sh_b, (F.col("id_b") == F.col("_idb")) & (F.col("sh_a") == F.col("sh_b")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
     return (
-        cands.join(exact, ["id_a", "id_b"], "inner")
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard", F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+        )
         .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
     )
 
 
@@ -141,8 +173,10 @@ def simhash(docs: DataFrame, bits: int = 32, text_col: str = "text", id_col: str
     """SimHash over distinct tokens [N2]: per bit, sum +1/-1 votes from
     each token's md5; bit set iff the vote is positive. 32-bit variant
     (md5 hex chars 1..8), assembled as a BIGINT."""
-    toks = docs.select(
-        F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("tok")
+    toks = (
+        docs.select(F.col(id_col), F.array_distinct(tokens(text_col)).alias("dt"))
+        .select(F.col(id_col), F.explode_outer("dt").alias("tok"))
+        .filter(F.col("tok").isNotNull())
     )
     h = F.md5(F.col("tok"))
     # hex char -> value via position in the hex alphabet (portable).

@@ -104,9 +104,13 @@ def densify_weeks(
     bounds = weekly.groupBy(*keys).agg(
         F.min(week_col).alias("_min_wk"), F.max(week_col).alias("_max_wk")
     )
+    # explode_outer: a plain explode makes InferFiltersFromGenerate add
+    # a `size(sequence(...)) > 0` pre-filter that materializes every
+    # spine array twice per row. Bounds rows always yield min<=max so
+    # the outer variant is semantics-identical here.
     spine = bounds.select(
         *keys,
-        F.explode(
+        F.explode_outer(
             F.sequence("_min_wk", "_max_wk", F.expr("interval 7 days"))
         ).alias(week_col),
     )
@@ -156,7 +160,7 @@ def densify_days(
     )
     spine = bounds.select(
         *keys,
-        F.explode(F.sequence("_min_d", "_max_d", F.expr("interval 1 day"))).alias(day_col),
+        F.explode_outer(F.sequence("_min_d", "_max_d", F.expr("interval 1 day"))).alias(day_col),
     )
     dense = spine.join(daily, on=[*keys, day_col], how="left")
     return dense.na.fill({c: fill for c in value_cols})
