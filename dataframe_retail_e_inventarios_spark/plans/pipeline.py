@@ -1,0 +1,144 @@
+"""User-facing pipeline API: the reference's three entry points as
+library calls [SURVEY §3].
+
+A user of the reference runs::
+
+    python PRACTICA3.py     # ventas.csv -> forecast_resultados.csv
+    python generador.py     # -> report
+
+The equivalents here::
+
+    sales   = load_ventas(spark, "ventas.csv")             # S1 + P1-P5
+    results = forecast_inventory(sales)                    # native plan
+    results = forecast_inventory(sales, use_models=True)   # + model UDFs
+    write_results_csv(results, out)                        # S4 (arrays stringified)
+    report  = build_report(read_results_csv(spark, out))   # generador chain
+
+The native path emits the reference's exact output schema (SKU, Store,
+MAPE, Forecast, Test, Safety_Stock, Reorder_Point, Qty_to_Order) with
+Forecast/Test as real arrays (Parquet-native; stringified only in the
+CSV sink, matching pandas to_csv).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..functions.inventory import inventory_columns
+from ..operators.resample import weekly_dense_resample
+from ..operators.split import add_recency_rank
+from ..operators.winsorize import winsorize_by_group
+from ..schemas import FORECAST_RESULTS_CSV_SCHEMA, VENTAS_SCHEMA
+from ..sources.readers import read_csv
+from ..sources.writers import write_csv
+from .flagship import HORIZON, KEYS, MIN_TOTAL_SALES, MIN_WEEKS
+
+
+def load_ventas(spark: SparkSession, path: str) -> DataFrame:
+    """S1 + the PRACTICA3 cleaning block over a real ventas.csv
+    (PRACTICA3.py:183-194)."""
+    raw = read_csv(spark, path, VENTAS_SCHEMA)
+    return (
+        raw.select(
+            F.col("InvoiceDate").alias("invoice_date"),
+            F.col("StockCode").alias("product_id"),
+            F.col("Country").alias("store_id"),
+            F.coalesce(F.col("Quantity").try_cast("double"), F.lit(0.0)).alias("units_sold"),
+        )
+        .filter(F.col("units_sold") >= 0)
+    )
+
+
+def forecast_inventory(
+    sales: DataFrame, use_models: bool = False, keys: list[str] | None = None
+) -> DataFrame:
+    """The full PRACTICA3 per-series pipeline over any cleaned sales
+    frame (columns: keys + invoice_date + units_sold).
+
+    ``use_models=False`` (default): the all-native plan — MA-only
+    ensemble, zero Python UDFs, oracle-checkable.
+    ``use_models=True``: routes per-series model fitting through the
+    applyInPandas port (Prophet/Holt-Winters when installed).
+    Both return the reference's result schema.
+    """
+    keys = keys or KEYS
+    dense = weekly_dense_resample(sales, keys, "invoice_date", "units_sold")
+    if use_models:
+        from ..operators.forecast_udf import forecast_with_models
+
+        return forecast_with_models(dense)
+
+    dense = winsorize_by_group(dense, keys, "units_sold", "units_w")
+    dense = add_recency_rank(dense, keys, "week")
+
+    ps = Window.partitionBy(*keys)
+    rn = F.col("rn")
+    train_avg = F.avg(F.when(rn > HORIZON, F.col("units_w"))).over(ps)
+    scored = dense.withColumns(
+        {
+            "ma_val": F.coalesce(
+                F.avg(F.when((rn > HORIZON) & (rn <= 2 * HORIZON), F.col("units_w"))).over(ps),
+                train_avg,
+            ),
+            "hist_avg": F.greatest(F.lit(1.0), train_avg),
+        }
+    )
+    ma0 = F.greatest(F.col("ma_val"), F.lit(0.0))
+    scored = scored.withColumn(
+        "ens", F.least(ma0, F.greatest(F.lit(10.0) * F.col("hist_avg"), ma0))
+    )
+
+    t = F.col("units_w")
+    is_test = rn <= HORIZON
+    per_series = (
+        scored.groupBy(*keys)
+        .agg(
+            F.count("*").alias("n_weeks"),
+            F.sum("units_sold").alias("_total"),
+            F.max("ens").alias("ens"),
+            F.coalesce(
+                F.avg(F.when(is_test & (t != 0), F.abs((t - F.col("ens")) / t))) * 100,
+                F.avg(F.when(is_test, F.abs(t - F.col("ens")))),
+            ).alias("mape_raw"),
+            F.coalesce(F.stddev_pop(F.when(rn > HORIZON, t)), F.lit(0.0)).alias("sigma"),
+            F.max(F.when(rn == HORIZON + 1, t)).alias("last_stock"),
+            # Test actuals in week order (the reference's y_true list,
+            # PRACTICA3.py:157,170).
+            F.array_sort(
+                F.collect_list(F.when(is_test, F.struct(F.col("week"), t.alias("v"))))
+            ).alias("_test_pairs"),
+        )
+        .filter((F.col("n_weeks") >= MIN_WEEKS) & (F.col("_total") >= MIN_TOTAL_SALES))
+    )
+
+    inv = inventory_columns(F.col("sigma"), F.col("ens"), F.col("last_stock"))
+    horizon_fill = F.array_repeat(F.col("ens"), HORIZON)
+    return per_series.select(
+        F.col(keys[0]).cast("string").alias("SKU"),
+        F.col(keys[1]).cast("string").alias("Store"),
+        F.bround("mape_raw", 3).alias("MAPE"),
+        horizon_fill.alias("Forecast"),
+        F.transform("_test_pairs", lambda s: s["v"]).alias("Test"),
+        inv["Safety_Stock"].alias("Safety_Stock"),
+        inv["Reorder_Point"].alias("Reorder_Point"),
+        inv["Qty_to_Order"].alias("Qty_to_Order"),
+    )
+
+
+def write_results_csv(results: DataFrame, path: str) -> None:
+    """S4: reference-compatible CSV sink — arrays stringified exactly
+    like pandas to_csv (PRACTICA3.py:208-209)."""
+    write_csv(results, path)
+
+
+def read_results_csv(spark: SparkSession, path: str) -> DataFrame:
+    """S2: read the reference's results CSV (stringified arrays)."""
+    return read_csv(spark, path, FORECAST_RESULTS_CSV_SCHEMA)
+
+
+def build_report(results: DataFrame) -> DataFrame:
+    """The generador.py chain over results (CSV- or Parquet-shaped)."""
+    from .report import add_report_text, prepare_report_input
+
+    return add_report_text(prepare_report_input(results))

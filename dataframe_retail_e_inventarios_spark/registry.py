@@ -53,6 +53,7 @@ def _load_all() -> None:
         "queries_llm",
         "queries_forecast",
         "queries_streaming",
+        "queries_extra",
     ):
         try:
             __import__(f"{__package__}.plans.{mod}", fromlist=["*"])

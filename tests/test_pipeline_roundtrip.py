@@ -1,0 +1,92 @@
+"""End-to-end user workflow: ventas.csv -> forecast -> results CSV ->
+report, matching the reference's PRACTICA3+generador flow including the
+stringified-array CSV round trip and garbage-input coercion."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from dataframe_retail_e_inventarios_spark.plans.pipeline import (
+    build_report,
+    forecast_inventory,
+    load_ventas,
+    read_results_csv,
+    write_results_csv,
+)
+from tests.conftest import SF_SMOKE
+from tests.test_flagship_differential import reference_process_sku
+
+
+@pytest.fixture(scope="module")
+def ventas_csv(tmp_path_factory):
+    """Reference-shaped ventas.csv from lineitem, with garbage Quantity
+    rows (exercises to_numeric(errors='coerce'), PRACTICA3.py:193)."""
+    li = pd.read_parquet(f"{SF_SMOKE}/lineitem.parquet")
+    df = pd.DataFrame(
+        {
+            "InvoiceDate": li["l_shipdate"],
+            "StockCode": li["l_partkey"].astype(str),
+            "Country": li["l_suppkey"].astype(str),
+            "Quantity": li["l_quantity"].astype(str),
+        }
+    )
+    df.loc[df.index[::500], "Quantity"] = "garbage"  # -> coerced to 0
+    path = tmp_path_factory.mktemp("ventas") / "ventas.csv"
+    df.to_csv(path, index=False)
+    return str(path)
+
+
+@pytest.fixture(scope="module")
+def reference_results(ventas_csv):
+    """The reference's own flow in pandas over the same CSV."""
+    df = pd.read_csv(ventas_csv, parse_dates=["InvoiceDate"])
+    df = df.rename(columns={"StockCode": "Product_ID", "Country": "Store_ID", "Quantity": "Units_Sold"})
+    df["Units_Sold"] = pd.to_numeric(df["Units_Sold"], errors="coerce").fillna(0)
+    df = df[df["Units_Sold"] >= 0]
+    out = {}
+    for key, g in df.groupby(["Product_ID", "Store_ID"]):
+        r = reference_process_sku(g[["InvoiceDate", "Units_Sold"]])
+        if r is not None:
+            out[(str(key[0]), str(key[1]))] = r
+    return out
+
+
+def test_csv_pipeline_matches_reference(spark, ventas_csv, reference_results, tmp_path):
+    sales = load_ventas(spark, ventas_csv)
+    results = forecast_inventory(sales)
+    got = {(r.SKU, r.Store): r for r in results.collect()}
+    assert set(got) == set(reference_results)
+    for key, exp in reference_results.items():
+        g = got[key]
+        assert g.Safety_Stock == exp["safety_stock"], key
+        assert g.Reorder_Point == exp["reorder_point"], key
+        assert g.Qty_to_Order == exp["qty_to_order"], key
+        assert abs(g.MAPE - exp["mape"]) <= 1e-6, key
+        assert len(g.Forecast) == 4 and len(g.Test) == 4
+
+    # CSV round trip: arrays stringify like pandas to_csv, re-parse in
+    # the report chain (generador.py:46-69).
+    out = str(tmp_path / "results_csv")
+    write_results_csv(results, out)
+    reloaded = read_results_csv(spark, out)
+    report = build_report(reloaded)
+    rep = report.toPandas().set_index(["StockCode", "StoreID"])
+    assert len(rep) == len(reference_results)
+    one = rep.iloc[0]
+    assert one["Forecast_Weeks"] == 4
+    assert one["banda"] in ("alta precision", "aceptable", "baja precision")
+    assert "RECOMENDACION CLAVE" in one["pedido"]
+    # Forecast_Total survives the string round trip: sum of 4 copies of
+    # the weekly forecast, integer-rounded (generador.py:59,83-84).
+    for key, exp in reference_results.items():
+        total = rep.loc[key, "Forecast_Total"]
+        assert abs(total - round(4 * exp["forecast_wk"])) <= 1, key
+
+
+def test_udf_path_same_schema(spark, ventas_csv):
+    sales = load_ventas(spark, ventas_csv)
+    native = forecast_inventory(sales, use_models=False)
+    udf = forecast_inventory(sales, use_models=True)
+    assert [f.name for f in udf.schema.fields][:8] == [
+        f.name for f in native.schema.fields
+    ][:8]

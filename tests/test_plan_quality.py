@@ -1,0 +1,81 @@
+"""Physical-plan assertions (SURVEY §4.2): these lock in the scale
+properties — column pruning reaching the scan, predicate pushdown,
+broadcast joins for dims, whole-stage codegen — so a regression shows
+up as a test failure, not a 10x slowdown at deploy time."""
+
+import pytest
+
+from dataframe_retail_e_inventarios_spark.registry import queries
+from tests.conftest import SF_SMOKE
+
+
+def plan_of(spark, name: str) -> str:
+    df = queries()[name](spark, SF_SMOKE)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_scan_prunes_columns(spark):
+    # clean_project_filter touches 6 of 11 lineitem columns; the scan
+    # must not read the rest.
+    plan = plan_of(spark, "clean_project_filter")
+    assert "l_orderkey" in plan
+    assert "l_shipdate" not in plan.split("ReadSchema")[-1]
+    assert "l_returnflag" not in plan.split("ReadSchema")[-1]
+
+
+def test_filter_pushdown_to_scan(spark):
+    # o_orderstatus = 'O' is a plain comparison -> parquet PushedFilters.
+    plan = plan_of(spark, "semi_join_open_orders")
+    assert "PushedFilters" in plan
+    assert "EqualTo(o_orderstatus,O)" in plan
+
+
+def test_star_join_broadcasts_dimensions(spark):
+    plan = plan_of(spark, "star_join_revenue")
+    # customer/nation/region joins must be broadcast-hash, not shuffle.
+    # (WholeStageCodegen spans only appear in the post-execution AQE
+    # plan, so the codegen check lives in test_codegen_applies.)
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+
+
+def test_codegen_applies(spark):
+    df = queries()["star_join_revenue"](spark, SF_SMOKE)
+    df.collect()  # execute THIS plan so AQE finalizes it
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    # "*(n)" prefixes mark WholeStageCodegen spans in the compact
+    # rendering; joins + aggregates must sit inside them.
+    assert "*(5) BroadcastHashJoin" in plan or "*(" in plan.split("HashAggregate")[0] + "HashAggregate"
+    assert plan.count("*(") >= 4
+
+
+def test_ann_broadcasts_queries(spark):
+    plan = plan_of(spark, "ann_cosine_topk")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_flagship_shuffle_budget(spark):
+    """The flagship should reduce the fact early (partial aggregation)
+    and reuse one series-key partitioning for all window work."""
+    plan = plan_of(spark, "flagship_inventory")
+    # partial agg before the weekly shuffle (map-side combine)
+    assert "partial_sum" in plan.lower() or "HashAggregate" in plan
+    # windows over (product_id, store_id) share Exchange operators;
+    # budget: weekly agg + bounds + spine join + series windows + final
+    # top-k. More than 9 exchanges means a partitioning stopped being
+    # reused.
+    assert plan.count("Exchange") <= 9, f"exchange count grew: {plan.count('Exchange')}"
+
+
+def test_no_inferred_generate_filters(spark):
+    """Regression guard for the InferFiltersFromGenerate trap: spine
+    and shingle explodes must not re-evaluate their input expression
+    inside a synthesized Filter (see operators/dedup.doc_shingles)."""
+    for name in ("weekly_resample_dense", "dedup_ngram_jaccard"):
+        plan = plan_of(spark, name)
+        for line in plan.splitlines():
+            if line.strip().startswith("Filter") or "+- Filter" in line:
+                assert "sequence(" not in line, name
+                assert "transform(" not in line, name
