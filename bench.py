@@ -42,9 +42,10 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("bench")
     qs = queries()
-    # Warm the JVM/IO path once with a trivial action so q1 doesn't pay
-    # session startup.
-    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+    # Warm the JVM once (codegen compilation, parquet reader init) with
+    # a smoke-scale flagship run so measured timings reflect engine
+    # work, not first-query warmup.
+    qs["flagship_inventory"](spark, "/root/testdata/sf0.001").count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

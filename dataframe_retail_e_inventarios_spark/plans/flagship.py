@@ -14,9 +14,12 @@ Scale shape (100 TB posture):
 - one wide shuffle on (product_id, store_id, week) doing the heavy
   fact -> weekly reduction with map-side partial aggregation;
 - everything after runs on the ~1000x smaller weekly table: one
-  shuffle on (product_id, store_id) serves the spine join, ALL window
-  functions (winsorize quantiles, recency rank, MA), and the final
-  per-series aggregate;
+  shuffle on (product_id, store_id) serves the spine join and exactly
+  TWO window passes (recency rank; winsorize percentiles) — the
+  moving-average / ensemble / MAPE math happens inside the single
+  final per-series aggregate (MAPE over the 4 collected test values
+  against the post-aggregate ensemble scalar), not in extra window
+  sweeps over the full weekly table;
 - top-k via row_number, no global sort of the full result.
 """
 
@@ -38,75 +41,76 @@ MIN_WEEKS = 12  # PRACTICA3.py:37
 MIN_TOTAL_SALES = 10  # PRACTICA3.py:38
 
 
-def flagship(spark: SparkSession, sf_dir: str, top_k: int = 100) -> DataFrame:
-    dense = weekly_dense_resample(
-        clean_sales(load_table(spark, sf_dir, "lineitem")),
-        KEYS,
-        "invoice_date",
-        "units_sold",
-    )
-    dense = winsorize_by_group(dense, KEYS, "units_sold", "units_w")
-    dense = add_recency_rank(dense, KEYS, "week")
+def series_stats(sales: DataFrame, keys: list[str] | None = None) -> DataFrame:
+    """Per-series scalar stats for the whole reference pipeline
+    (PRACTICA3.py:85-175, MA-member ensemble), gates applied.
 
-    ps = Window.partitionBy(*KEYS)
+    Output: keys + n_weeks, total_raw, ens, mape_raw, sigma,
+    last_stock, test_vals (the 4 winsorized test actuals, week order).
+    """
+    keys = keys or KEYS
+    dense = weekly_dense_resample(sales, keys, "invoice_date", "units_sold")
+    dense = winsorize_by_group(dense, keys, "units_sold", "units_w")
+    dense = add_recency_rank(dense, keys, "week")
+
     rn = F.col("rn")
-    # Trailing-4-week MA over the train slice (rn in [5, 8]); fallback
-    # to the whole-train mean mirrors PRACTICA3.py:144's len(train)<4 arm.
-    train_avg = F.avg(F.when(rn > HORIZON, F.col("units_w"))).over(ps)
-    scored = dense.withColumns(
-        {
-            "ma_val": F.coalesce(
-                F.avg(
-                    F.when((rn > HORIZON) & (rn <= 2 * HORIZON), F.col("units_w"))
-                ).over(ps),
-                train_avg,
-            ),
-            "hist_avg": F.greatest(F.lit(1.0), train_avg),
-        }
-    )
-    # Single-member ensemble: median([MA]) = MA, then the reference's
-    # floor-at-0 and upper-cap clip (PRACTICA3.py:145,150-154).
-    ma0 = F.greatest(F.col("ma_val"), F.lit(0.0))
-    scored = scored.withColumn(
-        "ens", F.least(ma0, F.greatest(F.lit(10.0) * F.col("hist_avg"), ma0))
-    )
-
     t = F.col("units_w")
     is_test = rn <= HORIZON
     per_series = (
-        scored.groupBy(*KEYS)
+        dense.groupBy(*keys)
         .agg(
             F.count("*").alias("n_weeks"),
-            F.sum("units_sold").alias("total_units_raw"),
-            F.max("ens").alias("ens"),
-            # safe_mape of the 4 test weeks vs the constant ensemble
-            # (PRACTICA3.py:44-51,157-158).
-            F.coalesce(
-                F.avg(F.when(is_test & (t != 0), F.abs((t - F.col("ens")) / t))) * 100,
-                F.avg(F.when(is_test, F.abs(t - F.col("ens")))),
-            ).alias("mape_raw"),
-            F.coalesce(
-                F.stddev_pop(F.when(rn > HORIZON, t)), F.lit(0.0)
-            ).alias("sigma"),
-            # train.iloc[-1]: the most recent train bucket (rn = H+1)
-            # (PRACTICA3.py:75).
+            F.sum("units_sold").alias("total_raw"),
+            # Trailing-4 MA over the train slice; whole-train mean is
+            # the reference's len(train)<4 fallback (PRACTICA3.py:144).
+            F.avg(F.when((rn > HORIZON) & (rn <= 2 * HORIZON), t)).alias("_ma4"),
+            F.avg(F.when(rn > HORIZON, t)).alias("_train_avg"),
+            F.coalesce(F.stddev_pop(F.when(rn > HORIZON, t)), F.lit(0.0)).alias("sigma"),
+            # train.iloc[-1]: most recent train bucket (PRACTICA3.py:75).
             F.max(F.when(rn == HORIZON + 1, t)).alias("last_stock"),
+            # Test actuals sorted by recency rank desc == week order.
+            F.array_sort(
+                F.collect_list(F.when(is_test, F.struct((-rn).alias("o"), t.alias("v"))))
+            ).alias("_test_pairs"),
         )
         .filter(
-            (F.col("n_weeks") >= MIN_WEEKS)
-            & (F.col("total_units_raw") >= MIN_TOTAL_SALES)
+            (F.col("n_weeks") >= MIN_WEEKS) & (F.col("total_raw") >= MIN_TOTAL_SALES)
         )
     )
 
+    # Ensemble from per-series scalars (single-member median == MA),
+    # floored at 0 and upper-capped (PRACTICA3.py:145,150-154).
+    ma0 = F.greatest(F.coalesce(F.col("_ma4"), F.col("_train_avg")), F.lit(0.0))
+    hist_avg = F.greatest(F.lit(1.0), F.col("_train_avg"))
+    with_ens = per_series.withColumn(
+        "ens", F.least(ma0, F.greatest(F.lit(10.0) * hist_avg, ma0))
+    ).withColumn("test_vals", F.transform("_test_pairs", lambda s: s["v"]))
+
+    # safe_mape of the 4 test actuals vs the constant ensemble
+    # (PRACTICA3.py:44-51,157-158) — over the tiny collected array, so
+    # no extra pass over the weekly table.
+    ens = F.col("ens")
+    tv = F.col("test_vals")
+    nonzero = F.filter(tv, lambda x: x != 0)
+    masked = F.aggregate(nonzero, F.lit(0.0), lambda a, x: a + F.abs((x - ens) / x))
+    fallback = F.aggregate(tv, F.lit(0.0), lambda a, x: a + F.abs(x - ens))
+    mape_raw = F.when(
+        F.size(nonzero) > 0, masked / F.size(nonzero) * 100
+    ).otherwise(fallback / F.size(tv))
+    return with_ens.withColumn("mape_raw", mape_raw).drop("_ma4", "_train_avg", "_test_pairs")
+
+
+def flagship(spark: SparkSession, sf_dir: str, top_k: int = 100) -> DataFrame:
+    stats = series_stats(clean_sales(load_table(spark, sf_dir, "lineitem")))
     inv = inventory_columns(
         sigma=F.col("sigma"),
         avg_forecast=F.col("ens"),  # constant forecast -> mean == value
         last_stock=F.col("last_stock"),
     )
-    result = per_series.select(
+    result = stats.select(
         *KEYS,
         F.col("n_weeks"),
-        F.round("total_units_raw", 2).alias("total_units"),
+        F.round("total_raw", 2).alias("total_units"),
         F.round("ens", 4).alias("forecast_wk"),
         # Python round() is half-even -> bround (PRACTICA3.py:168).
         F.bround("mape_raw", 3).alias("mape"),

@@ -63,63 +63,23 @@ def forecast_inventory(
     Both return the reference's result schema.
     """
     keys = keys or KEYS
-    dense = weekly_dense_resample(sales, keys, "invoice_date", "units_sold")
     if use_models:
         from ..operators.forecast_udf import forecast_with_models
 
+        dense = weekly_dense_resample(sales, keys, "invoice_date", "units_sold")
         return forecast_with_models(dense)
 
-    dense = winsorize_by_group(dense, keys, "units_sold", "units_w")
-    dense = add_recency_rank(dense, keys, "week")
+    from .flagship import series_stats
 
-    ps = Window.partitionBy(*keys)
-    rn = F.col("rn")
-    train_avg = F.avg(F.when(rn > HORIZON, F.col("units_w"))).over(ps)
-    scored = dense.withColumns(
-        {
-            "ma_val": F.coalesce(
-                F.avg(F.when((rn > HORIZON) & (rn <= 2 * HORIZON), F.col("units_w"))).over(ps),
-                train_avg,
-            ),
-            "hist_avg": F.greatest(F.lit(1.0), train_avg),
-        }
-    )
-    ma0 = F.greatest(F.col("ma_val"), F.lit(0.0))
-    scored = scored.withColumn(
-        "ens", F.least(ma0, F.greatest(F.lit(10.0) * F.col("hist_avg"), ma0))
-    )
-
-    t = F.col("units_w")
-    is_test = rn <= HORIZON
-    per_series = (
-        scored.groupBy(*keys)
-        .agg(
-            F.count("*").alias("n_weeks"),
-            F.sum("units_sold").alias("_total"),
-            F.max("ens").alias("ens"),
-            F.coalesce(
-                F.avg(F.when(is_test & (t != 0), F.abs((t - F.col("ens")) / t))) * 100,
-                F.avg(F.when(is_test, F.abs(t - F.col("ens")))),
-            ).alias("mape_raw"),
-            F.coalesce(F.stddev_pop(F.when(rn > HORIZON, t)), F.lit(0.0)).alias("sigma"),
-            F.max(F.when(rn == HORIZON + 1, t)).alias("last_stock"),
-            # Test actuals in week order (the reference's y_true list,
-            # PRACTICA3.py:157,170).
-            F.array_sort(
-                F.collect_list(F.when(is_test, F.struct(F.col("week"), t.alias("v"))))
-            ).alias("_test_pairs"),
-        )
-        .filter((F.col("n_weeks") >= MIN_WEEKS) & (F.col("_total") >= MIN_TOTAL_SALES))
-    )
-
+    stats = series_stats(sales, keys)
     inv = inventory_columns(F.col("sigma"), F.col("ens"), F.col("last_stock"))
     horizon_fill = F.array_repeat(F.col("ens"), HORIZON)
-    return per_series.select(
+    return stats.select(
         F.col(keys[0]).cast("string").alias("SKU"),
         F.col(keys[1]).cast("string").alias("Store"),
         F.bround("mape_raw", 3).alias("MAPE"),
         horizon_fill.alias("Forecast"),
-        F.transform("_test_pairs", lambda s: s["v"]).alias("Test"),
+        F.col("test_vals").alias("Test"),
         inv["Safety_Stock"].alias("Safety_Stock"),
         inv["Reorder_Point"].alias("Reorder_Point"),
         inv["Qty_to_Order"].alias("Qty_to_Order"),
