@@ -131,3 +131,99 @@ def lsh_bucketed_topk(
         .filter(F.col("rk") <= k)
         .select("query_id", "cand_id", F.round("cos", 6).alias("cos"), F.col("rk").cast("long").alias("rk"))
     )
+
+
+def ivf_index(
+    embeddings: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    label_col: str = "label",
+) -> tuple[DataFrame, DataFrame]:
+    """IVF coarse quantizer [N3 scale path]: centroids from the label
+    partitions (stand-in for a k-means fit — at scale the centroids
+    come from MLlib KMeans on a sample; the index/probe machinery here
+    is identical), plus the inverted-list assignment of every vector
+    to its nearest centroid.
+
+    Returns (centroids: label/centroid, assignments: id/cell).
+    """
+    import pyspark.sql.functions as F
+
+    # centroid[d] = avg of element d within the label group
+    pos = embeddings.select(
+        label_col, F.posexplode(vec_col).alias("pos", "val")
+    )
+    cent = (
+        pos.groupBy(label_col, "pos")
+        .agg(F.avg(F.col("val").cast("double")).alias("c"))
+        .groupBy(label_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+            ).alias("centroid")
+        )
+    )
+    vecs = embeddings.select(
+        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cvec")
+    )
+    scored = vecs.crossJoin(F.broadcast(cent)).withColumn(
+        "sim", cosine(F.col("cvec"), F.col("centroid"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cand_id").orderBy(F.col("sim").desc(), F.col(label_col))
+    assign = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("cand_id", F.col(label_col).alias("cell"))
+    )
+    return cent, assign
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_filter: Column,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """IVF probe: rank centroids per query, search only the vectors in
+    the ``nprobe`` nearest inverted lists, exact cosine re-rank inside.
+    At 100 TB the probed lists are a small fraction of the corpus —
+    the scan cost drops by ~n_cells/nprobe. Approximate by
+    construction -> rows-only check; recall vs the brute-force
+    baseline is asserted in tests."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    cent, assign = ivf_index(embeddings, id_col, vec_col, label_col)
+    q = embeddings.filter(query_filter).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    qcells = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("sim", cosine(F.col("qvec"), F.col("centroid")))
+        .withColumn(
+            "crk",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col(label_col))
+            ),
+        )
+        .filter(F.col("crk") <= nprobe)
+        .select("query_id", "qvec", F.col(label_col).alias("cell"))
+    )
+    cands = embeddings.select(
+        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cvec")
+    ).join(assign, "cand_id")
+    scored = (
+        cands.join(F.broadcast(qcells), "cell")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .withColumn("cos", cosine(F.col("qvec"), F.col("cvec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "cand_id", F.round("cos", 6).alias("cos"),
+                F.col("rk").cast("long").alias("rk"))
+    )

@@ -377,3 +377,47 @@ def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("ann_lsh_bucketed_topk", q_lsh_topk, None)  # approximate: rows-only
+
+
+# -- N4: token counting (whitespace + BPE-ish regex) -----------------------
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.tokenize import token_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = token_counts("text")
+    return docs.select("doc_id", *[v.alias(k) for k, v in counts.items()])
+
+
+from ..operators.tokenize import BPE_ISH_PATTERN as _BPE_RAW  # noqa: E402
+
+_BPE = _BPE_RAW.replace("'", "''")  # escape for the SQL string literal
+
+register(
+    "token_counts",
+    q_token_counts,
+    f"""
+WITH t AS (
+  SELECT doc_id, text,
+         len(string_split_regex(trim(text), '\\s+')) AS nws,
+         len(regexp_extract_all(text, '{_BPE}')) AS nbpe
+  FROM documents
+)
+SELECT doc_id,
+  CAST(nws AS BIGINT) AS n_ws_tokens,
+  CAST(nbpe AS BIGINT) AS n_bpe_tokens,
+  CAST(length(text) AS BIGINT) AS n_chars,
+  round(CASE WHEN nbpe > 0 THEN length(text) / nbpe ELSE 0.0 END, 4) AS chars_per_tok
+FROM t
+""",
+)
+
+
+# -- N3 scale path: IVF-probed ANN (approximate -> rows-only) --------------
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, F.col("vec_id") < 5, k=10, nprobe=2)
+
+
+register("ann_ivf_topk", q_ivf_topk, None)  # approximate: rows-only

@@ -85,3 +85,42 @@ def run_stream_to_memory(
         .start()
     )
     q.awaitTermination(120)
+
+
+def running_user_totals_stream(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    running event count / value total, emitted on every update.
+
+    This is the arbitrary-stateful-processing escape hatch for
+    operators session/tumbling windows can't express (counters,
+    custom sessionization policies, online sketches). State is a
+    single row per user; the watermark-free NoTimeout variant keeps
+    the demo deterministic on a bounded file stream.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    OUT_SCHEMA = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("total_value", DoubleType()),
+        ]
+    )
+    STATE_SCHEMA = StructType(
+        [StructField("n", LongType()), StructField("tot", DoubleType())]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        n, tot = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            tot += float(pdf["value"].sum())
+        state.update((n, tot))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(tot, 2)]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update, OUT_SCHEMA, STATE_SCHEMA, "update", GroupStateTimeout.NoTimeout
+    )

@@ -65,3 +65,39 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
         spark.sql("DROP TABLE IF EXISTS li_b")
         spark.sql("DROP TABLE IF EXISTS ord_b")
+
+
+def test_ivf_probe_is_exact_within_probed_cells(spark):
+    """The IVF guarantee is NOT global recall (that depends on how
+    clustered the data is — the synthetic embeddings are unclustered
+    noise); it is that the probe returns the EXACT top-k among the
+    vectors in the probed inverted lists. Verify against a brute-force
+    rank restricted to the same candidate set."""
+    import numpy as np
+
+    from dataframe_retail_e_inventarios_spark.operators.similarity import (
+        ivf_index,
+        ivf_topk,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    got = ivf_topk(emb, F.col("vec_id") < 5, k=10, nprobe=2).toPandas()
+
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in emb.collect()}
+    # Take the index AS BUILT by Spark (centroid fp-estimation order
+    # differs from numpy's and legitimately flips near-tied probe
+    # rankings on unclustered data); the property under test is the
+    # probe + exact re-rank given that index.
+    cent_df, assign = ivf_index(emb)
+    cell = {r.cand_id: r.cell for r in assign.collect()}
+    cents = {r.label: np.array(r.centroid, dtype=np.float64) for r in cent_df.collect()}
+
+    def cos(a, b):
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    for qid in range(5):
+        qv = vecs[qid]
+        probed = sorted(cents, key=lambda c: (-cos(qv, cents[c]), c))[:2]
+        cands = [i for i, c in cell.items() if c in probed and i != qid]
+        expected = sorted(cands, key=lambda i: (-cos(qv, vecs[i]), i))[:10]
+        assert got[got.query_id == qid]["cand_id"].tolist() == expected, qid

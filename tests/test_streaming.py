@@ -60,3 +60,38 @@ def test_session_stream_plan_builds(spark, events_dir):
     out = spark.table("sessions_test").toPandas()
     assert len(out) > 0
     assert (out["n_events"] >= 1).all()
+
+
+def test_stateful_running_totals(spark, events_dir):
+    """applyInPandasWithState: final per-user totals equal the batch
+    aggregate (single availableNow drain -> one update per user)."""
+    from dataframe_retail_e_inventarios_spark.streaming.events import (
+        read_events_stream,
+        running_user_totals_stream,
+    )
+
+    stream = running_user_totals_stream(read_events_stream(spark, events_dir))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("user_totals_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.table("user_totals_test")
+        .groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"))
+        .toPandas()
+        .sort_values("user_id", ignore_index=True)
+    )
+    batch = (
+        load_table(spark, SF_SMOKE, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"))
+        .toPandas()
+        .sort_values("user_id", ignore_index=True)
+    )
+    assert (got["user_id"].to_numpy() == batch["user_id"].to_numpy()).all()
+    assert (got["n_events"].to_numpy() == batch["n_events"].to_numpy()).all()
