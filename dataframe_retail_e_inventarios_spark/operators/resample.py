@@ -126,9 +126,50 @@ def weekly_dense_resample(
     week_col: str = "week",
 ) -> DataFrame:
     """pandas ``groupby(keys).resample('W-SUN').sum().fillna(0)``
-    [A2: PRACTICA3.py:90-94], distributed."""
+    [A2: PRACTICA3.py:90-94], distributed.
+
+    Shuffle shape: instead of the textbook bounds-aggregate + spine
+    explode + left join (three extra exchanges), each series collects
+    its weekly sums into a map in ONE groupBy(keys) pass, then explodes
+    the full week sequence with a map lookup. The exploded output
+    preserves hashpartitioning(keys), so every downstream
+    Window.partitionBy(keys) / groupBy(keys) runs WITHOUT another
+    shuffle — the flagship goes from ~7 exchanges to 3. Per-series
+    state is bounded by the series' span in weeks (thousands at most),
+    safe for executor memory at any corpus size.
+    """
+    keys = list(keys)
     weekly = weekly_resample_sum(df, keys, ts_col, value_col, week_col)
-    return densify_weeks(weekly, keys, week_col, (value_col,))
+    per_series = weekly.groupBy(*keys).agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col(week_col).alias("w"), F.col(value_col).alias("v")))
+        ).alias("_es")
+    )
+    es = F.col("_es")
+    week7 = F.expr("interval 7 days")
+
+    def entry_with_gap(e, i):
+        # this entry, followed by zero rows for the gap up to (not
+        # including) the next entry's week — O(span) total, no lookups.
+        nxt = F.try_element_at(es, i + 2)  # 1-based; null past the end (ANSI-safe)
+        gap = F.when(
+            nxt.isNotNull() & (F.date_add(e["w"], 7) <= F.date_sub(nxt["w"], 7)),
+            F.transform(
+                F.sequence(F.date_add(e["w"], 7), F.date_sub(nxt["w"], 7), week7),
+                lambda wk: F.struct(wk.alias("w"), F.lit(0.0).alias("v")),
+            ),
+        ).otherwise(F.array().cast("array<struct<w:date,v:double>>"))
+        return F.concat(F.array(F.struct(e["w"].alias("w"), e["v"].alias("v"))), gap)
+
+    dense_arr = per_series.select(
+        *keys, F.flatten(F.transform(es, entry_with_gap)).alias("_dense")
+    )
+    exploded = dense_arr.select(*keys, F.explode_outer("_dense").alias("_e"))
+    return exploded.select(
+        *keys,
+        F.col("_e.w").alias(week_col),
+        F.col("_e.v").alias(value_col),
+    )
 
 
 def daily_resample_sum(
