@@ -52,3 +52,54 @@ SELECT l_suppkey,
 FROM lineitem GROUP BY 1
 """,
 )
+
+
+# -- M3: log1p/expm1 variance-stabilizing transform, native ---------------
+# (the transform the reference applies around its model fits,
+# PRACTICA3.py:118,124,132,137 — here as a checked round-trip + the
+# transformed weekly series itself)
+def q_log_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cleaning import clean_sales
+    from ..operators.resample import weekly_resample_sum
+    from .flagship import KEYS
+
+    weekly = weekly_resample_sum(
+        clean_sales(load_table(spark, sf_dir, "lineitem")),
+        KEYS,
+        "invoice_date",
+        "units_sold",
+        out_col="units",
+    )
+    log_u = F.log1p(F.greatest(F.col("units"), F.lit(0.0)))
+    return weekly.select(
+        *KEYS,
+        "week",
+        F.round(log_u, 6).alias("log_units"),
+        F.round(F.expm1(log_u), 4).alias("roundtrip"),
+    )
+
+
+register(
+    "log_transform_weekly",
+    q_log_transform,
+    """
+WITH sales AS (
+  SELECT l_partkey AS product_id, l_suppkey AS store_id,
+         l_shipdate AS invoice_date,
+         coalesce(TRY_CAST(l_quantity AS DOUBLE), 0.0) AS units_sold
+  FROM lineitem
+  WHERE coalesce(TRY_CAST(l_quantity AS DOUBLE), 0.0) >= 0
+),
+weekly AS (
+  SELECT product_id, store_id,
+         CAST(invoice_date AS DATE)
+           + CAST((7 - isodow(CAST(invoice_date AS DATE))) % 7 AS INTEGER) AS week,
+         sum(units_sold) AS units
+  FROM sales GROUP BY 1, 2, 3
+)
+SELECT product_id, store_id, week,
+       round(ln(1 + greatest(units, 0.0)), 6) AS log_units,
+       round(exp(ln(1 + greatest(units, 0.0))) - 1, 4) AS roundtrip
+FROM weekly
+""",
+)
