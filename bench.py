@@ -34,6 +34,11 @@ HEADLINE = [
     "ann_cosine_topk",
     "events_sessionization",
     "text_quality_scores",
+    "token_counts",
+    "rollup_sales_summary",
+    "log_transform_weekly",
+    "events_props_json",
+    "multimodal_features",
 ]
 
 

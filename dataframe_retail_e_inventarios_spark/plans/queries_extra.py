@@ -103,3 +103,165 @@ SELECT product_id, store_id, week,
 FROM weekly
 """,
 )
+
+
+# -- Semi-structured: JSON property extraction over events.props ----------
+# (LLM-pipeline staple: metadata lives in JSON side columns; parse
+# JVM-side with from_json, never a Python json.loads loop)
+def q_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.withColumn(
+        "k", F.from_json("props", "k INT").getField("k")
+    )
+    return parsed.groupBy("event_type", "k").agg(
+        F.count("*").alias("n"),
+        F.round(
+            F.sum(F.bround(F.col("value") * 100, 0).cast("long")) / 100.0, 2
+        ).alias("total_value"),
+    )
+
+
+register(
+    "events_props_json",
+    q_props_json,
+    """
+SELECT event_type,
+       CAST(json_extract(props, '$.k') AS INTEGER) AS k,
+       count(*) AS n,
+       round(sum(CAST(round_even(value * 100, 0) AS BIGINT)) / 100.0, 2) AS total_value
+FROM events GROUP BY 1, 2
+""",
+)
+
+
+# -- Grouping sets (beyond rollup) ----------------------------------------
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("_li_gs")
+    return spark.sql("""
+        SELECT l_returnflag, l_linestatus, count(*) AS n,
+               round(sum(l_quantity), 2) AS qty
+        FROM _li_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """)
+
+
+register(
+    "grouping_sets_summary",
+    q_grouping_sets,
+    """
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+       round(sum(l_quantity), 2) AS qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+""",
+)
+
+
+# -- As-of join: latest order state at each event time ---------------------
+# (custom operator via union + last-non-null window; oracle = DuckDB's
+# native ASOF JOIN)
+def q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof import asof_join
+    from ..operators.resample import wall_date
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    orders = load_table(spark, sf_dir, "orders")
+    # One state row per (customer, day): the highest-priced order that
+    # day (deterministic dedupe -> deterministic asof output).
+    from pyspark.sql import Window as W
+
+    od = orders.withColumn("o_date", F.to_date("o_orderdate"))
+    dedup = (
+        od.withColumn(
+            "_r",
+            F.row_number().over(
+                W.partitionBy("o_custkey", "o_date").orderBy(
+                    F.col("o_totalprice").desc(), F.col("o_orderkey")
+                )
+            ),
+        )
+        .filter(F.col("_r") == 1)
+        .drop("_r")
+    )
+    joined = asof_join(
+        ev,
+        dedup,
+        key_left="user_id",
+        key_right="o_custkey",
+        time_left=wall_date(F.col("ts"), is_instant=True),
+        time_right=F.col("o_date"),
+        payload_cols=["o_orderkey", "o_totalprice", "o_orderstatus"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+        "o_orderstatus",
+    )
+
+
+register(
+    "asof_join_latest_order",
+    q_asof,
+    """
+WITH dedup AS (
+  SELECT * FROM (
+    SELECT o_custkey, CAST(o_orderdate AS DATE) AS o_date,
+           o_orderkey, o_totalprice, o_orderstatus,
+           row_number() OVER (PARTITION BY o_custkey, CAST(o_orderdate AS DATE)
+                              ORDER BY o_totalprice DESC, o_orderkey) AS _r
+    FROM orders
+  ) WHERE _r = 1
+)
+SELECT e.event_id, e.user_id, d.o_orderkey,
+       round(d.o_totalprice, 2) AS o_totalprice, d.o_orderstatus
+FROM events e
+ASOF LEFT JOIN dedup d
+  ON e.user_id = d.o_custkey AND CAST(e.ts AS DATE) >= d.o_date
+""",
+)
+
+
+# -- Pivot: returnflag columns per supplier (conditional-agg oracle) ------
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_suppkey")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+        .na.fill({"A": 0.0, "N": 0.0, "R": 0.0})
+    )
+
+
+register(
+    "pivot_qty_by_returnflag",
+    q_pivot,
+    """
+SELECT l_suppkey,
+  coalesce(round(sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 2), 0.0) AS A,
+  coalesce(round(sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END), 2), 0.0) AS N,
+  coalesce(round(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 2), 0.0) AS R
+FROM lineitem GROUP BY 1
+""",
+)
+
+
+# -- Cube (completes rollup/grouping-sets family) -------------------------
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("qty")
+    )
+
+
+register(
+    "cube_sales_summary",
+    q_cube,
+    """
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+       round(sum(l_quantity), 2) AS qty
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+)

@@ -79,3 +79,21 @@ def test_parse_float_list_edges(spark):
         assert list(got.loc[s, "lst"]) == lst, s
         assert got.loc[s, "total"] == total, s
         assert got.loc[s, "n"] == n, s
+
+
+def test_sketch_aggregates_within_tolerance(spark):
+    """Approximate sketches (the 100 TB path for distincts/quantiles):
+    HLL count-distinct within 5% of exact; approx percentile within the
+    documented accuracy bound of exact."""
+    from dataframe_retail_e_inventarios_spark.sources.readers import load_table
+    from tests.conftest import SF_CORRECT
+
+    li = load_table(spark, SF_CORRECT, "lineitem")
+    r = li.agg(
+        F.countDistinct("l_partkey").alias("exact_d"),
+        F.approx_count_distinct("l_partkey").alias("approx_d"),
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("exact_p50"),
+        F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)).alias("approx_p50"),
+    ).first()
+    assert abs(r.approx_d - r.exact_d) / r.exact_d < 0.05
+    assert abs(r.approx_p50 - r.exact_p50) / r.exact_p50 < 0.01
