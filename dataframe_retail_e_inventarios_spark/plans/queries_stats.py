@@ -27,16 +27,24 @@ def _dense(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -- A6: exact per-series winsorization bounds (PRACTICA3.py:103-106) ------
 def q_winsorize_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every series, with bounds only where winsorization applies
+    (n_pos > 5, PRACTICA3.py:104) — null bounds mean pass-through."""
     pos = F.when(F.col("units_sold") > 0, F.col("units_sold"))
-    return (
+    agg = (
         _dense(spark, sf_dir)
         .groupBy(*KEYS)
         .agg(
             F.count(pos).alias("n_pos"),
-            F.round(F.percentile(pos, F.lit(0.01)), 4).alias("lower_q"),
-            F.round(F.percentile(pos, F.lit(0.99)), 4).alias("upper_q"),
+            F.round(F.percentile(pos, F.lit(0.01)), 4).alias("_lo"),
+            F.round(F.percentile(pos, F.lit(0.99)), 4).alias("_hi"),
         )
-        .filter(F.col("n_pos") > 5)
+    )
+    applies = F.col("n_pos") > 5
+    return agg.select(
+        *KEYS,
+        "n_pos",
+        F.when(applies, F.col("_lo")).alias("lower_q"),
+        F.when(applies, F.col("_hi")).alias("upper_q"),
     )
 
 
@@ -47,12 +55,16 @@ register(
 WITH {OF.CLEAN_SALES_CTE.strip()},
 {OF.WEEKLY_CTE.strip()},
 {OF.DENSE_CTE.strip()}
-SELECT product_id, store_id,
-  count(CASE WHEN units_sold > 0 THEN 1 END) AS n_pos,
-  round(quantile_cont(CASE WHEN units_sold > 0 THEN units_sold END, 0.01), 4) AS lower_q,
-  round(quantile_cont(CASE WHEN units_sold > 0 THEN units_sold END, 0.99), 4) AS upper_q
-FROM dense GROUP BY 1, 2
-HAVING count(CASE WHEN units_sold > 0 THEN 1 END) > 5
+SELECT product_id, store_id, n_pos,
+  CASE WHEN n_pos > 5 THEN lo END AS lower_q,
+  CASE WHEN n_pos > 5 THEN hi END AS upper_q
+FROM (
+  SELECT product_id, store_id,
+    count(CASE WHEN units_sold > 0 THEN 1 END) AS n_pos,
+    round(quantile_cont(CASE WHEN units_sold > 0 THEN units_sold END, 0.01), 4) AS lo,
+    round(quantile_cont(CASE WHEN units_sold > 0 THEN units_sold END, 0.99), 4) AS hi
+  FROM dense GROUP BY 1, 2
+)
 """,
 )
 
