@@ -121,21 +121,7 @@ def minhash_lsh_pairs(
     the LSH trick that replaces the all-pairs comparison); candidates
     are then verified with exact Jaccard >= threshold."""
     rows = k // bands
-    # The shingle index feeds three branches of this one query plan
-    # (signatures, intersection counts, set sizes); without persist
-    # Spark recomputes the tokenize+shingle pass per branch (measured
-    # 3x). MEMORY_AND_DISK so an oversized corpus spills instead of
-    # OOMing; LRU eviction reclaims it after the query completes.
-    from pyspark import StorageLevel
-
-    ds_shared = doc_shingles(docs, text_col, id_col).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
-        for i in range(k)
-    ]
-    sig = ds_shared.groupBy(id_col).agg(*aggs)
+    sig = minhash_signatures(docs, k, text_col, id_col)
     band_cols = [
         F.concat_ws("|", F.lit(str(b)), *[F.col(f"h{b * rows + r}") for r in range(rows)]).alias(
             f"band{b}"
@@ -160,7 +146,7 @@ def minhash_lsh_pairs(
     # Exact-Jaccard verification ONLY on the candidate pairs — this is
     # the entire point of LSH: the quadratic shingle comparison runs on
     # the (tiny) candidate set, never the corpus.
-    ds = ds_shared
+    ds = doc_shingles(docs, text_col, id_col)
     sizes = ds.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     sh_a = ds.select(F.col(id_col).alias("id_a"), F.col("shingle").alias("sh_a"))
     sh_b = ds.select(F.col(id_col).alias("_idb"), F.col("shingle").alias("sh_b"))
