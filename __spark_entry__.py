@@ -11,12 +11,20 @@ module is a thin adapter over its query registry.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from dataframe_retail_e_inventarios_spark import registry
-from dataframe_retail_e_inventarios_spark.plans.flagship import flagship
+# Self-locate: works whether imported as a module with the repo root on
+# sys.path or loaded directly from this file's path.
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+from dataframe_retail_e_inventarios_spark import registry  # noqa: E402
+from dataframe_retail_e_inventarios_spark.plans.flagship import flagship  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
