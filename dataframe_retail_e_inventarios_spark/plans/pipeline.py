@@ -102,3 +102,46 @@ def build_report(results: DataFrame) -> DataFrame:
     from .report import add_report_text, prepare_report_input
 
     return add_report_text(prepare_report_input(results))
+
+
+def notebook_flow(
+    sales_daily_source: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    value_col: str,
+    holdout_days: int = 30,
+) -> DataFrame:
+    """The reference's notebook entry point (limpieza_de_datos.py) as a
+    library call: daily dense resample -> lag-1/lag-7 features ->
+    dropna -> positional holdout split -> seasonal-naive (lag-7)
+    baseline forecast -> per-key MAE/RMSE on the holdout.
+
+    (Prophet fits live in operators/forecast_udf.py; this native flow
+    is the oracle-checkable backbone the notebook wraps around them.)
+    """
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from ..functions.metrics import mae, rmse
+    from ..operators.resample import daily_resample_sum, densify_days
+    from ..operators.split import add_lags
+
+    daily = densify_days(
+        daily_resample_sum(sales_daily_source, keys, ts_col, value_col, day_col="ds")
+        .withColumnRenamed(value_col, "y"),
+        keys,
+        "ds",
+        ("y",),
+    )
+    lagged = add_lags(daily, keys, "ds", "y", lags=(1, 7)).na.drop(
+        subset=["lag1", "lag7"]
+    )
+    w = Window.partitionBy(*keys).orderBy(F.col("ds").desc())
+    split = lagged.withColumn("_rn", F.row_number().over(w))
+    test = split.filter(F.col("_rn") <= holdout_days)
+    preds = test.withColumn("pred", F.col("lag7"))  # seasonal-naive baseline
+    return preds.groupBy(*keys).agg(
+        F.count("*").alias("n_days"),
+        F.round(mae("y", "pred"), 4).alias("mae"),
+        F.round(rmse("y", "pred"), 4).alias("rmse"),
+    )

@@ -265,3 +265,45 @@ SELECT l_returnflag, l_linestatus, count(*) AS n,
 FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
 """,
 )
+
+
+# -- Range (interval) join: label facts by date intervals ------------------
+# (the broadcast-intervals pattern: the interval dim is tiny, the fact
+# never shuffles; the range predicate evaluates inside codegen)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    years = spark.range(1995, 2002).select(F.col("id").alias("yr"))
+    intervals = years.select(
+        F.concat(F.lit("holiday_"), F.col("yr")).alias("season"),
+        F.to_date(F.concat(F.col("yr"), F.lit("-11-01"))).alias("d_start"),
+        F.to_date(F.concat(F.col("yr"), F.lit("-12-31"))).alias("d_end"),
+    )
+    ship = li.withColumn("ship_d", F.to_date("l_shipdate"))
+    labeled = ship.join(
+        F.broadcast(intervals),
+        (F.col("ship_d") >= F.col("d_start")) & (F.col("ship_d") <= F.col("d_end")),
+        "inner",
+    )
+    return labeled.groupBy("season").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("qty"),
+    )
+
+
+register(
+    "range_join_holiday_seasons",
+    q_range_join,
+    """
+WITH intervals AS (
+  SELECT 'holiday_' || yr AS season,
+         CAST(yr || '-11-01' AS DATE) AS d_start,
+         CAST(yr || '-12-31' AS DATE) AS d_end
+  FROM (SELECT unnest(generate_series(1995, 2001)) AS yr)
+)
+SELECT season, count(*) AS n, round(sum(l_quantity), 2) AS qty
+FROM lineitem
+JOIN intervals
+  ON CAST(l_shipdate AS DATE) >= d_start AND CAST(l_shipdate AS DATE) <= d_end
+GROUP BY 1
+""",
+)

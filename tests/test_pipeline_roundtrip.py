@@ -90,3 +90,15 @@ def test_udf_path_same_schema(spark, ventas_csv):
     assert [f.name for f in udf.schema.fields][:8] == [
         f.name for f in native.schema.fields
     ][:8]
+
+
+def test_notebook_flow_entry_point(spark):
+    """limpieza_de_datos.py as a library call over the events table."""
+    from dataframe_retail_e_inventarios_spark.plans.pipeline import notebook_flow
+    from dataframe_retail_e_inventarios_spark.sources.readers import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    out = notebook_flow(ev, ["event_type"], "ts", "value").toPandas()
+    assert len(out) > 0
+    assert (out["mae"] >= 0).all() and (out["rmse"] >= out["mae"] * 0).all()
+    assert (out["rmse"] >= 0).all()
