@@ -26,7 +26,7 @@ Scale shape (100 TB posture):
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 
 from ..functions.inventory import LEAD_TIME_WEEKS, SERVICE_LEVEL_Z, inventory_columns
 from ..operators.cleaning import clean_sales
@@ -120,14 +120,13 @@ def flagship(spark: SparkSession, sf_dir: str, top_k: int = 100) -> DataFrame:
         (inv["Qty_to_Order"] > 0).alias("need_reorder"),
     )
 
-    topw = Window.orderBy(
+    # Global top-k via orderBy().limit(): Spark compiles this to
+    # TakeOrderedAndProject — each task computes a partial top-k and the
+    # driver merges k-sized heaps — instead of a single-partition Window
+    # that would funnel every surviving series through one task.
+    return result.orderBy(
         F.col("qty_to_order").desc(), F.col("product_id"), F.col("store_id")
-    )
-    return (
-        result.withColumn("rk", F.row_number().over(topw))
-        .filter(F.col("rk") <= top_k)
-        .drop("rk")
-    )
+    ).limit(top_k)
 
 
 # ---------------------------------------------------------------------------

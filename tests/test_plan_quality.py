@@ -64,11 +64,29 @@ def test_flagship_shuffle_budget(spark):
     assert "partial_sum" in plan.lower() or "HashAggregate" in plan
     # Budget: (1) fact -> weekly on (keys, week); (2) weekly -> series
     # on (keys), whose partitioning every window + the final aggregate
-    # then REUSE; (3-4) the top-k single-partition step. More than 5
-    # means a partitioning stopped being reused (e.g. the dense
-    # gap-fill regressed to a spine join).
+    # then REUSE. More than 5 means a partitioning stopped being reused
+    # (e.g. the dense gap-fill regressed to a spine join).
     n = plan.count("+- Exchange")
     assert n <= 5, f"exchange count grew: {n}"
+    # Global top-k must be TakeOrderedAndProject (map-side partial
+    # top-k), never a single-partition Window over the full result.
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan.split("TakeOrderedAndProject")[0]
+
+
+def test_dedup_pair_joins_are_banded(spark):
+    """No dedup pair operator may fall back to an all-pairs join: the
+    SimHash and MinHash-LSH candidate joins are band equi-joins (hash
+    or sort-merge), never CartesianProduct. (The 1-row hot-shingle
+    broadcast in the LSH plan is a BroadcastNestedLoopJoin by nature,
+    so only the cartesian check applies there.)"""
+    plan = plan_of(spark, "dedup_simhash_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "band_val" in plan
+    plan = plan_of(spark, "dedup_minhash_lsh")
+    assert "CartesianProduct" not in plan
+    assert "band_key" in plan
 
 
 def test_no_inferred_generate_filters(spark):
