@@ -81,6 +81,26 @@ def extract_media_features(df: DataFrame, payload_col: str = "payload") -> DataF
     return df.mapInPandas(extract, MEDIA_FEATURE_SCHEMA)
 
 
+def media_features_native(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """The decode_stub features as pure built-in expressions.
+
+    Everything the stub computes is SQL-expressible (length / md5 /
+    header hex), so the production query stays JVM-side in whole-stage
+    codegen — no Python round trip at all. ``extract_media_features``
+    remains the extension point for REAL codecs (the moment decode
+    needs PIL/ffmpeg, that mapInPandas contract is the shape to use);
+    the two paths are differential-tested against each other.
+    """
+    p = F.col(payload_col)
+    return df.select(
+        "doc_id",
+        "media_type",
+        F.length(p).cast("long").alias("payload_len"),
+        F.lower(F.hex(F.substring(p, 1, 8))).alias("header_hex"),
+        F.md5(p).alias("content_md5"),
+    )
+
+
 def documents_as_media(docs: DataFrame) -> DataFrame:
     """Adapt the documents table into a (doc_id, media_type, payload)
     multimodal frame: utf-8 text bytes stand in for the opaque payload."""

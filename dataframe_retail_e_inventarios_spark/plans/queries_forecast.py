@@ -17,7 +17,11 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.cleaning import clean_sales
 from ..operators.forecast_udf import forecast_with_models
-from ..operators.multimodal import documents_as_media, extract_media_features
+from ..operators.multimodal import (
+    documents_as_media,
+    extract_media_features,
+    media_features_native,
+)
 from ..operators.resample import weekly_dense_resample
 from ..registry import register
 from ..sources.readers import load_table
@@ -44,20 +48,34 @@ def q_forecast_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
 register("forecast_udf_ensemble", q_forecast_udf, None)  # model fits: rows-only
 
 
-def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    media = documents_as_media(load_table(spark, sf_dir, "documents"))
-    return extract_media_features(media)
-
-
-register(
-    "multimodal_features",
-    q_multimodal,
-    """
+_MULTIMODAL_ORACLE = """
 SELECT doc_id,
        'text/plain' AS media_type,
        CAST(octet_length(encode(text)) AS BIGINT) AS payload_len,
        lower(hex(encode(substr(text, 1, 8)))) AS header_hex,
        md5(text) AS content_md5
 FROM documents
-""",
-)
+"""
+
+
+def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production path: the stub features are all SQL-expressible, so
+    the registered query is pure built-ins (JVM-side, codegen) — no
+    Python round trip for features a real pipeline computes natively."""
+    media = documents_as_media(load_table(spark, sf_dir, "documents"))
+    return media_features_native(media)
+
+
+register("multimodal_features", q_multimodal, _MULTIMODAL_ORACLE)
+
+
+def q_multimodal_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension-point path: the SAME features through the Arrow
+    mapInPandas decoder contract (the shape real codecs plug into).
+    Oracle-checked too — proving the UDF transport (schema, batching,
+    binary columns) is byte-exact with the native plan."""
+    media = documents_as_media(load_table(spark, sf_dir, "documents"))
+    return extract_media_features(media)
+
+
+register("multimodal_features_udf", q_multimodal_udf, _MULTIMODAL_ORACLE)

@@ -27,6 +27,19 @@ def test_media_features_roundtrip(spark):
         assert r.media_type == "text/plain"
 
 
+def test_native_and_mapinpandas_paths_agree(spark):
+    """The registered production query is the native-expression plan;
+    the mapInPandas decoder contract must produce byte-identical rows."""
+    from dataframe_retail_e_inventarios_spark.operators.multimodal import (
+        media_features_native,
+    )
+
+    media = documents_as_media(load_table(spark, SF_SMOKE, "documents").limit(50))
+    native = media_features_native(media).toPandas().sort_values("doc_id").reset_index(drop=True)
+    udf = extract_media_features(media).toPandas().sort_values("doc_id").reset_index(drop=True)
+    assert native.equals(udf)
+
+
 def test_resize_is_explicitly_stubbed():
     with pytest.raises(NotImplementedError):
         resize_stub(b"\x89PNG", 64, 64)
