@@ -33,17 +33,61 @@ def exact_dedup_groups(docs: DataFrame, text_col: str = "text", id_col: str = "d
     )
 
 
-def doc_shingles(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
-    """(doc_id, shingle) exploded inverted-index input.
+def doc_shingle_sets(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    max_df: int | None = None,
+) -> DataFrame:
+    """(doc_id, shingles: array<string>) — one narrow pass, no shuffle.
 
     Tokenization is materialized in its own projection BEFORE the
     shingle transform: the shingle lambda references the token array
     ~3x per shingle, and Catalyst will not common-subexpression-
     eliminate an expensive regex split into a lambda — inlining it
     re-splits the text per element_at (measured 10x slowdown).
+
+    ``max_df`` drops shingles whose document frequency exceeds the cap
+    (standard MinHash practice: a stop-shingle shared by k docs carries
+    no discriminative signal but costs k^2 in any pair join — the skew
+    bomb at corpus scale). The hot list is one corpus aggregation whose
+    output is tiny (few shingles exceed any sane cap), so it ships as a
+    single-row broadcast; at 100 TB you compute it once per corpus
+    snapshot and reuse it across every dedup query.
     """
     toked = docs.select(F.col(id_col), tokens(text_col).alias("toks"))
-    sh = toked.select(F.col(id_col), word_shingles(F.col("toks"), n).alias("shingles"))
+    base = toked.select(F.col(id_col), word_shingles(F.col("toks"), n).alias("shingles"))
+    if max_df is not None:
+        hot = (
+            base.select(F.explode_outer("shingles").alias("shingle"))
+            .filter(F.col("shingle").isNotNull())
+            .groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_df)
+            .agg(F.collect_list("shingle").alias("hot"))
+        )
+        base = (
+            base.crossJoin(F.broadcast(hot))
+            .select(
+                F.col(id_col),
+                F.array_except(
+                    "shingles", F.coalesce("hot", F.array().cast("array<string>"))
+                ).alias("shingles"),
+            )
+        )
+    return base
+
+
+def doc_shingles(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    max_df: int | None = None,
+) -> DataFrame:
+    """(doc_id, shingle) exploded inverted-index input."""
+    sh = doc_shingle_sets(docs, text_col, id_col, n, max_df)
     # explode_outer, NOT explode: InferFiltersFromGenerate turns a plain
     # explode into a pre-filter `size(<whole shingle expr>) > 0` that
     # re-evaluates the entire pipeline per row outside codegen
@@ -61,12 +105,15 @@ def jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by exact n-gram Jaccard similarity [N2 exact
     baseline]. Candidates from the inverted shingle index (pairs must
     share >= 1 shingle), so cost is sum of per-shingle doc-list sizes
-    squared — not n^2 over the corpus."""
-    ds = doc_shingles(docs, text_col, id_col, n)
+    squared — not n^2 over the corpus. ``max_df`` bounds exactly that
+    per-shingle list size (see doc_shingle_sets), which turns the worst
+    case from corpus-quadratic into max_df-quadratic."""
+    ds = doc_shingles(docs, text_col, id_col, n, max_df)
     sizes = ds.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = ds.alias("a")
     b = ds.alias("b")
@@ -89,21 +136,35 @@ def jaccard_pairs(
     )
 
 
-def minhash_signatures(
-    docs: DataFrame, k: int = 16, text_col: str = "text", id_col: str = "doc_id"
-) -> DataFrame:
-    """k-permutation MinHash signature per doc [N2].
+def _sig_cols(k: int, shingle_col: str = "shingles") -> list:
+    """k MinHash signature expressions over a shingle-set array column.
 
     Permutation i is simulated by hashing each shingle with a salt
     (md5(f"{i}:" + shingle)) and taking the lexicographic min — the
-    standard min-wise independent family, expressed as k min()
-    aggregates over the exploded shingle index (one shuffle)."""
-    ds = doc_shingles(docs, text_col, id_col)
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
-        for i in range(k)
+    standard min-wise independent family. Computed as array_min over a
+    per-row transform: embarrassingly parallel, ZERO shuffle (the
+    exploded-groupBy formulation pays a corpus-wide shuffle for the
+    same result)."""
+    def salted(i: int):
+        # NOTE: a two-arg lambda would make pyspark pass the element
+        # INDEX as the second argument — bind i via closure, never via
+        # a default argument.
+        return lambda s: F.md5(F.concat(F.lit(f"{i}:"), s))
+
+    return [
+        F.array_min(F.transform(shingle_col, salted(i))).alias(f"h{i}") for i in range(k)
     ]
-    return ds.groupBy(id_col).agg(*aggs)
+
+
+def minhash_signatures(
+    docs: DataFrame, k: int = 16, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """k-permutation MinHash signature per doc [N2], shuffle-free.
+
+    Docs with no shingles (< n tokens) have no signature — same rows as
+    the exploded-groupBy formulation the DuckDB oracle uses."""
+    sets_ = doc_shingle_sets(docs, text_col, id_col).filter(F.size("shingles") > 0)
+    return sets_.select(id_col, *_sig_cols(k))
 
 
 def minhash_lsh_pairs(
@@ -113,25 +174,48 @@ def minhash_lsh_pairs(
     bands: int = 4,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_df: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidate generation + exact Jaccard verification [N2].
 
     Signatures are split into ``bands`` bands of k/bands rows; docs
     sharing any full band become candidates (join on the band key —
     the LSH trick that replaces the all-pairs comparison); candidates
-    are then verified with exact Jaccard >= threshold."""
+    are then verified with exact Jaccard >= threshold.
+
+    Single-corpus-pass shape: signatures are array_min expressions over
+    the per-doc shingle SET (no exploded groupBy), and the shingle set
+    rides along through the band melt, so the band self-join delivers
+    both sides' sets to the verifier directly — exact Jaccard is then
+    size(array_intersect) on the candidate pairs only. The two sides of
+    the self-join are the identical subtree, so Spark's ReuseExchange
+    materializes the tokenize+signature work ONCE (the previous
+    index-join verifier re-tokenized the corpus three more times; an
+    explicit persist() was measured slower cold — exchange reuse is
+    free). With ``max_df`` set, the hot-shingle aggregation is the only
+    second corpus pass, and its output broadcast is tiny.
+    """
     rows = k // bands
-    sig = minhash_signatures(docs, k, text_col, id_col)
+    sets_ = doc_shingle_sets(docs, text_col, id_col, max_df=max_df).filter(
+        F.size("shingles") > 0
+    )
+    sig = sets_.select(id_col, "shingles", *_sig_cols(k))
     band_cols = [
         F.concat_ws("|", F.lit(str(b)), *[F.col(f"h{b * rows + r}") for r in range(rows)]).alias(
             f"band{b}"
         )
         for b in range(bands)
     ]
-    banded = sig.select(id_col, *band_cols)
+    # Bands materialize as named columns BEFORE the explode; with
+    # explode_outer no Generate pre-filter is inferred, so the k md5
+    # transforms are never re-evaluated outside codegen (the
+    # InferFiltersFromGenerate trap).
+    banded = sig.select(id_col, "shingles", *band_cols)
     melted = banded.select(
-        id_col, F.explode(F.array(*[f"band{b}" for b in range(bands)])).alias("band_key")
-    )
+        id_col,
+        "shingles",
+        F.explode_outer(F.array(*[f"band{b}" for b in range(bands)])).alias("band_key"),
+    ).filter(F.col("band_key").isNotNull())
     a = melted.alias("a")
     b_ = melted.alias("b")
     cands = (
@@ -140,30 +224,21 @@ def minhash_lsh_pairs(
             (F.col("a.band_key") == F.col("b.band_key"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .distinct()
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.shingles").alias("sh_a"),
+            F.col("b.shingles").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
     )
     # Exact-Jaccard verification ONLY on the candidate pairs — this is
-    # the entire point of LSH: the quadratic shingle comparison runs on
-    # the (tiny) candidate set, never the corpus.
-    ds = doc_shingles(docs, text_col, id_col)
-    sizes = ds.groupBy(id_col).agg(F.count("*").alias("n_sh"))
-    sh_a = ds.select(F.col(id_col).alias("id_a"), F.col("shingle").alias("sh_a"))
-    sh_b = ds.select(F.col(id_col).alias("_idb"), F.col("shingle").alias("sh_b"))
-    inter = (
-        cands.join(sh_a, "id_a")
-        .join(sh_b, (F.col("id_b") == F.col("_idb")) & (F.col("sh_a") == F.col("sh_b")))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_inter"))
-    )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    # the entire point of LSH: the quadratic comparison runs on the
+    # (tiny) candidate set, never the corpus.
+    n_inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    n_union = F.size("sh_a") + F.size("sh_b") - n_inter
     return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn(
-            "jaccard", F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
-        )
+        cands.withColumn("jaccard", n_inter / n_union)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
     )
@@ -197,14 +272,48 @@ def simhash(docs: DataFrame, bits: int = 32, text_col: str = "text", id_col: str
     return votes.select(F.col(id_col), acc.alias("simhash"))
 
 
-def simhash_pairs(docs: DataFrame, max_hamming: int = 6, **kw) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance. All-pairs here
-    (fine for verification corpora); the scale path buckets on
-    band-rotations of the hash first, same as LSH."""
-    sh = simhash(docs, **kw)
-    a, b = sh.alias("a"), sh.alias("b")
+def simhash_pairs(docs: DataFrame, max_hamming: int = 3, bits: int = 32, **kw) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance, banded [N2 scale
+    path].
+
+    The ``bits``-bit hash is split into ``max_hamming + 1`` contiguous
+    bit bands; candidates are docs sharing any band value (equi-join on
+    (band_no, band_val) — never an all-pairs join). Recall is EXACTLY
+    1.0 by pigeonhole: a pair at Hamming distance d <= max_hamming has
+    d flipped bits, which can dirty at most d of the max_hamming + 1
+    bands, so at least one band matches. Candidates are then verified
+    with bit_count on the full hashes. This is the Hamming-ball lookup
+    SimHash exists for; at corpus scale each band bucket holds
+    n / 2^band_width docs, so the join cost is sum-of-bucket-sizes
+    squared, not n^2.
+    """
+    nb = max_hamming + 1
+    if nb > bits:
+        raise ValueError("max_hamming + 1 bands need at least that many bits")
+    sh = simhash(docs, bits=bits, **kw)
+    base, rem = divmod(bits, nb)
+    widths = [base + (1 if i < rem else 0) for i in range(nb)]
+    offsets = [sum(widths[:i]) for i in range(nb)]
+    band_cols = [
+        F.shiftright("simhash", offsets[i]).bitwiseAND(F.lit((1 << widths[i]) - 1)).alias(f"bv{i}")
+        for i in range(nb)
+    ]
+    banded = sh.select("doc_id", "simhash", *band_cols)
+    melted = banded.select(
+        "doc_id",
+        "simhash",
+        F.posexplode_outer(F.array(*[f"bv{i}" for i in range(nb)])).alias(
+            "band_no", "band_val"
+        ),
+    ).filter(F.col("band_val").isNotNull())
+    a, b = melted.alias("a"), melted.alias("b")
     return (
-        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        a.join(
+            b,
+            (F.col("a.band_no") == F.col("b.band_no"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
         .withColumn(
             "hamming",
             F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))),
@@ -215,4 +324,5 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 6, **kw) -> DataFrame:
             F.col("b.doc_id").alias("id_b"),
             F.col("hamming").cast("long").alias("hamming"),
         )
+        .distinct()
     )

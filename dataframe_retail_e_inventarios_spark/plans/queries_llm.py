@@ -19,7 +19,12 @@ from ..operators.dedup import (
     minhash_signatures,
     simhash_pairs,
 )
-from ..operators.similarity import cosine_neardup_pairs, cosine_topk, lsh_bucketed_topk
+from ..operators.similarity import (
+    cosine_neardup_pairs,
+    cosine_neardup_pairs_bucketed,
+    cosine_topk,
+    lsh_bucketed_topk,
+)
 from ..operators.textops import (
     FINGERPRINT_SQL,
     SHINGLES_SQL,
@@ -35,6 +40,11 @@ from ..sources.readers import load_table
 _TOKS = TOKENS_SQL.format(t="text")
 _SH = SHINGLES_SQL.format(toks="toks")
 
+# Hot-shingle document-frequency cap (mirrored in the Spark path via
+# doc_shingle_sets(max_df=MAX_DF)): shingles shared by more than MAX_DF
+# docs carry no near-dup signal but cost df^2 in the pair join.
+MAX_DF = 250
+
 _SHINGLE_INDEX_SQL = f"""
 toks_t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
 shingled AS (
@@ -43,7 +53,9 @@ shingled AS (
               ELSE CAST([] AS VARCHAR[]) END AS shingles
   FROM toks_t
 ),
-ds AS (SELECT doc_id, unnest(shingles) AS shingle FROM shingled),
+ds0 AS (SELECT doc_id, unnest(shingles) AS shingle FROM shingled),
+hot AS (SELECT shingle FROM ds0 GROUP BY 1 HAVING count(*) > {MAX_DF}),
+ds AS (SELECT * FROM ds0 WHERE shingle NOT IN (SELECT shingle FROM hot)),
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM ds GROUP BY 1),
 inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
@@ -77,7 +89,9 @@ FROM documents GROUP BY 1
 
 # -- N2: exact n-gram Jaccard near-dup pairs -------------------------------
 def q_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.35)
+    return jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.35, max_df=MAX_DF
+    )
 
 
 register(
@@ -120,7 +134,8 @@ FROM ds GROUP BY doc_id
 
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(
-        load_table(spark, sf_dir, "documents"), threshold=0.3, k=16, bands=4
+        load_table(spark, sf_dir, "documents"), threshold=0.3, k=16, bands=4,
+        max_df=MAX_DF,
     )
 
 
@@ -366,6 +381,50 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
 FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE list_inner_product(a.v, b.v)
       / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))) >= 0.35
+""",
+)
+
+
+# -- N3 scale path: banded sign-LSH near-dup (oracle-checked) --------------
+def q_cos_neardup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed near-dup in its REAL regime: exact-direction duplicates.
+
+    The natural corpus has no planted near-dups (measured max pairwise
+    cos ~0.51 — pure noise floor), so the query constructs them
+    deterministically: vectors with vec_id < 50 re-enter the corpus
+    rescaled by 2 under vec_id + 10000. Rescaling preserves direction
+    exactly (x2 is exact in IEEE), so each planted pair has cos = 1,
+    identical hyperplane signs, and GUARANTEED band collision — recall
+    is exactly 1.0, which is what makes this bucketed plan
+    hash-checkable against the all-pairs DuckDB oracle. See
+    cosine_neardup_pairs_bucketed's docstring for why a 0.35-threshold
+    all-pairs result is NOT bucketable by any sublinear scheme."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    copies = emb.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform("embedding", lambda x: (x * F.lit(2.0)).cast("float")).alias(
+            "embedding"
+        ),
+    )
+    return cosine_neardup_pairs_bucketed(emb.unionByName(copies), threshold=0.999)
+
+
+register(
+    "embedding_cosine_neardup_bucketed",
+    q_cos_neardup_bucketed,
+    """
+WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+copies AS (
+  SELECT vec_id + 10000 AS vec_id, list_transform(v, x -> x * 2.0) AS v
+  FROM base WHERE vec_id < 50
+),
+e AS (SELECT * FROM base UNION ALL SELECT * FROM copies)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_inner_product(a.v, b.v)
+             / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))), 6) AS cos
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_inner_product(a.v, b.v)
+      / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))) >= 0.999
 """,
 )
 

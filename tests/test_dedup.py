@@ -1,0 +1,92 @@
+"""Dedup operator properties (SURVEY §2.11 N1-N2): banded-SimHash
+recall, hot-shingle frequency cap, single-pass MinHash-LSH exactness."""
+
+import pyspark.sql.functions as F
+
+from dataframe_retail_e_inventarios_spark.operators.dedup import (
+    doc_shingles,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash,
+    simhash_pairs,
+)
+from dataframe_retail_e_inventarios_spark.sources.readers import load_table
+from tests.conftest import SF_SMOKE
+
+
+def _allpairs_simhash(docs, max_hamming):
+    """Reference all-pairs implementation (the pre-banding semantics)."""
+    sh = simhash(docs)
+    a, b = sh.alias("a"), sh.alias("b")
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .withColumn(
+            "hamming", F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("hamming").cast("long").alias("hamming"),
+        )
+    )
+
+
+def test_banded_simhash_equals_all_pairs(spark):
+    """Pigeonhole guarantee: with max_hamming + 1 bands the banded join
+    has recall exactly 1.0, so its output must EQUAL the all-pairs scan
+    (and precision is exact because candidates are verified)."""
+    docs = load_table(spark, SF_SMOKE, "documents").limit(200)
+    for mh in (1, 3):
+        banded = {tuple(r) for r in simhash_pairs(docs, max_hamming=mh).collect()}
+        brute = {tuple(r) for r in _allpairs_simhash(docs, mh).collect()}
+        assert banded == brute
+        assert len(banded) > 0 or mh == 1  # fixture sanity at mh=3
+
+
+def test_banded_simhash_plan_has_no_all_pairs_join(spark):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    plan = simhash_pairs(docs, max_hamming=3)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "band_val" in plan  # candidates come from the band equi-join
+
+
+def _hot_corpus(spark):
+    """60 docs sharing one stop-shingle; two genuine near-dup docs."""
+    hot = "common filler phrase"
+    rows = [(i, f"{hot} unique words {i} alpha beta gamma {i}") for i in range(60)]
+    rows.append((100, "real duplicate content body here exactly matching words"))
+    rows.append((101, "real duplicate content body here exactly matching words plus"))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_hot_shingle_cap_bounds_index_group_size(spark):
+    docs = _hot_corpus(spark)
+    capped = doc_shingles(docs, max_df=10)
+    sizes = capped.groupBy("shingle").count().agg(F.max("count")).collect()[0][0]
+    assert sizes <= 10
+    uncapped = doc_shingles(docs)
+    assert uncapped.groupBy("shingle").count().agg(F.max("count")).collect()[0][0] > 10
+
+
+def test_hot_shingle_cap_keeps_genuine_pairs(spark):
+    """The cap removes stop-shingle-only candidate pairs but genuine
+    near-dups (which share many non-hot shingles) survive."""
+    docs = _hot_corpus(spark)
+    pairs = jaccard_pairs(docs, threshold=0.5, max_df=10).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(100, 101)}
+
+
+def test_minhash_lsh_single_pass_matches_exact_jaccard(spark):
+    """Every pair LSH reports must carry the exact Jaccard value the
+    inverted-index baseline computes (candidates-then-verify gives
+    exact precision; only recall is approximate)."""
+    docs = load_table(spark, SF_SMOKE, "documents").limit(300)
+    lsh = {(r.id_a, r.id_b): r.jaccard for r in minhash_lsh_pairs(docs, 0.3).collect()}
+    exact = {
+        (r.id_a, r.id_b): r.jaccard for r in jaccard_pairs(docs, 0.3).collect()
+    }
+    assert lsh, "fixture should contain at least one near-dup pair"
+    for pair, j in lsh.items():
+        assert exact[pair] == j
