@@ -139,7 +139,21 @@ def notebook_flow(
     w = Window.partitionBy(*keys).orderBy(F.col("ds").desc())
     split = lagged.withColumn("_rn", F.row_number().over(w))
     test = split.filter(F.col("_rn") <= holdout_days)
-    preds = test.withColumn("pred", F.col("lag7"))  # seasonal-naive baseline
+    # Leakage-free seasonal-naive baseline: every holdout day is
+    # predicted from the SAME-WEEKDAY actual in the last pre-holdout
+    # week (the train/test boundary week repeated cyclically) — a plain
+    # lag7 would consume holdout actuals once holdout_days > 7, turning
+    # the baseline into a rolling in-sample forecast. The series is
+    # densified, so recency rank == day offset and the anchor is exact.
+    h = holdout_days
+    anchors = split.filter(
+        (F.col("_rn") > h) & (F.col("_rn") <= h + 7)
+    ).select(*keys, F.col("_rn").alias("_anchor_rn"), F.col("y").alias("pred"))
+    days_in = h - F.col("_rn") + 1  # 1-based days past the boundary
+    test = test.withColumn(
+        "_anchor_rn", F.col("_rn") + 7 * F.ceil(days_in / 7.0)
+    )
+    preds = test.join(anchors, [*keys, "_anchor_rn"]).drop("_anchor_rn")
     return preds.groupBy(*keys).agg(
         F.count("*").alias("n_days"),
         F.round(mae("y", "pred"), 4).alias("mae"),

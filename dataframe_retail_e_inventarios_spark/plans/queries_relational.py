@@ -197,6 +197,8 @@ GROUP BY event_type
 def q_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inner equi-joins with broadcast dims: revenue per region/nation.
     The fact (lineitem) never shuffles for dimension joins."""
+    from ..functions.exact import exact_decimal_sum
+
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
@@ -210,10 +212,7 @@ def q_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name", "n_name")
         .agg(
             F.round(
-                __import__(
-                    "dataframe_retail_e_inventarios_spark.functions.exact",
-                    fromlist=["exact_decimal_sum"],
-                ).exact_decimal_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                exact_decimal_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
                 2,
             ).alias("revenue"),
             F.count("*").alias("n_lines"),

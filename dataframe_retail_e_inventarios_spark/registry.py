@@ -55,8 +55,13 @@ def _load_all() -> None:
         "queries_streaming",
         "queries_extra",
     ):
+        qualname = f"{__package__}.plans.{mod}"
         try:
-            __import__(f"{__package__}.plans.{mod}", fromlist=["*"])
-        except ImportError:
-            pass  # module not built yet (incremental rounds)
+            __import__(qualname, fromlist=["*"])
+        except ModuleNotFoundError as e:
+            # Only "this module isn't built yet" is ignorable; a missing
+            # dependency INSIDE an existing module must fail loudly or
+            # the verified query surface silently shrinks.
+            if e.name != qualname:
+                raise
     _LOADED = True

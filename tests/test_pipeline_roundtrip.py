@@ -100,5 +100,55 @@ def test_notebook_flow_entry_point(spark):
     ev = load_table(spark, SF_SMOKE, "events")
     out = notebook_flow(ev, ["event_type"], "ts", "value").toPandas()
     assert len(out) > 0
-    assert (out["mae"] >= 0).all() and (out["rmse"] >= out["mae"] * 0).all()
-    assert (out["rmse"] >= 0).all()
+    assert (out["mae"] >= 0).all()
+    # RMSE >= MAE holds for any prediction set (Cauchy-Schwarz).
+    assert (out["rmse"] >= out["mae"]).all()
+
+
+def test_notebook_flow_baseline_is_leakage_free(spark):
+    """The seasonal-naive predictions must come only from the last
+    pre-holdout week: at most 7 distinct pred values per key, drawn
+    from train-slice actuals (never from inside the holdout window)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from dataframe_retail_e_inventarios_spark.operators.resample import (
+        daily_resample_sum,
+        densify_days,
+    )
+    from dataframe_retail_e_inventarios_spark.plans import pipeline
+    from dataframe_retail_e_inventarios_spark.sources.readers import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    daily = densify_days(
+        daily_resample_sum(ev, ["event_type"], "ts", "value", day_col="ds")
+        .withColumnRenamed("value", "y"),
+        ["event_type"], "ds", ("y",),
+    )
+    w = Window.partitionBy("event_type").orderBy(F.col("ds").desc())
+    ranked = daily.withColumn("_rn", F.row_number().over(w)).toPandas()
+    # Pandas reimplementation: predict holdout day at recency rank rn
+    # from the boundary-week actual (rank rn + 7*ceil(d/7), always in
+    # the train slice), then compare per-key MAE with notebook_flow's.
+    h = 30
+    expected = {}
+    for key, g in ranked.groupby("event_type"):
+        s = g.set_index("_rn")["y"]
+        errs = []
+        for rn in range(1, h + 1):
+            d = h - rn + 1
+            anchor = rn + 7 * -(-d // 7)
+            assert anchor > h, "anchor must never fall inside the holdout"
+            # lag1/lag7 dropna in notebook_flow only trims the series
+            # head (oldest rows), never the holdout — anchors exist
+            # whenever the series is long enough.
+            if anchor in s.index and rn in s.index:
+                errs.append(abs(s[rn] - s[anchor]))
+        if errs:
+            expected[key] = round(sum(errs) / len(errs), 4)
+
+    out = pipeline.notebook_flow(ev, ["event_type"], "ts", "value").toPandas()
+    got = dict(zip(out["event_type"], out["mae"]))
+    for key, exp_mae in expected.items():
+        assert key in got
+        assert abs(got[key] - exp_mae) < 1e-6, key
