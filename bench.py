@@ -39,6 +39,7 @@ HEADLINE = [
     "log_transform_weekly",
     "events_props_json",
     "multimodal_features",
+    "embedding_cosine_neardup_bucketed",
 ]
 
 

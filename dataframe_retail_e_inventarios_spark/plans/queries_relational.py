@@ -345,6 +345,55 @@ SELECT period, count(*) AS n, round(sum(l_quantity), 2) AS qty FROM (
 )
 
 
+def q_intersect_repeat_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers active in BOTH years — DataFrame.intersect (set
+    semantics, SURVEY §2.6 parity-plus). Compiles to a distinct +
+    left-semi shape, never a cross join."""
+    orders = load_table(spark, sf_dir, "orders")
+    y98 = orders.filter(F.year("o_orderdate") == 1998).select("o_custkey")
+    y99 = orders.filter(F.year("o_orderdate") == 1999).select("o_custkey")
+    return y98.intersect(y99)
+
+
+register(
+    "intersect_repeat_customers",
+    q_intersect_repeat_customers,
+    """
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1998
+INTERSECT
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1999
+""",
+)
+
+
+def q_except_all_part_demand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset difference of part demand between two years —
+    DataFrame.exceptAll preserves multiplicity (a part ordered 5x in
+    1998 and 2x in 1999 survives 3x), then the excess is aggregated.
+    [SURVEY §2.6 parity-plus]."""
+    li = load_table(spark, sf_dir, "lineitem")
+    y98 = li.filter(F.year("l_shipdate") == 1998).select("l_partkey")
+    y99 = li.filter(F.year("l_shipdate") == 1999).select("l_partkey")
+    return (
+        y98.exceptAll(y99)
+        .groupBy("l_partkey")
+        .agg(F.count("*").alias("n_excess"))
+    )
+
+
+register(
+    "except_all_part_demand",
+    q_except_all_part_demand,
+    """
+SELECT l_partkey, count(*) AS n_excess FROM (
+  SELECT l_partkey FROM lineitem WHERE year(l_shipdate) = 1998
+  EXCEPT ALL
+  SELECT l_partkey FROM lineitem WHERE year(l_shipdate) = 1999
+) GROUP BY 1
+""",
+)
+
+
 # -- W4/O1-O2: top-k per group via row_number ------------------------------
 def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 parts per supplier by revenue — rank inside the group, no
