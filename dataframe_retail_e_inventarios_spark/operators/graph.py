@@ -1,0 +1,84 @@
+"""Connected components over near-duplicate pair graphs
+[SURVEY §2.11 N1/N2 extension — "which doc do we keep"].
+
+Pair lists (from MinHash-LSH / SimHash / embedding near-dup) are only
+half of corpus dedup: the pipeline must then group pairs into clusters
+and keep one representative per cluster. That grouping is connected
+components, computed here as iterative min-label propagation expressed
+in DataFrame joins.
+
+Scale posture: each iteration is one shuffle (labels join edges,
+min-aggregate) over data the size of the EDGE LIST — tiny relative to
+the corpus, because near-dup edges are sparse after LSH. Iterations
+needed = graph diameter; near-dup clusters are dense blobs (diameter
+2-3 in practice), and a hard cap guards against adversarial chains. A
+trillion-edge deployment would switch to the large-star/small-star
+contraction algorithm (O(log n) rounds); the per-round dataflow —
+join, min, compare — is identical to this one.
+
+The per-round convergence probe (`isEmpty` on the changed-label set)
+is a deliberate exception to the no-driver-actions rule: iterative
+fixpoints are the one operator class where the driver must observe a
+scalar per round (same structure as GraphX/Pregel halting).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """(node, cluster_id) with cluster_id = min node id reachable in the
+    undirected graph given by ``pairs``. Nodes not in any pair are not
+    emitted (singletons are their own cluster by definition)."""
+    edges = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # label(v) starts at min(v, min neighbor) and contracts monotonically.
+    labels = edges.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("label"))
+    labels = labels.select(F.col("u").alias("node"), "label").localCheckpoint(eager=True)
+
+    for _ in range(max_iterations):
+        # Propagate: candidate label for v = min over neighbors u of
+        # label(u); new label = min(current, candidate).
+        cand = (
+            edges.join(labels, edges["u"] == labels["node"])
+            .groupBy(F.col("v").alias("node"))
+            .agg(F.min("label").alias("cand"))
+        )
+        new_labels = (
+            labels.join(cand, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("cand", F.col("label"))).alias(
+                    "label"
+                ),
+                (F.col("cand") < F.col("label")).alias("_changed"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = new_labels.filter(F.col("_changed")).limit(1)
+        labels = new_labels.drop("_changed")
+        if changed.isEmpty():
+            break
+    return labels.select("node", F.col("label").alias("cluster_id"))
+
+
+def dedup_keep_first(
+    docs: DataFrame, components: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus minus near-duplicates: every doc keeps its row unless it
+    belongs to a cluster and is not the cluster's min-id representative."""
+    drop = components.filter(F.col("node") != F.col("cluster_id")).select(
+        F.col("node").alias(id_col)
+    )
+    return docs.join(drop, id_col, "left_anti")

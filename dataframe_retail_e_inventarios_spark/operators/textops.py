@@ -57,6 +57,18 @@ def fingerprint(text: Column | str) -> Column:
     return F.md5(norm)
 
 
+def quality_score(text: Column | str, toks: Column) -> Column:
+    """Composite quality heuristic in [0, 1]: length saturation +
+    stopword balance + punctuation balance (shared by the
+    text_quality_scores query and the curation funnel)."""
+    n_tokens = F.size(toks).cast("long")
+    return (
+        F.lit(0.4) * F.least(F.lit(1.0), n_tokens / F.lit(100.0))
+        + F.lit(0.3) * (1 - stopword_ratio(toks))
+        + F.lit(0.3) * (1 - punct_ratio(text))
+    )
+
+
 # DuckDB-equivalent fragments ({t} = text column).
 TOKENS_SQL = "string_split_regex(lower(trim({t})), '\\s+')"
 FINGERPRINT_SQL = "md5(lower(trim(regexp_replace({t}, '\\s+', ' ', 'g'))))"

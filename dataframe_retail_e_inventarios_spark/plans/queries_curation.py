@@ -1,0 +1,193 @@
+"""Corpus-curation queries [SURVEY §2.11 N1-N4 extensions]: near-dup
+cluster assignment + keep-one survivors, deterministic stratified
+sampling, and the end-to-end curation funnel — the operations a
+training-data pipeline runs after the per-doc scoring/dedup primitives.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.dedup import jaccard_pairs
+from ..operators.graph import connected_components, dedup_keep_first
+from ..operators.textops import STOPWORDS, fingerprint, quality_score, tokens
+from ..registry import register
+from ..sources.readers import load_table
+from .queries_llm import MAX_DF, _SHINGLE_INDEX_SQL
+
+# Shared recursive-CTE oracle for min-label connected components over
+# the 0.35-Jaccard near-dup graph (DuckDB evaluates the UNION recursion
+# to fixpoint — the declarative twin of the iterative Spark loop).
+_COMPONENTS_CTES = f"""{_SHINGLE_INDEX_SQL.strip()},
+pairs AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.35),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+),
+reach(node, r) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.node
+),
+comp AS (SELECT node, CAST(min(r) AS BIGINT) AS cluster_id FROM reach GROUP BY 1)"""
+
+
+def _neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return connected_components(jaccard_pairs(docs, threshold=0.35, max_df=MAX_DF))
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _neardup_components(spark, sf_dir)
+
+
+register(
+    "dedup_cluster_assignment",
+    q_dedup_clusters,
+    f"""
+WITH RECURSIVE {_COMPONENTS_CTES}
+SELECT node, cluster_id FROM comp
+""",
+)
+
+
+def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-one-per-cluster: corpus size before/after near-dup removal."""
+    docs = load_table(spark, sf_dir, "documents")
+    kept = dedup_keep_first(docs, _neardup_components(spark, sf_dir))
+    return kept.agg(
+        F.count("*").alias("n_kept"),
+        F.sum(F.length("text")).alias("kept_chars"),
+    )
+
+
+register(
+    "dedup_survivors",
+    q_dedup_survivors,
+    f"""
+WITH RECURSIVE {_COMPONENTS_CTES}
+SELECT count(*) AS n_kept, CAST(sum(length(text)) AS BIGINT) AS kept_chars
+FROM documents
+WHERE doc_id NOT IN (SELECT node FROM comp WHERE node != cluster_id)
+""",
+)
+
+
+# -- Deterministic stratified sampling -------------------------------------
+# Sampling a 100 TB corpus must be reproducible and shuffle-free: the
+# keep/drop decision is a pure function of the stable doc_id (md5
+# bucket 0..255), with per-language rates to rebalance an
+# overrepresented stratum. No RNG state, no sort, no shuffle — the
+# filter pushes into the scan pipeline.
+_STRATA = {"en": 64, "es": 128, "de": 128, "fr": 128}  # keep bucket < N/256
+_DEFAULT_KEEP = 192
+
+
+def _hash_bucket(col):
+    h = F.md5(col.cast("string"))
+    v1 = F.instr(F.lit("0123456789abcdef"), F.substring(h, 1, 1)) - 1
+    v2 = F.instr(F.lit("0123456789abcdef"), F.substring(h, 2, 1)) - 1
+    return (v1 * 16 + v2).cast("long")
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = _hash_bucket(F.col("doc_id"))
+    keep_below = F.lit(_DEFAULT_KEEP)
+    for lang, n in _STRATA.items():
+        keep_below = F.when(F.col("lang") == lang, F.lit(n)).otherwise(keep_below)
+    return docs.select(
+        "doc_id", "lang", bucket.alias("bucket")
+    ).filter(F.col("bucket") < keep_below)
+
+
+_BUCKET_SQL = (
+    "CAST((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16"
+    " + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS BIGINT)"
+)
+_KEEP_SQL = "".join(
+    f"CASE WHEN lang = '{lang}' THEN {n} ELSE " for lang, n in _STRATA.items()
+) + str(_DEFAULT_KEEP) + " END" * len(_STRATA)
+
+register(
+    "sample_stratified_hash",
+    q_sample_stratified,
+    f"""
+SELECT doc_id, lang, {_BUCKET_SQL} AS bucket
+FROM documents
+WHERE {_BUCKET_SQL} < ({_KEEP_SQL})
+""",
+)
+
+
+# -- Curation funnel --------------------------------------------------------
+def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole pre-training filter chain as ONE lazy plan with
+    per-stage admission counts: raw -> quality floor -> target language
+    -> exact-dedup keeper. Each stage is a cumulative conjunction, so
+    the engine evaluates the corpus once (single scan, one aggregate)
+    and the funnel falls out of conditional counts — no per-stage
+    passes."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    q = quality_score("text", toks)
+    from pyspark.sql import Window
+
+    is_keeper = (
+        F.row_number().over(
+            Window.partitionBy(fingerprint("text")).orderBy("doc_id")
+        )
+        == 1
+    )
+    staged = docs.select(
+        q.alias("q"),
+        F.col("lang"),
+        is_keeper.alias("keeper"),
+        F.length("text").alias("n_chars"),
+    )
+    s1 = F.col("q") >= 0.5
+    s2 = s1 & (F.col("lang") == "en")
+    s3 = s2 & F.col("keeper")
+    return staged.agg(
+        F.count("*").alias("n_raw"),
+        F.sum(s1.cast("long")).alias("n_quality"),
+        F.sum(s2.cast("long")).alias("n_lang"),
+        F.sum(s3.cast("long")).alias("n_deduped"),
+        F.sum(F.when(s3, F.col("n_chars"))).alias("final_chars"),
+    )
+
+
+_STOP_IN = ", ".join(f"'{s}'" for s in STOPWORDS)
+_TOKS_SQL = "string_split_regex(lower(trim(text)), '\\s+')"
+_FP_SQL = "md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))"
+
+register(
+    "curation_funnel",
+    q_curation_funnel,
+    f"""
+WITH t AS (
+  SELECT doc_id, lang, text, {_TOKS_SQL} AS toks,
+         row_number() OVER (PARTITION BY {_FP_SQL} ORDER BY doc_id) = 1 AS keeper
+  FROM documents
+),
+m AS (
+  SELECT lang, keeper, length(text) AS n_chars,
+    0.4 * least(1.0, CAST(len(toks) AS BIGINT) / 100.0)
+    + 0.3 * (1 - CASE WHEN len(toks) > 0
+                      THEN len(list_filter(toks, x -> x IN ({_STOP_IN}))) / len(toks)
+                      ELSE 0.0 END)
+    + 0.3 * (1 - CASE WHEN length(text) > 0
+                      THEN (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) / length(text)
+                      ELSE 0.0 END) AS q
+  FROM t
+)
+SELECT count(*) AS n_raw,
+       CAST(sum(CASE WHEN q >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+       CAST(sum(CASE WHEN q >= 0.5 AND lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_lang,
+       CAST(sum(CASE WHEN q >= 0.5 AND lang = 'en' AND keeper THEN 1 ELSE 0 END) AS BIGINT) AS n_deduped,
+       CAST(sum(CASE WHEN q >= 0.5 AND lang = 'en' AND keeper THEN n_chars END) AS BIGINT) AS final_chars
+FROM m
+""",
+)

@@ -31,6 +31,7 @@ from ..operators.textops import (
     STOPWORDS,
     TOKENS_SQL,
     punct_ratio,
+    quality_score,
     stopword_ratio,
     tokens,
 )
@@ -230,11 +231,7 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         / n_tokens,
     ).otherwise(F.lit(0.0))
-    quality = (
-        F.lit(0.4) * F.least(F.lit(1.0), n_tokens / F.lit(100.0))
-        + F.lit(0.3) * (1 - stopword_ratio(toks))
-        + F.lit(0.3) * (1 - punct_ratio("text"))
-    )
+    quality = quality_score("text", toks)
     return docs.select(
         "doc_id",
         "lang",

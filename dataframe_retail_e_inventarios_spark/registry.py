@@ -54,6 +54,7 @@ def _load_all() -> None:
         "queries_forecast",
         "queries_streaming",
         "queries_extra",
+        "queries_curation",
     ):
         qualname = f"{__package__}.plans.{mod}"
         try:
