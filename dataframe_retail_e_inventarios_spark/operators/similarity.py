@@ -295,25 +295,24 @@ def ivf_index(
     return cent, assign
 
 
-def ivf_topk(
+def _ivf_probe(
     embeddings: DataFrame,
+    cent: DataFrame,
+    assign: DataFrame,
     query_filter: Column,
-    k: int = 10,
-    nprobe: int = 2,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    label_col: str = "label",
+    k: int,
+    nprobe: int,
+    id_col: str,
+    vec_col: str,
+    cell_col: str,
 ) -> DataFrame:
-    """IVF probe: rank centroids per query, search only the vectors in
-    the ``nprobe`` nearest inverted lists, exact cosine re-rank inside.
-    At 100 TB the probed lists are a small fraction of the corpus —
-    the scan cost drops by ~n_cells/nprobe. Approximate by
-    construction -> rows-only check; recall vs the brute-force
-    baseline is asserted in tests."""
+    """Shared IVF probe: rank centroids per query, search only the
+    vectors in the ``nprobe`` nearest inverted lists, exact cosine
+    re-rank inside. ``cent`` must have (cell_col, centroid); ``assign``
+    (cand_id, cell_col)."""
     import pyspark.sql.functions as F
     from pyspark.sql import Window
 
-    cent, assign = ivf_index(embeddings, id_col, vec_col, label_col)
     q = embeddings.filter(query_filter).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
     )
@@ -323,15 +322,15 @@ def ivf_topk(
         .withColumn(
             "crk",
             F.row_number().over(
-                Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col(label_col))
+                Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col(cell_col))
             ),
         )
         .filter(F.col("crk") <= nprobe)
-        .select("query_id", "qvec", F.col(label_col).alias("cell"))
+        .select("query_id", "qvec", F.col(cell_col).alias("cell"))
     )
     cands = embeddings.select(
         F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cvec")
-    ).join(assign, "cand_id")
+    ).join(assign.withColumnRenamed(cell_col, "cell"), "cand_id")
     scored = (
         cands.join(F.broadcast(qcells), "cell")
         .filter(F.col("cand_id") != F.col("query_id"))
@@ -343,4 +342,63 @@ def ivf_topk(
         .filter(F.col("rk") <= k)
         .select("query_id", "cand_id", F.round("cos", 6).alias("cos"),
                 F.col("rk").cast("long").alias("rk"))
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_filter: Column,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """IVF probe over label-derived centroids (deterministic stand-in
+    quantizer — the probe machinery is identical to the k-means
+    variant below). At 100 TB the probed lists are a small fraction of
+    the corpus — the scan cost drops by ~n_cells/nprobe. Approximate
+    by construction -> rows-only check; recall vs the brute-force
+    baseline is asserted in tests."""
+    cent, assign = ivf_index(embeddings, id_col, vec_col, label_col)
+    return _ivf_probe(
+        embeddings, cent, assign, query_filter, k, nprobe, id_col, vec_col, label_col
+    )
+
+
+def ivf_kmeans_topk(
+    embeddings: DataFrame,
+    query_filter: Column,
+    k: int = 10,
+    nprobe: int = 2,
+    n_cells: int = 10,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF with a REAL coarse quantizer: MLlib KMeans (seeded, so the
+    index is reproducible) fit on the corpus, inverted lists from
+    model.transform, same nprobe re-rank as ivf_topk.
+
+    At 100 TB you fit the quantizer on a sample (KMeans cost is
+    per-iteration linear in rows x cells) and broadcast the centroid
+    table — exactly what happens here: clusterCenters() is model
+    metadata (n_cells x dim floats), not a data collect."""
+    import pyspark.sql.functions as F
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = embeddings.select(
+        F.col(id_col).alias("cand_id"),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
+    )
+    model = KMeans(k=n_cells, seed=seed, maxIter=20).fit(feat)
+    assign = model.transform(feat).select("cand_id", F.col("prediction").alias("cell"))
+    spark = embeddings.sparkSession
+    cent = spark.createDataFrame(
+        [(int(i), [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cell int, centroid array<double>",
+    )
+    return _ivf_probe(
+        embeddings, cent, assign, query_filter, k, nprobe, id_col, vec_col, "cell"
     )

@@ -477,3 +477,13 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("ann_ivf_topk", q_ivf_topk, None)  # approximate: rows-only
+
+
+def q_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import ivf_kmeans_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_kmeans_topk(emb, F.col("vec_id") < 5, k=10, nprobe=3)
+
+
+register("ann_ivf_kmeans_topk", q_ivf_kmeans_topk, None)  # approximate: rows-only

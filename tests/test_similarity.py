@@ -68,6 +68,24 @@ def test_bucketed_neardup_finds_all_true_duplicates(spark):
     assert all(r.cos == 1.0 for r in got)
 
 
+def test_ivf_kmeans_recall_floor(spark):
+    """The k-means IVF index clusters whatever structure the corpus
+    has; with nprobe=3 of 10 cells the probe must recover a healthy
+    share of the true top-10 (and be exact within probed cells by the
+    shared probe machinery, covered in test_partitioning)."""
+    from dataframe_retail_e_inventarios_spark.operators.similarity import (
+        ivf_kmeans_topk,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    qf = F.col("vec_id") < 20
+    exact = _topk_sets(cosine_topk(emb, qf, k=10).collect())
+    approx = _topk_sets(ivf_kmeans_topk(emb, qf, k=10, nprobe=3).collect())
+    recalls = [len(exact[q] & approx.get(q, set())) / len(exact[q]) for q in exact]
+    assert sum(recalls) / len(recalls) >= 0.3  # noise corpus; floor is
+    # regression-level, not aspiration: nprobe=3/10 on unclustered data
+
+
 def test_bucketed_neardup_plan_has_no_all_pairs_join(spark):
     emb = load_table(spark, SF_SMOKE, "embeddings")
     plan = (
