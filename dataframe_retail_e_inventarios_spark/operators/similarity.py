@@ -82,8 +82,16 @@ def cosine_neardup_pairs(
     )
 
 
-def _plane_proj(vec: Column, p: int) -> Column:
-    """Projection of vec onto deterministic pseudo-random plane p.
+def _plane_projections(vec: Column, n_planes: int) -> Column:
+    """All ``n_planes`` pseudo-random hyperplane projections of vec in
+    ONE fold over the vector (array<double>, length n_planes): per
+    element i, build its contribution to every plane and zip-add into
+    the accumulator. Versus n_planes separate aggregate trees this
+    compiles one expression instead of 32 (measured ~2x faster on the
+    first execution, equal steady-state — higher-order functions are
+    interpreted, so the murmur3 calls dominate both forms; an
+    arithmetic xorshift weight chain was measured 4x SLOWER than the
+    single native murmur3 expression).
 
     weight_{p,i} = murmur3(i, p) / 2^31 — uniform in [-1, 1), fully
     decorrelated across planes, reproducible across runs. (A sinusoid
@@ -92,31 +100,46 @@ def _plane_proj(vec: Column, p: int) -> Column:
     vectors sin(i) and cos(i), so all planes collapse into a 2-D
     subspace — measured 64 distinct buckets with ~125 docs each over a
     2000-vector corpus, which destroys both pruning and recall.)"""
-    return F.aggregate(
-        F.zip_with(
-            vec,
-            F.sequence(F.lit(0), F.size(vec) - 1),
-            lambda x, i: x.cast("double")
-            * (F.hash(i, F.lit(p)).cast("double") / F.lit(2147483648.0)),
+    contribs = F.zip_with(
+        vec,
+        F.sequence(F.lit(0), F.size(vec) - 1),
+        lambda x, i: F.transform(
+            F.sequence(F.lit(0), F.lit(n_planes - 1)),
+            lambda p: x.cast("double") * (F.hash(i, p).cast("double") / F.lit(2147483648.0)),
         ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    )
+    return F.aggregate(
+        contribs,
+        F.array_repeat(F.lit(0.0), n_planes),
+        lambda acc, c: F.zip_with(acc, c, lambda a, b: a + b),
     )
 
 
-def sign_band_keys(vec: Column, n_planes: int = 32, bands: int = 4) -> list[Column]:
-    """``bands`` LSH band keys, each the sign pattern of
-    n_planes/bands hyperplane projections (band index prefixed so keys
-    from different bands never collide)."""
+def with_sign_band_keys(
+    df: DataFrame,
+    vec_col: str,
+    n_planes: int = 32,
+    bands: int = 4,
+    prefix: str = "bk",
+) -> DataFrame:
+    """df + ``bands`` LSH band-key columns ({prefix}0..), each the sign
+    pattern of n_planes/bands hyperplane projections (band index
+    prefixed so keys from different bands never collide). The
+    projection array materializes as its own column in an inner
+    projection — it is referenced once per sign bit, and Catalyst would
+    otherwise inline the whole fold per reference."""
     rows = n_planes // bands
+    tmp = df.withColumn("_projs", _plane_projections(F.col(vec_col), n_planes))
     keys = []
     for b in range(bands):
         bits = [
-            F.when(_plane_proj(vec, b * rows + r) >= 0, F.lit("1")).otherwise(F.lit("0"))
+            F.when(F.element_at("_projs", b * rows + r + 1) >= 0, F.lit("1")).otherwise(
+                F.lit("0")
+            )
             for r in range(rows)
         ]
-        keys.append(F.concat(F.lit(f"{b}|"), *bits))
-    return keys
+        keys.append(F.concat(F.lit(f"{b}|"), *bits).alias(f"{prefix}{b}"))
+    return tmp.select(*df.columns, *keys)
 
 
 def cosine_neardup_pairs_bucketed(
@@ -155,11 +178,7 @@ def cosine_neardup_pairs_bucketed(
     it once), exact verify on candidates only.
     """
     emb = embeddings.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
-    key_cols = [
-        k.alias(f"bk{b}")
-        for b, k in enumerate(sign_band_keys(F.col("vec"), n_planes, bands))
-    ]
-    keyed = emb.select("vid", "vec", *key_cols)
+    keyed = with_sign_band_keys(emb, "vec", n_planes, bands)
     # Keys materialize as named columns BEFORE the explode; explode_outer
     # dodges the InferFiltersFromGenerate re-evaluation trap.
     melted = keyed.select(
@@ -220,11 +239,9 @@ def lsh_bucketed_topk(
     """
     from pyspark.sql import Window
 
-    key_cols = [
-        key.alias(f"bk{b}")
-        for b, key in enumerate(sign_band_keys(F.col(vec_col), n_planes, bands))
-    ]
-    keyed = embeddings.select(F.col(id_col), F.col(vec_col), *key_cols)
+    keyed = with_sign_band_keys(
+        embeddings.select(F.col(id_col), F.col(vec_col)), vec_col, n_planes, bands
+    )
     melted = keyed.select(
         F.col(id_col),
         F.col(vec_col),
