@@ -122,6 +122,36 @@ WHERE {_BUCKET_SQL} < ({_KEEP_SQL})
 )
 
 
+# -- Token-budget sequence packing -----------------------------------------
+def q_token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.packing import pack_into_batches
+    from ..operators.tokenize import bpe_ish_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_into_batches(docs, F.size(bpe_ish_tokens("text")), budget=2048)
+
+
+from ..operators.tokenize import BPE_ISH_PATTERN as _BPE_RAW2  # noqa: E402
+
+_BPE2 = _BPE_RAW2.replace("'", "''")
+
+register(
+    "token_pack_batches",
+    q_token_packing,
+    f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '{_BPE2}')) AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT doc_id, n_tokens,
+       CAST(floor((sum(n_tokens) OVER (ORDER BY doc_id) - n_tokens) / 2048) AS BIGINT)
+         AS batch_id
+FROM t
+""",
+)
+
+
 # -- Curation funnel --------------------------------------------------------
 def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The whole pre-training filter chain as ONE lazy plan with

@@ -73,6 +73,18 @@ def user_sessions_stream(events: DataFrame, gap: str = "30 minutes") -> DataFram
     )
 
 
+def dedup_events_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Ingest-time exact dedup: drop replayed event_ids inside the
+    watermark horizon (dropDuplicatesWithinWatermark — state holds one
+    key per event_id only until the watermark passes it, so state is
+    bounded; an unbounded dropDuplicates would leak state forever on a
+    real firehose). This is the streaming twin of N1 exact dedup — the
+    first stage of any streaming training-data ingest."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
 def run_stream_to_memory(
     spark: SparkSession, stream_df: DataFrame, query_name: str
 ) -> None:

@@ -97,8 +97,12 @@ def test_notebook_flow_entry_point(spark):
     from dataframe_retail_e_inventarios_spark.plans.pipeline import notebook_flow
     from dataframe_retail_e_inventarios_spark.sources.readers import load_table
 
+    # The smoke fixture spans exactly 30 days per event type (23 rows
+    # after the lag-7 dropna), so the reference-like default
+    # holdout_days=30 leaves no train window at all — a leakage-free
+    # baseline then correctly predicts nothing. Use a 7-day holdout.
     ev = load_table(spark, SF_SMOKE, "events")
-    out = notebook_flow(ev, ["event_type"], "ts", "value").toPandas()
+    out = notebook_flow(ev, ["event_type"], "ts", "value", holdout_days=7).toPandas()
     assert len(out) > 0
     assert (out["mae"] >= 0).all()
     # RMSE >= MAE holds for any prediction set (Cauchy-Schwarz).
@@ -130,7 +134,7 @@ def test_notebook_flow_baseline_is_leakage_free(spark):
     # Pandas reimplementation: predict holdout day at recency rank rn
     # from the boundary-week actual (rank rn + 7*ceil(d/7), always in
     # the train slice), then compare per-key MAE with notebook_flow's.
-    h = 30
+    h = 7
     expected = {}
     for key, g in ranked.groupby("event_type"):
         s = g.set_index("_rn")["y"]
@@ -147,7 +151,9 @@ def test_notebook_flow_baseline_is_leakage_free(spark):
         if errs:
             expected[key] = round(sum(errs) / len(errs), 4)
 
-    out = pipeline.notebook_flow(ev, ["event_type"], "ts", "value").toPandas()
+    out = pipeline.notebook_flow(
+        ev, ["event_type"], "ts", "value", holdout_days=h
+    ).toPandas()
     got = dict(zip(out["event_type"], out["mae"]))
     for key, exp_mae in expected.items():
         assert key in got

@@ -62,6 +62,32 @@ def test_session_stream_plan_builds(spark, events_dir):
     assert (out["n_events"] >= 1).all()
 
 
+def test_streaming_dedup_drops_replays(spark, events_dir, tmp_path):
+    """dropDuplicatesWithinWatermark: a source containing every event
+    twice (a replayed batch) must come out with each event_id once."""
+    from dataframe_retail_e_inventarios_spark.streaming.events import (
+        dedup_events_stream,
+    )
+
+    doubled = str(tmp_path / "events_doubled")
+    ev = load_table(spark, SF_SMOKE, "events")
+    ev.union(ev).write.parquet(doubled)
+
+    deduped = dedup_events_stream(read_events_stream(spark, doubled))
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_stream_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("dedup_stream_test")
+    n_distinct = ev.select("event_id").distinct().count()
+    assert got.count() == n_distinct
+    assert got.select("event_id").distinct().count() == n_distinct
+
+
 def test_stateful_running_totals(spark, events_dir):
     """applyInPandasWithState: final per-user totals equal the batch
     aggregate (single availableNow drain -> one update per user)."""
