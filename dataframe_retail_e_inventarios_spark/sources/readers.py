@@ -43,6 +43,15 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def read_jsonl(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
+    """JSONL scan with explicit schema — the canonical training-data
+    interchange format (one document object per line). Explicit schema
+    for the same reason as CSV: ``inferSchema``/sampling costs an extra
+    pass and yields nondeterministic types at corpus scale. Corrupt
+    lines land in nulls (PERMISSIVE) rather than failing the scan."""
+    return spark.read.schema(schema).json(path)
+
+
 def require_path(path: str) -> str:
     """Existence guard on a source [S5: generador.py:25-28]."""
     if not os.path.exists(path):

@@ -44,3 +44,10 @@ def stringify_arrays(df: DataFrame) -> DataFrame:
 def write_csv(df: DataFrame, path: str) -> None:
     """Reference-compatible CSV sink [S4: PRACTICA3.py:208-209]."""
     stringify_arrays(df).write.mode("overwrite").option("header", True).csv(path)
+
+
+def write_jsonl(df: DataFrame, path: str) -> None:
+    """JSONL sink (one object per line, arrays stay native JSON arrays
+    — no stringify round-trip). The standard handoff format between a
+    curation pipeline and a trainer's data loader."""
+    df.write.mode("overwrite").json(path)

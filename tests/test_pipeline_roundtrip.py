@@ -83,6 +83,25 @@ def test_csv_pipeline_matches_reference(spark, ventas_csv, reference_results, tm
         assert abs(total - round(4 * exp["forecast_wk"])) <= 1, key
 
 
+def test_jsonl_documents_roundtrip(spark, tmp_path):
+    """JSONL source/sink: documents written as JSONL and re-read with
+    an explicit schema must be byte-identical (text, lang, ids) —
+    arrays/nulls survive without a stringify round trip."""
+    from dataframe_retail_e_inventarios_spark.sources.readers import (
+        load_table,
+        read_jsonl,
+    )
+    from dataframe_retail_e_inventarios_spark.sources.writers import write_jsonl
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(100)
+    path = str(tmp_path / "docs_jsonl")
+    write_jsonl(docs, path)
+    back = read_jsonl(spark, path, docs.schema)
+    a = docs.toPandas().sort_values("doc_id", ignore_index=True)
+    b = back.toPandas().sort_values("doc_id", ignore_index=True)
+    assert a.equals(b[a.columns])
+
+
 def test_udf_path_same_schema(spark, ventas_csv):
     sales = load_ventas(spark, ventas_csv)
     native = forecast_inventory(sales, use_models=False)
