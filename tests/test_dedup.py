@@ -78,6 +78,34 @@ def test_hot_shingle_cap_keeps_genuine_pairs(spark):
     assert {(r.id_a, r.id_b) for r in pairs} == {(100, 101)}
 
 
+def test_first_match_emission_under_mass_duplication(spark):
+    """A corpus where 40 docs are identical: every pair shares EVERY
+    band, so the first-match predicate must emit each pair exactly once
+    (C(40,2) rows, no duplicates) for both SimHash and MinHash-LSH."""
+    rows = [(i, "identical content repeated across the corpus body") for i in range(40)]
+    rows += [(100 + i, f"totally different text number {i} with words {i*7}") for i in range(5)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    sp = simhash_pairs(docs, max_hamming=3).collect()
+    dup_pairs = {(r.id_a, r.id_b) for r in sp if r.id_a < 40 and r.id_b < 40}
+    assert len(sp) == len({(r.id_a, r.id_b) for r in sp})  # no dup emissions
+    assert len(dup_pairs) == 40 * 39 // 2
+    assert all(r.hamming == 0 for r in sp if (r.id_a, r.id_b) in dup_pairs)
+
+    lp = minhash_lsh_pairs(docs, threshold=0.9).collect()
+    lsh_pairs = {(r.id_a, r.id_b) for r in lp}
+    assert len(lp) == len(lsh_pairs)
+    assert {(a, b) for a, b in lsh_pairs if a < 40 and b < 40} == dup_pairs
+    assert all(r.jaccard == 1.0 for r in lp if (r.id_a, r.id_b) in dup_pairs)
+
+
+def test_dedup_operators_on_empty_corpus(spark):
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert simhash_pairs(empty).count() == 0
+    assert minhash_lsh_pairs(empty, 0.5).count() == 0
+    assert jaccard_pairs(empty, 0.5, max_df=10).count() == 0
+
+
 def test_minhash_lsh_single_pass_matches_exact_jaccard(spark):
     """Every pair LSH reports must carry the exact Jaccard value the
     inverted-index baseline computes (candidates-then-verify gives
