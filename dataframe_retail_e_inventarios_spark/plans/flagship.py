@@ -100,7 +100,7 @@ def series_stats(sales: DataFrame, keys: list[str] | None = None) -> DataFrame:
     return with_ens.withColumn("mape_raw", mape_raw).drop("_ma4", "_train_avg", "_test_pairs")
 
 
-def flagship(spark: SparkSession, sf_dir: str, top_k: int = 100) -> DataFrame:
+def flagship(spark: SparkSession, sf_dir: str, top_k: int | None = 100) -> DataFrame:
     stats = series_stats(clean_sales(load_table(spark, sf_dir, "lineitem")))
     inv = inventory_columns(
         sigma=F.col("sigma"),
@@ -124,6 +124,11 @@ def flagship(spark: SparkSession, sf_dir: str, top_k: int = 100) -> DataFrame:
     # TakeOrderedAndProject — each task computes a partial top-k and the
     # driver merges k-sized heaps — instead of a single-partition Window
     # that would funnel every surviving series through one task.
+    # top_k=None means "all series" and skips the global sort entirely
+    # (TakeOrderedAndProject allocates a k-sized heap per task, so a
+    # huge k must not be used as an unlimited stand-in).
+    if top_k is None:
+        return result
     return result.orderBy(
         F.col("qty_to_order").desc(), F.col("product_id"), F.col("store_id")
     ).limit(top_k)

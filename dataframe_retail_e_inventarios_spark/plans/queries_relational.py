@@ -394,6 +394,57 @@ SELECT l_partkey, count(*) AS n_excess FROM (
 )
 
 
+def q_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full rank-function family over one per-supplier window
+    (SURVEY §2.5 parity-plus): rank / dense_rank / percent_rank /
+    ntile / cume_dist share a single sort within the supplier
+    partitioning — one shuffle, one sort, five outputs."""
+    from ..functions.exact import exact_decimal_sum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    # No outer round(., 2): the exact scaled-integer sum gives both
+    # engines the same BIGINT, so N/10000.0 is the same double on both
+    # sides; a 2-decimal round would create .005 ties that Spark
+    # (half-up) and DuckDB (half-even) break differently.
+    rev = li.groupBy("l_suppkey", "l_partkey").agg(
+        exact_decimal_sum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        ).alias("rev")
+    )
+    w = Window.partitionBy("l_suppkey").orderBy(F.col("rev").desc(), F.col("l_partkey"))
+    return rev.select(
+        "l_suppkey",
+        "l_partkey",
+        "rev",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.round(F.percent_rank().over(w), 6).alias("prnk"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+    )
+
+
+register(
+    "window_rank_family",
+    q_rank_family,
+    """
+WITH rev_t AS (
+  SELECT l_suppkey, l_partkey,
+         sum(CAST(round_even(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)) / 10000.0 AS rev
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT l_suppkey, l_partkey, rev,
+  CAST(rank() OVER w AS BIGINT) AS rnk,
+  CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+  round(percent_rank() OVER w, 6) AS prnk,
+  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+  round(cume_dist() OVER w, 6) AS cdist
+FROM rev_t
+WINDOW w AS (PARTITION BY l_suppkey ORDER BY rev DESC, l_partkey)
+""",
+)
+
+
 # -- W4/O1-O2: top-k per group via row_number ------------------------------
 def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 parts per supplier by revenue — rank inside the group, no

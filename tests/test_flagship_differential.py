@@ -79,7 +79,7 @@ def reference_results():
 
 
 def test_flagship_matches_reference_port(spark, reference_results):
-    got = flagship(spark, SF_SMOKE, top_k=10**9).toPandas()
+    got = flagship(spark, SF_SMOKE, top_k=None).toPandas()
     got_by_key = {
         (r.product_id, r.store_id): r for r in got.itertuples(index=False)
     }

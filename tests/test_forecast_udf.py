@@ -44,7 +44,7 @@ def test_udf_properties(udf_results):
     "legitimately diverges from the native MA-only plan",
 )
 def test_udf_matches_native_flagship(spark, udf_results):
-    native = flagship(spark, SF_SMOKE, top_k=10**9).toPandas()
+    native = flagship(spark, SF_SMOKE, top_k=None).toPandas()
     u = udf_results.assign(
         product_id=lambda d: d["SKU"].astype(int),
         store_id=lambda d: d["Store"].astype(int),
