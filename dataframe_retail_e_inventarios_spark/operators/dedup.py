@@ -7,17 +7,46 @@ Scale posture:
 - Jaccard/MinHash avoid the O(n^2) all-pairs join: candidates come
   from an inverted shingle (or LSH band) index — join on
   shingle/band key, which at 100 TB is the only tractable shape.
-- All hashing is md5-hex-string based so DuckDB oracles reproduce the
-  exact signatures (engine-portable; a prod deployment would swap in
-  xxhash64 for speed, semantics unchanged).
+- All hashing derives from one md5 pass (32-bit prefix per shingle);
+  MinHash permutations are universal-hash integer mixes over it, so
+  DuckDB oracles reproduce the exact signatures (engine-portable; a
+  prod deployment would swap in xxhash64 for speed, semantics
+  unchanged).
 """
 
 from __future__ import annotations
 
+import hashlib
+
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 
 from .textops import fingerprint, tokens, word_shingles
+
+# Universal-hash family for MinHash permutations over 32-bit shingle
+# hashes: perm_i(x) = (A[i] * (x % P) + B[i]) % P, P = 2^31 - 1 (prime).
+# One md5 per shingle total (to get x); each of the k permutations is
+# then two integer ops instead of its own string md5 — the difference
+# between 1 and k full hash passes over the corpus text. Constants are
+# md5-derived so the DuckDB oracle can inline the same literals.
+MINHASH_P = 2_147_483_647
+
+
+def _ab(i: int) -> tuple[int, int]:
+    a = int(hashlib.md5(f"a{i}".encode()).hexdigest()[:8], 16) % (MINHASH_P - 1) + 1
+    b = int(hashlib.md5(f"b{i}".encode()).hexdigest()[:8], 16) % MINHASH_P
+    return a, b
+
+
+MINHASH_AB = [_ab(i) for i in range(64)]
+
+
+def shingle_hash32(col: Column | str) -> Column:
+    """First 8 md5 hex chars as a BIGINT in [0, 2^32) — the one
+    text-hash pass everything downstream (signatures, band keys,
+    verification) reuses. DuckDB twin:
+    ``('0x' || substr(md5(s), 1, 8))::BIGINT``."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
 
 
 def exact_dedup_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -39,14 +68,23 @@ def doc_shingle_sets(
     id_col: str = "doc_id",
     n: int = 3,
     max_df: int | None = None,
+    hashed: bool = False,
 ) -> DataFrame:
-    """(doc_id, shingles: array<string>) — one narrow pass, no shuffle.
+    """(doc_id, shingles: array<string|long>) — one narrow pass, no
+    shuffle.
 
     Tokenization is materialized in its own projection BEFORE the
     shingle transform: the shingle lambda references the token array
     ~3x per shingle, and Catalyst will not common-subexpression-
     eliminate an expensive regex split into a lambda — inlining it
     re-splits the text per element_at (measured 10x slowdown).
+
+    ``hashed=True`` replaces each shingle string with its 32-bit md5
+    prefix (``shingle_hash32``) right after shingle assembly. All
+    downstream set operations (df cap, Jaccard intersection, MinHash
+    mins) are hash-invariant, and every shuffle/exchange then carries
+    8-byte longs instead of ~25-char strings — a ~3x row shrink on the
+    band self-join at corpus scale.
 
     ``max_df`` drops shingles whose document frequency exceeds the cap
     (standard MinHash practice: a stop-shingle shared by k docs carries
@@ -57,25 +95,17 @@ def doc_shingle_sets(
     snapshot and reuse it across every dedup query.
     """
     toked = docs.select(F.col(id_col), tokens(text_col).alias("toks"))
-    base = toked.select(F.col(id_col), word_shingles(F.col("toks"), n).alias("shingles"))
+    sh = word_shingles(F.col("toks"), n)
+    if hashed:
+        sh = F.transform(sh, shingle_hash32)
+    base = toked.select(F.col(id_col), sh.alias("shingles"))
     if max_df is not None:
-        hot = (
-            base.select(F.explode_outer("shingles").alias("shingle"))
-            .filter(F.col("shingle").isNotNull())
-            .groupBy("shingle")
-            .agg(F.count("*").alias("df"))
-            .filter(F.col("df") > max_df)
-            .agg(F.collect_list("shingle").alias("hot"))
-        )
-        base = (
-            base.crossJoin(F.broadcast(hot))
-            .select(
-                F.col(id_col),
-                F.array_except(
-                    "shingles", F.coalesce("hot", F.array().cast("array<string>"))
-                ).alias("shingles"),
-            )
-        )
+        # Rebuild sets from the capped inverted index. Array-side
+        # capping (array_except against a broadcast hot list) is also
+        # possible but leaves downstream consumers in interpreted-
+        # lambda land; every internal consumer uses the exploded form.
+        capped = doc_shingles(docs, text_col, id_col, n, max_df, hashed)
+        return capped.groupBy(id_col).agg(F.collect_list("shingle").alias("shingles"))
     return base
 
 
@@ -85,18 +115,38 @@ def doc_shingles(
     id_col: str = "doc_id",
     n: int = 3,
     max_df: int | None = None,
+    hashed: bool = False,
 ) -> DataFrame:
-    """(doc_id, shingle) exploded inverted-index input."""
-    sh = doc_shingle_sets(docs, text_col, id_col, n, max_df)
+    """(doc_id, shingle) exploded inverted index — the codegen-friendly
+    spine every MinHash/Jaccard operator builds on. Docs with < n
+    tokens (empty shingle set) simply contribute no rows, so no
+    ``size(shingles) > 0`` filter exists anywhere: such a filter gets
+    predicate-pushed below the projection, re-inlining the whole
+    tokenize+shingle pipeline into an interpreted per-row Filter
+    (measured 8 s of pure waste at sf0.1).
+
+    The ``max_df`` cap is a broadcast LEFT ANTI join against the (tiny)
+    hot-shingle list — index rows stay flat and codegen'd end to end.
+    """
+    sh = doc_shingle_sets(docs, text_col, id_col, n, hashed=hashed)
     # explode_outer, NOT explode: InferFiltersFromGenerate turns a plain
     # explode into a pre-filter `size(<whole shingle expr>) > 0` that
     # re-evaluates the entire pipeline per row outside codegen
     # (measured ~30x slowdown). explode_outer infers nothing; the
     # null row an empty array produces is dropped with a cheap filter
     # on the generated column instead.
-    return sh.select(id_col, F.explode_outer("shingles").alias("shingle")).filter(
+    idx = sh.select(id_col, F.explode_outer("shingles").alias("shingle")).filter(
         F.col("shingle").isNotNull()
     )
+    if max_df is not None:
+        hot = (
+            idx.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("shingle")
+        )
+        idx = idx.join(F.broadcast(hot), "shingle", "left_anti")
+    return idx
 
 
 def jaccard_pairs(
@@ -112,8 +162,11 @@ def jaccard_pairs(
     share >= 1 shingle), so cost is sum of per-shingle doc-list sizes
     squared — not n^2 over the corpus. ``max_df`` bounds exactly that
     per-shingle list size (see doc_shingle_sets), which turns the worst
-    case from corpus-quadratic into max_df-quadratic."""
-    ds = doc_shingles(docs, text_col, id_col, n, max_df)
+    case from corpus-quadratic into max_df-quadratic. The inverted
+    index joins on the 32-bit shingle hash, not the string — identical
+    pair counts (the hash is set-operation-invariant) with a ~3x
+    narrower shuffle."""
+    ds = doc_shingles(docs, text_col, id_col, n, max_df, hashed=True)
     sizes = ds.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = ds.alias("a")
     b = ds.alias("b")
@@ -136,35 +189,36 @@ def jaccard_pairs(
     )
 
 
-def _sig_cols(k: int, shingle_col: str = "shingles") -> list:
-    """k MinHash signature expressions over a shingle-set array column.
-
-    Permutation i is simulated by hashing each shingle with a salt
-    (md5(f"{i}:" + shingle)) and taking the lexicographic min — the
-    standard min-wise independent family. Computed as array_min over a
-    per-row transform: embarrassingly parallel, ZERO shuffle (the
-    exploded-groupBy formulation pays a corpus-wide shuffle for the
-    same result)."""
-    def salted(i: int):
-        # NOTE: a two-arg lambda would make pyspark pass the element
-        # INDEX as the second argument — bind i via closure, never via
-        # a default argument.
-        return lambda s: F.md5(F.concat(F.lit(f"{i}:"), s))
-
+def _mix_cols(k: int, col: str = "shingle") -> list:
+    """k universal-hash permutation columns over the exploded 32-bit
+    shingle-hash column: (A[i] * (x % P) + B[i]) % P. Flat columns in
+    one projection → whole-stage codegen compiles the arithmetic (an
+    array_min(transform(...)) formulation puts the same math in
+    INTERPRETED lambda land — measured 4x slower, consistent with
+    expression-tree depth being the interpreter's cost driver)."""
+    x = F.col(col) % MINHASH_P
     return [
-        F.array_min(F.transform(shingle_col, salted(i))).alias(f"h{i}") for i in range(k)
+        ((F.lit(a) * x + F.lit(b)) % MINHASH_P).alias(f"m{i}")
+        for i, (a, b) in enumerate(MINHASH_AB[:k])
     ]
 
 
 def minhash_signatures(
     docs: DataFrame, k: int = 16, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """k-permutation MinHash signature per doc [N2], shuffle-free.
+    """k-permutation MinHash signature per doc [N2].
 
-    Docs with no shingles (< n tokens) have no signature — same rows as
-    the exploded-groupBy formulation the DuckDB oracle uses."""
-    sets_ = doc_shingle_sets(docs, text_col, id_col).filter(F.size("shingles") > 0)
-    return sets_.select(id_col, *_sig_cols(k))
+    Exploded-groupBy shape: one codegen'd Generate + projection
+    computes every permutation, then min-aggregates with map-side
+    partial reduction — the only shuffle carries (doc_id, k longs),
+    nothing text-sized. Docs with no shingles have no index rows and
+    therefore no signature row (no size() filter anywhere — see
+    doc_shingles)."""
+    idx = doc_shingles(docs, text_col, id_col, hashed=True)
+    mixed = idx.select(id_col, *_mix_cols(k))
+    return mixed.groupBy(id_col).agg(
+        *[F.min(f"m{i}").alias(f"h{i}") for i in range(k)]
+    )
 
 
 def minhash_lsh_pairs(
@@ -183,9 +237,9 @@ def minhash_lsh_pairs(
     the LSH trick that replaces the all-pairs comparison); candidates
     are then verified with exact Jaccard >= threshold.
 
-    Single-corpus-pass shape: signatures are array_min expressions over
-    the per-doc shingle SET (no exploded groupBy), and the shingle set
-    rides along through the band melt, so the band self-join delivers
+    Single-corpus-pass, all-codegen shape: the exploded hashed index
+    feeds ONE groupBy that emits both the k signature mins and the
+    per-doc shingle set (collect_list), so the band self-join delivers
     both sides' sets to the verifier directly — exact Jaccard is then
     size(array_intersect) on the candidate pairs only. The two sides of
     the self-join are the identical subtree, so Spark's ReuseExchange
@@ -196,10 +250,19 @@ def minhash_lsh_pairs(
     second corpus pass, and its output broadcast is tiny.
     """
     rows = k // bands
-    sets_ = doc_shingle_sets(docs, text_col, id_col, max_df=max_df).filter(
-        F.size("shingles") > 0
+    idx = doc_shingles(docs, text_col, id_col, max_df=max_df, hashed=True)
+    # One groupBy delivers BOTH the signature mins (map-side partial
+    # reduction) and the shingle set for verification (collect_list of
+    # the already-distinct hashed shingles) — a single narrow shuffle
+    # of (doc_id, hash) rows replaces any per-doc array recomputation.
+    sig = (
+        idx.select(id_col, "shingle", *_mix_cols(k))
+        .groupBy(id_col)
+        .agg(
+            F.collect_list("shingle").alias("shingles"),
+            *[F.min(f"m{i}").alias(f"h{i}") for i in range(k)],
+        )
     )
-    sig = sets_.select(id_col, "shingles", *_sig_cols(k))
     band_cols = [
         F.concat_ws("|", F.lit(str(b)), *[F.col(f"h{b * rows + r}") for r in range(rows)]).alias(
             f"band{b}"
@@ -207,14 +270,17 @@ def minhash_lsh_pairs(
         for b in range(bands)
     ]
     # Bands materialize as named columns BEFORE the explode; with
-    # explode_outer no Generate pre-filter is inferred, so the k md5
-    # transforms are never re-evaluated outside codegen (the
-    # InferFiltersFromGenerate trap).
-    banded = sig.select(id_col, "shingles", *band_cols)
+    # explode_outer no Generate pre-filter is inferred, so the
+    # signature transforms are never re-evaluated outside codegen (the
+    # InferFiltersFromGenerate trap). The k raw h-columns (8-byte
+    # longs) ride along for the first-match-band comparisons — far
+    # narrower exchange rows than the concatenated band strings they
+    # replace.
+    banded = sig.select(id_col, "shingles", *[F.col(f"h{i}") for i in range(k)], *band_cols)
     melted = banded.select(
         id_col,
         "shingles",
-        *[f"band{b}" for b in range(bands)],
+        *[f"h{i}" for i in range(k)],
         F.posexplode_outer(F.array(*[f"band{b}" for b in range(bands)])).alias(
             "band_no", "band_key"
         ),
@@ -225,16 +291,23 @@ def minhash_lsh_pairs(
     # agrees): near-identical docs share every band, so without this a
     # duplicate-dense corpus inflates the join output x bands and needs
     # a dedup shuffle afterwards. Flat column comparisons, not array
-    # slices (per-pair allocation). The merge hint pins the scale-shape
-    # join: both sides are the identical subtree, so the sort-merge
-    # exchange is built once and ReusedExchange serves the other side —
-    # one tokenize+signature pass total (a broadcast self-join would
-    # recompute the whole subtree per side).
+    # slices (per-pair allocation). "Earlier band j differs" = any of
+    # its ``rows`` signature longs differ. The merge hint pins the
+    # scale-shape join: both sides are the identical subtree, so the
+    # sort-merge exchange is built once and ReusedExchange serves the
+    # other side — one tokenize+signature pass total (a broadcast
+    # self-join would recompute the whole subtree per side).
+    def band_differs(j: int):
+        d = F.lit(False)
+        for r in range(rows):
+            d = d | (F.col(f"a.h{j * rows + r}") != F.col(f"b.h{j * rows + r}"))
+        return d
+
     no_earlier_match = F.lit(False)
     for bno in range(bands):
         cond = F.col("a.band_no") == bno
         for j in range(bno):
-            cond = cond & (F.col(f"a.band{j}") != F.col(f"b.band{j}"))
+            cond = cond & band_differs(j)
         no_earlier_match = no_earlier_match | cond
     cands = (
         a.hint("merge")

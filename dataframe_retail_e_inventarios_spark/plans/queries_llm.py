@@ -3,8 +3,9 @@
 similarity search (brute-force + LSH-bucketed), text analysis.
 
 Everything except the LSH-bucketed ANN variant is oracle-checked —
-including MinHash and SimHash, whose signatures are built from md5 hex
-strings that DuckDB reproduces byte-for-byte.
+including MinHash and SimHash. MinHash signatures are universal-hash
+mixes over a 32-bit md5-prefix shingle hash; DuckDB reproduces the
+exact integers from the same (A, B) constants.
 """
 
 from __future__ import annotations
@@ -13,6 +14,8 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.dedup import (
+    MINHASH_AB,
+    MINHASH_P,
     exact_dedup_groups,
     jaccard_pairs,
     minhash_lsh_pairs,
@@ -111,9 +114,19 @@ def q_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_signatures(load_table(spark, sf_dir, "documents"), k=8)
 
 
-_MINHASH_AGGS = ",\n  ".join(
-    f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(8)
-)
+# DuckDB twin of operators.dedup signatures: one 32-bit md5-prefix hash
+# per shingle, then per-permutation universal-hash mins with the SAME
+# (A, B) constants the Spark path uses.
+_HS = "('0x' || substr(md5(shingle), 1, 8))::BIGINT"
+
+
+def _minhash_aggs_sql(k: int) -> str:
+    return ",\n  ".join(
+        f"min(({a} * (hs % {MINHASH_P}) + {b}) % {MINHASH_P}) AS h{i}"
+        for i, (a, b) in enumerate(MINHASH_AB[:k])
+    )
+
+
 register(
     "dedup_minhash_signatures",
     q_minhash_sig,
@@ -125,10 +138,11 @@ shingled AS (
               ELSE CAST([] AS VARCHAR[]) END AS shingles
   FROM toks_t
 ),
-ds AS (SELECT doc_id, unnest(shingles) AS shingle FROM shingled)
+ds AS (SELECT doc_id, unnest(shingles) AS shingle FROM shingled),
+ds_h AS (SELECT doc_id, {_HS} AS hs FROM ds)
 SELECT doc_id,
-  {_MINHASH_AGGS}
-FROM ds GROUP BY doc_id
+  {_minhash_aggs_sql(8)}
+FROM ds_h GROUP BY doc_id
 """,
 )
 
@@ -140,7 +154,6 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SIG16 = ",\n  ".join(f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(16))
 _BANDS = ",\n  ".join(
     "concat_ws('|', '%d', %s) AS band%d"
     % (b, ", ".join(f"h{b * 4 + r}" for r in range(4)), b)
@@ -151,10 +164,11 @@ register(
     q_minhash_lsh,
     f"""
 WITH {_SHINGLE_INDEX_SQL.strip()},
+ds_h AS (SELECT doc_id, {_HS} AS hs FROM ds),
 sig AS (
   SELECT doc_id,
-  {_SIG16}
-  FROM ds GROUP BY doc_id
+  {_minhash_aggs_sql(16)}
+  FROM ds_h GROUP BY doc_id
 ),
 banded AS (
   SELECT doc_id,
