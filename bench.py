@@ -40,6 +40,9 @@ HEADLINE = [
     "events_props_json",
     "multimodal_features",
     "embedding_cosine_neardup_bucketed",
+    "repetition_stats",
+    "pii_redaction",
+    "decontamination_overlap",
 ]
 
 

@@ -435,3 +435,38 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3, bits: int = 32, **kw) -
             F.col("hamming").cast("long").alias("hamming"),
         )
     )
+
+
+def contamination_pairs(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Train/eval decontamination [N2 extension]: (train_id, eval_id,
+    n_shared) for every train document sharing >= min_shared word
+    n-grams with an eval-benchmark document — the standard membership
+    check run before training so benchmark text is excluded from the
+    corpus (the n-gram-overlap rule of GPT-3 appendix C / PaLM).
+
+    Scale shape: the eval side is benchmark-sized (thousands of docs,
+    not corpus-sized), so its exploded shingle index is BROADCAST and
+    the 100 TB train corpus streams through one scan + one map-side
+    joined aggregation keyed by (train_id, eval_id) — no corpus
+    shuffle-by-shingle, no pair blowup beyond truly-overlapping pairs.
+    Shingles are per-doc distinct, so count(*) counts shared distinct
+    n-grams. min_shared >= 2 also absorbs 32-bit hash collisions
+    (see shingle_hash32), which are cross-doc-uncorrelated.
+    """
+    ti = doc_shingles(train, text_col, id_col, n, hashed=True)
+    ei = doc_shingles(eval_docs, text_col, id_col, n, hashed=True).withColumnRenamed(
+        id_col, "eval_id"
+    )
+    return (
+        ti.join(F.broadcast(ei), "shingle")
+        .groupBy(F.col(id_col).alias("train_id"), "eval_id")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

@@ -1,0 +1,196 @@
+"""Data-cleaning queries for training corpora [SURVEY §2.11 N4
+extensions]: repetition/boilerplate metrics, PII redaction, train/eval
+decontamination, approximate distinct counting.
+
+The PII query PLANTS deterministic PII (the raw corpus is synthetic
+word soup with none), same pattern as the planted-duplicate bucketed
+near-dup query: the construction is replicated in the oracle, so the
+redaction chain itself is hash-checked end to end.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.dedup import contamination_pairs
+from ..operators.pii import pii_sql_fragments, redact_pii
+from ..operators.repetition import TOP_BIGRAM_FRAC_FLAG, repetition_stats
+from ..registry import register
+from ..sources.readers import load_table
+from .queries_llm import _HS, _TOKS
+
+
+# -- N4: repetition / boilerplate metrics ----------------------------------
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return repetition_stats(load_table(spark, sf_dir, "documents"))
+
+
+register(
+    "repetition_stats",
+    q_repetition,
+    f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+b AS (
+  SELECT doc_id, toks,
+    CASE WHEN len(toks) >= 2
+         THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+         ELSE CAST([] AS VARCHAR[]) END AS bgs,
+    CASE WHEN len(toks) >= 2
+         THEN len(list_filter(range(1, len(toks)), i -> toks[i] = toks[i+1]))
+         ELSE 0 END AS n_adj
+  FROM t
+),
+m AS (
+  SELECT doc_id,
+    CAST(len(toks) AS BIGINT) AS n_tokens,
+    CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+    CAST(len(bgs) AS BIGINT) AS n_bigrams,
+    CAST(n_adj AS BIGINT) AS n_adj,
+    CASE WHEN len(bgs) > 0
+         THEN CAST(list_max(list_transform(list_distinct(bgs),
+                   g -> len(list_filter(bgs, x -> x = g)))) AS BIGINT)
+         ELSE CAST(0 AS BIGINT) END AS top_cnt
+  FROM b
+)
+SELECT doc_id, n_tokens,
+  round(CASE WHEN n_tokens > 0
+             THEN 1 - n_distinct / CAST(n_tokens AS DOUBLE) ELSE 0.0 END, 4)
+    AS dup_token_frac,
+  round(CASE WHEN n_bigrams > 0
+             THEN top_cnt / CAST(n_bigrams AS DOUBLE) ELSE 0.0 END, 4)
+    AS top_bigram_frac,
+  round(CASE WHEN n_bigrams > 0
+             THEN n_adj / CAST(n_bigrams AS DOUBLE) ELSE 0.0 END, 4)
+    AS adj_dup_frac,
+  (CASE WHEN n_bigrams > 0
+        THEN top_cnt / CAST(n_bigrams AS DOUBLE) ELSE 0.0 END)
+    > {TOP_BIGRAM_FRAC_FLAG} AS flag_repetitive
+FROM m
+""",
+)
+
+
+# -- N4: PII redaction over planted PII -------------------------------------
+def _plant_pii(docs: DataFrame) -> DataFrame:
+    did = F.col("doc_id")
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                did % 7 == 0,
+                F.concat(
+                    F.lit(" contact u"), did.cast("string"), F.lit("@mail.example.com")
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 11 == 0,
+                F.concat(
+                    F.lit(" call 555-"),
+                    F.lpad((did % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 13 == 0,
+                F.concat(
+                    F.lit(" from 10.0."),
+                    (did % 256).cast("string"),
+                    F.lit("."),
+                    (did % 100).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+
+
+def q_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return redact_pii(_plant_pii(load_table(spark, sf_dir, "documents")))
+
+
+_PII_COUNTS, _PII_RED = pii_sql_fragments("text")
+
+register(
+    "pii_redaction",
+    q_pii,
+    f"""
+WITH planted AS (
+  SELECT doc_id,
+    text
+    || CASE WHEN doc_id % 7 = 0
+            THEN ' contact u' || CAST(doc_id AS VARCHAR) || '@mail.example.com'
+            ELSE '' END
+    || CASE WHEN doc_id % 11 = 0
+            THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+            ELSE '' END
+    || CASE WHEN doc_id % 13 = 0
+            THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                 || '.' || CAST(doc_id % 100 AS VARCHAR)
+            ELSE '' END AS text
+  FROM documents
+),
+r AS (
+  SELECT doc_id,
+    {", ".join(_PII_COUNTS)},
+    {_PII_RED} AS redacted
+  FROM planted
+)
+SELECT doc_id, n_email, n_phone, n_ip, redacted,
+       (n_email + n_phone + n_ip = 0) AS pii_free
+FROM r
+""",
+)
+
+
+# -- N2: train/eval decontamination -----------------------------------------
+def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 97 == 0)
+    tr = docs.filter(F.col("doc_id") % 97 != 0)
+    return contamination_pairs(tr, ev, min_shared=2)
+
+
+register(
+    "decontamination_overlap",
+    q_decontamination,
+    f"""
+WITH toks_t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+shingled AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 3
+              THEN list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+              ELSE CAST([] AS VARCHAR[]) END AS shingles
+  FROM toks_t
+),
+ds AS (SELECT doc_id, unnest(shingles) AS shingle FROM shingled),
+ds_h AS (SELECT doc_id, {_HS} AS hs FROM ds),
+ev AS (SELECT doc_id AS eval_id, hs FROM ds_h WHERE doc_id % 97 = 0),
+tr AS (SELECT doc_id AS train_id, hs FROM ds_h WHERE doc_id % 97 != 0)
+SELECT train_id, eval_id, CAST(count(*) AS BIGINT) AS n_shared
+FROM tr JOIN ev USING (hs)
+GROUP BY 1, 2
+HAVING count(*) >= 2
+""",
+)
+
+
+# -- parity-plus: HLL approximate distinct counting --------------------------
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) beside the exact count —
+    the sketch a 100 TB pipeline uses for distinct-user/URL statistics
+    where an exact distinct would shuffle every key. Approximate by
+    construction -> rows-only check; the relative-error bound is
+    asserted in tests/test_datacleaning.py."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.countDistinct("user_id").alias("exact_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
+register("approx_distinct_users", q_approx_distinct, None)  # sketch: rows-only

@@ -55,6 +55,7 @@ def _load_all() -> None:
         "queries_streaming",
         "queries_extra",
         "queries_curation",
+        "queries_datacleaning",
         "queries_sql",
     ):
         qualname = f"{__package__}.plans.{mod}"

@@ -1,0 +1,120 @@
+"""Unit tests for the data-cleaning operators: repetition metrics,
+PII redaction, train/eval decontamination, approximate distinct."""
+
+import pyspark.sql.functions as F
+
+from dataframe_retail_e_inventarios_spark.operators.dedup import contamination_pairs
+from dataframe_retail_e_inventarios_spark.operators.pii import redact_pii
+from dataframe_retail_e_inventarios_spark.operators.repetition import repetition_stats
+from dataframe_retail_e_inventarios_spark.sources.readers import load_table
+
+from conftest import SF_SMOKE
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestRepetitionStats:
+    def test_fully_repeated(self, spark):
+        out = repetition_stats(_docs(spark, [(1, "a a a a a")])).collect()[0]
+        assert out.n_tokens == 5
+        assert out.dup_token_frac == 0.8  # 1 - 1/5
+        assert out.top_bigram_frac == 1.0  # "a a" covers all 4 bigrams
+        assert out.adj_dup_frac == 1.0
+        assert out.flag_repetitive
+
+    def test_all_distinct(self, spark):
+        out = repetition_stats(_docs(spark, [(1, "a b c d e f")])).collect()[0]
+        assert out.n_tokens == 6
+        assert out.dup_token_frac == 0.0
+        assert out.top_bigram_frac == 0.2  # every bigram unique, 1/5
+        assert out.adj_dup_frac == 0.0
+        assert not out.flag_repetitive
+
+    def test_dominant_bigram(self, spark):
+        # "x y" appears 3 times in 6 bigrams; no adjacent dups.
+        out = repetition_stats(_docs(spark, [(1, "x y x y x y c")])).collect()[0]
+        assert out.n_tokens == 7
+        assert out.top_bigram_frac == 0.5
+        assert out.adj_dup_frac == 0.0
+        assert out.flag_repetitive
+
+    def test_short_docs_survive(self, spark):
+        rows = repetition_stats(_docs(spark, [(1, "solo"), (2, "a b")])).collect()
+        by_id = {r.doc_id: r for r in rows}
+        assert set(by_id) == {1, 2}
+        assert by_id[1].n_tokens == 1
+        assert by_id[1].top_bigram_frac == 0.0
+        assert by_id[1].adj_dup_frac == 0.0
+        assert by_id[2].n_tokens == 2
+        assert by_id[2].top_bigram_frac == 1.0
+
+
+class TestRedactPii:
+    def test_redacts_and_counts(self, spark):
+        out = redact_pii(
+            _docs(
+                spark,
+                [(1, "mail bob.smith+x@corp.example.org or 555-0199 at 10.1.2.3 ok")],
+            )
+        ).collect()[0]
+        assert (out.n_email, out.n_phone, out.n_ip) == (1, 1, 1)
+        assert out.redacted == "mail <EMAIL> or <PHONE> at <IP> ok"
+        assert not out.pii_free
+
+    def test_clean_text(self, spark):
+        out = redact_pii(_docs(spark, [(1, "nothing sensitive here")])).collect()[0]
+        assert out.pii_free
+        assert out.redacted == "nothing sensitive here"
+
+    def test_email_consumes_its_domain_dots(self, spark):
+        # the dotted domain must not double-count as an IP
+        out = redact_pii(_docs(spark, [(1, "x a@10.1.2.3 y")])).collect()[0]
+        assert out.n_email == 0  # TLD must be alphabetic
+        assert out.n_ip == 1
+
+
+class TestContaminationPairs:
+    def test_planted_overlap(self, spark):
+        train = _docs(
+            spark,
+            [
+                (1, "the quick brown fox jumps over the lazy dog"),
+                (2, "completely unrelated words in this one here now"),
+            ],
+        )
+        ev = _docs(spark, [(100, "quick brown fox jumps high")])
+        out = contamination_pairs(train, ev, min_shared=2).collect()
+        assert len(out) == 1
+        r = out[0]
+        # shared 3-grams: "quick brown fox", "brown fox jumps"
+        assert (r.train_id, r.eval_id, r.n_shared) == (1, 100, 2)
+
+    def test_min_shared_gate(self, spark):
+        train = _docs(spark, [(1, "a b c x y z")])
+        ev = _docs(spark, [(100, "a b c q r s")])  # exactly one shared 3-gram
+        assert contamination_pairs(train, ev, min_shared=2).count() == 0
+        assert contamination_pairs(train, ev, min_shared=1).count() == 1
+
+    def test_broadcast_eval_side(self, spark):
+        train = _docs(spark, [(1, "a b c d e")])
+        ev = _docs(spark, [(100, "a b c")])
+        plan = contamination_pairs(train, ev)._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+
+
+class TestApproxDistinct:
+    def test_hll_relative_error(self, spark):
+        ev = load_table(spark, SF_SMOKE, "events")
+        got = (
+            ev.groupBy("event_type")
+            .agg(
+                F.approx_count_distinct("user_id", rsd=0.02).alias("approx"),
+                F.countDistinct("user_id").alias("exact"),
+            )
+            .collect()
+        )
+        assert len(got) > 0
+        for r in got:
+            assert abs(r.approx - r.exact) <= max(1, 0.05 * r.exact)
