@@ -116,6 +116,7 @@ def doc_shingles(
     n: int = 3,
     max_df: int | None = None,
     hashed: bool = False,
+    materialize: bool = False,
 ) -> DataFrame:
     """(doc_id, shingle) exploded inverted index — the codegen-friendly
     spine every MinHash/Jaccard operator builds on. Docs with < n
@@ -127,6 +128,17 @@ def doc_shingles(
 
     The ``max_df`` cap is a broadcast LEFT ANTI join against the (tiny)
     hot-shingle list — index rows stay flat and codegen'd end to end.
+
+    ``materialize=True`` localCheckpoints the UNCAPPED index so the
+    hot-shingle aggregation and the capped consumer both read the
+    materialized (doc_id, long) rows instead of each re-running the
+    tokenize+shingle+hash pipeline — with the cap that halves the
+    corpus passes to exactly one. Worth it only since the index rows
+    became 16-byte longs: the round-1 attempt on string shingles
+    materialized 3x the bytes and lost cold (commit a5522fc). The
+    checkpoint is ephemeral per-query scratch (lineage truncation, not
+    fault-tolerant persistence) — the standard trade for an index that
+    multiple plan branches consume within one job.
     """
     sh = doc_shingle_sets(docs, text_col, id_col, n, hashed=hashed)
     # explode_outer, NOT explode: InferFiltersFromGenerate turns a plain
@@ -138,6 +150,8 @@ def doc_shingles(
     idx = sh.select(id_col, F.explode_outer("shingles").alias("shingle")).filter(
         F.col("shingle").isNotNull()
     )
+    if materialize:
+        idx = idx.localCheckpoint(eager=True)
     if max_df is not None:
         hot = (
             idx.groupBy("shingle")
@@ -166,7 +180,10 @@ def jaccard_pairs(
     index joins on the 32-bit shingle hash, not the string — identical
     pair counts (the hash is set-operation-invariant) with a ~3x
     narrower shuffle."""
-    ds = doc_shingles(docs, text_col, id_col, n, max_df, hashed=True)
+    ds = doc_shingles(
+        docs, text_col, id_col, n, max_df, hashed=True,
+        materialize=max_df is not None,
+    )
     sizes = ds.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = ds.alias("a")
     b = ds.alias("b")
@@ -250,7 +267,10 @@ def minhash_lsh_pairs(
     second corpus pass, and its output broadcast is tiny.
     """
     rows = k // bands
-    idx = doc_shingles(docs, text_col, id_col, max_df=max_df, hashed=True)
+    idx = doc_shingles(
+        docs, text_col, id_col, max_df=max_df, hashed=True,
+        materialize=max_df is not None,
+    )
     # One groupBy delivers BOTH the signature mins (map-side partial
     # reduction) and the shingle set for verification (collect_list of
     # the already-distinct hashed shingles) — a single narrow shuffle
