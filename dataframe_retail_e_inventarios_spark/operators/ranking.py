@@ -1,0 +1,83 @@
+"""BM25 term scoring over a document corpus [SURVEY §2.11 N4
+beyond-reference: the standard lexical relevance / keyword-extraction
+primitive in training-data curation (quality filtering by query
+relevance, dedup of boilerplate, retrieval baselines)].
+
+All-native plan, one tokenize pass:
+
+    explode(tokens) → tf per (doc, term)          [1 shuffle on (doc,term)]
+    dl per doc      — re-aggregated FROM tf       [reuses the same frame]
+    df per term     — re-aggregated FROM tf       [likewise]
+    corpus stats (N, avgdl) — 1-row aggregate, broadcast via crossJoin
+
+At 100 TB the (doc,term) aggregate does map-side partial aggregation
+(tf counts combine before the shuffle), the term-df join shuffles the
+tf frame once on ``term``, and the per-doc stats join shuffles once on
+``doc`` — three exchanges total, each on a different key, none
+avoidable for exact BM25. The corpus-stats side is a single row and
+never shuffles anything.
+
+Floating-point parity note: every input to the score is an integer
+count, so ``tf/df/dl/avgdl`` are exact doubles; the expression tree is
+written with explicit parentheses and mirrored token-for-token in the
+DuckDB oracle so IEEE evaluation order is identical on both engines.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from .textops import tokens
+
+K1 = 1.2
+B = 0.75
+
+
+def term_frequencies(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc, term, tf) from whitespace tokens of lowercased text."""
+    tok = docs.select(
+        id_col, F.explode(tokens(text_col)).alias("term")
+    ).filter(F.col("term") != "")
+    return tok.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+
+
+def bm25_scores(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """Per-(doc, term) BM25 score: ``idf(term) * saturation(tf, dl)``.
+
+    idf uses the standard +1 smoothing (always positive):
+        ln(1 + (N - df + 0.5) / (df + 0.5))
+    """
+    tf = term_frequencies(docs, text_col, id_col)
+    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("tot_len")
+    )
+
+    scored = (
+        tf.join(df_, "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .withColumn("avgdl", F.col("tot_len") / F.col("n_docs"))
+    )
+    idf = F.ln(
+        1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    sat = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    return scored.select(
+        id_col,
+        "term",
+        "tf",
+        "df",
+        "dl",
+        (idf * sat).alias("score"),
+    )

@@ -1,0 +1,212 @@
+"""Pipeline-scale parity-plus queries [SURVEY §2.10-2.11 beyond the
+reference]: sliding event windows, changelog compaction (CDC merge),
+BM25 term ranking, per-label embedding centroids, and sketch-based
+quantiles.
+
+Each has the usual twin structure: a declarative Spark plan whose
+physical shape survives 100× data, and a DuckDB oracle that recomputes
+the same answer independently (rows-only where the op is approximate
+by construction).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..functions.exact import exact_decimal_sum
+from ..operators.cdc import merge_changes
+from ..operators.ranking import bm25_scores
+from ..registry import register
+from ..sources.readers import load_table
+
+
+def _epoch_s(c) -> F.Column:
+    return F.floor(F.unix_micros(c) / 1_000_000).cast("long")
+
+
+# -- sliding windows (1 h wide, 30 min hop) --------------------------------
+def q_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-window event rates: every event contributes to
+    width/hop = 2 windows. Spark's ``window(ts, '1 hour', '30
+    minutes')`` emits the window struct directly from the timestamp —
+    a generator projection, NO self-union — and the aggregate shuffles
+    once on (window, event_type). The streaming twin is
+    streaming/events.sliding_counts_stream."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("win"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(exact_decimal_sum(F.col("value"), 2), 2).alias("total_value"),
+        )
+        .select(
+            _epoch_s(F.col("win.start")).alias("window_start_epoch"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+register(
+    "events_sliding_counts",
+    q_sliding_counts,
+    """
+WITH e2 AS (
+  SELECT event_type, value, epoch(ts) AS es,
+         CAST(floor(epoch(ts) / 1800) * 1800 - 1800 * o.off AS BIGINT) AS ws
+  FROM events CROSS JOIN (VALUES (0), (1)) AS o(off)
+)
+SELECT ws AS window_start_epoch, event_type, count(*) AS n,
+       round(sum(CAST(round_even(value * 100, 0) AS BIGINT)) / 100.0, 2) AS total_value
+FROM e2 WHERE es >= ws AND es < ws + 3600
+GROUP BY 1, 2
+""",
+)
+
+
+# -- changelog compaction: latest-wins upsert + delete tombstones ----------
+def q_cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-shaped compaction: events are a change stream keyed by
+    (user_id, event_type); a mid-month snapshot is the base, the rest
+    are changes; value < 1.0 marks a tombstone. One shuffle on the
+    merge keys (operators/cdc.py). The oracle ranks the undivided
+    stream — the split is invisible in the result because (ts,
+    event_id) totally orders versions, which is exactly the invariant
+    a resumable CDC consumer relies on."""
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-16").cast("timestamp")
+    merged = merge_changes(
+        base=ev.filter(F.col("ts") < cutoff),
+        changes=ev.filter(F.col("ts") >= cutoff),
+        keys=("user_id", "event_type"),
+        seq_cols=("ts", "event_id"),
+        delete_pred=F.col("value") < 1.0,
+    )
+    return merged.select(
+        "user_id",
+        "event_type",
+        _epoch_s(F.col("ts")).alias("last_epoch"),
+        "value",
+    )
+
+
+register(
+    "cdc_latest_state",
+    q_cdc_latest_state,
+    """
+WITH ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC
+  ) AS rn
+  FROM events
+)
+SELECT user_id, event_type,
+       CAST(floor(epoch_us(ts) / 1000000) AS BIGINT) AS last_epoch, value
+FROM ranked WHERE rn = 1 AND NOT (value < 1.0)
+""",
+)
+
+
+# -- BM25 top terms per document -------------------------------------------
+def q_bm25_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 BM25 terms per document (keyword extraction). Scores are
+    rounded to 6 decimals BEFORE ranking so the order is identical on
+    both engines even if a libm ln() differs in the last ulp."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = bm25_scores(docs).withColumn("score", F.round("score", 6))
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 5)
+        .select("doc_id", "term", "tf", "df", "score", "rnk")
+    )
+
+
+register(
+    "bm25_top_terms",
+    q_bm25_top_terms,
+    """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+  FROM documents
+),
+tf_t AS (SELECT doc_id, term, count(*) AS tf FROM tok WHERE term <> '' GROUP BY 1, 2),
+dl_t AS (SELECT doc_id, sum(tf) AS dl FROM tf_t GROUP BY 1),
+df_t AS (SELECT term, count(*) AS df FROM tf_t GROUP BY 1),
+stats AS (SELECT count(*) AS n_docs, sum(dl) AS tot_len FROM dl_t),
+scored AS (
+  SELECT t.doc_id, t.term, t.tf, d.df,
+         round(
+           ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+           * ((t.tf * 2.2) / (t.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / (s.tot_len / s.n_docs)))),
+         6) AS score
+  FROM tf_t t JOIN df_t d USING (term) JOIN dl_t l USING (doc_id) CROSS JOIN stats s
+)
+SELECT doc_id, term, tf, df, score, rnk FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rnk
+  FROM scored
+) WHERE rnk <= 5
+""",
+)
+
+
+# -- per-label embedding centroids (native array aggregate) ----------------
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean vector per label via posexplode + exact scaled-integer
+    sums (order-insensitive — a naive float sum would differ between
+    shuffle layouts, let alone engines). This is the centroid step of
+    the IVF quantizer expressed as a pure aggregate: labels × dims
+    rows, one shuffle on (label, pos)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "v")
+    ).select(
+        "label",
+        F.col("pos").cast("long").alias("pos"),
+        F.col("v").cast("double").alias("v"),
+    )
+    return ex.groupBy("label", "pos").agg(
+        F.round(exact_decimal_sum(F.col("v"), 7) / F.count("*"), 6).alias("c"),
+        F.count("*").alias("n"),
+    )
+
+
+register(
+    "label_centroids",
+    q_label_centroids,
+    """
+WITH ex AS (
+  SELECT label, CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+)
+SELECT label, pos,
+       round(sum(CAST(round_even(v * 10000000, 0) AS BIGINT)) / 10000000.0 / count(*), 6) AS c,
+       count(*) AS n
+FROM ex GROUP BY 1, 2
+""",
+)
+
+
+# -- sketch quantiles (approximate by construction: rows-only) -------------
+def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch per event_type (percentile_approx =
+    Greenwald-Khanna): rank error ≤ n/accuracy, single pass, fixed
+    memory — the 100 TB path where the exact sort-based percentile
+    (winsorize_bounds) stops being affordable. Beside-the-exact-op
+    pattern, like approx_distinct_users beside the exact distinct.
+    Error vs the exact quantile is test-bounded (tests/test_sketches)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.percentile_approx("value", 0.5, 10000).alias("p50"),
+        F.percentile_approx("value", 0.95, 10000).alias("p95"),
+        F.percentile_approx("value", 0.99, 10000).alias("p99"),
+        F.count("*").alias("n"),
+    )
+
+
+register("approx_quantiles_events", q_approx_quantiles, None)  # sketch: rows-only

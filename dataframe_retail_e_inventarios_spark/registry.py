@@ -57,6 +57,7 @@ def _load_all() -> None:
         "queries_curation",
         "queries_datacleaning",
         "queries_sql",
+        "queries_scale",
     ):
         qualname = f"{__package__}.plans.{mod}"
         try:

@@ -52,6 +52,18 @@ def read_jsonl(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
     return spark.read.schema(schema).json(path)
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan (schema from file metadata, like parquet)."""
+    return spark.read.orc(path)
+
+
+def read_text(spark: SparkSession, path: str) -> DataFrame:
+    """Raw-text scan: one row per line in a single ``value`` string
+    column — the entry format for unstructured corpus ingest before
+    any parsing (each line becomes a document candidate)."""
+    return spark.read.text(path)
+
+
 def require_path(path: str) -> str:
     """Existence guard on a source [S5: generador.py:25-28]."""
     if not os.path.exists(path):

@@ -46,6 +46,13 @@ def write_csv(df: DataFrame, path: str) -> None:
     stringify_arrays(df).write.mode("overwrite").option("header", True).csv(path)
 
 
+def write_orc(df: DataFrame, path: str) -> None:
+    """ORC sink — second columnar interchange format (Hive/Trino
+    estates are ORC-native). Arrays/structs stay typed like parquet;
+    predicate pushdown and column pruning work the same way."""
+    df.write.mode("overwrite").orc(path)
+
+
 def write_jsonl(df: DataFrame, path: str) -> None:
     """JSONL sink (one object per line, arrays stay native JSON arrays
     — no stringify round-trip). The standard handoff format between a

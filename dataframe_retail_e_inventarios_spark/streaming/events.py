@@ -56,6 +56,25 @@ def hourly_counts_stream(events: DataFrame, watermark: str = "2 hours") -> DataF
     )
 
 
+def sliding_counts_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Watermarked SLIDING windows (1 h wide, 30 min hop): every event
+    lands in two overlapping windows, the rolling-rate view a tumbling
+    window can't give. State per key lives until the watermark passes
+    the window end, so it is bounded at (width/hop)=2 open windows per
+    event_type."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("win"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
 def user_sessions_stream(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     """Session windows per user: events closer than ``gap`` merge into
     one session (stateful; watermark bounds session state)."""

@@ -50,6 +50,43 @@ def test_streaming_hourly_matches_batch(spark, events_dir):
     assert (got["n"].to_numpy() == batch["n"].to_numpy()).all()
 
 
+def test_sliding_stream_matches_batch_twin(spark, events_dir):
+    """Sliding 1h/30min windows: streaming counts must equal the batch
+    query (events_sliding_counts), which is itself oracle-checked."""
+    from dataframe_retail_e_inventarios_spark.plans.queries_scale import (
+        q_sliding_counts,
+    )
+    from dataframe_retail_e_inventarios_spark.streaming.events import (
+        sliding_counts_stream,
+    )
+
+    stream = sliding_counts_stream(read_events_stream(spark, events_dir))
+    run_stream_to_memory(spark, stream, "sliding_counts_test")
+    got = (
+        spark.table("sliding_counts_test")
+        .select(
+            F.floor(F.unix_micros("window_start") / 1_000_000)
+            .cast("long")
+            .alias("window_start_epoch"),
+            "event_type",
+            "n",
+        )
+        .toPandas()
+        .sort_values(["window_start_epoch", "event_type"], ignore_index=True)
+    )
+    batch = (
+        q_sliding_counts(spark, SF_SMOKE)
+        .select("window_start_epoch", "event_type", "n")
+        .toPandas()
+        .sort_values(["window_start_epoch", "event_type"], ignore_index=True)
+    )
+    assert len(got) == len(batch) > 0
+    assert (got["n"].to_numpy() == batch["n"].to_numpy()).all()
+    assert (
+        got["window_start_epoch"].to_numpy() == batch["window_start_epoch"].to_numpy()
+    ).all()
+
+
 def test_session_stream_plan_builds(spark, events_dir):
     from dataframe_retail_e_inventarios_spark.streaming.events import (
         user_sessions_stream,
