@@ -43,6 +43,10 @@ HEADLINE = [
     "repetition_stats",
     "pii_redaction",
     "decontamination_overlap",
+    "bm25_top_terms",
+    "doc_chunks",
+    "events_sliding_counts",
+    "cdc_latest_state",
 ]
 
 

@@ -48,13 +48,23 @@ def bm25_scores(
     id_col: str = "doc_id",
     k1: float = K1,
     b: float = B,
+    materialize: bool = True,
 ) -> DataFrame:
     """Per-(doc, term) BM25 score: ``idf(term) * saturation(tf, dl)``.
 
     idf uses the standard +1 smoothing (always positive):
         ln(1 + (N - df + 0.5) / (df + 0.5))
+
+    The tf frame feeds four consumers (dl, df, corpus stats, the final
+    join); without materialization Spark re-runs the tokenize+explode+
+    aggregate pipeline once PER consumer — four full corpus scans.
+    ``materialize`` localCheckpoints tf once (same trade as the dedup
+    shingle index, operators/dedup.doc_shingles): ephemeral lineage
+    truncation so every branch reads the narrow (id, term, tf) rows.
     """
     tf = term_frequencies(docs, text_col, id_col)
+    if materialize:
+        tf = tf.localCheckpoint(eager=True)
     dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
     df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
     stats = dl.agg(

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..functions.exact import exact_decimal_sum
 from ..operators.cdc import merge_changes
+from ..operators.chunking import chunk_documents, split_sentences_native
 from ..operators.ranking import bm25_scores
 from ..registry import register
 from ..sources.readers import load_table
@@ -188,6 +189,68 @@ SELECT label, pos,
        round(sum(CAST(round_even(v * 10000000, 0) AS BIGINT)) / 10000000.0 / count(*), 6) AS c,
        count(*) AS n
 FROM ex GROUP BY 1, 2
+""",
+)
+
+
+# -- document chunking: overlapping token windows --------------------------
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-token chunks with 16-token overlap (stride 48) — the
+    curation→trainer handoff granularity. Generator-only plan: no
+    shuffle, no join; linear in corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs)
+
+
+register(
+    "doc_chunks",
+    q_doc_chunks,
+    """
+WITH toks_t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+nz AS (SELECT doc_id, toks, len(toks) AS n FROM toks_t WHERE len(toks) > 0),
+starts AS (
+  SELECT doc_id, toks, n, unnest(range(1, n + 1, 48)) AS s FROM nz
+)
+SELECT doc_id,
+       CAST((s - 1) // 48 AS BIGINT) AS chunk_no,
+       CAST(len(list_slice(toks, s, s + 63)) AS BIGINT) AS n_tokens,
+       array_to_string(list_slice(toks, s, s + 63), ' ') AS chunk_text
+FROM starts
+WHERE s = 1 OR s - 48 + 63 < n
+""",
+)
+
+
+# -- sentence splitting (native path; UDTF twin differential-tested) -------
+def q_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence units per document — the sub-document granularity that
+    decontamination and near-dedup run at when whole-doc matching is
+    too coarse. Native split/posexplode; the Python-UDTF twin
+    (operators/chunking.make_sentence_udtf) is the extension point for
+    model-based splitters."""
+    docs = load_table(spark, sf_dir, "documents")
+    return split_sentences_native(docs)
+
+
+register(
+    "sentence_split",
+    q_sentence_split,
+    """
+WITH s AS (
+  SELECT doc_id,
+         generate_subscripts(string_split_regex(text, '[.!?]+'), 1) AS pos,
+         unnest(string_split_regex(text, '[.!?]+')) AS raw
+  FROM documents
+),
+t AS (SELECT doc_id, pos, trim(raw) AS sentence FROM s WHERE trim(raw) <> '')
+SELECT doc_id,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS BIGINT) AS sent_no,
+       sentence
+FROM t
 """,
 )
 

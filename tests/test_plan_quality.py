@@ -89,6 +89,37 @@ def test_dedup_pair_joins_are_banded(spark):
     assert "band_key" in plan
 
 
+def test_cdc_merge_single_shuffle(spark):
+    """Changelog compaction is union + ONE key shuffle: the window
+    rank partitioning is the only Exchange; the base/changes split
+    must not introduce extra ones."""
+    plan = plan_of(spark, "cdc_latest_state")
+    assert plan.count("+- Exchange") == 1
+    assert "Union" in plan  # plan concatenation, not a join
+
+
+def test_sliding_window_is_generator_not_self_union(spark):
+    """window(ts, 1h, 30min) must compile to the window generator
+    (Expand/Explode of window structs) + one aggregate shuffle, never
+    a self-union of two tumbling plans (which would scan events
+    twice)."""
+    plan = plan_of(spark, "events_sliding_counts")
+    assert "Union" not in plan
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("+- Exchange") == 1  # the (window, type) aggregate
+
+
+def test_bm25_single_tokenize_pass_and_broadcast_stats(spark):
+    """tf/df/dl/stats all read the ONE materialized tf frame: the
+    final plan contains no tokenize+explode at all (it happened once,
+    before the checkpoint) and no cartesian blowup."""
+    plan = plan_of(spark, "bm25_top_terms")
+    assert plan.count("Generate explode") == 0
+    assert plan.count("Scan parquet") == 0  # reads the checkpointed tf
+    assert "ExistingRDD" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_no_inferred_generate_filters(spark):
     """Regression guard for the InferFiltersFromGenerate trap: spine
     and shingle explodes must not re-evaluate their input expression
