@@ -77,6 +77,62 @@ def q_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- view -> purchase conversion join (batch twin of stream-stream join) ---
+CONVERSION_WINDOW_MIN = 30
+
+
+def q_view_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversions: each purchase matched to every view by the same
+    user in the preceding 30 minutes. Equi-join on user_id with a
+    range predicate — one shuffle per side on the user key, per-user
+    sort-merge; the streaming twin
+    (streaming/events.view_purchase_join_stream) runs the identical
+    condition with watermarks bounding the buffered state."""
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value"),
+    )
+    gap_us = F.unix_micros("purchase_ts") - F.unix_micros("view_ts")
+    return (
+        purchases.join(views, "user_id")
+        .filter(
+            (F.col("purchase_ts") >= F.col("view_ts"))
+            & (gap_us <= CONVERSION_WINDOW_MIN * 60 * 1_000_000)
+        )
+        .select(
+            "user_id",
+            "view_id",
+            "purchase_id",
+            F.floor(gap_us / 1_000_000).cast("long").alias("gap_s"),
+            "value",
+        )
+    )
+
+
+register(
+    "events_view_purchase_join",
+    q_view_purchase_join,
+    f"""
+SELECT p.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+       CAST(floor((epoch_us(p.ts) - epoch_us(v.ts)) / 1000000) AS BIGINT) AS gap_s,
+       p.value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON p.user_id = v.user_id
+ AND p.ts >= v.ts
+ AND epoch_us(p.ts) - epoch_us(v.ts) <= {CONVERSION_WINDOW_MIN * 60 * 1_000_000}
+""",
+)
+
+
 register(
     "events_sessionization",
     q_sessions,

@@ -92,6 +92,45 @@ def user_sessions_stream(events: DataFrame, gap: str = "30 minutes") -> DataFram
     )
 
 
+def view_purchase_join_stream(
+    views: DataFrame, purchases: DataFrame, window_min: int = 30
+) -> DataFrame:
+    """Stream-stream inner join: purchases matched to same-user views
+    in the preceding ``window_min`` minutes. Both sides carry
+    watermarks and the join condition bounds purchase_ts relative to
+    view_ts, so Spark can size the state store per side and evict
+    buffered rows once the watermark passes — the REQUIRED shape for
+    an unbounded stream-stream join (without the time bound, both
+    sides would buffer forever). Batch twin (oracle-checked):
+    plans/queries_streaming.q_view_purchase_join."""
+    v = (
+        views.withWatermark("ts", "1 hour")
+        .select(
+            F.col("user_id").alias("v_user_id"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+    )
+    p = (
+        purchases.withWatermark("ts", "1 hour")
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value"),
+        )
+    )
+    return p.join(
+        v,
+        (F.col("user_id") == F.col("v_user_id"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("view_ts") + F.expr(f"INTERVAL {window_min} MINUTES")
+        ),
+    ).drop("v_user_id")
+
+
 def dedup_events_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Ingest-time exact dedup: drop replayed event_ids inside the
     watermark horizon (dropDuplicatesWithinWatermark — state holds one

@@ -99,6 +99,36 @@ def test_session_stream_plan_builds(spark, events_dir):
     assert (out["n_events"] >= 1).all()
 
 
+def test_stream_stream_join_matches_batch_twin(spark, events_dir):
+    """Watermarked stream-stream conversion join must produce exactly
+    the batch twin's pairs (events_view_purchase_join, oracle-checked)."""
+    from dataframe_retail_e_inventarios_spark.plans.queries_streaming import (
+        q_view_purchase_join,
+    )
+    from dataframe_retail_e_inventarios_spark.streaming.events import (
+        view_purchase_join_stream,
+    )
+
+    src = read_events_stream(spark, events_dir)
+    joined = view_purchase_join_stream(
+        src.filter(F.col("event_type") == "view"),
+        src.filter(F.col("event_type") == "purchase"),
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("conversion_join_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("conversion_join_test").select("view_id", "purchase_id")
+    batch = q_view_purchase_join(spark, SF_SMOKE).select("view_id", "purchase_id")
+    assert got.count() == batch.count() > 0
+    assert got.exceptAll(batch).count() == 0
+    assert batch.exceptAll(got).count() == 0
+
+
 def test_streaming_dedup_drops_replays(spark, events_dir, tmp_path):
     """dropDuplicatesWithinWatermark: a source containing every event
     twice (a replayed batch) must come out with each event_id once."""
