@@ -14,6 +14,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from . import oracle_fragments as _OF
 from ..functions.exact import exact_decimal_sum
 from ..operators.cdc import merge_changes
 from ..operators.chunking import chunk_documents, split_sentences_native
@@ -251,6 +252,152 @@ SELECT doc_id,
        CAST(row_number() OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS BIGINT) AS sent_no,
        sentence
 FROM t
+""",
+)
+
+
+# -- EWMA demand smoothing (recursive fold, numerically stable) ------------
+EWMA_ALPHA = 0.3
+
+
+def q_ewma_weekly_demand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series exponentially weighted demand level over observed
+    weeks: s_1 = x_1, s_t = α·x_t + (1-α)·s_{t-1} — the recursive
+    form, not the (1-α)^(-j) prefix-sum trick that overflows doubles
+    on long series. One shuffle (series groupBy); the fold runs over
+    each series' own array (~hundreds of doubles), so the interpreted
+    higher-order lambda is off the per-row hot path. DuckDB's
+    list_reduce seeds the accumulator with the first element, which is
+    exactly s_1 = x_1; Spark mirrors with element_at(xs,1) as init."""
+    from ..operators.cleaning import clean_sales
+    from ..operators.resample import weekly_resample_sum
+
+    sales = clean_sales(load_table(spark, sf_dir, "lineitem"))
+    weekly = weekly_resample_sum(
+        sales, ("product_id", "store_id"), "invoice_date", "units_sold"
+    )
+    series = weekly.groupBy("product_id", "store_id").agg(
+        F.count("*").alias("n_weeks"),
+        F.max("week").alias("last_week"),
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("week", "units_sold"))),
+            lambda s: s["units_sold"],
+        ).alias("xs"),
+    )
+    a = EWMA_ALPHA
+    ewma = F.aggregate(
+        F.slice(F.col("xs"), 2, F.greatest(F.size("xs") - 1, F.lit(0))),
+        F.element_at(F.col("xs"), 1),
+        lambda acc, x: a * x + (1 - a) * acc,
+    )
+    # Scale -> half-even -> divide instead of round(x, 4): both engines
+    # then round the SAME product double (round(double, n) multiplies
+    # internally with engine-specific rounding — at a .00005 boundary
+    # DuckDB and Spark land one ulp apart; the explicit shared multiply
+    # removes the divergence, same trick as functions/exact.py).
+    return series.select(
+        "product_id",
+        "store_id",
+        "n_weeks",
+        "last_week",
+        (F.bround(ewma * 10000.0, 0) / 10000.0).alias("ewma"),
+    )
+
+
+register(
+    "ewma_weekly_demand",
+    q_ewma_weekly_demand,
+    f"""
+WITH {_OF.CLEAN_SALES_CTE.strip()},
+{_OF.WEEKLY_CTE.strip()},
+series AS (
+  SELECT product_id, store_id, count(*) AS n_weeks, max(week) AS last_week,
+         list(units_sold ORDER BY week) AS xs
+  FROM weekly GROUP BY 1, 2
+)
+SELECT product_id, store_id, n_weeks, last_week,
+       round_even(list_reduce(xs, (acc, x) ->
+             {EWMA_ALPHA}::DOUBLE * x + (1::DOUBLE - {EWMA_ALPHA}::DOUBLE) * acc) * 10000.0, 0) / 10000.0 AS ewma
+FROM series
+""",
+)
+
+
+# -- z-score demand anomalies ----------------------------------------------
+def q_demand_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weeks whose PRODUCT-level demand (all stores) sits more than 3
+    population-σ from the series mean (series with ≥ 12 observed weeks
+    and σ > 0; per-store series in this schema are too sparse to reach
+    12 observed weeks). Window aggregates over the series partition —
+    one shuffle, no self-join; σ is rounded to 4 decimals BEFORE the
+    threshold and the z-score so both engines compare against
+    bit-identical bounds."""
+    from ..operators.cleaning import clean_sales
+    from ..operators.resample import weekly_resample_sum
+
+    sales = clean_sales(load_table(spark, sf_dir, "lineitem"))
+
+    weekly = weekly_resample_sum(
+        sales, ("product_id",), "invoice_date", "units_sold"
+    )
+    w = Window.partitionBy("product_id")
+    stats = (
+        weekly.withColumn("n_weeks", F.count("*").over(w))
+        .withColumn("mean_u", F.avg("units_sold").over(w))
+        # scale -> half-even -> divide, not round(x, 4): the rounded σ
+        # gates the filter, so an engine-specific rounding boundary
+        # would change ROW COUNTS, not just a cell (see ewma note).
+        .withColumn(
+            "sigma_r",
+            F.bround(F.stddev_pop("units_sold").over(w) * 10000.0, 0) / 10000.0,
+        )
+    )
+    return (
+        stats.filter(
+            (F.col("n_weeks") >= 12)
+            & (F.col("sigma_r") > 0)
+            & (F.abs(F.col("units_sold") - F.col("mean_u")) > 3 * F.col("sigma_r"))
+        )
+        .select(
+            "product_id",
+            "week",
+            "units_sold",
+            (
+                F.bround(
+                    (F.col("units_sold") - F.col("mean_u")) / F.col("sigma_r") * 10000.0,
+                    0,
+                )
+                / 10000.0
+            ).alias("z"),
+        )
+    )
+
+
+register(
+    "demand_anomalies",
+    q_demand_anomalies,
+    f"""
+WITH {_OF.CLEAN_SALES_CTE.strip()},
+weekly AS (
+  SELECT product_id,
+         CAST(invoice_date AS DATE)
+           + CAST((7 - isodow(CAST(invoice_date AS DATE))) % 7 AS INTEGER) AS week,
+         sum(units_sold) AS units_sold
+  FROM sales
+  GROUP BY 1, 2
+),
+stats AS (
+  SELECT *,
+         count(*) OVER ser AS n_weeks,
+         avg(units_sold) OVER ser AS mean_u,
+         round_even(stddev_pop(units_sold) OVER ser * 10000.0, 0) / 10000.0 AS sigma_r
+  FROM weekly
+  WINDOW ser AS (PARTITION BY product_id)
+)
+SELECT product_id, week, units_sold,
+       round_even((units_sold - mean_u) / sigma_r * 10000.0, 0) / 10000.0 AS z
+FROM stats
+WHERE n_weeks >= 12 AND sigma_r > 0 AND abs(units_sold - mean_u) > 3 * sigma_r
 """,
 )
 
