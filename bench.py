@@ -47,6 +47,8 @@ HEADLINE = [
     "doc_chunks",
     "events_sliding_counts",
     "cdc_latest_state",
+    "ewma_weekly_demand",
+    "events_view_purchase_join",
 ]
 
 
