@@ -402,6 +402,63 @@ WHERE n_weeks >= 12 AND sigma_r > 0 AND abs(units_sold - mean_u) > 3 * sigma_r
 )
 
 
+# -- data-quality profiling ------------------------------------------------
+PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_shipdate", "l_returnflag", "l_partkey")
+
+
+def q_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-flight column profile of the fact table: null counts,
+    exact distinct counts, min/max per column — ONE scan for all
+    columns (operators/profiling.column_profile), then a 1-row
+    unpivot."""
+    from ..operators.profiling import column_profile
+
+    return column_profile(load_table(spark, sf_dir, "lineitem"), PROFILE_COLS)
+
+
+def _profile_oracle() -> str:
+    parts = [
+        f"""
+SELECT '{c}' AS col_name, count(*) AS n_rows,
+       CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       count(DISTINCT {c}) AS n_distinct,
+       CAST(min({c}) AS VARCHAR) AS min_s, CAST(max({c}) AS VARCHAR) AS max_s
+FROM lineitem"""
+        for c in PROFILE_COLS
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
+register("profile_lineitem_columns", q_profile_lineitem, _profile_oracle())
+
+
+def q_events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width drift-watch histogram of events.value: 20 bins over
+    [0, 100), out-of-range clamped into edge bins. Pure projection +
+    one aggregate — single scan, no sort."""
+    from ..operators.profiling import fixed_width_histogram
+
+    return fixed_width_histogram(
+        load_table(spark, sf_dir, "events"), "value", 0.0, 100.0, 20
+    )
+
+
+register(
+    "events_value_histogram",
+    q_events_value_histogram,
+    """
+SELECT bin,
+       CAST(0.0 AS DOUBLE) + bin * CAST(5.0 AS DOUBLE) AS lo_edge,
+       count(*) AS n
+FROM (
+  SELECT CAST(least(greatest(floor((value - CAST(0.0 AS DOUBLE)) / CAST(5.0 AS DOUBLE)), 0), 19) AS BIGINT) AS bin
+  FROM events WHERE value IS NOT NULL
+)
+GROUP BY 1
+""",
+)
+
+
 # -- sketch quantiles (approximate by construction: rows-only) -------------
 def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable quantile sketch per event_type (percentile_approx =

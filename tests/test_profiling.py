@@ -1,0 +1,47 @@
+"""Profiling operators: null/distinct bookkeeping and histogram
+clamping (operators/profiling.py)."""
+
+from dataframe_retail_e_inventarios_spark.operators.profiling import (
+    column_profile,
+    fixed_width_histogram,
+)
+
+
+def test_column_profile_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "a", None), (3, None, 2.5), (4, "b", 2.5)],
+        "id long, s string, v double",
+    )
+    prof = {r["col_name"]: r for r in column_profile(df, ("s", "v")).collect()}
+    assert prof["s"]["n_rows"] == 4
+    assert prof["s"]["n_nulls"] == 1
+    assert prof["s"]["n_distinct"] == 2  # nulls excluded, like count(DISTINCT)
+    assert prof["s"]["min_s"] == "a" and prof["s"]["max_s"] == "b"
+    assert prof["v"]["n_nulls"] == 1
+    assert prof["v"]["n_distinct"] == 2
+    assert prof["v"]["min_s"] == "1.5" and prof["v"]["max_s"] == "2.5"
+
+
+def test_column_profile_single_scan(spark):
+    df = spark.createDataFrame([(1, "a")], "id long, s string")
+    plan = (
+        column_profile(df, ("id", "s"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("LocalTableScan") + plan.count("Scan ") <= 1
+
+
+def test_histogram_bins_and_clamping(spark):
+    df = spark.createDataFrame(
+        [(x,) for x in [-5.0, 0.0, 4.9, 5.0, 42.0, 99.9, 100.0, 250.0, None]],
+        "v double",
+    )
+    rows = {r["bin"]: r for r in fixed_width_histogram(df, "v", 0.0, 100.0, 20).collect()}
+    assert rows[0]["n"] == 3       # -5 (clamped), 0.0, 4.9
+    assert rows[1]["n"] == 1       # 5.0
+    assert rows[8]["n"] == 1       # 42.0
+    assert rows[19]["n"] == 3      # 99.9, 100.0 (clamped), 250 (clamped)
+    assert sum(r["n"] for r in rows.values()) == 8  # null dropped
+    assert rows[8]["lo_edge"] == 40.0
