@@ -459,6 +459,34 @@ GROUP BY 1
 )
 
 
+# -- fuzzy entity matching (blocking + edit-distance verify) ---------------
+def q_fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-identical part names: first-token blocking, then
+    levenshtein ≤ 1 inside blocks only (operators/entity.py — the
+    blocking-then-verify entity-resolution shape; never an all-pairs
+    corpus join)."""
+    from ..operators.entity import blocked_levenshtein_pairs
+
+    part = load_table(spark, sf_dir, "part")
+    return blocked_levenshtein_pairs(part, "p_partkey", "p_name", max_dist=1)
+
+
+register(
+    "fuzzy_part_name_pairs",
+    q_fuzzy_part_names,
+    """
+WITH t AS (
+  SELECT p_partkey AS eid, p_name AS name, string_split(p_name, ' ')[1] AS blk
+  FROM part
+)
+SELECT a.eid AS id_a, b.eid AS id_b, a.name AS name_a, b.name AS name_b,
+       CAST(levenshtein(a.name, b.name) AS BIGINT) AS lev
+FROM t a JOIN t b ON a.blk = b.blk AND a.eid < b.eid
+WHERE levenshtein(a.name, b.name) <= 1
+""",
+)
+
+
 # -- sketch quantiles (approximate by construction: rows-only) -------------
 def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable quantile sketch per event_type (percentile_approx =
