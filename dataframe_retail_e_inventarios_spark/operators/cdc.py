@@ -33,12 +33,22 @@ def merge_changes(
     keys: Sequence[str],
     seq_cols: Sequence[str],
     delete_pred: Column,
+    drop_deleted: bool = True,
 ) -> DataFrame:
     """Latest-wins upsert of ``changes`` into ``base``.
 
     ``seq_cols`` orders versions of a key (e.g. ``(ts, event_id)``);
     ties break toward ``changes``. Rows whose winning version satisfies
-    ``delete_pred`` are tombstones: the key disappears entirely.
+    ``delete_pred`` are tombstones: with ``drop_deleted`` the key
+    disappears entirely (one-shot compaction).
+
+    ``drop_deleted=False`` RETAINS the winning tombstone row — required
+    when folding a changelog incrementally (foreachBatch loops): a
+    dropped tombstone loses its sequence position, so an out-of-order
+    older version arriving in a later batch would resurrect the key.
+    Keep tombstones in the running state; filter ``delete_pred`` only
+    at read time (exactly why Kafka/Delta compaction retains tombstones
+    until a horizon passes).
     """
     tagged = base.withColumn("_src", F.lit(0)).unionByName(
         changes.withColumn("_src", F.lit(1))
@@ -47,4 +57,5 @@ def merge_changes(
         *[F.col(c).desc() for c in seq_cols], F.col("_src").desc()
     )
     latest = tagged.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
-    return latest.filter(~delete_pred).drop("_rn", "_src")
+    latest = latest.drop("_rn", "_src")
+    return latest.filter(~delete_pred) if drop_deleted else latest

@@ -459,6 +459,95 @@ GROUP BY 1
 )
 
 
+# -- window VALUE-function family (completes §2.5 beside the rank family) --
+def q_window_value_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lead / first_value / last_value / nth_value over one per-product
+    weekly ordering — one shuffle, one sort, four outputs (the value
+    twin of window_rank_family). last_value needs the full-partition
+    frame; the default RANGE..CURRENT ROW frame would return the
+    current row itself."""
+    from ..operators.cleaning import clean_sales
+    from ..operators.resample import weekly_resample_sum
+
+    sales = clean_sales(load_table(spark, sf_dir, "lineitem"))
+    weekly = weekly_resample_sum(sales, ("product_id",), "invoice_date", "units_sold")
+    w = Window.partitionBy("product_id").orderBy("week")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return weekly.select(
+        "product_id",
+        "week",
+        "units_sold",
+        F.lead("units_sold").over(w).alias("next_qty"),
+        F.first("units_sold").over(wf).alias("first_qty"),
+        F.last("units_sold").over(wf).alias("last_qty"),
+        F.nth_value("units_sold", 2).over(wf).alias("second_qty"),
+    )
+
+
+register(
+    "window_value_family",
+    q_window_value_family,
+    f"""
+WITH {_OF.CLEAN_SALES_CTE.strip()},
+weekly AS (
+  SELECT product_id,
+         CAST(invoice_date AS DATE)
+           + CAST((7 - isodow(CAST(invoice_date AS DATE))) % 7 AS INTEGER) AS week,
+         sum(units_sold) AS units_sold
+  FROM sales
+  GROUP BY 1, 2
+)
+SELECT product_id, week, units_sold,
+       lead(units_sold) OVER w AS next_qty,
+       first_value(units_sold) OVER wf AS first_qty,
+       last_value(units_sold) OVER wf AS last_qty,
+       nth_value(units_sold, 2) OVER wf AS second_qty
+FROM weekly
+WINDOW w  AS (PARTITION BY product_id ORDER BY week),
+       wf AS (PARTITION BY product_id ORDER BY week
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""",
+)
+
+
+# -- unpivot / melt (official DataFrame API) -------------------------------
+def q_unpivot_returnflag_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape via DataFrame.unpivot: per-returnflag qty and
+    revenue sums melt into (flag, measure, val) rows — the reshape
+    every metrics store / plotting layer wants. Unpivot is a zero-
+    shuffle projection (each input row emits one row per measure)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.round(exact_decimal_sum(F.col("l_quantity"), 2), 2).alias("sum_qty"),
+        F.round(
+            exact_decimal_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2), 2
+        ).alias("sum_rev"),
+    )
+    return wide.unpivot(
+        ids=["l_returnflag"],
+        values=["sum_qty", "sum_rev"],
+        variableColumnName="measure",
+        valueColumnName="val",
+    )
+
+
+register(
+    "unpivot_returnflag_measures",
+    q_unpivot_returnflag_measures,
+    """
+WITH wide AS (
+  SELECT l_returnflag,
+         round(sum(CAST(round_even(l_quantity * 100, 0) AS BIGINT)) / 100.0, 2) AS sum_qty,
+         round(sum(CAST(round_even(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) / 100.0, 2) AS sum_rev
+  FROM lineitem GROUP BY 1
+)
+SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS val FROM wide
+UNION ALL
+SELECT l_returnflag, 'sum_rev' AS measure, sum_rev AS val FROM wide
+""",
+)
+
+
 # -- fuzzy entity matching (blocking + edit-distance verify) ---------------
 def q_fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-identical part names: first-token blocking, then
