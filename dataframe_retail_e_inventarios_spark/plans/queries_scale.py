@@ -402,6 +402,66 @@ WHERE n_weeks >= 12 AND sigma_r > 0 AND abs(units_sold - mean_u) > 3 * sigma_r
 )
 
 
+# -- bivariate statistical aggregates (corr / covar / regression) ----------
+def q_stats_corr_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """corr / covar_pop / regr_slope / regr_intercept of quantity vs
+    extended price per returnflag — the relationship-profiling
+    aggregates (drift detection watches these). All merge-formula
+    aggregates (one pass, map-side partials); results rounded since
+    co-moment merge order differs across engines at the last ulp."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q, p = F.col("l_quantity"), F.col("l_extendedprice")
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.round(F.corr(q, p), 6).alias("corr_qp"),
+        F.round(F.covar_pop(q, p), 4).alias("covar_qp"),
+        F.round(F.regr_slope(p, q), 6).alias("slope_p_on_q"),
+        F.round(F.regr_intercept(p, q), 4).alias("intercept_p_on_q"),
+    )
+
+
+register(
+    "stats_corr_by_flag",
+    q_stats_corr_by_flag,
+    """
+SELECT l_returnflag, count(*) AS n,
+       round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+       round(covar_pop(l_quantity, l_extendedprice), 4) AS covar_qp,
+       round(regr_slope(l_extendedprice, l_quantity), 6) AS slope_p_on_q,
+       round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept_p_on_q
+FROM lineitem GROUP BY 1
+""",
+)
+
+
+# -- discrete percentile (beside the continuous flavor in winsorize) -------
+def q_percentile_disc_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile (discrete flavor): the value AT the quantile rank,
+    never interpolated — the right flavor for categorical-ish numerics
+    (A6 implements the continuous/interpolating flavor; publishing
+    both beside each other proves we picked deliberately, like
+    pop-vs-samp stddev)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile_approx(l_quantity, 0.5, 2147483647)").alias("p50_disc"),
+        F.expr("percentile(l_quantity, 0.5)").alias("p50_cont"),
+        F.count("*").alias("n"),
+    )
+
+
+register(
+    "percentile_disc_quantity",
+    q_percentile_disc_quantity,
+    """
+SELECT l_returnflag,
+       quantile_disc(l_quantity, 0.5) AS p50_disc,
+       quantile_cont(l_quantity, 0.5) AS p50_cont,
+       count(*) AS n
+FROM lineitem GROUP BY 1
+""",
+)
+
+
 # -- data-quality profiling ------------------------------------------------
 PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_shipdate", "l_returnflag", "l_partkey")
 
