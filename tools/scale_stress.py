@@ -1,0 +1,134 @@
+"""Scale-stress harness: synthesize a K-times larger dataset from
+sf0.1 by unioning key-shifted copies (MORE series / users / docs /
+vectors, not just fatter groups — growing key cardinality is what
+stresses shuffles), run the heavy headline queries on both sizes, and
+report the wall-time ratio vs the ideal K.
+
+A query whose ratio stays near K scales linearly in data size; a
+super-linear ratio exposes a scale cliff (quadratic pair joins,
+single-partition bottlenecks) before a real cluster does.
+
+Usage: python tools/scale_stress.py [K] [base_sf_dir]
+Writes scaled parquet under $TMPDIR/spark_graft_scale_K (reused if
+present) and prints one JSON line per query plus a summary.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pyspark.sql.functions as F
+
+from dataframe_retail_e_inventarios_spark.registry import queries
+from dataframe_retail_e_inventarios_spark.session import get_spark
+from dataframe_retail_e_inventarios_spark.sources.readers import load_table
+
+STRESS_QUERIES = [
+    # (query, table it stresses)
+    ("flagship_inventory", "lineitem"),
+    ("ewma_weekly_demand", "lineitem"),
+    ("trailing_moving_average", "lineitem"),
+    ("window_rank_family", "lineitem"),
+    ("events_sessionization", "events"),
+    ("events_sliding_counts", "events"),
+    ("cdc_latest_state", "events"),
+    ("dedup_minhash_lsh", "documents"),
+    ("bm25_top_terms", "documents"),
+    ("doc_chunks", "documents"),
+    ("embedding_cosine_neardup_bucketed", "embeddings"),
+]
+
+# Tables any stress query touches (flagship etc. may read dims).
+TABLES = (
+    "lineitem", "orders", "customer", "supplier", "part", "nation", "region",
+    "events", "documents", "embeddings",
+)
+
+
+def _shifted(df, table: str, i: int):
+    """Copy i of a table with keys shifted so cardinality grows K-fold."""
+    if i == 0:
+        return df
+    if table == "lineitem":
+        # new series: shift the store key; new orders too.
+        return df.withColumn("l_suppkey", F.col("l_suppkey") + 10_000 * i).withColumn(
+            "l_orderkey", F.col("l_orderkey") + 100_000_000 * i
+        )
+    if table == "events":
+        return (
+            df.withColumn("event_id", F.col("event_id") + 1_000_000_000 * i)
+            .withColumn("user_id", F.col("user_id") + 1_000_000 * i)
+        )
+    if table == "documents":
+        # distinct ids AND slightly distinct text (a pure k-fold exact
+        # duplication would quadratically inflate near-dup outputs and
+        # measure output explosion, not operator scaling).
+        return df.withColumn("doc_id", F.col("doc_id") + 1_000_000 * i).withColumn(
+            "text", F.concat(F.col("text"), F.lit(f" variant{i}"))
+        )
+    if table == "embeddings":
+        return df.withColumn("vec_id", F.col("vec_id") + 1_000_000 * i).withColumn(
+            "embedding",
+            F.transform(F.col("embedding"), lambda v: v + F.lit(float(i)) * 1e-4),
+        )
+    return df  # dims stay as-is
+
+
+def build_scaled(spark, base_dir: str, k: int, out_dir: str) -> None:
+    for table in TABLES:
+        dst = os.path.join(out_dir, f"{table}.parquet")
+        if os.path.exists(dst):
+            continue
+        base = load_table(spark, base_dir, table)
+        if table in ("lineitem", "events", "documents", "embeddings"):
+            df = base
+            scaled = df
+            for i in range(1, k):
+                scaled = scaled.unionByName(_shifted(df, table, i))
+        else:
+            scaled = base
+        scaled.write.mode("overwrite").parquet(dst)
+
+
+def time_query(qs, name: str, sf_dir: str) -> float:
+    t0 = time.time()
+    qs[name](SPARK, sf_dir).count()
+    return round(time.time() - t0, 2)
+
+
+def main() -> None:
+    global SPARK
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    base = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    out = os.path.join(tempfile.gettempdir(), f"spark_graft_scale_{k}x")
+    os.makedirs(out, exist_ok=True)
+    SPARK = get_spark("scale_stress")
+    build_scaled(SPARK, base, k, out)
+
+    qs = queries()
+    qs["flagship_inventory"](SPARK, "/root/testdata/sf0.001").count()  # warm
+    results = {}
+    for name, table in STRESS_QUERIES:
+        t_base = time_query(qs, name, base)
+        t_big = time_query(qs, name, out)
+        ratio = round(t_big / max(t_base, 1e-9), 1)
+        results[name] = {
+            "table": table,
+            "base_s": t_base,
+            f"{k}x_s": t_big,
+            "ratio": ratio,
+            "linear?": bool(ratio <= k * 1.5),
+        }
+        print(json.dumps({"query": name, **results[name]}))
+    worst = max(results.values(), key=lambda r: r["ratio"])
+    print(json.dumps({"k": k, "worst_ratio": worst["ratio"], "all_linear": all(r["linear?"] for r in results.values())}))
+
+
+if __name__ == "__main__":
+    main()
