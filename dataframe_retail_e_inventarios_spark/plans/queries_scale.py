@@ -636,6 +636,21 @@ WHERE levenshtein(a.name, b.name) <= 1
 )
 
 
+# -- PQ-ADC ANN (compressed-domain shortlist + exact re-rank) --------------
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: 8×16 codebooks (32× compression),
+    ADC shortlist of 100 from codes only, exact L2 re-rank to top-10.
+    Approximate by construction (shortlist membership) → rows-only;
+    recall + rerank-exactness asserted in tests/test_pq."""
+    from ..operators.pq import pq_topk_reranked
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_topk_reranked(emb, F.col("vec_id") < 5, k=10, shortlist=100)
+
+
+register("ann_pq_topk", q_ann_pq_topk, None)  # approximate: rows-only
+
+
 # -- sketch quantiles (approximate by construction: rows-only) -------------
 def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable quantile sketch per event_type (percentile_approx =
