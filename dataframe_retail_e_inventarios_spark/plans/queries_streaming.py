@@ -133,6 +133,125 @@ JOIN (SELECT * FROM events WHERE event_type = 'view') v
 )
 
 
+# -- cohort retention ------------------------------------------------------
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic retention triangle: users grouped by first-active day
+    (cohort), counted by distinct active day offset. Two aggregates —
+    first-day per user (one shuffle on user), then distinct
+    (cohort, offset, user) → counts; epoch-day arithmetic keeps it
+    timezone-proof."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.floor(F.unix_micros("ts") / F.lit(86_400_000_000)).cast("long")
+    w = Window.partitionBy("user_id")
+    return (
+        ev.select("user_id", day.alias("day"))
+        .withColumn("cohort_day", F.min("day").over(w))
+        .select("user_id", "cohort_day", (F.col("day") - F.col("cohort_day")).alias("day_offset"))
+        .distinct()
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+register(
+    "events_cohort_retention",
+    q_cohort_retention,
+    """
+WITH days AS (
+  SELECT user_id, CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day
+  FROM events
+),
+cohorted AS (
+  SELECT DISTINCT user_id,
+         min(day) OVER (PARTITION BY user_id) AS cohort_day,
+         day - min(day) OVER (PARTITION BY user_id) AS day_offset
+  FROM days
+)
+SELECT cohort_day, day_offset, count(*) AS n_users
+FROM cohorted GROUP BY 1, 2
+""",
+)
+
+
+# -- in-session conversion funnel ------------------------------------------
+def q_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel per session: sessions counted by how far they
+    got — any view, then a purchase at or after the first view (order
+    matters: a purchase-before-any-view session does NOT convert).
+    Builds on the same gaps-and-islands sessionization; the funnel is
+    one aggregate over the session partition — min(view ts) vs
+    max(purchase ts) comparison, no self-join."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_flag = (
+        F.when(
+            F.col("prev_ts").isNull()
+            | (
+                (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("prev_ts")))
+                > SESSION_GAP_MIN * 60 * 1_000_000
+            ),
+            1,
+        ).otherwise(0)
+    )
+    sess = (
+        ev.withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn("new_s", gap_flag)
+        .withColumn("session_no", F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    )
+    per_session = sess.groupBy("user_id", "session_no").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("first_view"),
+        F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("last_purchase"),
+    )
+    stage = (
+        F.when(
+            F.col("first_view").isNotNull()
+            & F.col("last_purchase").isNotNull()
+            & (F.col("last_purchase") >= F.col("first_view")),
+            F.lit("converted"),
+        )
+        .when(F.col("first_view").isNotNull(), F.lit("viewed_only"))
+        .otherwise(F.lit("no_view"))
+    )
+    return per_session.groupBy(stage.alias("stage")).agg(
+        F.count("*").alias("n_sessions")
+    )
+
+
+register(
+    "events_session_funnel",
+    q_session_funnel,
+    f"""
+WITH ordered AS (
+  SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+),
+flagged AS (
+  SELECT *, CASE WHEN prev_ts IS NULL
+                  OR (epoch_us(ts) - epoch_us(prev_ts)) > {SESSION_GAP_MIN * 60 * 1_000_000}
+             THEN 1 ELSE 0 END AS new_s
+  FROM ordered
+),
+numbered AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM flagged
+),
+per_session AS (
+  SELECT user_id, session_no,
+         min(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+         max(CASE WHEN event_type = 'purchase' THEN ts END) AS last_purchase
+  FROM numbered GROUP BY 1, 2
+)
+SELECT CASE WHEN first_view IS NOT NULL AND last_purchase IS NOT NULL
+             AND last_purchase >= first_view THEN 'converted'
+            WHEN first_view IS NOT NULL THEN 'viewed_only'
+            ELSE 'no_view' END AS stage,
+       count(*) AS n_sessions
+FROM per_session GROUP BY 1
+""",
+)
+
+
 register(
     "events_sessionization",
     q_sessions,
