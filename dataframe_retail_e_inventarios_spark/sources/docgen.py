@@ -32,6 +32,7 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    SimpleDataSourceStreamReader,
 )
 
 VOCAB = (
@@ -110,6 +111,40 @@ class DocGenReader(DataSourceReader):
             yield (doc_id, doc_text(doc_id), LANGS[doc_id % len(LANGS)])
 
 
+class DocGenStreamReader(SimpleDataSourceStreamReader):
+    """Streaming form of the same corpus: offsets are doc_id
+    watermarks, each micro-batch emits the next ``batchsize`` ids up
+    to ``numdocs``. Replayable by construction — readBetweenOffsets
+    regenerates any committed range deterministically, which is
+    exactly the contract a replayable source (Kafka offsets, file
+    lists) satisfies for end-to-end exactly-once."""
+
+    def __init__(self, options):
+        self.n = int(options.get("numdocs", 1000))
+        self.batch = int(options.get("batchsize", 100))
+
+    def initialOffset(self):
+        return {"next": 0}
+
+    def read(self, start):
+        lo = int(start["next"])
+        hi = min(lo + self.batch, self.n)
+        return (self._rows(lo, hi), {"next": hi})
+
+    def readBetweenOffsets(self, start, end):
+        return self._rows(int(start["next"]), int(end["next"]))
+
+    def _rows(self, lo: int, hi: int):
+        # A materialized list, not a generator: the runner caches and
+        # copy.copy()s the iterator for replay, which a generator
+        # can't survive. Batches are bounded by `batchsize`, so this
+        # is prefetch-sized, not corpus-sized.
+        return [
+            (doc_id, doc_text(doc_id), LANGS[doc_id % len(LANGS)])
+            for doc_id in range(lo, hi)
+        ]
+
+
 class DocGenDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -120,3 +155,6 @@ class DocGenDataSource(DataSource):
 
     def reader(self, schema) -> DocGenReader:
         return DocGenReader(self.options)
+
+    def simpleStreamReader(self, schema) -> DocGenStreamReader:
+        return DocGenStreamReader(self.options)

@@ -73,6 +73,44 @@ def test_unsupported_filters_still_correct(spark):
     assert df.filter(F.col("doc_id") % 4 != 1).count() == 0
 
 
+def test_stream_reader_drains_corpus_in_batches(spark, tmp_path):
+    """Streaming form: micro-batches of `batchsize` ids drain the
+    corpus exactly once into a memory sink under availableNow."""
+    stream = (
+        spark.readStream.format("docgen")
+        .option("numdocs", "350")
+        .option("batchsize", "100")
+        .load()
+    )
+    assert stream.isStreaming
+    # Continuous micro-batches (availableNow drains only ONE batch of
+    # a simple stream reader); poll until the bounded corpus is fully
+    # consumed, then stop.
+    import time as _time
+
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("docgen_stream_test")
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .outputMode("append")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = _time.time() + 90
+        while _time.time() < deadline:
+            if spark.table("docgen_stream_test").count() >= 350:
+                break
+            _time.sleep(0.5)
+    finally:
+        q.stop()
+    got = spark.table("docgen_stream_test")
+    assert got.count() == 350
+    assert got.select("doc_id").distinct().count() == 350
+    row = got.filter(F.col("doc_id") == 42).first()
+    assert row["text"] == doc_text(42)  # replayed gen == batch gen
+
+
 def test_reader_range_clamp_unit():
     from pyspark.sql.datasource import GreaterThanOrEqual, LessThan
 
