@@ -81,6 +81,34 @@ def extract_media_features(df: DataFrame, payload_col: str = "payload") -> DataF
     return df.mapInPandas(extract, MEDIA_FEATURE_SCHEMA)
 
 
+def extract_media_features_arrow(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """mapInArrow twin of extract_media_features: the same decoder
+    contract one level lower — raw ``pyarrow.RecordBatch`` in/out, no
+    pandas conversion. For wide binary payloads this skips the
+    Arrow→pandas object-boxing round trip (bytes stay buffer-backed),
+    which is the variant a real codec with zero-copy input (ffmpeg on
+    mmap'd buffers) wants. Differential-tested identical to the
+    mapInPandas path and the native expressions."""
+    import pyarrow as pa
+
+    def extract(batches):
+        for batch in batches:
+            payloads = batch.column(batch.schema.get_field_index(payload_col))
+            feats = [decode_stub(p.as_py() or b"") for p in payloads]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(batch.schema.get_field_index("doc_id")),
+                    batch.column(batch.schema.get_field_index("media_type")),
+                    pa.array([f["payload_len"] for f in feats], pa.int64()),
+                    pa.array([f["header_hex"] for f in feats], pa.string()),
+                    pa.array([f["content_md5"] for f in feats], pa.string()),
+                ],
+                names=[f.name for f in MEDIA_FEATURE_SCHEMA.fields],
+            )
+
+    return df.mapInArrow(extract, MEDIA_FEATURE_SCHEMA)
+
+
 def media_features_native(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     """The decode_stub features as pure built-in expressions.
 
