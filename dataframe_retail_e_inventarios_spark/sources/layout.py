@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 
@@ -39,6 +40,55 @@ def write_range_clustered(
     (
         df.repartitionByRange(n_files, *cluster_cols)
         .sortWithinPartitions(*cluster_cols)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def zorder_value(col_a, col_b, lo_a, hi_a, lo_b, hi_b, bits: int = 16):
+    """Interleaved Morton/Z value of two numeric columns, each min-max
+    scaled to ``bits`` bits. Flat bitwise expression (2·bits terms) —
+    whole-stage codegen, no UDF. Bounds are passed in: at scale they
+    come from table stats / a profile pass, not a data scan per write."""
+    max_code = (1 << bits) - 1
+
+    def code(c, lo, hi):
+        span = float(hi - lo) or 1.0
+        scaled = F.floor((c.cast("double") - float(lo)) / span * max_code)
+        return F.least(F.greatest(scaled, F.lit(0)), F.lit(max_code)).cast("long")
+
+    a, b = code(col_a, lo_a, hi_a), code(col_b, lo_b, hi_b)
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        # bitwiseOR, not `|` (Column.__or__ is boolean OR)
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(a, i) % 2, 2 * i + 1)
+        ).bitwiseOR(F.shiftleft(F.shiftright(b, i) % 2, 2 * i))
+    return z
+
+
+def write_zorder_clustered(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    bounds: tuple[float, float, float, float],
+    n_files: int,
+    bits: int = 16,
+) -> None:
+    """Two-dimensional clustering: range-partition + sort on the
+    interleaved Z value, so every output file covers a small
+    RECTANGLE-ish region of (col_a, col_b) space — footer min/max
+    stats then skip files for predicates on EITHER column, which
+    single-column range clustering can only do for its one column.
+    ``bounds`` = (lo_a, hi_a, lo_b, hi_b)."""
+    lo_a, hi_a, lo_b, hi_b = bounds
+    z = zorder_value(F.col(col_a), F.col(col_b), lo_a, hi_a, lo_b, hi_b, bits)
+    (
+        df.withColumn("_z", z)
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
         .write.mode("overwrite")
         .parquet(path)
     )

@@ -56,6 +56,46 @@ def test_range_clustered_files_have_disjoint_stats(spark, tmp_path):
     assert touched <= 2 < len(spans)
 
 
+def _file_spans(path, col):
+    spans = []
+    for f in _files(path):
+        md = pq.ParquetFile(f).metadata
+        idx = md.schema.names.index(col)
+        lo = min(md.row_group(i).column(idx).statistics.min for i in range(md.num_row_groups))
+        hi = max(md.row_group(i).column(idx).statistics.max for i in range(md.num_row_groups))
+        spans.append((lo, hi))
+    return spans
+
+
+def test_zorder_narrows_both_dimensions(spark, tmp_path):
+    """Z-order clustering: per-file footer ranges must be materially
+    narrower than the global range on BOTH columns (single-column
+    range clustering narrows only its own column — that contrast is
+    the point of interleaving)."""
+    from dataframe_retail_e_inventarios_spark.sources.layout import (
+        write_zorder_clustered,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    lo_u, hi_u, lo_v, hi_v = ev.agg(
+        F.min("user_id"), F.max("user_id"), F.min("value"), F.max("value")
+    ).first()
+    out = str(tmp_path / "zorder")
+    write_zorder_clustered(
+        ev, out, "user_id", "value", (lo_u, hi_u, lo_v, hi_v), n_files=16
+    )
+
+    back = spark.read.parquet(out)
+    assert back.count() == ev.count()
+
+    for col, glo, ghi in (("user_id", lo_u, hi_u), ("value", lo_v, hi_v)):
+        spans = _file_spans(out, col)
+        assert len(spans) >= 8
+        gspan = float(ghi - glo) or 1.0
+        avg_frac = sum((hi - lo) / gspan for lo, hi in spans) / len(spans)
+        assert avg_frac < 0.7, (col, avg_frac)
+
+
 def test_range_clustered_reads_back_complete(spark, tmp_path):
     ev = load_table(spark, SF_SMOKE, "events")
     out = str(tmp_path / "clustered2")
