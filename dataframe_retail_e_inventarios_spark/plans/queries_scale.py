@@ -651,6 +651,40 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 register("ann_pq_topk", q_ann_pq_topk, None)  # approximate: rows-only
 
 
+# -- class-balanced capping (dominant-class downsampling) ------------------
+CLASS_CAP = 50
+
+
+def q_class_balanced_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cap every language at CLASS_CAP docs, chosen DETERMINISTICALLY
+    (rank by md5 of doc_id within the class — a stable pseudo-random
+    order, reproducible across runs/partitionings, unlike rand()).
+    The standard dominant-class cap before training-mix assembly; one
+    shuffle on the class key, rank + filter, no sampling state."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    return (
+        docs.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= CLASS_CAP)
+        .select("doc_id", "lang", "rk")
+    )
+
+
+register(
+    "class_balanced_cap",
+    q_class_balanced_cap,
+    f"""
+SELECT doc_id, lang, rk FROM (
+  SELECT doc_id, lang,
+         CAST(row_number() OVER (
+           PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS BIGINT) AS rk
+  FROM documents
+) WHERE rk <= {CLASS_CAP}
+""",
+)
+
+
 # -- sketch quantiles (approximate by construction: rows-only) -------------
 def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable quantile sketch per event_type (percentile_approx =
