@@ -32,17 +32,35 @@ def blocked_levenshtein_pairs(
     name_col: str,
     max_dist: int,
     block_key: Column | None = None,
+    max_block: int | None = None,
 ) -> DataFrame:
     """Pairs (id_a < id_b) whose names are within ``max_dist`` edits,
     compared only inside ``block_key`` blocks (default: first token).
 
     Recall caveat by construction: a typo in the blocking token itself
     sends the record to another block — that's why production entity
-    resolution unions several blocking passes."""
+    resolution unions several blocking passes.
+
+    Scale caveat — ``max_block``: if the blocking key has a FIXED
+    vocabulary (first tokens drawn from ~100 adjectives), block sizes
+    grow linearly with the corpus and Σ(block²) grows quadratically —
+    the same skew bomb as hot shingles in MinHash. ``max_block`` drops
+    blocks above the cap (a key shared by that many entities carries
+    no discriminative signal; those records belong to a finer blocking
+    pass instead), bounding the join at corpus-linear cost. Same
+    broadcast left-anti shape as the dedup hot-shingle cap."""
     key = block_key if block_key is not None else first_token_block(name_col)
     t = df.select(
         F.col(id_col).alias("eid"), F.col(name_col).alias("name"), key.alias("blk")
     )
+    if max_block is not None:
+        hot = (
+            t.groupBy("blk")
+            .agg(F.count("*").alias("n"))
+            .filter(F.col("n") > max_block)
+            .select("blk")
+        )
+        t = t.join(F.broadcast(hot), "blk", "left_anti")
     a, b = t.alias("a"), t.alias("b")
     return (
         a.join(

@@ -36,6 +36,15 @@ def test_blocking_skips_cross_block_typos(spark):
     assert got == {}
 
 
+def test_max_block_drops_degenerate_blocks_only(spark):
+    rows = [(i, f"common token{i}") for i in range(1, 11)]  # block of 10
+    rows += [(100, "rare bolt"), (101, "rare bolts")]       # block of 2
+    df = spark.createDataFrame(rows, "id long, name string")
+    out = blocked_levenshtein_pairs(df, "id", "name", max_dist=1, max_block=5)
+    got = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert got == {(100, 101)}  # the 10-wide block was capped away
+
+
 def test_no_allpairs_join_in_plan(spark):
     df = spark.createDataFrame([(1, "a b")], "id long, name string")
     plan = (
