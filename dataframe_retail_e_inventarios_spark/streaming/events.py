@@ -143,6 +143,67 @@ def dedup_events_stream(events: DataFrame, watermark: str = "2 hours") -> DataFr
     )
 
 
+def running_user_totals_tws(events: DataFrame) -> DataFrame:
+    """transformWithStateInPandas twin of running_user_totals_stream —
+    the forward-looking arbitrary-stateful API (Spark 4): typed state
+    handles (ValueState/ListState/MapState) + timers replace the
+    single packed state tuple of applyInPandasWithState. Same
+    semantics here (per-user running count/total emitted on update);
+    both twins are tested against the batch aggregate, so either API
+    can carry a custom operator without semantic drift. NOTE: the
+    transformWithState state protocol imports google.protobuf at
+    runtime; environments without it (this container) should use the
+    applyInPandasWithState twin — the test is skip-gated on the dep."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+    from pyspark.sql.types import (
+        StructType as _St,
+        StructField as _Sf,
+        LongType as _Lt,
+        DoubleType as _Dt,
+    )
+
+    out_schema = _St(
+        [
+            _Sf("user_id", _Lt()),
+            _Sf("n_events", _Lt()),
+            _Sf("total_value", _Dt()),
+        ]
+    )
+    state_schema = _St([_Sf("n", _Lt()), _Sf("tot", _Dt())])
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("totals", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, tot = self._state.get() if self._state.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                tot += float(pdf["value"].sum())
+            self._state.update((n, tot))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [round(tot, 2)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningTotals(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def run_stream_to_memory(
     spark: SparkSession, stream_df: DataFrame, query_name: str
 ) -> None:

@@ -155,6 +155,44 @@ def test_streaming_dedup_drops_replays(spark, events_dir, tmp_path):
     assert got.select("event_id").distinct().count() == n_distinct
 
 
+def test_transformwithstate_matches_batch(spark, events_dir):
+    """transformWithStateInPandas twin: same final per-user totals as
+    the batch aggregate (and hence as the applyInPandasWithState twin).
+    The API's state protocol needs google.protobuf, which this
+    container lacks — skip-gated exactly like the Prophet dep (the
+    applyInPandasWithState twin keeps the semantics covered)."""
+    pytest.importorskip("google.protobuf.descriptor")
+    from dataframe_retail_e_inventarios_spark.streaming.events import (
+        running_user_totals_tws,
+    )
+
+    stream = running_user_totals_tws(read_events_stream(spark, events_dir))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("user_totals_tws_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.table("user_totals_tws_test")
+        .groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"))
+        .toPandas()
+        .sort_values("user_id", ignore_index=True)
+    )
+    batch = (
+        load_table(spark, SF_SMOKE, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"))
+        .toPandas()
+        .sort_values("user_id", ignore_index=True)
+    )
+    assert (got["user_id"].to_numpy() == batch["user_id"].to_numpy()).all()
+    assert (got["n_events"].to_numpy() == batch["n_events"].to_numpy()).all()
+
+
 def test_stateful_running_totals(spark, events_dir):
     """applyInPandasWithState: final per-user totals equal the batch
     aggregate (single availableNow drain -> one update per user)."""
