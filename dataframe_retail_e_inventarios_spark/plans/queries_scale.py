@@ -462,6 +462,75 @@ FROM lineitem GROUP BY 1
 )
 
 
+# -- weekly seasonality index (retail decomposition primitive) -------------
+def q_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiplicative seasonal index per (product, ISO week-of-year):
+    mean demand in that calendar week ÷ the product's overall weekly
+    mean — the classical decomposition factor the reference's
+    forecasting pipeline implies but never materializes. One shuffle
+    on the product key; both means are window aggregates over it
+    (observed weeks only; index > 1 = seasonal peak). Products need
+    ≥ 2 observations of a calendar week for the index to mean
+    anything — gated on n_obs ≥ 2."""
+    from ..operators.cleaning import clean_sales
+    from ..operators.resample import weekly_resample_sum
+
+    sales = clean_sales(load_table(spark, sf_dir, "lineitem"))
+    weekly = weekly_resample_sum(sales, ("product_id",), "invoice_date", "units_sold")
+    woy = weekly.withColumn("woy", F.weekofyear("week").cast("long"))
+    wp = Window.partitionBy("product_id")
+    ww = Window.partitionBy("product_id", "woy")
+    idx = (
+        woy.withColumn("overall", F.avg("units_sold").over(wp))
+        .withColumn("woy_avg", F.avg("units_sold").over(ww))
+        .withColumn("n_obs", F.count("*").over(ww))
+        .filter((F.col("n_obs") >= 2) & (F.col("overall") > 0))
+        .select(
+            "product_id",
+            "woy",
+            F.col("n_obs").cast("long").alias("n_obs"),
+            (F.bround(F.col("woy_avg") / F.col("overall") * 10000.0, 0) / 10000.0).alias(
+                "seasonal_index"
+            ),
+        )
+        .distinct()
+    )
+    return idx
+
+
+register(
+    "seasonality_index",
+    q_seasonality_index,
+    f"""
+WITH {_OF.CLEAN_SALES_CTE.strip()},
+weekly AS (
+  SELECT product_id,
+         CAST(invoice_date AS DATE)
+           + CAST((7 - isodow(CAST(invoice_date AS DATE))) % 7 AS INTEGER) AS week,
+         sum(units_sold) AS units_sold
+  FROM sales
+  GROUP BY 1, 2
+),
+woy_t AS (
+  SELECT *, CAST(weekofyear(week) AS BIGINT) AS woy FROM weekly
+),
+idx AS (
+  SELECT product_id, woy,
+         count(*) OVER pw AS n_obs,
+         avg(units_sold) OVER pw AS woy_avg,
+         avg(units_sold) OVER pp AS overall
+  FROM woy_t
+  WINDOW pw AS (PARTITION BY product_id, woy),
+         pp AS (PARTITION BY product_id)
+)
+SELECT DISTINCT product_id, woy, CAST(n_obs AS BIGINT) AS n_obs,
+       round_even(woy_avg / overall * 10000.0, 0) / 10000.0 AS seasonal_index
+FROM idx
+WHERE n_obs >= 2 AND overall > 0
+""",
+)
+
+
 # -- data-quality profiling ------------------------------------------------
 PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_shipdate", "l_returnflag", "l_partkey")
 
