@@ -531,6 +531,68 @@ WHERE n_obs >= 2 AND overall > 0
 )
 
 
+# -- holiday demand lift ---------------------------------------------------
+def q_holiday_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holiday-season (Nov-Dec) demand lift per product: mean weekly
+    demand inside the season ÷ outside it. Conditional aggregates over
+    one product-keyed groupBy — no interval join needed when the
+    season is a calendar predicate (the broadcast-interval range join
+    exists separately as range_join_holiday_seasons). Gated on ≥ 4
+    observed weeks on each side so the ratio is meaningful."""
+    from ..operators.cleaning import clean_sales
+    from ..operators.resample import weekly_resample_sum
+
+    sales = clean_sales(load_table(spark, sf_dir, "lineitem"))
+    weekly = weekly_resample_sum(sales, ("product_id",), "invoice_date", "units_sold")
+    is_hol = F.month("week").isin(11, 12)
+    agg = weekly.groupBy("product_id").agg(
+        F.count(F.when(is_hol, 1)).alias("n_hol"),
+        F.count(F.when(~is_hol, 1)).alias("n_base"),
+        F.avg(F.when(is_hol, F.col("units_sold"))).alias("hol_avg"),
+        F.avg(F.when(~is_hol, F.col("units_sold"))).alias("base_avg"),
+    )
+    return (
+        agg.filter((F.col("n_hol") >= 4) & (F.col("n_base") >= 4) & (F.col("base_avg") > 0))
+        .select(
+            "product_id",
+            "n_hol",
+            "n_base",
+            (F.bround(F.col("hol_avg") / F.col("base_avg") * 10000.0, 0) / 10000.0).alias(
+                "lift"
+            ),
+        )
+    )
+
+
+register(
+    "holiday_demand_lift",
+    q_holiday_lift,
+    f"""
+WITH {_OF.CLEAN_SALES_CTE.strip()},
+weekly AS (
+  SELECT product_id,
+         CAST(invoice_date AS DATE)
+           + CAST((7 - isodow(CAST(invoice_date AS DATE))) % 7 AS INTEGER) AS week,
+         sum(units_sold) AS units_sold
+  FROM sales
+  GROUP BY 1, 2
+),
+agg AS (
+  SELECT product_id,
+         count(CASE WHEN month(week) IN (11, 12) THEN 1 END) AS n_hol,
+         count(CASE WHEN month(week) NOT IN (11, 12) THEN 1 END) AS n_base,
+         avg(CASE WHEN month(week) IN (11, 12) THEN units_sold END) AS hol_avg,
+         avg(CASE WHEN month(week) NOT IN (11, 12) THEN units_sold END) AS base_avg
+  FROM weekly GROUP BY 1
+)
+SELECT product_id, n_hol, n_base,
+       round_even(hol_avg / base_avg * 10000.0, 0) / 10000.0 AS lift
+FROM agg
+WHERE n_hol >= 4 AND n_base >= 4 AND base_avg > 0
+""",
+)
+
+
 # -- data-quality profiling ------------------------------------------------
 PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_shipdate", "l_returnflag", "l_partkey")
 
