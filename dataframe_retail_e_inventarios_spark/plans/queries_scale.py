@@ -593,6 +593,71 @@ WHERE n_hol >= 4 AND n_base >= 4 AND base_avg > 0
 )
 
 
+# -- ABC (Pareto) inventory classification ---------------------------------
+def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC segmentation per supplier: parts ranked by revenue, class A
+    = the head covering 80% of cumulative share, B to 95%, C the tail.
+    Scalable form: classification WITHIN each supplier partition (the
+    global variant would funnel everything through one sort task —
+    same fix as the flagship top-k). Cumulative share uses exact
+    scaled-integer revenue sums and the share is rounded on the shared
+    scale BEFORE the class thresholds, so the A/B/C boundaries are
+    bit-identical on both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_suppkey", "l_partkey").agg(
+        exact_decimal_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev")
+    )
+    w = Window.partitionBy("l_suppkey").orderBy(F.col("rev").desc(), "l_partkey")
+    tot = Window.partitionBy("l_suppkey")
+    shared = (
+        rev.withColumn("cum", F.sum("rev").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("total", F.sum("rev").over(tot))
+        .withColumn(
+            "cum_share",
+            F.bround(F.col("cum") / F.col("total") * 10000.0, 0) / 10000.0,
+        )
+    )
+    klass = (
+        F.when(F.col("cum_share") <= 0.80, "A")
+        .when(F.col("cum_share") <= 0.95, "B")
+        .otherwise("C")
+    )
+    # rev stays at its exact 4-decimal value — re-rounding to 2 lands
+    # on .005 halfway points where the two engines' round() diverge.
+    return shared.select(
+        "l_suppkey",
+        "l_partkey",
+        "rev",
+        "cum_share",
+        klass.alias("abc_class"),
+    )
+
+
+register(
+    "abc_classification",
+    q_abc_classification,
+    """
+WITH rev_t AS (
+  SELECT l_suppkey, l_partkey,
+         sum(CAST(round_even(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)) / 10000.0 AS rev
+  FROM lineitem GROUP BY 1, 2
+),
+shared AS (
+  SELECT l_suppkey, l_partkey, rev,
+         round_even(sum(rev) OVER (PARTITION BY l_suppkey ORDER BY rev DESC, l_partkey
+                                   ROWS UNBOUNDED PRECEDING)
+                    / sum(rev) OVER (PARTITION BY l_suppkey) * 10000.0, 0) / 10000.0 AS cum_share
+  FROM rev_t
+)
+SELECT l_suppkey, l_partkey, rev, cum_share,
+       CASE WHEN cum_share <= 0.80 THEN 'A'
+            WHEN cum_share <= 0.95 THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM shared
+""",
+)
+
+
 # -- data-quality profiling ------------------------------------------------
 PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_shipdate", "l_returnflag", "l_partkey")
 
