@@ -658,6 +658,79 @@ FROM shared
 )
 
 
+# -- demand intermittency classification (Syntetos-Boylan quadrants) -------
+def q_demand_intermittency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADI / CV² segmentation per dense weekly series: smooth (ADI <
+    1.32, CV² < 0.49), intermittent (sparse demand occasions), erratic
+    (volatile sizes), lumpy (both) — the standard gate for choosing a
+    forecasting method (MA/ES for smooth, Croston-family for
+    intermittent; Syntetos & Boylan 2005). ADI = dense weeks per
+    demand occasion; CV² over the NON-ZERO demand sizes. Both rounded
+    on the shared scale BEFORE the quadrant thresholds, so class
+    boundaries are engine-identical. One dense-resample shuffle + one
+    series aggregate."""
+    from ..operators.cleaning import clean_sales
+    from ..operators.resample import weekly_dense_resample
+
+    sales = clean_sales(load_table(spark, sf_dir, "lineitem"))
+    dense = weekly_dense_resample(
+        sales, ["product_id", "store_id"], "invoice_date", "units_sold"
+    )
+    nz = F.when(F.col("units_sold") > 0, F.col("units_sold"))
+    agg = dense.groupBy("product_id", "store_id").agg(
+        F.count("*").alias("n_weeks"),
+        F.count(nz).alias("n_nonzero"),
+        F.avg(nz).alias("mu"),
+        F.coalesce(F.stddev_pop(nz), F.lit(0.0)).alias("sigma"),
+    )
+    r4 = lambda c: F.bround(c * 10000.0, 0) / 10000.0  # noqa: E731
+    scored = (
+        agg.filter(F.col("n_nonzero") >= 4)
+        .withColumn("adi", r4(F.col("n_weeks") / F.col("n_nonzero")))
+        .withColumn("cv2", r4((F.col("sigma") / F.col("mu")) * (F.col("sigma") / F.col("mu"))))
+    )
+    klass = (
+        F.when((F.col("adi") < 1.32) & (F.col("cv2") < 0.49), "smooth")
+        .when((F.col("adi") >= 1.32) & (F.col("cv2") < 0.49), "intermittent")
+        .when((F.col("adi") < 1.32) & (F.col("cv2") >= 0.49), "erratic")
+        .otherwise("lumpy")
+    )
+    return scored.select(
+        "product_id", "store_id", "n_weeks", "n_nonzero", "adi", "cv2",
+        klass.alias("demand_class"),
+    )
+
+
+register(
+    "demand_intermittency",
+    q_demand_intermittency,
+    f"""
+WITH {_OF.CLEAN_SALES_CTE.strip()},
+{_OF.WEEKLY_CTE.strip()},
+{_OF.DENSE_CTE.strip()},
+agg AS (
+  SELECT product_id, store_id,
+         count(*) AS n_weeks,
+         count(CASE WHEN units_sold > 0 THEN 1 END) AS n_nonzero,
+         avg(CASE WHEN units_sold > 0 THEN units_sold END) AS mu,
+         coalesce(stddev_pop(CASE WHEN units_sold > 0 THEN units_sold END), 0.0) AS sigma
+  FROM dense GROUP BY 1, 2
+),
+scored AS (
+  SELECT *, round_even(n_weeks / n_nonzero * 10000.0, 0) / 10000.0 AS adi,
+         round_even((sigma / mu) * (sigma / mu) * 10000.0, 0) / 10000.0 AS cv2
+  FROM agg WHERE n_nonzero >= 4
+)
+SELECT product_id, store_id, n_weeks, n_nonzero, adi, cv2,
+       CASE WHEN adi < 1.32 AND cv2 < 0.49 THEN 'smooth'
+            WHEN adi >= 1.32 AND cv2 < 0.49 THEN 'intermittent'
+            WHEN adi < 1.32 AND cv2 >= 0.49 THEN 'erratic'
+            ELSE 'lumpy' END AS demand_class
+FROM scored
+""",
+)
+
+
 # -- data-quality profiling ------------------------------------------------
 PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_shipdate", "l_returnflag", "l_partkey")
 
