@@ -731,6 +731,100 @@ FROM scored
 )
 
 
+# -- Croston's method for intermittent demand ------------------------------
+CROSTON_ALPHA = 0.1
+
+
+def q_croston_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Croston (1972) per dense series — THE forecaster for the
+    intermittent/lumpy classes demand_intermittency identifies, where
+    plain smoothing biases toward zero: exponentially smooth the
+    NON-ZERO demand sizes and the inter-demand intervals separately;
+    forecast = smoothed_size / smoothed_interval (demand per period).
+
+    Distributed form: both smoothings are the same recursive fold as
+    ewma_weekly_demand, run over two derived per-series arrays —
+    sizes (non-zero demands in week order) and gaps (dense-position
+    differences between demand occasions; the first occasion's gap is
+    its position, the standard init). One dense-resample shuffle + one
+    window pass for positions + one aggregate."""
+    from ..operators.cleaning import clean_sales
+    from ..operators.resample import weekly_dense_resample
+
+    sales = clean_sales(load_table(spark, sf_dir, "lineitem"))
+    dense = weekly_dense_resample(
+        sales, ["product_id", "store_id"], "invoice_date", "units_sold"
+    )
+    w = Window.partitionBy("product_id", "store_id").orderBy("week")
+    pos = dense.withColumn("pos", F.row_number().over(w).cast("long"))
+    occ = pos.filter(F.col("units_sold") > 0).withColumn(
+        "gap", (F.col("pos") - F.coalesce(F.lag("pos").over(w), F.lit(0))).cast("double")
+    )
+    series = occ.groupBy("product_id", "store_id").agg(
+        F.count("*").alias("n_occ"),
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("week", "units_sold"))),
+            lambda s: s["units_sold"],
+        ).alias("sizes"),
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("week", "gap"))), lambda s: s["gap"]
+        ).alias("gaps"),
+    )
+
+    a = CROSTON_ALPHA
+
+    def fold(arr):
+        return F.aggregate(
+            F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0))),
+            F.element_at(arr, 1),
+            lambda acc, x: a * x + (1 - a) * acc,
+        )
+
+    return (
+        series.filter(F.col("n_occ") >= 4)
+        .select(
+            "product_id",
+            "store_id",
+            "n_occ",
+            (F.bround(fold(F.col("sizes")) / fold(F.col("gaps")) * 10000.0, 0) / 10000.0).alias(
+                "croston_demand_per_week"
+            ),
+        )
+    )
+
+
+register(
+    "croston_forecast",
+    q_croston_forecast,
+    f"""
+WITH {_OF.CLEAN_SALES_CTE.strip()},
+{_OF.WEEKLY_CTE.strip()},
+{_OF.DENSE_CTE.strip()},
+pos_t AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY product_id, store_id ORDER BY week) AS BIGINT) AS pos
+  FROM dense
+),
+occ AS (
+  SELECT *, CAST(pos - coalesce(lag(pos) OVER (PARTITION BY product_id, store_id ORDER BY week), 0) AS DOUBLE) AS gap
+  FROM pos_t WHERE units_sold > 0
+),
+series AS (
+  SELECT product_id, store_id, count(*) AS n_occ,
+         list(units_sold ORDER BY week) AS sizes,
+         list(gap ORDER BY week) AS gaps
+  FROM occ GROUP BY 1, 2
+)
+SELECT product_id, store_id, n_occ,
+       round_even(
+         list_reduce(sizes, (acc, x) -> {CROSTON_ALPHA}::DOUBLE * x + (1::DOUBLE - {CROSTON_ALPHA}::DOUBLE) * acc)
+         / list_reduce(gaps, (acc, x) -> {CROSTON_ALPHA}::DOUBLE * x + (1::DOUBLE - {CROSTON_ALPHA}::DOUBLE) * acc)
+         * 10000.0, 0) / 10000.0 AS croston_demand_per_week
+FROM series
+WHERE n_occ >= 4
+""",
+)
+
+
 # -- data-quality profiling ------------------------------------------------
 PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_shipdate", "l_returnflag", "l_partkey")
 
