@@ -780,15 +780,19 @@ def q_croston_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: a * x + (1 - a) * acc,
         )
 
+    croston = F.bround(fold(F.col("sizes")) / fold(F.col("gaps")) * 10000.0, 0) / 10000.0
+    # SBA (Syntetos-Boylan approximation): Croston is positively
+    # biased; the (1 - α/2) deflator removes it. Published beside the
+    # raw estimate, like pop-vs-samp stddev.
+    sba = F.bround(croston * (1 - a / 2) * 10000.0, 0) / 10000.0
     return (
         series.filter(F.col("n_occ") >= 4)
         .select(
             "product_id",
             "store_id",
             "n_occ",
-            (F.bround(fold(F.col("sizes")) / fold(F.col("gaps")) * 10000.0, 0) / 10000.0).alias(
-                "croston_demand_per_week"
-            ),
+            croston.alias("croston_demand_per_week"),
+            sba.alias("sba_demand_per_week"),
         )
     )
 
@@ -814,13 +818,68 @@ series AS (
          list(gap ORDER BY week) AS gaps
   FROM occ GROUP BY 1, 2
 )
-SELECT product_id, store_id, n_occ,
-       round_even(
-         list_reduce(sizes, (acc, x) -> {CROSTON_ALPHA}::DOUBLE * x + (1::DOUBLE - {CROSTON_ALPHA}::DOUBLE) * acc)
-         / list_reduce(gaps, (acc, x) -> {CROSTON_ALPHA}::DOUBLE * x + (1::DOUBLE - {CROSTON_ALPHA}::DOUBLE) * acc)
-         * 10000.0, 0) / 10000.0 AS croston_demand_per_week
-FROM series
-WHERE n_occ >= 4
+, folded AS (
+  SELECT product_id, store_id, n_occ,
+         round_even(
+           list_reduce(sizes, (acc, x) -> {CROSTON_ALPHA}::DOUBLE * x + (1::DOUBLE - {CROSTON_ALPHA}::DOUBLE) * acc)
+           / list_reduce(gaps, (acc, x) -> {CROSTON_ALPHA}::DOUBLE * x + (1::DOUBLE - {CROSTON_ALPHA}::DOUBLE) * acc)
+           * 10000.0, 0) / 10000.0 AS croston_demand_per_week
+  FROM series
+  WHERE n_occ >= 4
+)
+SELECT product_id, store_id, n_occ, croston_demand_per_week,
+       round_even(croston_demand_per_week * (1::DOUBLE - {CROSTON_ALPHA}::DOUBLE / 2) * 10000.0, 0) / 10000.0 AS sba_demand_per_week
+FROM folded
+""",
+)
+
+
+# -- newsvendor quantile stock level ---------------------------------------
+CRITICAL_RATIO = 0.8  # cu/(cu+co): underage cost 4x overage
+
+
+def q_newsvendor_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newsvendor-optimal weekly stock per product: the demand
+    distribution's quantile at the critical ratio cu/(cu+co) — the
+    distribution-free answer to "how much to stock when over- and
+    under-stocking costs differ" (complements the flagship's
+    normal-approximation safety stock with an empirical one). Exact
+    percentile (linear interpolation, = DuckDB quantile_cont) over the
+    observed weekly demand; one product shuffle."""
+    from ..operators.cleaning import clean_sales
+    from ..operators.resample import weekly_resample_sum
+
+    sales = clean_sales(load_table(spark, sf_dir, "lineitem"))
+    weekly = weekly_resample_sum(sales, ("product_id",), "invoice_date", "units_sold")
+    return (
+        weekly.groupBy("product_id")
+        .agg(
+            F.count("*").alias("n_weeks"),
+            F.round(
+                F.expr(f"percentile(units_sold, {CRITICAL_RATIO})"), 4
+            ).alias("stock_level"),
+        )
+        .filter(F.col("n_weeks") >= 8)
+    )
+
+
+register(
+    "newsvendor_stock_level",
+    q_newsvendor_stock,
+    f"""
+WITH {_OF.CLEAN_SALES_CTE.strip()},
+weekly AS (
+  SELECT product_id,
+         CAST(invoice_date AS DATE)
+           + CAST((7 - isodow(CAST(invoice_date AS DATE))) % 7 AS INTEGER) AS week,
+         sum(units_sold) AS units_sold
+  FROM sales
+  GROUP BY 1, 2
+)
+SELECT product_id, count(*) AS n_weeks,
+       round(quantile_cont(units_sold, {CRITICAL_RATIO}), 4) AS stock_level
+FROM weekly GROUP BY 1
+HAVING count(*) >= 8
 """,
 )
 
