@@ -49,6 +49,9 @@ HEADLINE = [
     "cdc_latest_state",
     "ewma_weekly_demand",
     "events_view_purchase_join",
+    "croston_forecast",
+    "seasonality_index",
+    "abc_classification",
 ]
 
 
