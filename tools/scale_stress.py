@@ -35,6 +35,8 @@ STRESS_QUERIES = [
     ("ewma_weekly_demand", "lineitem"),
     ("trailing_moving_average", "lineitem"),
     ("window_rank_family", "lineitem"),
+    ("croston_forecast", "lineitem"),
+    ("abc_classification", "lineitem"),
     ("events_sessionization", "events"),
     ("events_sliding_counts", "events"),
     ("cdc_latest_state", "events"),
