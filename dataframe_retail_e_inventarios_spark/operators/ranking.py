@@ -26,12 +26,50 @@ DuckDB oracle so IEEE evaluation order is identical on both engines.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 
 from .textops import tokens
 
 K1 = 1.2
 B = 0.75
+HASH_DIM = 64
+
+
+def hashed_doc_vectors(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = HASH_DIM,
+) -> DataFrame:
+    """Feature-hashing doc vectors as flat (doc, bucket, weight) rows
+    [the hashing trick, Weinberger et al. 2009]: each token hashes to
+    one of ``dim`` buckets (md5-derived, engine-portable), weights are
+    L1-normalized counts. No vocabulary, no fit step, no driver state
+    — the property that makes it THE text vectorizer at corpus scale
+    (a count-vectorizer needs a vocab broadcast that grows with the
+    corpus; this needs nothing). Flat rows instead of an array column
+    so downstream joins/aggregations stay columnar and the oracle
+    compares scalars. Feeds the same similarity machinery as the
+    embeddings table (sparse dot product = join on bucket + sum of
+    weight products)."""
+    tok = docs.select(
+        id_col, F.explode(tokens(text_col)).alias("term")
+    ).filter(F.col("term") != "")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("term")), 1, 4), 16, 10).cast("long") % dim
+    )
+    counts = tok.groupBy(id_col, bucket.alias("bucket")).agg(
+        F.count("*").alias("cnt")
+    )
+    w = Window.partitionBy(id_col)
+    return counts.select(
+        id_col,
+        "bucket",
+        (
+            F.bround(F.col("cnt") / F.sum("cnt").over(w) * 1_000_000.0, 0)
+            / 1_000_000.0
+        ).alias("weight"),
+    )
 
 
 def term_frequencies(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

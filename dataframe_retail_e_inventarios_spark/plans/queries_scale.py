@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from . import oracle_fragments as _OF
 from ..functions.exact import exact_decimal_sum
+from ..operators.textops import TOKENS_SQL as _TOKENS_SQL
 from ..operators.cdc import merge_changes
 from ..operators.chunking import chunk_documents, split_sentences_native
 from ..operators.ranking import bm25_scores
@@ -1103,6 +1104,40 @@ SELECT doc_id, lang, rk FROM (
          ) AS BIGINT) AS rk
   FROM documents
 ) WHERE rk <= {CLASS_CAP}
+""",
+)
+
+
+# -- feature-hashing doc vectors -------------------------------------------
+def q_doc_vector_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick doc vectors (64 buckets, L1-normalized) as flat
+    (doc, bucket, weight) rows — vocabulary-free text vectorization
+    (operators/ranking.hashed_doc_vectors)."""
+    from ..operators.ranking import hashed_doc_vectors
+
+    return hashed_doc_vectors(load_table(spark, sf_dir, "documents"))
+
+
+register(
+    "doc_vector_hashing",
+    q_doc_vector_hashing,
+    f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKENS_SQL.format(t="text")}) AS term FROM documents
+),
+counts AS (
+  SELECT doc_id,
+         CAST((strpos('0123456789abcdef', substr(md5(term), 1, 1)) - 1) * 4096
+            + (strpos('0123456789abcdef', substr(md5(term), 2, 1)) - 1) * 256
+            + (strpos('0123456789abcdef', substr(md5(term), 3, 1)) - 1) * 16
+            + (strpos('0123456789abcdef', substr(md5(term), 4, 1)) - 1) AS BIGINT) % 64 AS bucket,
+         count(*) AS cnt
+  FROM tok WHERE term <> ''
+  GROUP BY 1, 2
+)
+SELECT doc_id, bucket,
+       round_even(cnt / sum(cnt) OVER (PARTITION BY doc_id) * 1000000.0, 0) / 1000000.0 AS weight
+FROM counts
 """,
 )
 

@@ -45,6 +45,27 @@ def test_tf_saturation_monotone_but_sublinear(spark):
     assert (s3 - s2) < (s2 - s1)
 
 
+def test_hashed_vectors_l1_normalized_and_bounded(spark):
+    from dataframe_retail_e_inventarios_spark.operators.ranking import (
+        HASH_DIM,
+        hashed_doc_vectors,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b c a"), (2, "x"), (3, "")], "doc_id long, text string"
+    )
+    out = hashed_doc_vectors(df).collect()
+    assert all(0 <= r["bucket"] < HASH_DIM for r in out)
+    sums = {}
+    for r in out:
+        sums[r["doc_id"]] = sums.get(r["doc_id"], 0.0) + r["weight"]
+    assert set(sums) == {1, 2}  # empty doc contributes nothing
+    for s in sums.values():
+        assert abs(s - 1.0) < 1e-5  # L1-normalized
+    # doc 2 has one token -> one bucket with weight 1.0
+    assert [r["weight"] for r in out if r["doc_id"] == 2] == [1.0]
+
+
 def test_scores_positive_and_empty_docs_dropped(spark):
     df = spark.createDataFrame(
         [(1, "hello world"), (2, "   "), (3, "")], "doc_id long, text string"
