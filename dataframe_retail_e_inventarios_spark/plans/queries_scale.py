@@ -1142,6 +1142,97 @@ FROM counts
 )
 
 
+# -- sparse cosine top-k over hashed vectors -------------------------------
+def q_sparse_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 similar documents per query doc by SPARSE cosine over
+    the hashing-trick vectors — the text-side similarity search that
+    needs no embedding model. Sparse dot product = equi-join on the
+    bucket + sum of weight products; weights are 6-decimal rationals,
+    so scaled-integer products make the dot EXACT (order-insensitive
+    BIGINT sums — the same trick as the money columns), and the only
+    float ops (sqrt, divide) have identical expression shape on both
+    engines. Query side is tiny and broadcast; candidates never
+    shuffle for the join."""
+    from ..operators.ranking import hashed_doc_vectors
+
+    vecs = hashed_doc_vectors(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "bucket", F.bround(F.col("weight") * 1_000_000.0, 0).cast("long").alias("wi")
+    )
+    norms = vecs.groupBy("doc_id").agg(F.sum(F.col("wi") * F.col("wi")).alias("n2"))
+    q = vecs.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("qid"), "bucket", F.col("wi").alias("qwi")
+    )
+    dots = (
+        F.broadcast(q)
+        .join(vecs, "bucket")
+        .filter(F.col("doc_id") != F.col("qid"))
+        .groupBy("qid", "doc_id")
+        .agg(F.sum(F.col("qwi") * F.col("wi")).alias("dot_s"))
+    )
+    qn = norms.select(F.col("doc_id").alias("qid"), F.col("n2").alias("qn2"))
+    scored = (
+        dots.join(F.broadcast(qn), "qid")
+        .join(norms, "doc_id")
+        .select(
+            "qid",
+            F.col("doc_id").alias("cand_id"),
+            F.round(
+                F.col("dot_s") / F.sqrt(F.col("qn2")) / F.sqrt(F.col("n2")), 6
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), "cand_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 10)
+    )
+
+
+register(
+    "sparse_cosine_topk",
+    q_sparse_cosine_topk,
+    f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKENS_SQL.format(t="text")}) AS term FROM documents
+),
+counts AS (
+  SELECT doc_id,
+         CAST((strpos('0123456789abcdef', substr(md5(term), 1, 1)) - 1) * 4096
+            + (strpos('0123456789abcdef', substr(md5(term), 2, 1)) - 1) * 256
+            + (strpos('0123456789abcdef', substr(md5(term), 3, 1)) - 1) * 16
+            + (strpos('0123456789abcdef', substr(md5(term), 4, 1)) - 1) AS BIGINT) % 64 AS bucket,
+         count(*) AS cnt
+  FROM tok WHERE term <> ''
+  GROUP BY 1, 2
+),
+vecs AS (
+  SELECT doc_id, bucket,
+         CAST(round_even(round_even(cnt / sum(cnt) OVER (PARTITION BY doc_id) * 1000000.0, 0) / 1000000.0 * 1000000.0, 0) AS BIGINT) AS wi
+  FROM counts
+),
+norms AS (SELECT doc_id, sum(wi * wi) AS n2 FROM vecs GROUP BY 1),
+dots AS (
+  SELECT q.doc_id AS qid, v.doc_id, sum(q.wi * v.wi) AS dot_s
+  FROM (SELECT * FROM vecs WHERE doc_id < 5) q
+  JOIN vecs v USING (bucket)
+  WHERE v.doc_id <> q.doc_id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT d.qid, d.doc_id AS cand_id,
+         round(d.dot_s / sqrt(qn.n2) / sqrt(n.n2), 6) AS cos
+  FROM dots d
+  JOIN norms qn ON qn.doc_id = d.qid
+  JOIN norms n ON n.doc_id = d.doc_id
+)
+SELECT qid, cand_id, cos, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cand_id) AS BIGINT) AS rank
+  FROM scored
+) WHERE rank <= 10
+""",
+)
+
+
 # -- sketch quantiles (approximate by construction: rows-only) -------------
 def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable quantile sketch per event_type (percentile_approx =
