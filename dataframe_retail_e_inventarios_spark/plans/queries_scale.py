@@ -1233,6 +1233,110 @@ SELECT qid, cand_id, cos, rank FROM (
 )
 
 
+# -- rolling median demand (robust trailing statistic) ---------------------
+def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-8-week MEDIAN demand per product — the robust
+    companion to trailing_moving_average (a single promo spike drags a
+    mean for 8 weeks but leaves the median untouched). Exact windowed
+    percentile over the same one-sort series partitioning; linear-
+    interpolation flavor on both engines."""
+    from ..operators.cleaning import clean_sales
+    from ..operators.resample import weekly_resample_sum
+
+    sales = clean_sales(load_table(spark, sf_dir, "lineitem"))
+    weekly = weekly_resample_sum(sales, ("product_id",), "invoice_date", "units_sold")
+    w = Window.partitionBy("product_id").orderBy("week").rowsBetween(-7, 0)
+    return weekly.select(
+        "product_id",
+        "week",
+        "units_sold",
+        F.round(F.expr("percentile(units_sold, 0.5)").over(w), 4).alias("med8"),
+        F.count("*").over(w).cast("long").alias("n_in_window"),
+    )
+
+
+register(
+    "rolling_median_demand",
+    q_rolling_median,
+    f"""
+WITH {_OF.CLEAN_SALES_CTE.strip()},
+weekly AS (
+  SELECT product_id,
+         CAST(invoice_date AS DATE)
+           + CAST((7 - isodow(CAST(invoice_date AS DATE))) % 7 AS INTEGER) AS week,
+         sum(units_sold) AS units_sold
+  FROM sales
+  GROUP BY 1, 2
+)
+SELECT product_id, week, units_sold,
+       round(quantile_cont(units_sold, 0.5) OVER tw, 4) AS med8,
+       count(*) OVER tw AS n_in_window
+FROM weekly
+WINDOW tw AS (PARTITION BY product_id ORDER BY week ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+""",
+)
+
+
+# -- RFM user segmentation -------------------------------------------------
+def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-Frequency-Monetary quintiles over purchase events — the
+    classic user-value segmentation. One user aggregate, then three
+    ntile(5) rankings over the user population (deterministic
+    tiebreaks on user_id). Monetary uses exact scaled-integer sums.
+
+    Scale note: a global ntile is a single-partition sort over ONE ROW
+    PER USER (already aggregated — millions, not the event count). If
+    even that outgrows a task, swap ntile for approx-quantile boundary
+    bucketing (percentile_approx + CASE), trading exact quintile
+    boundaries for full parallelism; kept exact here for the oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    ref = purchases.agg(F.max(F.unix_micros("ts")).alias("ref_us"))
+    per_user = purchases.groupBy("user_id").agg(
+        F.max(F.unix_micros("ts")).alias("last_us"),
+        F.count("*").alias("frequency"),
+        F.round(exact_decimal_sum(F.col("value"), 2), 2).alias("monetary"),
+    )
+    enriched = per_user.crossJoin(F.broadcast(ref)).withColumn(
+        "recency_days",
+        F.floor((F.col("ref_us") - F.col("last_us")) / F.lit(86_400_000_000)).cast("long"),
+    )
+    r_w = Window.orderBy(F.col("recency_days").asc(), "user_id")
+    f_w = Window.orderBy(F.col("frequency").desc(), "user_id")
+    m_w = Window.orderBy(F.col("monetary").desc(), "user_id")
+    return enriched.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(5).over(r_w).cast("long").alias("r_score"),
+        F.ntile(5).over(f_w).cast("long").alias("f_score"),
+        F.ntile(5).over(m_w).cast("long").alias("m_score"),
+    )
+
+
+register(
+    "rfm_segmentation",
+    q_rfm_segmentation,
+    """
+WITH purchases AS (SELECT * FROM events WHERE event_type = 'purchase'),
+ref AS (SELECT max(epoch_us(ts)) AS ref_us FROM purchases),
+per_user AS (
+  SELECT user_id, max(epoch_us(ts)) AS last_us, count(*) AS frequency,
+         round(sum(CAST(round_even(value * 100, 0) AS BIGINT)) / 100.0, 2) AS monetary
+  FROM purchases GROUP BY 1
+)
+SELECT user_id,
+       CAST(floor((ref_us - last_us) / 86400000000) AS BIGINT) AS recency_days,
+       frequency, monetary,
+       CAST(ntile(5) OVER (ORDER BY floor((ref_us - last_us) / 86400000000) ASC, user_id) AS BIGINT) AS r_score,
+       CAST(ntile(5) OVER (ORDER BY frequency DESC, user_id) AS BIGINT) AS f_score,
+       CAST(ntile(5) OVER (ORDER BY monetary DESC, user_id) AS BIGINT) AS m_score
+FROM per_user CROSS JOIN ref
+""",
+)
+
+
 # -- sketch quantiles (approximate by construction: rows-only) -------------
 def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable quantile sketch per event_type (percentile_approx =
