@@ -1337,6 +1337,121 @@ FROM per_user CROSS JOIN ref
 )
 
 
+# -- market-basket co-occurrence (support + lift) --------------------------
+def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Part pairs co-ordered in the same order with support ≥ 2 and
+    their lift — the frequent-itemset baseline. The pair join is keyed
+    on l_orderkey, so cost is Σ(order_size²) with order sizes bounded
+    by the schema (≤ ~13 lines) — corpus-linear, never all-pairs. Lift
+    = P(a,b) / (P(a)·P(b)) over the order universe; pure integer
+    ratios, shared-scale rounded."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    # 1-row aggregate joined in, NOT a driver-side count() at plan
+    # build (that would cost an extra scan per query construction).
+    n_ord = op.select("l_orderkey").distinct().agg(F.count("*").alias("n_orders"))
+    part_cnt = op.groupBy("l_partkey").agg(F.count("*").alias("cnt"))
+    a, b = op.alias("a"), op.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
+        )
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= 2)
+    )
+    ca = part_cnt.select(F.col("l_partkey").alias("part_a"), F.col("cnt").alias("cnt_a"))
+    cb = part_cnt.select(F.col("l_partkey").alias("part_b"), F.col("cnt").alias("cnt_b"))
+    return (
+        pairs.join(ca, "part_a")
+        .join(cb, "part_b")
+        .crossJoin(F.broadcast(n_ord))
+        .select(
+            "part_a",
+            "part_b",
+            "support",
+            (
+                F.bround(
+                    F.col("support") * F.col("n_orders") / (F.col("cnt_a") * F.col("cnt_b")) * 10000.0,
+                    0,
+                )
+                / 10000.0
+            ).alias("lift"),
+        )
+    )
+
+
+register(
+    "basket_pair_lift",
+    q_basket_pairs,
+    """
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n_ord AS (SELECT count(DISTINCT l_orderkey) AS n FROM op),
+part_cnt AS (SELECT l_partkey, count(*) AS cnt FROM op GROUP BY 1),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS support
+  FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+)
+SELECT part_a, part_b, support,
+       round_even(support * n_ord.n / (ca.cnt * cb.cnt) * 10000.0, 0) / 10000.0 AS lift
+FROM pairs
+JOIN part_cnt ca ON ca.l_partkey = part_a
+JOIN part_cnt cb ON cb.l_partkey = part_b
+CROSS JOIN n_ord
+""",
+)
+
+
+# -- event transition matrix (behavioral Markov counts) --------------------
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user consecutive event-type transitions with conditional
+    probability P(next | prev) — the first-order Markov view of user
+    behavior (feeds funnel design and anomaly detection on behavior
+    drift). One user-keyed sort for lag, one aggregate; probability
+    denominators via a window over the transition counts."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").alias("n"))
+    )
+    tot = Window.partitionBy("prev_type")
+    return trans.select(
+        "prev_type",
+        "next_type",
+        "n",
+        (F.bround(F.col("n") / F.sum("n").over(tot) * 10000.0, 0) / 10000.0).alias("p"),
+    )
+
+
+register(
+    "event_transition_matrix",
+    q_event_transitions,
+    """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events
+),
+trans AS (
+  SELECT prev_type, event_type AS next_type, count(*) AS n
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT prev_type, next_type, n,
+       round_even(n / sum(n) OVER (PARTITION BY prev_type) * 10000.0, 0) / 10000.0 AS p
+FROM trans
+""",
+)
+
+
 # -- sketch quantiles (approximate by construction: rows-only) -------------
 def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable quantile sketch per event_type (percentile_approx =
