@@ -1452,6 +1452,109 @@ FROM trans
 )
 
 
+# -- supplier lead-time distribution ---------------------------------------
+def q_supplier_lead_times(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship lead time per supplier: mean / p50 / p95 of
+    (l_shipdate − o_orderdate) days — the supply-chain input to the
+    flagship's lead-time constant (PRACTICA3 hardcodes 3 days; this
+    measures it). One orderkey shuffle join (fact-to-fact, both sides
+    partial-projected first), one supplier aggregate with exact
+    percentiles; the mean is an integer-days ratio, so it's exact."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    lead = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_suppkey",
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).cast("long").alias("lead_days"),
+    )
+    return lead.groupBy("l_suppkey").agg(
+        F.count("*").alias("n"),
+        (F.bround(F.sum("lead_days") / F.count("*") * 10000.0, 0) / 10000.0).alias(
+            "mean_days"
+        ),
+        F.round(F.expr("percentile(lead_days, 0.5)"), 4).alias("p50_days"),
+        F.round(F.expr("percentile(lead_days, 0.95)"), 4).alias("p95_days"),
+    )
+
+
+register(
+    "supplier_lead_times",
+    q_supplier_lead_times,
+    """
+WITH lead_t AS (
+  SELECT l_suppkey,
+         CAST(date_diff('day', o_orderdate, CAST(l_shipdate AS DATE)) AS BIGINT) AS lead_days
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+)
+SELECT l_suppkey, count(*) AS n,
+       round_even(sum(lead_days) / count(*) * 10000.0, 0) / 10000.0 AS mean_days,
+       round(quantile_cont(lead_days, 0.5), 4) AS p50_days,
+       round(quantile_cont(lead_days, 0.95), 4) AS p95_days
+FROM lead_t GROUP BY 1
+""",
+)
+
+
+# -- revenue concentration (HHI) per region --------------------------------
+def q_revenue_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman index of supplier revenue concentration
+    per region: Σ share² over suppliers. Shares become scaled 1e8
+    integers BEFORE squaring, so the sum of squares is an exact BIGINT
+    (Σ sᵢ² ≤ (Σ sᵢ)² = 10¹⁶ — no overflow, no float-order drift);
+    the only float op is the final descale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    rev = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "l_suppkey")
+        .agg(
+            exact_decimal_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "rev"
+            )
+        )
+    )
+    tot = Window.partitionBy("r_name")
+    shares = rev.withColumn(
+        "s_i", F.bround(F.col("rev") / F.sum("rev").over(tot) * 100_000_000.0, 0).cast("long")
+    )
+    return shares.groupBy("r_name").agg(
+        F.count("*").alias("n_suppliers"),
+        (
+            F.round(F.sum(F.col("s_i") * F.col("s_i")) / F.lit(1e16), 6)
+        ).alias("hhi"),
+    )
+
+
+register(
+    "revenue_concentration_hhi",
+    q_revenue_hhi,
+    """
+WITH rev_t AS (
+  SELECT r_name, l_suppkey,
+         sum(CAST(round_even(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)) / 10000.0 AS rev
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY 1, 2
+),
+shares AS (
+  SELECT r_name,
+         CAST(round_even(rev / sum(rev) OVER (PARTITION BY r_name) * 100000000.0, 0) AS BIGINT) AS s_i
+  FROM rev_t
+)
+SELECT r_name, count(*) AS n_suppliers,
+       round(sum(s_i * s_i) / 1e16, 6) AS hhi
+FROM shares GROUP BY 1
+""",
+)
+
+
 # -- sketch quantiles (approximate by construction: rows-only) -------------
 def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable quantile sketch per event_type (percentile_approx =
