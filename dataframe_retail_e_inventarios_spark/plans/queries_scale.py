@@ -16,7 +16,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from . import oracle_fragments as _OF
 from ..functions.exact import exact_decimal_sum
-from ..operators.textops import TOKENS_SQL as _TOKENS_SQL
+from ..operators.textops import STOPWORDS as _STOPWORDS, TOKENS_SQL as _TOKENS_SQL
+
+_STOPS_IN = ", ".join(f"'{s}'" for s in _STOPWORDS)
 from ..operators.cdc import merge_changes
 from ..operators.chunking import chunk_documents, split_sentences_native
 from ..operators.ranking import bm25_scores
@@ -1551,6 +1553,71 @@ shares AS (
 SELECT r_name, count(*) AS n_suppliers,
        round(sum(s_i * s_i) / 1e16, 6) AS hhi
 FROM shares GROUP BY 1
+""",
+)
+
+
+# -- quality-weighted (importance) sampling --------------------------------
+def q_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep each document with probability equal to its quality score
+    — importance sampling for training-mix assembly (high-quality docs
+    oversampled, junk mostly dropped, nothing hard-filtered). The coin
+    flip is DETERMINISTIC: a 16-bit md5 hash of doc_id becomes the
+    uniform draw, so the sample is reproducible across runs, engines,
+    and partitionings (df.sample is none of those). The quality score
+    is pure integer-ratio arithmetic with identical expression shape
+    on both engines, so the keep boundary is bit-identical."""
+    from ..operators.textops import quality_score, tokens as _tok
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = quality_score("text", _tok("text"))
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast(
+            "long"
+        )
+        / F.lit(65536.0)
+    )
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.round(q, 4).alias("quality"),
+            F.round(u, 6).alias("draw"),
+        )
+        .filter(F.col("draw") < F.col("quality"))
+    )
+
+
+register(
+    "quality_weighted_sample",
+    q_quality_weighted_sample,
+    f"""
+WITH t AS (
+  SELECT doc_id, lang, text, {_TOKENS_SQL.format(t="text")} AS toks FROM documents
+),
+m AS (
+  SELECT doc_id, lang,
+    CAST(len(toks) AS BIGINT) AS n_tokens,
+    CASE WHEN len(toks) > 0
+         THEN len(list_filter(toks, x -> x IN ({_STOPS_IN}))) / len(toks)
+         ELSE 0.0 END AS stop_ratio,
+    CASE WHEN length(text) > 0
+         THEN (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) / length(text)
+         ELSE 0.0 END AS punct_ratio,
+    CAST((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+       + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+       + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+       + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1) AS BIGINT) / 65536.0 AS u
+  FROM t
+),
+scored AS (
+  SELECT doc_id, lang,
+         round(0.4 * least(1.0, n_tokens / 100.0)
+               + 0.3 * (1 - stop_ratio) + 0.3 * (1 - punct_ratio), 4) AS quality,
+         round(u, 6) AS draw
+  FROM m
+)
+SELECT doc_id, lang, quality, draw FROM scored WHERE draw < quality
 """,
 )
 
