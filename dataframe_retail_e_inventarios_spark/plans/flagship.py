@@ -139,11 +139,14 @@ def flagship(spark: SparkSession, sf_dir: str, top_k: int | None = 100) -> DataF
 # oracles (see plans/oracle_fragments.py).
 # ---------------------------------------------------------------------------
 
-def flagship_oracle(top_k: int = 100) -> str:
+def flagship_stats_ctes() -> str:
+    """The oracle chain through per-series inventory stats (sales →
+    dense → winsorized/ranked → ens → per_series → inv) — shared by
+    the flagship oracle and downstream validation oracles
+    (service_level_coverage)."""
     from .oracle_fragments import DENSE_SERIES_CTES
 
-    return f"""
-WITH {DENSE_SERIES_CTES},
+    return f"""{DENSE_SERIES_CTES},
 scored AS (
   SELECT *,
     coalesce(
@@ -180,7 +183,12 @@ inv AS (
     ens * {LEAD_TIME_WEEKS} + {SERVICE_LEVEL_Z} * sigma * sqrt({LEAD_TIME_WEEKS}) AS rop,
     last_stock
   FROM per_series
-),
+)"""
+
+
+def flagship_oracle(top_k: int = 100) -> str:
+    return f"""
+WITH {flagship_stats_ctes()},
 final AS (
   SELECT product_id, store_id,
     n_weeks,

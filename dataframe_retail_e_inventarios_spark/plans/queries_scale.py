@@ -1622,6 +1622,80 @@ SELECT doc_id, lang, quality, draw FROM scored WHERE draw < quality
 )
 
 
+# -- empirical service-level validation of the flagship policy -------------
+def q_service_level_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closes the flagship loop: for each admitted series, the
+    fraction of TRAIN weeks whose (winsorized) demand stayed at or
+    under the recommended reorder point — the empirical cycle-service
+    level the z = 1.645 normal approximation targets (~95%). ROP is
+    rounded on the shared scale before the comparison so the coverage
+    boundary is engine-identical; coverage itself is an exact integer
+    ratio. One extra keys-join of the per-series stats back onto the
+    train weeks — the same series partitioning, so AQE keeps it
+    local."""
+    from ..functions.inventory import reorder_point, safety_stock
+    from ..operators.cleaning import clean_sales
+    from ..operators.resample import weekly_dense_resample
+    from ..operators.split import add_recency_rank
+    from ..operators.winsorize import winsorize_by_group
+    from .flagship import HORIZON, KEYS, series_stats
+
+    sales = clean_sales(load_table(spark, sf_dir, "lineitem"))
+    stats = series_stats(sales)
+    rop = reorder_point(F.col("ens"), safety_stock(F.col("sigma")))
+    policy = stats.select(
+        *KEYS, (F.bround(rop * 10000.0, 0) / 10000.0).alias("rop_r")
+    )
+    dense = weekly_dense_resample(sales, KEYS, "invoice_date", "units_sold")
+    dense = winsorize_by_group(dense, KEYS, "units_sold", "units_w")
+    train = add_recency_rank(dense, KEYS, "week").filter(F.col("rn") > HORIZON)
+    return (
+        train.join(policy, KEYS)
+        .groupBy(*KEYS)
+        .agg(
+            F.count("*").alias("n_train"),
+            F.sum((F.col("units_w") <= F.col("rop_r")).cast("long")).alias("covered"),
+        )
+        .select(
+            *KEYS,
+            "n_train",
+            "covered",
+            (F.bround(F.col("covered") / F.col("n_train") * 10000.0, 0) / 10000.0).alias(
+                "coverage"
+            ),
+        )
+        .withColumn("meets_95", F.col("coverage") >= 0.95)
+    )
+
+
+def _service_level_oracle() -> str:
+    from .flagship import flagship_stats_ctes
+
+    return f"""
+WITH {flagship_stats_ctes()},
+policy AS (
+  SELECT product_id, store_id,
+         round_even(rop * 10000.0, 0) / 10000.0 AS rop_r
+  FROM inv
+),
+cov AS (
+  SELECT r.product_id, r.store_id,
+         count(*) AS n_train,
+         CAST(sum(CASE WHEN r.units_w <= p.rop_r THEN 1 ELSE 0 END) AS BIGINT) AS covered
+  FROM ranked r JOIN policy p USING (product_id, store_id)
+  WHERE r.rn > 4
+  GROUP BY 1, 2
+)
+SELECT product_id, store_id, n_train, covered,
+       round_even(covered / n_train * 10000.0, 0) / 10000.0 AS coverage,
+       round_even(covered / n_train * 10000.0, 0) / 10000.0 >= 0.95 AS meets_95
+FROM cov
+"""
+
+
+register("service_level_coverage", q_service_level_coverage, _service_level_oracle())
+
+
 # -- sketch quantiles (approximate by construction: rows-only) -------------
 def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable quantile sketch per event_type (percentile_approx =
