@@ -41,17 +41,29 @@ MIN_WEEKS = 12  # PRACTICA3.py:37
 MIN_TOTAL_SALES = 10  # PRACTICA3.py:38
 
 
-def series_stats(sales: DataFrame, keys: list[str] | None = None) -> DataFrame:
+def series_stats(
+    sales: DataFrame,
+    keys: list[str] | None = None,
+    dense_ranked: DataFrame | None = None,
+) -> DataFrame:
     """Per-series scalar stats for the whole reference pipeline
     (PRACTICA3.py:85-175, MA-member ensemble), gates applied.
 
     Output: keys + n_weeks, total_raw, ens, mape_raw, sigma,
     last_stock, test_vals (the 4 winsorized test actuals, week order).
+
+    ``dense_ranked`` lets a caller that ALSO consumes the winsorized
+    ranked weeks (service_level_coverage) pass the frame in once —
+    typically materialized — instead of this function re-running the
+    resample chain for a second fact scan.
     """
     keys = keys or KEYS
-    dense = weekly_dense_resample(sales, keys, "invoice_date", "units_sold")
-    dense = winsorize_by_group(dense, keys, "units_sold", "units_w")
-    dense = add_recency_rank(dense, keys, "week")
+    if dense_ranked is not None:
+        dense = dense_ranked
+    else:
+        dense = weekly_dense_resample(sales, keys, "invoice_date", "units_sold")
+        dense = winsorize_by_group(dense, keys, "units_sold", "units_w")
+        dense = add_recency_rank(dense, keys, "week")
 
     rn = F.col("rn")
     t = F.col("units_w")
