@@ -1700,6 +1700,55 @@ FROM cov
 register("service_level_coverage", q_service_level_coverage, _service_level_oracle())
 
 
+# -- dataset snapshot diff --------------------------------------------------
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regression diff between two synthetic corpus versions: v_old =
+    first-half events, v_new = all events with values perturbed on a
+    deterministic subset — added / removed / changed / unchanged
+    counts (operators/diffing.py). The gate a corpus rebuild runs
+    before replacing the previous version."""
+    from ..operators.diffing import diff_summary
+
+    ev = load_table(spark, sf_dir, "events")
+    old = ev.filter(F.col("event_id") % 4 != 0)  # "previous build" missing some rows
+    new = ev.withColumn(
+        "value",
+        F.when(F.col("event_id") % 5 == 0, F.col("value") + 1.0).otherwise(
+            F.col("value")
+        ),
+    )
+    return diff_summary(old, new, keys=("event_id",), compare_cols=("event_type", "value"))
+
+
+register(
+    "dataset_snapshot_diff",
+    q_snapshot_diff,
+    """
+WITH old_v AS (
+  SELECT event_id,
+         md5(concat_ws(chr(0),
+             coalesce(CAST(event_type AS VARCHAR), chr(1)),
+             coalesce(CAST(value AS VARCHAR), chr(1)))) AS oh
+  FROM events WHERE event_id % 4 <> 0
+),
+new_v AS (
+  SELECT event_id,
+         md5(concat_ws(chr(0),
+             coalesce(CAST(event_type AS VARCHAR), chr(1)),
+             coalesce(CAST(CASE WHEN event_id % 5 = 0 THEN value + 1.0 ELSE value END AS VARCHAR), chr(1)))) AS nh
+  FROM events
+)
+SELECT status, count(*) AS n FROM (
+  SELECT CASE WHEN oh IS NULL THEN 'added'
+              WHEN nh IS NULL THEN 'removed'
+              WHEN oh <> nh THEN 'changed'
+              ELSE 'unchanged' END AS status
+  FROM old_v FULL OUTER JOIN new_v USING (event_id)
+) GROUP BY 1
+""",
+)
+
+
 # -- sketch quantiles (approximate by construction: rows-only) -------------
 def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable quantile sketch per event_type (percentile_approx =
