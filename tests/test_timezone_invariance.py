@@ -18,6 +18,11 @@ TZ_SENSITIVE = [
     "events_sliding_counts",    # window() generator over NTZ ts
     "ewma_weekly_demand",       # week-sorted per-series fold
     "cdc_latest_state",         # timestamp-literal split + epoch output
+    "events_cohort_retention",  # epoch-day cohort arithmetic
+    "events_view_purchase_join",  # interval predicate on NTZ timestamps
+    "seasonality_index",        # ISO week-of-year extraction
+    "holiday_demand_lift",      # month() extraction on week dates
+    "rolling_median_demand",    # week-ordered trailing window
 ]
 
 
