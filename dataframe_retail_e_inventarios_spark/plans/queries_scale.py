@@ -1749,6 +1749,39 @@ SELECT status, count(*) AS n FROM (
 )
 
 
+# -- corpus sequence-length histogram --------------------------------------
+def q_doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-count distribution of the corpus in 16-token bins —
+    the profile that sets chunk size and packing budget (doc_chunks /
+    token_pack_batches consume what this measures). Single scan,
+    reuses the drift-histogram operator over a computed column."""
+    from ..operators.chunking import clean_tokens
+    from ..operators.profiling import fixed_width_histogram
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.size(clean_tokens("text")).cast("double").alias("n_tokens")
+    )
+    return fixed_width_histogram(docs, "n_tokens", 0.0, 256.0, 16)
+
+
+register(
+    "doc_length_histogram",
+    q_doc_length_histogram,
+    f"""
+WITH t AS (
+  SELECT CAST(len(list_filter({_TOKENS_SQL.format(t="text")}, x -> x <> '')) AS DOUBLE) AS n_tokens
+  FROM documents
+)
+SELECT bin, CAST(0.0 AS DOUBLE) + bin * CAST(16.0 AS DOUBLE) AS lo_edge, count(*) AS n
+FROM (
+  SELECT CAST(least(greatest(floor((n_tokens - CAST(0.0 AS DOUBLE)) / CAST(16.0 AS DOUBLE)), 0), 15) AS BIGINT) AS bin
+  FROM t WHERE n_tokens IS NOT NULL
+)
+GROUP BY 1
+""",
+)
+
+
 # -- sketch quantiles (approximate by construction: rows-only) -------------
 def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable quantile sketch per event_type (percentile_approx =
