@@ -189,7 +189,9 @@ def q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         dedup,
         key_left="user_id",
         key_right="o_custkey",
-        time_left=wall_date(F.col("ts"), is_instant=True),
+        # load_table normalizes ts to TIMESTAMP_NTZ -> to_date is already
+        # wall-clock; the is_instant epoch path is for LTZ columns only.
+        time_left=wall_date(F.col("ts")),
         time_right=F.col("o_date"),
         payload_cols=["o_orderkey", "o_totalprice", "o_orderstatus"],
     )

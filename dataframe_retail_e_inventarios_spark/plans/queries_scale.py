@@ -22,12 +22,15 @@ _STOPS_IN = ", ".join(f"'{s}'" for s in _STOPWORDS)
 from ..operators.cdc import merge_changes
 from ..operators.chunking import chunk_documents, split_sentences_native
 from ..operators.ranking import bm25_scores
+from ..functions.timewall import wall_epoch_micros, wall_epoch_seconds
 from ..registry import register
 from ..sources.readers import load_table
 
 
 def _epoch_s(c) -> F.Column:
-    return F.floor(F.unix_micros(c) / 1_000_000).cast("long")
+    # Wall-clock epoch on the normalized TIMESTAMP_NTZ columns
+    # (functions/timewall.py; unix_micros is LTZ-only).
+    return wall_epoch_seconds(c)
 
 
 # -- sliding windows (1 h wide, 30 min hop) --------------------------------
@@ -679,18 +682,27 @@ def q_demand_intermittency(spark: SparkSession, sf_dir: str) -> DataFrame:
     dense = weekly_dense_resample(
         sales, ["product_id", "store_id"], "invoice_date", "units_sold"
     )
+    # mu/sigma from EXACT integer-scaled sums (functions/exact.py), not
+    # stddev_pop: engine-internal summation order once landed an ulp
+    # apart right on a cv2 round_even boundary (487.5 at the 1e4
+    # scale), flipping the 4th decimal between engines. Integer sums
+    # are associative, so both engines then run the identical IEEE
+    # division sequence — and the result is also stable across shuffle
+    # partitionings, which is the 100 TB reproducibility property.
     nz = F.when(F.col("units_sold") > 0, F.col("units_sold"))
     agg = dense.groupBy("product_id", "store_id").agg(
         F.count("*").alias("n_weeks"),
         F.count(nz).alias("n_nonzero"),
-        F.avg(nz).alias("mu"),
-        F.coalesce(F.stddev_pop(nz), F.lit(0.0)).alias("sigma"),
+        exact_decimal_sum(nz, 2).alias("sx"),
+        exact_decimal_sum(nz * nz, 4).alias("sx2"),
     )
     r4 = lambda c: F.bround(c * 10000.0, 0) / 10000.0  # noqa: E731
+    mu = F.col("sx") / F.col("n_nonzero")
+    var = F.greatest(F.col("sx2") / F.col("n_nonzero") - mu * mu, F.lit(0.0))
     scored = (
         agg.filter(F.col("n_nonzero") >= 4)
         .withColumn("adi", r4(F.col("n_weeks") / F.col("n_nonzero")))
-        .withColumn("cv2", r4((F.col("sigma") / F.col("mu")) * (F.col("sigma") / F.col("mu"))))
+        .withColumn("cv2", r4(var / (mu * mu)))
     )
     klass = (
         F.when((F.col("adi") < 1.32) & (F.col("cv2") < 0.49), "smooth")
@@ -715,13 +727,16 @@ agg AS (
   SELECT product_id, store_id,
          count(*) AS n_weeks,
          count(CASE WHEN units_sold > 0 THEN 1 END) AS n_nonzero,
-         avg(CASE WHEN units_sold > 0 THEN units_sold END) AS mu,
-         coalesce(stddev_pop(CASE WHEN units_sold > 0 THEN units_sold END), 0.0) AS sigma
+         sum(CASE WHEN units_sold > 0
+             THEN CAST(round_even(units_sold * 100, 0) AS BIGINT) END) / 100.0 AS sx,
+         sum(CASE WHEN units_sold > 0
+             THEN CAST(round_even(units_sold * units_sold * 10000, 0) AS BIGINT) END) / 10000.0 AS sx2
   FROM dense GROUP BY 1, 2
 ),
 scored AS (
   SELECT *, round_even(n_weeks / n_nonzero * 10000.0, 0) / 10000.0 AS adi,
-         round_even((sigma / mu) * (sigma / mu) * 10000.0, 0) / 10000.0 AS cv2
+         round_even(greatest(sx2 / n_nonzero - (sx / n_nonzero) * (sx / n_nonzero), 0.0)
+                    / ((sx / n_nonzero) * (sx / n_nonzero)) * 10000.0, 0) / 10000.0 AS cv2
   FROM agg WHERE n_nonzero >= 4
 )
 SELECT product_id, store_id, n_weeks, n_nonzero, adi, cv2,
@@ -1293,9 +1308,9 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundaries for full parallelism; kept exact here for the oracle."""
     ev = load_table(spark, sf_dir, "events")
     purchases = ev.filter(F.col("event_type") == "purchase")
-    ref = purchases.agg(F.max(F.unix_micros("ts")).alias("ref_us"))
+    ref = purchases.agg(F.max(wall_epoch_micros("ts")).alias("ref_us"))
     per_user = purchases.groupBy("user_id").agg(
-        F.max(F.unix_micros("ts")).alias("last_us"),
+        F.max(wall_epoch_micros("ts")).alias("last_us"),
         F.count("*").alias("frequency"),
         F.round(exact_decimal_sum(F.col("value"), 2), 2).alias("monetary"),
     )

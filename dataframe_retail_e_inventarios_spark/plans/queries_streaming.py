@@ -10,6 +10,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from ..functions.timewall import wall_epoch_micros, wall_epoch_seconds
 from ..registry import register
 from ..sources.readers import load_table
 
@@ -23,13 +24,15 @@ def _exact2(c):
 
 
 def _epoch_s(c) -> F.Column:
-    return F.floor(F.unix_micros(c) / 1_000_000).cast("long")
+    # Wall-clock epoch: load_table normalizes ts to TIMESTAMP_NTZ, so
+    # unix_micros (LTZ-only) would not even resolve [timewall.py].
+    return wall_epoch_seconds(c)
 
 
 # -- tumbling hourly counts per event type ---------------------------------
 def q_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    hour = (F.floor(F.unix_micros("ts") / F.lit(3_600_000_000)) * 3600).cast("long")
+    hour = (F.floor(wall_epoch_micros("ts") / F.lit(3_600_000_000)) * 3600).cast("long")
     return (
         ev.groupBy(hour.alias("hour_epoch"), "event_type")
         .agg(F.count("*").alias("n"), F.round(_exact2(F.col("value")), 2).alias("total_value"))
@@ -58,7 +61,7 @@ def q_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(
             F.col("prev_ts").isNull()
             | (
-                (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("prev_ts")))
+                F.timestamp_diff("MICROSECOND", F.col("prev_ts"), F.col("ts"))
                 > SESSION_GAP_MIN * 60 * 1_000_000
             ),
             1,
@@ -100,7 +103,7 @@ def q_view_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("purchase_ts"),
         F.col("value"),
     )
-    gap_us = F.unix_micros("purchase_ts") - F.unix_micros("view_ts")
+    gap_us = F.timestamp_diff("MICROSECOND", F.col("view_ts"), F.col("purchase_ts"))
     return (
         purchases.join(views, "user_id")
         .filter(
@@ -141,7 +144,7 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cohort, offset, user) → counts; epoch-day arithmetic keeps it
     timezone-proof."""
     ev = load_table(spark, sf_dir, "events")
-    day = F.floor(F.unix_micros("ts") / F.lit(86_400_000_000)).cast("long")
+    day = F.floor(wall_epoch_micros("ts") / F.lit(86_400_000_000)).cast("long")
     w = Window.partitionBy("user_id")
     return (
         ev.select("user_id", day.alias("day"))
@@ -187,7 +190,7 @@ def q_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(
             F.col("prev_ts").isNull()
             | (
-                (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("prev_ts")))
+                F.timestamp_diff("MICROSECOND", F.col("prev_ts"), F.col("ts"))
                 > SESSION_GAP_MIN * 60 * 1_000_000
             ),
             1,

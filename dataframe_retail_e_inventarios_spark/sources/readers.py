@@ -74,12 +74,21 @@ def require_path(path: str) -> str:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver testdata table (TESTDATA.md).
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark cannot read
-    natively (PARQUET_TYPE_ILLEGAL); with the ``nanosAsLong`` legacy
-    conf it arrives as LongType nanos, which we truncate to a micro
+    Timestamp columns are normalized to TIMESTAMP_NTZ wall-clocks
+    (functions/timewall.to_wall_ntz): the fixture generator has
+    flipped between naive and UTC-adjusted parquet timestamps across
+    rounds, and NTZ is the flavor that matches the DuckDB oracle's
+    naive TIMESTAMP under any session timezone.
+
+    ``events.ts`` has additionally appeared as parquet
+    TIMESTAMP(NANOS), which Spark cannot read natively
+    (PARQUET_TYPE_ILLEGAL); with the ``nanosAsLong`` legacy conf it
+    arrives as LongType nanos, which we truncate to a micro
     timestamp — exactly what DuckDB does when it reads the same file,
     keeping both engines bucket-identical.
     """
+    from ..functions.timewall import to_wall_ntz, wall_ntz_from_micros
+
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
@@ -88,10 +97,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
         if isinstance(df.schema["ts"].dataType, LongType):
             df = df.withColumn(
-                "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
+                "ts", wall_ntz_from_micros(F.floor(F.col("ts") / 1000))
             )
-        return df
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        return to_wall_ntz(df)
+    return to_wall_ntz(spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet")))
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
