@@ -52,6 +52,13 @@ HEADLINE = [
     "croston_forecast",
     "seasonality_index",
     "abc_classification",
+    "tpch_pricing_summary",
+    "ols_demand_trend",
+    "holt_linear_forecast",
+    "theta_forecast",
+    "mann_kendall_trend",
+    "gopher_quality_flags",
+    "pagerank_event_graph",
 ]
 
 

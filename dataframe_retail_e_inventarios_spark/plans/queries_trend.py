@@ -1,0 +1,983 @@
+"""Trend / regression / graph-centrality parity-plus queries
+[SURVEY §2.4 aggregation family + §2.11 curation depth]:
+
+- TPC-H-shaped pricing summary (the canonical multi-aggregate scan —
+  one pass, map-side partials, exact scaled-integer money sums);
+- per-series OLS demand trend (closed-form regression from five exact
+  integer sums — the distributed form of `regr_slope`/`regr_r2` that
+  stays bit-identical across engines AND shuffle orders);
+- Holt linear-trend forecast (double exponential smoothing as a
+  struct-accumulator fold — extends the EWMA/Croston recursive-fold
+  family with two coupled state variables);
+- PageRank over the event-transition graph (fixed-iteration dataflow
+  loop; the oracle unrolls the same five iterations as chained CTEs);
+- Gopher-style document quality rules (Rae et al. 2021 §A1.1 repetition
+  /format heuristics re-expressed as pure column expressions);
+- skew-salted brand revenue (the salted join from
+  operators/partitioning.py registered as a query: same answer as the
+  plain join oracle, but the hot key is spread over 8 tasks).
+
+Scale posture notes are on each query. Everything is built-in column
+expressions — no Python UDFs, no driver-side collects (the PageRank
+loop is a fixed 5-iteration plan build, not a convergence probe).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from . import oracle_fragments as _OF
+from ..functions.exact import exact_decimal_sum, exact_decimal_sum_sql
+from ..registry import register
+from ..sources.readers import load_table
+
+
+def _r4(c: F.Column) -> F.Column:
+    """Shared scale->half-even->divide rounding (see functions/exact.py:
+    round(double, n) multiplies internally with engine-specific
+    rounding; the explicit shared multiply removes the divergence)."""
+    return F.bround(c * 10000.0, 0) / 10000.0
+
+
+_R4_SQL = "round_even(({x}) * 10000.0, 0) / 10000.0"
+
+
+# -- TPC-H Q1-shaped pricing summary ---------------------------------------
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical scan-heavy report: one filtered pass over the fact,
+    grouped on a 6-value composite key, producing 8 aggregates.
+
+    Scale: Catalyst compiles this to partial_hashagg -> exchange(6 keys)
+    -> final_hashagg — the shuffle moves ~6 rows per map task regardless
+    of fact size, so it scales with input bandwidth only. Money sums use
+    scaled-BIGINT arithmetic (functions/exact.py) which is associative —
+    results are independent of partition count, a reproducibility
+    requirement at 1000 executors, not just oracle parity. (At 100 TB
+    the 6-decimal scaling of sum(charge) approaches int64 range around
+    ~10^12 rows per group; the same helper on DECIMAL(38,6) lifts that
+    bound without changing the plan shape.)"""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+    out = (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.bround(F.col("l_quantity"), 0).cast("long")).alias("sum_qty"),
+            F.round(exact_decimal_sum(F.col("l_extendedprice"), 2), 2).alias(
+                "sum_base_price"
+            ),
+            F.round(exact_decimal_sum(disc_price, 4), 2).alias("sum_disc_price"),
+            F.round(exact_decimal_sum(charge, 6), 2).alias("sum_charge"),
+            F.count("*").alias("count_order"),
+            _r4(
+                F.sum(F.bround(F.col("l_quantity"), 0).cast("long")) / F.count("*")
+            ).alias("avg_qty"),
+            _r4(exact_decimal_sum(F.col("l_extendedprice"), 2) / F.count("*")).alias(
+                "avg_price"
+            ),
+            _r4(exact_decimal_sum(F.col("l_discount"), 2) / F.count("*")).alias(
+                "avg_disc"
+            ),
+        )
+    )
+    return out
+
+
+_QTY_SUM = "sum(CAST(round_even(l_quantity, 0) AS BIGINT))"
+register(
+    "tpch_pricing_summary",
+    q_pricing_summary,
+    f"""
+SELECT l_returnflag, l_linestatus,
+       {_QTY_SUM} AS sum_qty,
+       round({exact_decimal_sum_sql('l_extendedprice', 2)}, 2) AS sum_base_price,
+       round({exact_decimal_sum_sql('l_extendedprice * (1 - l_discount)', 4)}, 2) AS sum_disc_price,
+       round({exact_decimal_sum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 6)}, 2) AS sum_charge,
+       count(*) AS count_order,
+       {_R4_SQL.format(x=f'{_QTY_SUM} / count(*)')} AS avg_qty,
+       {_R4_SQL.format(x=exact_decimal_sum_sql('l_extendedprice', 2) + ' / count(*)')} AS avg_price,
+       {_R4_SQL.format(x=exact_decimal_sum_sql('l_discount', 2) + ' / count(*)')} AS avg_disc
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY 1, 2
+""",
+)
+
+
+# -- per-series OLS demand trend -------------------------------------------
+def q_ols_demand_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares time trend per product over its dense weekly
+    series: slope (units/week), intercept, and R² from the closed form
+    slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²).
+
+    Spark ships `regr_slope`/`regr_r2`, but their double co-moment
+    merges are accumulation-order-dependent — two runs with different
+    partition counts can differ in the last ulp. Here x is the dense
+    week position and y an integral demand count, so all five moments
+    are EXACT BIGINT sums (associative); the closed form then computes
+    identical doubles on any engine and any shuffle order. One
+    dense-resample shuffle + one aggregate; the moment sums are
+    map-side partial, so the exchange carries 5 longs per series."""
+    from ..operators.cleaning import clean_sales
+    from ..operators.resample import weekly_dense_resample
+
+    sales = clean_sales(load_table(spark, sf_dir, "lineitem"))
+    dense = weekly_dense_resample(sales, ["product_id"], "invoice_date", "units_sold")
+    w = Window.partitionBy("product_id").orderBy("week")
+    xy = dense.select(
+        "product_id",
+        F.row_number().over(w).cast("long").alias("x"),
+        F.bround(F.col("units_sold"), 0).cast("long").alias("y"),
+    )
+    m = xy.groupBy("product_id").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den_x = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    den_y = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    slope = num / den_x
+    intercept = (F.col("sy").cast("double") - slope * F.col("sx")) / F.col("n")
+    r2 = F.when(den_y > 0, num * num / (den_x * den_y))
+    return (
+        m.filter(F.col("n") >= 12)
+        .select(
+            "product_id",
+            "n",
+            _r4(slope).alias("slope"),
+            _r4(intercept).alias("intercept"),
+            _r4(r2).alias("r2"),
+        )
+    )
+
+
+register(
+    "ols_demand_trend",
+    q_ols_demand_trend,
+    f"""
+WITH {_OF.CLEAN_SALES_CTE.strip()},
+weekly AS (
+  SELECT product_id,
+         CAST(invoice_date AS DATE)
+           + CAST((7 - isodow(CAST(invoice_date AS DATE))) % 7 AS INTEGER) AS week,
+         sum(units_sold) AS units_sold
+  FROM sales
+  GROUP BY 1, 2
+),
+bounds AS (
+  SELECT product_id, min(week) AS mn, max(week) AS mx FROM weekly GROUP BY 1
+),
+spine AS (
+  SELECT product_id,
+         CAST(unnest(generate_series(CAST(mn AS TIMESTAMP), CAST(mx AS TIMESTAMP),
+                                     INTERVAL 7 DAY)) AS DATE) AS week
+  FROM bounds
+),
+dense AS (
+  SELECT s.product_id, s.week, coalesce(w.units_sold, 0.0) AS units_sold
+  FROM spine s LEFT JOIN weekly w USING (product_id, week)
+),
+xy AS (
+  SELECT product_id,
+         CAST(row_number() OVER (PARTITION BY product_id ORDER BY week) AS BIGINT) AS x,
+         CAST(round_even(units_sold, 0) AS BIGINT) AS y
+  FROM dense
+),
+m AS (
+  SELECT product_id, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+  FROM xy GROUP BY 1
+),
+c AS (
+  SELECT product_id, n,
+         CAST(n * sxy - sx * sy AS DOUBLE) AS num,
+         CAST(n * sxx - sx * sx AS DOUBLE) AS den_x,
+         CAST(n * syy - sy * sy AS DOUBLE) AS den_y,
+         CAST(sx AS BIGINT) AS sx, CAST(sy AS BIGINT) AS sy
+  FROM m WHERE n >= 12
+)
+SELECT product_id, n,
+       {_R4_SQL.format(x='num / den_x')} AS slope,
+       {_R4_SQL.format(x='(CAST(sy AS DOUBLE) - (num / den_x) * sx) / n')} AS intercept,
+       {_R4_SQL.format(x='CASE WHEN den_y > 0 THEN num * num / (den_x * den_y) END')} AS r2
+FROM c
+""",
+)
+
+
+# -- Holt linear-trend forecast (double exponential smoothing) -------------
+HOLT_ALPHA = 0.3
+HOLT_BETA = 0.1
+HOLT_HORIZON = 4
+HOLT_FIT_WEEKS = 104
+
+
+def q_holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear method per dense product series — the trend-aware
+    member of the recursive-smoothing family (EWMA = level only,
+    Croston = intermittent): l_t = αx_t + (1−α)(l_{t−1}+b_{t−1}),
+    b_t = β(l_t−l_{t−1}) + (1−β)b_{t−1}, h-step forecast l_n + h·b_n.
+    Init l₁=x₁, b₁=0 (the zero-trend seed; the fold's first element IS
+    the seed state, mirroring DuckDB list_reduce semantics).
+
+    Distributed form: the two coupled state variables ride one struct
+    accumulator through `F.aggregate` over each series' own array —
+    same single-shuffle shape as ewma_weekly_demand, and the
+    sequential fold order makes the doubles bit-identical across
+    engines and partition counts (reference for the family:
+    PRACTICA3.py:129-140 fits statsmodels Holt-Winters per group; this
+    is the additive-trend core as pure dataflow). The fit window is the
+    TRAILING 104 weeks: exponential smoothing forgets the past anyway
+    (weight (1-α)^104 ≈ 5e-17), and the bound caps per-series state —
+    the fold is O(104) per series no matter how old the series gets,
+    which is what keeps the operator flat-cost at 100 TB of history."""
+    from ..operators.cleaning import clean_sales
+    from ..operators.resample import weekly_dense_resample
+
+    sales = clean_sales(load_table(spark, sf_dir, "lineitem"))
+    dense = weekly_dense_resample(sales, ["product_id"], "invoice_date", "units_sold")
+    series = dense.groupBy("product_id").agg(
+        F.count("*").alias("n_weeks"),
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("week", "units_sold"))),
+            lambda s: s["units_sold"],
+        ).alias("xs_all"),
+    )
+    series = series.withColumn(
+        "xs",
+        F.slice(
+            F.col("xs_all"),
+            F.greatest(F.size("xs_all") - (HOLT_FIT_WEEKS - 1), F.lit(1)),
+            HOLT_FIT_WEEKS,
+        ),
+    )
+    a, b = HOLT_ALPHA, HOLT_BETA
+    pairs = F.transform(
+        F.col("xs"), lambda x: F.struct(x.alias("l"), F.lit(0.0).alias("b"))
+    )
+
+    def step(acc, p):
+        l_new = a * p["l"] + (1 - a) * (acc["l"] + acc["b"])
+        # l_new appears twice; both engines inline the same expression,
+        # so the repetition is free of divergence (and Catalyst CSEs it).
+        b_new = b * (l_new - acc["l"]) + (1 - b) * acc["b"]
+        return F.struct(l_new.alias("l"), b_new.alias("b"))
+
+    state = F.aggregate(
+        F.slice(pairs, 2, F.greatest(F.size("xs") - 1, F.lit(0))),
+        F.element_at(pairs, 1),
+        step,
+    )
+    return (
+        series.filter(F.col("n_weeks") >= 12)
+        .select(
+            "product_id",
+            "n_weeks",
+            _r4(state["l"]).alias("level"),
+            _r4(state["b"]).alias("trend"),
+            _r4(
+                F.greatest(state["l"] + HOLT_HORIZON * state["b"], F.lit(0.0))
+            ).alias("forecast_h4"),
+        )
+    )
+
+
+# Oracle note: DuckDB 1.0's list_reduce mutates a STRUCT accumulator
+# field-by-field (when the 'b' field is computed, struct_extract(acc,
+# 'l') already returns the NEW level) — the struct-fold twin of Spark's
+# F.aggregate silently diverges. The oracle therefore unrolls the same
+# recursion as a RECURSIVE CTE, whose semantics are functional: step t
+# joins element t+1 and computes (l, b) from the PREVIOUS row only.
+# Constants are pre-folded in Python (0.7 = 1-α etc.) so both engines
+# parse the identical double literal.
+_A = repr(HOLT_ALPHA)
+_1A = repr(1 - HOLT_ALPHA)
+_B = repr(HOLT_BETA)
+_1B = repr(1 - HOLT_BETA)
+_LNEW = f"{_A}::DOUBLE * x.x + {_1A}::DOUBLE * (r.l + r.b)"
+
+register(
+    "holt_linear_forecast",
+    q_holt_linear_forecast,
+    f"""
+WITH RECURSIVE {_OF.CLEAN_SALES_CTE.strip()},
+weekly AS (
+  SELECT product_id,
+         CAST(invoice_date AS DATE)
+           + CAST((7 - isodow(CAST(invoice_date AS DATE))) % 7 AS INTEGER) AS week,
+         sum(units_sold) AS units_sold
+  FROM sales
+  GROUP BY 1, 2
+),
+bounds AS (
+  SELECT product_id, min(week) AS mn, max(week) AS mx FROM weekly GROUP BY 1
+),
+spine AS (
+  SELECT product_id,
+         CAST(unnest(generate_series(CAST(mn AS TIMESTAMP), CAST(mx AS TIMESTAMP),
+                                     INTERVAL 7 DAY)) AS DATE) AS week
+  FROM bounds
+),
+dense AS (
+  SELECT s.product_id, s.week, coalesce(w.units_sold, 0.0) AS units_sold
+  FROM spine s LEFT JOIN weekly w USING (product_id, week)
+),
+xy AS (
+  SELECT product_id, CAST(rn - off AS BIGINT) AS t, x FROM (
+    SELECT product_id,
+           row_number() OVER (PARTITION BY product_id ORDER BY week) AS rn,
+           greatest(count(*) OVER (PARTITION BY product_id) - {HOLT_FIT_WEEKS}, 0) AS off,
+           units_sold AS x
+    FROM dense
+  ) WHERE rn > off
+),
+nmax AS (
+  SELECT product_id, count(*) AS n_weeks,
+         least(count(*), {HOLT_FIT_WEEKS}) AS n_fit
+  FROM dense GROUP BY 1 HAVING count(*) >= 12
+),
+rec AS (
+  SELECT x.product_id, x.t, x.x AS l, 0.0::DOUBLE AS b
+  FROM xy x JOIN nmax USING (product_id) WHERE x.t = 1
+  UNION ALL
+  SELECT r.product_id, r.t + 1,
+         {_LNEW} AS l,
+         {_B}::DOUBLE * (({_LNEW}) - r.l) + {_1B}::DOUBLE * r.b AS b
+  FROM rec r JOIN xy x ON x.product_id = r.product_id AND x.t = r.t + 1
+)
+SELECT r.product_id, n.n_weeks,
+       {_R4_SQL.format(x='r.l')} AS level,
+       {_R4_SQL.format(x='r.b')} AS trend,
+       {_R4_SQL.format(x=f'greatest(r.l + {HOLT_HORIZON} * r.b, 0.0::DOUBLE)')} AS forecast_h4
+FROM rec r JOIN nmax n ON r.product_id = n.product_id AND r.t = n.n_fit
+""",
+)
+
+
+# -- PageRank over the event-transition graph ------------------------------
+PR_DAMPING = 0.85
+PR_ITERS = 5
+_PR_SCALE = 1_000_000_000_000.0  # 1e12: quantize per-iteration sums exact
+
+
+def q_pagerank_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality of event types in the first-order behavior
+    graph (edges = consecutive-event transition counts, the same graph
+    as event_transition_matrix): which states do user journeys
+    concentrate in. Fixed 5 iterations, damping 0.85, dangling mass
+    redistributed uniformly.
+
+    Scale: the loop body is pure dataflow — join(rank ⋈ edges) →
+    aggregate — whose cost is O(|edges|) per round, and |edges| ≤
+    |event types|² regardless of fact size; the expensive part (edge
+    extraction) is one user-keyed window pass over the fact, done once.
+    Per-node incoming sums are quantized to scaled BIGINTs before
+    summing so every iteration is exactly associative — rank vectors
+    are bit-identical across engines, partition counts, AND iteration
+    fusion choices (the same trick exact.py uses for money). The
+    5-iteration unroll is a static plan (no convergence probe, no
+    driver collect); the oracle unrolls the identical five CTEs."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy(F.col("prev_type").alias("src"), F.col("event_type").alias("dst"))
+        .agg(F.count("*").alias("n"))
+    )
+    nodes = ev.select(F.col("event_type").alias("node")).distinct()
+    out_tot = edges.groupBy("src").agg(F.sum("n").alias("out_n"))
+    # Edge weight = n/out_n, fixed for all iterations.
+    ew = edges.join(out_tot, "src").select(
+        "src", "dst", (F.col("n") / F.col("out_n")).alias("wgt")
+    )
+    n_nodes = nodes.agg(F.count("*").alias("n_nodes"))
+    rank = nodes.crossJoin(F.broadcast(n_nodes)).select(
+        "node", (1.0 / F.col("n_nodes")).alias("pr"), "n_nodes"
+    )
+    # Each iteration reads `rank` three times (dangling, contrib, join);
+    # without a cut the lazy plan re-derives it 3^k times by round k.
+    # The rank vector is |event types| rows — checkpointing it per round
+    # keeps the plan linear in iterations (same rule as
+    # operators/graph.py's label-propagation loop). The edge list is cut
+    # once for the same reason.
+    ew = ew.localCheckpoint(eager=True)
+    out_tot = out_tot.localCheckpoint(eager=True)
+    rank = rank.localCheckpoint(eager=True)
+    d = PR_DAMPING
+    for _ in range(PR_ITERS):
+        dangling = (
+            rank.join(out_tot, rank["node"] == out_tot["src"], "left_anti")
+            .agg(
+                F.coalesce(
+                    F.sum(F.bround(F.col("pr") * _PR_SCALE, 0).cast("long")), F.lit(0)
+                ).alias("dang_scaled")
+            )
+        )
+        contrib = (
+            rank.join(ew, rank["node"] == ew["src"])
+            .groupBy(F.col("dst").alias("node"))
+            .agg(
+                F.sum(
+                    F.bround(F.col("pr") * F.col("wgt") * _PR_SCALE, 0).cast("long")
+                ).alias("in_scaled")
+            )
+        )
+        rank = (
+            rank.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    (1 - d) / F.col("n_nodes")
+                    + d
+                    * (
+                        F.coalesce(F.col("in_scaled"), F.lit(0)) / _PR_SCALE
+                        + F.col("dang_scaled") / _PR_SCALE / F.col("n_nodes")
+                    )
+                ).alias("pr"),
+                "n_nodes",
+            )
+            .localCheckpoint(eager=True)
+        )
+    return rank.select("node", _r4(F.col("pr") * 10000.0).alias("pr_x10k")).orderBy(
+        "node"
+    )
+
+
+def _pr_oracle() -> str:
+    d = PR_DAMPING
+    sc = _PR_SCALE
+    cte = [
+        """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events
+),
+edges AS (
+  SELECT prev_type AS src, event_type AS dst, count(*) AS n
+  FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+),
+nodes AS (SELECT DISTINCT event_type AS node FROM events),
+nn AS (SELECT count(*) AS n_nodes FROM nodes),
+out_tot AS (SELECT src, sum(n) AS out_n FROM edges GROUP BY 1),
+ew AS (SELECT src, dst, n / out_n AS wgt FROM edges JOIN out_tot USING (src)),
+pr0 AS (SELECT node, 1.0::DOUBLE / n_nodes AS pr FROM nodes CROSS JOIN nn)"""
+    ]
+    for k in range(PR_ITERS):
+        cte.append(
+            f"""
+dang{k} AS (
+  SELECT coalesce(sum(CAST(round_even(pr * {sc}, 0) AS BIGINT)), 0) AS dang_scaled
+  FROM pr{k} WHERE node NOT IN (SELECT src FROM out_tot)
+),
+contrib{k} AS (
+  SELECT dst AS node, sum(CAST(round_even(pr * wgt * {sc}, 0) AS BIGINT)) AS in_scaled
+  FROM pr{k} JOIN ew ON pr{k}.node = ew.src
+  GROUP BY 1
+),
+pr{k + 1} AS (
+  SELECT n.node,
+         (1::DOUBLE - {d}::DOUBLE) / nn.n_nodes
+         + {d}::DOUBLE * (coalesce(c.in_scaled, 0) / {sc}
+                          + dang{k}.dang_scaled / {sc} / nn.n_nodes) AS pr
+  FROM pr{k} n
+  LEFT JOIN contrib{k} c ON n.node = c.node
+  CROSS JOIN nn CROSS JOIN dang{k}
+)"""
+        )
+    body = ",\n".join(cte)
+    return (
+        body
+        + f"""
+SELECT node, {_R4_SQL.format(x=f'pr * 10000.0')} AS pr_x10k
+FROM pr{PR_ITERS}
+ORDER BY node
+"""
+    )
+
+
+register("pagerank_event_graph", q_pagerank_events, _pr_oracle())
+
+
+# -- Gopher-style document quality rules -----------------------------------
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule-based quality flags per document (Rae et al. 2021,
+    Appendix A1.1, thresholds as published): word count in [50, 100k],
+    mean word length in [3, 10], symbol-to-word ratio (# / ellipsis)
+    ≤ 0.1, ≤ 90% of lines bullet-led, ≤ 30% of lines ellipsis-ended,
+    ≥ 80% of words containing an alphabetic char, and ≥ 2 distinct
+    stopwords present. `gopher_keep` = conjunction — the pre-filter a
+    training pipeline applies before any model-based scoring.
+
+    Scale: narrow projection (doc_id + text), zero shuffles — every
+    rule is a per-row expression pipeline over the text column, so the
+    operator is embarrassingly parallel and bandwidth-bound; all
+    ratios are exact-integer-count divisions rounded through the
+    shared half-even scheme before comparison so keep/drop decisions
+    can't flip across engines at a threshold boundary."""
+    from ..operators.textops import STOPWORDS, tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n_words = F.size(toks).cast("long")
+    sum_word_len = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    mean_wl = _r4(
+        F.when(n_words > 0, sum_word_len.cast("double") / n_words)
+    )
+    n_hash = F.length(F.col("text")) - F.length(
+        F.regexp_replace(F.col("text"), "#", "")
+    )
+    n_ellip = (
+        F.length(F.col("text"))
+        - F.length(F.regexp_replace(F.col("text"), r"\.\.\.", ""))
+    ) / 3
+    sym_ratio = _r4(F.when(n_words > 0, (n_hash + n_ellip) / n_words))
+    lines = F.transform(F.split(F.col("text"), "\n"), lambda l: F.trim(l))
+    n_lines = F.size(lines).cast("long")
+    n_bullet = F.size(
+        F.filter(lines, lambda l: F.substring(l, 1, 1).isin("-", "*"))
+    ).cast("long")
+    n_ellip_line = F.size(
+        F.filter(lines, lambda l: l.endswith("..."))
+    ).cast("long")
+    bullet_frac = _r4(F.when(n_lines > 0, n_bullet.cast("double") / n_lines))
+    ellip_frac = _r4(F.when(n_lines > 0, n_ellip_line.cast("double") / n_lines))
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))).cast("long")
+    alpha_frac = _r4(F.when(n_words > 0, n_alpha.cast("double") / n_words))
+    n_stop = F.size(
+        F.array_intersect(F.array_distinct(toks), F.array(*[F.lit(s) for s in STOPWORDS]))
+    ).cast("long")
+    flags = {
+        "words_ok": (n_words >= 50) & (n_words <= 100_000),
+        "mean_wl_ok": (mean_wl >= 3.0) & (mean_wl <= 10.0),
+        "symbol_ok": sym_ratio <= 0.1,
+        "bullet_ok": bullet_frac <= 0.9,
+        "ellipsis_ok": ellip_frac <= 0.3,
+        "alpha_ok": alpha_frac >= 0.8,
+        "stopword_ok": n_stop >= 2,
+    }
+    keep = None
+    for c in flags.values():
+        keep = c if keep is None else (keep & c)
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        sym_ratio.alias("symbol_ratio"),
+        bullet_frac.alias("bullet_line_frac"),
+        ellip_frac.alias("ellipsis_line_frac"),
+        alpha_frac.alias("alpha_word_frac"),
+        n_stop.alias("n_stopwords"),
+        *[expr.alias(name) for name, expr in flags.items()],
+        keep.alias("gopher_keep"),
+    )
+
+
+def _gopher_oracle() -> str:
+    from ..operators.textops import STOPWORDS, TOKENS_SQL
+
+    toks = TOKENS_SQL.format(t="text")
+    stops = ", ".join(f"'{s}'" for s in STOPWORDS)
+    r4 = _R4_SQL
+    return f"""
+WITH base AS (
+  SELECT doc_id, text,
+         {toks} AS toks,
+         list_transform(string_split(text, chr(10)), l -> trim(l)) AS lines
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_words,
+         CAST(list_sum(list_transform(toks, t -> CAST(length(t) AS BIGINT))) AS BIGINT) AS sum_wl,
+         CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS n_hash,
+         (length(text) - length(regexp_replace(text, '\\.\\.\\.', '', 'g'))) / 3 AS n_ellip,
+         CAST(len(lines) AS BIGINT) AS n_lines,
+         CAST(len(list_filter(lines, l -> substr(l, 1, 1) IN ('-', '*'))) AS BIGINT) AS n_bullet,
+         CAST(len(list_filter(lines, l -> l LIKE '%...')) AS BIGINT) AS n_ellip_line,
+         CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) AS BIGINT) AS n_alpha,
+         CAST(len(list_intersect(list_distinct(toks), [{stops}])) AS BIGINT) AS n_stop
+  FROM base
+),
+r AS (
+  SELECT doc_id, n_words,
+         CASE WHEN n_words > 0 THEN {r4.format(x='CAST(sum_wl AS DOUBLE) / n_words')} END AS mean_word_len,
+         CASE WHEN n_words > 0 THEN {r4.format(x='(n_hash + n_ellip) / n_words')} END AS symbol_ratio,
+         CASE WHEN n_lines > 0 THEN {r4.format(x='CAST(n_bullet AS DOUBLE) / n_lines')} END AS bullet_line_frac,
+         CASE WHEN n_lines > 0 THEN {r4.format(x='CAST(n_ellip_line AS DOUBLE) / n_lines')} END AS ellipsis_line_frac,
+         CASE WHEN n_words > 0 THEN {r4.format(x='CAST(n_alpha AS DOUBLE) / n_words')} END AS alpha_word_frac,
+         n_stop AS n_stopwords
+  FROM m
+)
+SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_line_frac,
+       ellipsis_line_frac, alpha_word_frac, n_stopwords,
+       (n_words >= 50 AND n_words <= 100000) AS words_ok,
+       (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS mean_wl_ok,
+       (symbol_ratio <= 0.1) AS symbol_ok,
+       (bullet_line_frac <= 0.9) AS bullet_ok,
+       (ellipsis_line_frac <= 0.3) AS ellipsis_ok,
+       (alpha_word_frac >= 0.8) AS alpha_ok,
+       (n_stopwords >= 2) AS stopword_ok,
+       (n_words >= 50 AND n_words <= 100000
+        AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        AND symbol_ratio <= 0.1 AND bullet_line_frac <= 0.9
+        AND ellipsis_line_frac <= 0.3 AND alpha_word_frac >= 0.8
+        AND n_stopwords >= 2) AS gopher_keep
+FROM r
+"""
+
+
+register("gopher_quality_flags", q_gopher_quality, _gopher_oracle())
+
+
+# -- skew-salted brand revenue ---------------------------------------------
+def q_salted_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brand revenue through the SALTED join (operators/partitioning.py):
+    the part dimension is exploded across 8 salt values and the fact's
+    salt is a deterministic row hash, so a part key carrying a
+    pathological share of the fact lands in 8 tasks instead of one
+    straggler. Semantically identical to the plain equi-join — the
+    oracle IS the plain join — which is the point: salting is a
+    physical rewrite, not a semantic one. (For moderate skew AQE's
+    skew-join split does this automatically; explicit salting covers
+    the keys AQE can't split, e.g. a skewed build side feeding a
+    downstream aggregate.)"""
+    from ..operators.partitioning import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_discount"
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    joined = salted_join(li, part, "l_partkey", salt_buckets=8)
+    return joined.groupBy("p_brand").agg(
+        F.round(
+            exact_decimal_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4),
+            2,
+        ).alias("revenue"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+register(
+    "skew_salted_brand_revenue",
+    q_salted_brand_revenue,
+    f"""
+SELECT p_brand,
+       round({exact_decimal_sum_sql('l_extendedprice * (1 - l_discount)', 4)}, 2) AS revenue,
+       count(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY 1
+""",
+)
+
+
+# -- Theta-method forecast (M3-winning two-theta combination) --------------
+THETA_ALPHA = 0.3
+
+
+def q_theta_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta method (Assimakopoulos & Nikolopoulos 2000) per dense
+    product series: decompose into the theta=0 line (the OLS linear
+    trend — pure long-run signal) and the theta=2 line (2·y − trend,
+    doubled curvature); forecast = ½·(trend extrapolation) + ½·(SES of
+    the theta=2 line). The M3-competition benchmark combiner, built
+    entirely from parts this repo already verifies: exact-BIGINT OLS
+    moments (ols_demand_trend) and the scalar EWMA fold
+    (ewma_weekly_demand — scalar accumulator, so the DuckDB twin is
+    safe; see holt's docstring for why struct states are not).
+
+    One dense-resample shuffle + one aggregate; Σy/Σxy are plain row
+    sums INSIDE the aggregate (map-side partial), Σx/Σx² come from the
+    closed forms n(n+1)/2 and n(n+1)(2n+1)/6 — all integers, so
+    slope/intercept are bit-identical everywhere.
+
+    Evaluation-shape note: the moments and the sorted series array are
+    aggregate OUTPUTS, not inline expressions — an Aggregate is a
+    materialization barrier, so the downstream theta-line lambda reads
+    them as O(1) attributes. Inlining the fold-based moments into the
+    per-element lambda (the first draft) made each z element re-derive
+    an O(n) expression → O(n³) interpreted evaluation per series."""
+    from ..operators.cleaning import clean_sales
+    from ..operators.resample import weekly_dense_resample
+
+    sales = clean_sales(load_table(spark, sf_dir, "lineitem"))
+    dense = weekly_dense_resample(sales, ["product_id"], "invoice_date", "units_sold")
+    w = Window.partitionBy("product_id").orderBy("week")
+    xy = dense.select(
+        "product_id",
+        F.row_number().over(w).cast("long").alias("x"),
+        F.bround(F.col("units_sold"), 0).cast("long").alias("y"),
+    )
+    series = (
+        xy.groupBy("product_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("x", "y"))), lambda s: s["y"]
+            ).alias("ys"),
+        )
+        .filter(F.col("n") >= 12)
+    )
+
+    n, sy, sxy = F.col("n"), F.col("sy"), F.col("sxy")
+    sx = n * (n + 1) / F.lit(2)  # long/long -> double, exact for n < 2^26
+    sxx = n * (n + 1) * (2 * n + 1) / F.lit(6)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+
+    a = THETA_ALPHA
+    ys = F.col("ys")
+    z = F.transform(
+        F.sequence(F.lit(1).cast("long"), n),
+        lambda i: 2.0 * F.element_at(ys, i.cast("int")) - (intercept + slope * i),
+    )
+    ses = F.aggregate(
+        F.slice(z, 2, F.greatest(F.size(z) - 1, F.lit(0))),
+        F.element_at(z, 1),
+        lambda acc, x: a * x + (1 - a) * acc,
+    )
+    linear_h4 = intercept + slope * (n + HOLT_HORIZON)
+    theta_fc = F.greatest(0.5 * linear_h4 + 0.5 * ses, F.lit(0.0))
+    return series.select(
+        "product_id",
+        "n",
+        _r4(ses).alias("ses_theta2"),
+        _r4(linear_h4).alias("linear_h4"),
+        _r4(theta_fc).alias("theta_forecast_h4"),
+    )
+
+
+register(
+    "theta_forecast",
+    q_theta_forecast,
+    f"""
+WITH {_OF.CLEAN_SALES_CTE.strip()},
+weekly AS (
+  SELECT product_id,
+         CAST(invoice_date AS DATE)
+           + CAST((7 - isodow(CAST(invoice_date AS DATE))) % 7 AS INTEGER) AS week,
+         sum(units_sold) AS units_sold
+  FROM sales
+  GROUP BY 1, 2
+),
+bounds AS (
+  SELECT product_id, min(week) AS mn, max(week) AS mx FROM weekly GROUP BY 1
+),
+spine AS (
+  SELECT product_id,
+         CAST(unnest(generate_series(CAST(mn AS TIMESTAMP), CAST(mx AS TIMESTAMP),
+                                     INTERVAL 7 DAY)) AS DATE) AS week
+  FROM bounds
+),
+dense AS (
+  SELECT s.product_id, s.week, coalesce(w.units_sold, 0.0) AS units_sold
+  FROM spine s LEFT JOIN weekly w USING (product_id, week)
+),
+series AS (
+  SELECT product_id, CAST(count(*) AS BIGINT) AS n,
+         list_transform(list(units_sold ORDER BY week),
+                        x -> CAST(round_even(x, 0) AS BIGINT)) AS ys
+  FROM dense GROUP BY 1 HAVING count(*) >= 12
+),
+mom AS (
+  SELECT product_id, n, ys,
+         list_sum(ys) AS sy,
+         list_sum(list_transform(range(1, CAST(n + 1 AS INTEGER)),
+                                 i -> CAST(i AS BIGINT) * ys[i])) AS sxy,
+         n * (n + 1) / 2 AS sx,
+         n * (n + 1) * (2 * n + 1) / 6 AS sxx
+  FROM series
+),
+fit AS (
+  SELECT product_id, n, ys,
+         (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+         sx, sy
+  FROM mom
+),
+fit2 AS (
+  SELECT product_id, n, ys, slope,
+         (sy - slope * sx) / n AS intercept
+  FROM fit
+),
+zline AS (
+  SELECT product_id, n, slope, intercept,
+         list_transform(range(1, CAST(n + 1 AS INTEGER)),
+                        i -> 2.0::DOUBLE * ys[i] - (intercept + slope * CAST(i AS BIGINT))) AS z
+  FROM fit2
+),
+folded AS (
+  SELECT product_id, n, slope, intercept,
+         list_reduce(z, (acc, x) ->
+             {THETA_ALPHA}::DOUBLE * x + (1::DOUBLE - {THETA_ALPHA}::DOUBLE) * acc) AS ses
+  FROM zline
+)
+SELECT product_id, n,
+       {_R4_SQL.format(x='ses')} AS ses_theta2,
+       {_R4_SQL.format(x=f'intercept + slope * (n + {HOLT_HORIZON})')} AS linear_h4,
+       {_R4_SQL.format(x=f'greatest(0.5::DOUBLE * (intercept + slope * (n + {HOLT_HORIZON})) + 0.5::DOUBLE * ses, 0.0::DOUBLE)')} AS theta_forecast_h4
+FROM folded
+""",
+)
+
+
+# -- Mann-Kendall trend test -----------------------------------------------
+def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nonparametric monotone-trend test per product series
+    (Mann 1945 / Kendall's S): S = Σ_{{i<j}} sign(y_j − y_i), variance
+    with the tie correction Var = [n(n−1)(2n+5) − Σ t(t−1)(2t+5)]/18,
+    z = (S − sign(S))/√Var. The distribution-free complement to
+    ols_demand_trend: robust to the zero-inflated weeks OLS is pulled
+    around by. `trend` classifies at |z| > 1.96 (5% two-sided).
+
+    Scale: the pair sum is O(m²) per series but m is the FIT WINDOW
+    (≤ 104 trailing weeks, same bound as holt) — a constant, so the
+    operator stays linear in series count; the quadratic term runs as
+    a nested JVM higher-order fold over each series' own array, never
+    as a self-join. S and the tie term are exact BIGINTs (associative,
+    engine-independent); only the final z division touches doubles."""
+    from ..operators.cleaning import clean_sales
+    from ..operators.resample import weekly_dense_resample
+
+    sales = clean_sales(load_table(spark, sf_dir, "lineitem"))
+    dense = weekly_dense_resample(sales, ["product_id"], "invoice_date", "units_sold")
+    # The fit-window array is an aggregate OUTPUT (materialization
+    # barrier): the quadratic pair lambda below then reads it as an
+    # O(1) attribute instead of re-deriving a slice+transform chain
+    # per element (see theta_forecast's evaluation-shape note).
+    series = dense.groupBy("product_id").agg(
+        F.count("*").alias("n_weeks"),
+        F.transform(
+            F.slice(
+                F.sort_array(F.collect_list(F.struct("week", "units_sold"))),
+                F.greatest(F.count("*").cast("int") - (HOLT_FIT_WEEKS - 1), F.lit(1)),
+                HOLT_FIT_WEEKS,
+            ),
+            lambda s: F.bround(s["units_sold"], 0).cast("long"),
+        ).alias("ys"),
+    ).filter(F.col("n_weeks") >= 12)
+    series = series.withColumn("m", F.size("ys").cast("long"))
+
+    ys, m = F.col("ys"), F.col("m")
+    s_stat = F.aggregate(
+        F.sequence(F.lit(2).cast("long"), m),
+        F.lit(0).cast("long"),
+        lambda acc, j: acc
+        + F.aggregate(
+            F.sequence(F.lit(1).cast("long"), j - 1),
+            F.lit(0).cast("long"),
+            lambda acc2, i: acc2
+            + F.signum(
+                (F.element_at(ys, j.cast("int")) - F.element_at(ys, i.cast("int"))).cast(
+                    "double"
+                )
+            ).cast("long"),
+        ),
+    )
+    # Tie term over value run counts, computed from the array itself
+    # (values are integral longs): for each distinct value, t = number
+    # of occurrences.
+    tie_term = F.aggregate(
+        F.array_distinct(ys),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc
+        + (
+            lambda t: t * (t - 1) * (2 * t + 5)
+        )(F.size(F.filter(ys, lambda y: y == v)).cast("long")),
+    )
+    var_s = (m * (m - 1) * (2 * m + 5) - tie_term) / F.lit(18.0)
+    z = F.when(
+        var_s > 0,
+        (s_stat - F.signum(s_stat.cast("double")).cast("long")) / F.sqrt(var_s),
+    )
+    z_r = _r4(z)
+    return series.select(
+        "product_id",
+        F.col("n_weeks"),
+        F.col("m").alias("n_fit"),
+        s_stat.alias("s_stat"),
+        _r4(var_s).alias("var_s"),
+        z_r.alias("z"),
+        F.when(z_r > 1.96, F.lit("increasing"))
+        .when(z_r < -1.96, F.lit("decreasing"))
+        .otherwise(F.lit("no_trend"))
+        .alias("trend"),
+    )
+
+
+register(
+    "mann_kendall_trend",
+    q_mann_kendall,
+    f"""
+WITH {_OF.CLEAN_SALES_CTE.strip()},
+weekly AS (
+  SELECT product_id,
+         CAST(invoice_date AS DATE)
+           + CAST((7 - isodow(CAST(invoice_date AS DATE))) % 7 AS INTEGER) AS week,
+         sum(units_sold) AS units_sold
+  FROM sales
+  GROUP BY 1, 2
+),
+bounds AS (
+  SELECT product_id, min(week) AS mn, max(week) AS mx FROM weekly GROUP BY 1
+),
+spine AS (
+  SELECT product_id,
+         CAST(unnest(generate_series(CAST(mn AS TIMESTAMP), CAST(mx AS TIMESTAMP),
+                                     INTERVAL 7 DAY)) AS DATE) AS week
+  FROM bounds
+),
+dense AS (
+  SELECT s.product_id, s.week, coalesce(w.units_sold, 0.0) AS units_sold
+  FROM spine s LEFT JOIN weekly w USING (product_id, week)
+),
+series AS (
+  SELECT product_id, CAST(count(*) AS BIGINT) AS n_weeks,
+         list(units_sold ORDER BY week) AS xs_all
+  FROM dense GROUP BY 1 HAVING count(*) >= 12
+),
+fitwin AS (
+  SELECT product_id, n_weeks,
+         list_transform(
+           xs_all[greatest(len(xs_all) - {HOLT_FIT_WEEKS - 1}, 1):],
+           x -> CAST(round_even(x, 0) AS BIGINT)) AS ys
+  FROM series
+),
+stats AS (
+  SELECT product_id, n_weeks, CAST(len(ys) AS BIGINT) AS m,
+         list_sum(list_transform(range(2, CAST(len(ys) + 1 AS INTEGER)), j ->
+           coalesce(list_sum(list_transform(range(1, j), i ->
+             CAST(sign(ys[j] - ys[i]) AS BIGINT))), 0))) AS s_stat,
+         list_sum(list_transform(list_distinct(ys), v ->
+           CAST(len(list_filter(ys, y -> y = v)) AS BIGINT)
+           * (CAST(len(list_filter(ys, y -> y = v)) AS BIGINT) - 1)
+           * (2 * CAST(len(list_filter(ys, y -> y = v)) AS BIGINT) + 5))) AS tie_term
+  FROM fitwin
+),
+calc AS (
+  SELECT product_id, n_weeks, m, s_stat,
+         (m * (m - 1) * (2 * m + 5) - tie_term) / 18.0::DOUBLE AS var_s
+  FROM stats
+)
+SELECT product_id, n_weeks, m AS n_fit, s_stat,
+       {_R4_SQL.format(x='var_s')} AS var_s,
+       {_R4_SQL.format(x='CASE WHEN var_s > 0 THEN (s_stat - CAST(sign(s_stat) AS BIGINT)) / sqrt(var_s) END')} AS z,
+       CASE WHEN {_R4_SQL.format(x='CASE WHEN var_s > 0 THEN (s_stat - CAST(sign(s_stat) AS BIGINT)) / sqrt(var_s) END')} > 1.96 THEN 'increasing'
+            WHEN {_R4_SQL.format(x='CASE WHEN var_s > 0 THEN (s_stat - CAST(sign(s_stat) AS BIGINT)) / sqrt(var_s) END')} < -1.96 THEN 'decreasing'
+            ELSE 'no_trend' END AS trend
+FROM calc
+""",
+)

@@ -58,6 +58,7 @@ def _load_all() -> None:
         "queries_datacleaning",
         "queries_sql",
         "queries_scale",
+        "queries_trend",
     ):
         qualname = f"{__package__}.plans.{mod}"
         try:

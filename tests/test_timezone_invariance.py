@@ -23,6 +23,9 @@ TZ_SENSITIVE = [
     "seasonality_index",        # ISO week-of-year extraction
     "holiday_demand_lift",      # month() extraction on week dates
     "rolling_median_demand",    # week-ordered trailing window
+    "ols_demand_trend",         # dense-week positions as regressor
+    "holt_linear_forecast",     # week-sorted trailing-window fold
+    "tpch_pricing_summary",     # timestamp-literal ship-date filter
 ]
 
 
