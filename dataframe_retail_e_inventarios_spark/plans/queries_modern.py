@@ -1,0 +1,259 @@
+"""Modern SQL surface (Spark 4.x parity-plus): recursive CTEs, the
+VARIANT semi-structured type, and SQL-defined scalar functions.
+
+These exercise engine features the reference's pandas scripts have no
+analogue for, but that a user migrating a warehouse workload expects:
+
+- `inventory_projection_recursive` — a WITH RECURSIVE simulation of the
+  reorder policy the flagship computes statically: week-by-week on-hand
+  depletion with reorder-point triggered replenishment. Runs as a
+  genuine recursive CTE in BOTH engines (Spark 4 SPARK-24497 /
+  DuckDB), identical SQL semantics.
+- `events_props_variant` — parse_json into a VARIANT column and
+  variant_get extraction (the Spark 4 path for schema-on-read JSON;
+  the DuckDB oracle uses json_extract on the same predicate).
+- `sql_udf_discount_bands` — CREATE TEMPORARY FUNCTION (SQL UDF,
+  Spark 4): a reusable scalar banding function that Catalyst inlines
+  into the plan — zero Python, zero serialization, same codegen as
+  writing the CASE inline (the oracle IS the inlined CASE).
+
+Scale posture: the recursion depth is bounded (trailing
+PROJECTION_WEEKS weeks), each recursion step is one narrow join
+against a per-product position frame — state per step is one row per
+product, so the simulation is linear in products and constant-factor
+in weeks. VARIANT extraction and SQL UDFs are per-row expressions
+(embarrassingly parallel, no shuffle beyond their aggregates).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from . import oracle_fragments as _OF
+from ..registry import register
+from ..sources.readers import load_table
+
+_R4_SQL = "round_even(({x}) * 10000.0, 0) / 10000.0"
+
+PROJECTION_WEEKS = 52  # trailing fit window AND recursion-depth bound
+
+
+# -- recursive-CTE inventory projection ------------------------------------
+# Policy constants: reorder point = 2x average weekly demand, order
+# quantity = 4x average weekly demand, starting stock = ROP + Q.
+# (The flagship computes the analytic ROP/Q; this PROJECTS the policy
+# forward through observed demand to count orders and stockouts.)
+_SIM_SQL = """
+WITH RECURSIVE
+pos AS (SELECT product_id, t, demand, rop, oq FROM {src}),
+sim AS (
+  SELECT product_id, CAST(0 AS BIGINT) AS t,
+         rop + oq AS on_hand,
+         CAST(0 AS BIGINT) AS orders_placed, CAST(0 AS BIGINT) AS stockout_weeks
+  FROM pos WHERE t = 1
+  UNION ALL
+  SELECT s.product_id, s.t + 1,
+         CASE WHEN greatest(s.on_hand - p.demand, 0.0) < p.rop
+              THEN greatest(s.on_hand - p.demand, 0.0) + p.oq
+              ELSE greatest(s.on_hand - p.demand, 0.0) END,
+         s.orders_placed + (CASE WHEN greatest(s.on_hand - p.demand, 0.0) < p.rop THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END),
+         s.stockout_weeks + (CASE WHEN s.on_hand - p.demand < 0.0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)
+  FROM sim s JOIN pos p ON p.product_id = s.product_id AND p.t = s.t + 1
+),
+last_t AS (SELECT product_id, max(t) AS m FROM pos GROUP BY 1)
+SELECT s.product_id, l.m AS n_weeks,
+       {round_fn}(s.on_hand * 10000.0, 0) / 10000.0 AS end_on_hand,
+       s.orders_placed, s.stockout_weeks
+FROM sim s JOIN last_t l ON s.product_id = l.product_id AND s.t = l.m
+"""
+
+
+def _positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-product trailing-window position frame: t (1-based week
+    position), integral weekly demand, and the policy constants derived
+    from exact BIGINT sums (so both engines simulate from bit-identical
+    inputs)."""
+    from ..operators.cleaning import clean_sales
+    from ..operators.resample import weekly_dense_resample
+
+    sales = clean_sales(load_table(spark, sf_dir, "lineitem"))
+    dense = weekly_dense_resample(sales, ["product_id"], "invoice_date", "units_sold")
+    w = Window.partitionBy("product_id").orderBy("week")
+    wp = Window.partitionBy("product_id")
+    pos = (
+        dense.select(
+            "product_id",
+            F.row_number().over(w).cast("long").alias("rn"),
+            F.bround(F.col("units_sold"), 0).cast("long").alias("demand"),
+        )
+        .withColumn("n_all", F.count("*").over(wp))
+        .withColumn("off", F.greatest(F.col("n_all") - PROJECTION_WEEKS, F.lit(0)))
+        .filter((F.col("rn") > F.col("off")) & (F.col("n_all") >= 12))
+        .select(
+            "product_id",
+            (F.col("rn") - F.col("off")).alias("t"),
+            F.col("demand").cast("double").alias("demand"),
+        )
+    )
+    avg = pos.groupBy("product_id").agg(
+        (F.sum("demand") / F.count("*")).alias("avg_w")
+    )
+    return pos.join(avg, "product_id").select(
+        "product_id",
+        "t",
+        "demand",
+        (2.0 * F.col("avg_w")).alias("rop"),
+        (4.0 * F.col("avg_w")).alias("oq"),
+    )
+
+
+def q_inventory_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See module docstring. The recursion is Spark 4's native
+    WITH RECURSIVE (depth = PROJECTION_WEEKS ≤ the engine's recursion
+    limit of 100); the same SQL text (modulo source binding) runs as
+    the DuckDB oracle."""
+    # Materialize the position frame once: every recursion level reads
+    # `pos`, and without the cut each of the 52 levels would re-derive
+    # the whole dense-resample pipeline (52 full scans). After the
+    # checkpoint each level joins a small in-memory frame — the same
+    # rule as the PageRank loop in queries_trend.
+    pos = _positions(spark, sf_dir).localCheckpoint(eager=True)
+    pos.createOrReplaceTempView("_inv_pos")
+    # Same SQL text as the oracle modulo the half-even rounding builtin
+    # name (Spark: bround, DuckDB: round_even).
+    return spark.sql(_SIM_SQL.format(src="_inv_pos", round_fn="bround"))
+
+
+_ORACLE_POS = f"""
+WITH {_OF.CLEAN_SALES_CTE.strip()},
+weekly AS (
+  SELECT product_id,
+         CAST(invoice_date AS DATE)
+           + CAST((7 - isodow(CAST(invoice_date AS DATE))) % 7 AS INTEGER) AS week,
+         sum(units_sold) AS units_sold
+  FROM sales GROUP BY 1, 2
+),
+bounds AS (
+  SELECT product_id, min(week) AS mn, max(week) AS mx FROM weekly GROUP BY 1
+),
+spine AS (
+  SELECT product_id,
+         CAST(unnest(generate_series(CAST(mn AS TIMESTAMP), CAST(mx AS TIMESTAMP),
+                                     INTERVAL 7 DAY)) AS DATE) AS week
+  FROM bounds
+),
+dense AS (
+  SELECT s.product_id, s.week, coalesce(w.units_sold, 0.0) AS units_sold
+  FROM spine s LEFT JOIN weekly w USING (product_id, week)
+),
+ranked AS (
+  SELECT product_id,
+         CAST(row_number() OVER (PARTITION BY product_id ORDER BY week) AS BIGINT) AS rn,
+         CAST(count(*) OVER (PARTITION BY product_id) AS BIGINT) AS n_all,
+         CAST(round_even(units_sold, 0) AS BIGINT) AS demand
+  FROM dense
+),
+trimmed AS (
+  SELECT product_id, rn - greatest(n_all - {PROJECTION_WEEKS}, 0) AS t,
+         CAST(demand AS DOUBLE) AS demand
+  FROM ranked
+  WHERE rn > greatest(n_all - {PROJECTION_WEEKS}, 0) AND n_all >= 12
+),
+avg_w AS (
+  SELECT product_id, sum(demand) / count(*) AS avg_w FROM trimmed GROUP BY 1
+),
+src AS (
+  SELECT t.product_id, t.t, t.demand,
+         2.0::DOUBLE * a.avg_w AS rop, 4.0::DOUBLE * a.avg_w AS oq
+  FROM trimmed t JOIN avg_w a USING (product_id)
+)
+"""
+
+# DuckDB requires WITH RECURSIVE up front; splice the position CTEs in.
+_ORACLE_SIM = _SIM_SQL.format(src="src", round_fn="round_even").replace(
+    "WITH RECURSIVE\npos", _ORACLE_POS.replace("WITH ", "WITH RECURSIVE ", 1) + ",\npos"
+)
+
+register("inventory_projection_recursive", q_inventory_projection, _ORACLE_SIM)
+
+
+# -- VARIANT semi-structured extraction ------------------------------------
+def q_events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read over the event props JSON via Spark 4's VARIANT
+    type: parse once, extract typed paths with variant_get, aggregate.
+    Deciles of the extracted k per event type — the pattern for
+    semi-structured telemetry where columns aren't known at write time.
+    (events_props_json is the from_json/schema-known twin.)"""
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("_ev_variant")
+    return spark.sql(
+        """
+        SELECT event_type,
+               CAST(floor(variant_get(parse_json(props), '$.k', 'int') / 10.0) AS INT) AS k_decile,
+               count(*) AS n,
+               sum(CAST(variant_get(parse_json(props), '$.k', 'int') AS BIGINT)) AS k_sum
+        FROM _ev_variant
+        WHERE variant_get(parse_json(props), '$.k', 'int') IS NOT NULL
+        GROUP BY 1, 2
+        """
+    )
+
+
+register(
+    "events_props_variant",
+    q_events_props_variant,
+    """
+SELECT event_type,
+       CAST(floor(CAST(json_extract(props, '$.k') AS INTEGER) / 10.0) AS INTEGER) AS k_decile,
+       count(*) AS n,
+       sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_sum
+FROM events
+WHERE CAST(json_extract(props, '$.k') AS INTEGER) IS NOT NULL
+GROUP BY 1, 2
+""",
+)
+
+
+# -- SQL-defined scalar function (CREATE FUNCTION) -------------------------
+def q_sql_udf_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reusable banding logic as a SQL UDF (Spark 4 CREATE FUNCTION):
+    declared once, inlined by Catalyst wherever referenced — the
+    governed-semantics answer to copy-pasted CASE expressions, with
+    none of a Python UDF's serialization cost. The oracle inlines the
+    identical CASE, proving the UDF is pure sugar over the same plan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("_li_udf")
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION discount_band(d DOUBLE)
+        RETURNS STRING
+        RETURN CASE WHEN d < 0.02 THEN 'none'
+                    WHEN d < 0.06 THEN 'light'
+                    ELSE 'deep' END
+        """
+    )
+    return spark.sql(
+        """
+        SELECT discount_band(l_discount) AS band,
+               count(*) AS n,
+               sum(CAST(bround(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)) / 10000.0 AS revenue
+        FROM _li_udf
+        GROUP BY 1
+        """
+    )
+
+
+register(
+    "sql_udf_discount_bands",
+    q_sql_udf_bands,
+    """
+SELECT CASE WHEN l_discount < 0.02 THEN 'none'
+            WHEN l_discount < 0.06 THEN 'light'
+            ELSE 'deep' END AS band,
+       count(*) AS n,
+       sum(CAST(round_even(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)) / 10000.0 AS revenue
+FROM lineitem
+GROUP BY 1
+""",
+)

@@ -59,6 +59,7 @@ def _load_all() -> None:
         "queries_sql",
         "queries_scale",
         "queries_trend",
+        "queries_modern",
     ):
         qualname = f"{__package__}.plans.{mod}"
         try:

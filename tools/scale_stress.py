@@ -44,6 +44,11 @@ STRESS_QUERIES = [
     ("bm25_top_terms", "documents"),
     ("doc_chunks", "documents"),
     ("embedding_cosine_neardup_bucketed", "embeddings"),
+    ("holt_linear_forecast", "lineitem"),
+    ("theta_forecast", "lineitem"),
+    ("mann_kendall_trend", "lineitem"),
+    ("gopher_quality_flags", "documents"),
+    ("pagerank_event_graph", "events"),
 ]
 
 # Tables any stress query touches (flagship etc. may read dims).
