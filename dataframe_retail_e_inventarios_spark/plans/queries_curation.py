@@ -75,6 +75,45 @@ WHERE doc_id NOT IN (SELECT node FROM comp WHERE node != cluster_id)
 )
 
 
+def q_dedup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-size distribution of the near-dup graph — the dedup
+    health metric a corpus build reports (how much of the corpus is
+    duplicated, and in what blob sizes). Tiny second aggregate over the
+    components frame; singleton docs (no near-dup edge) are reported as
+    the size-1 row so the histogram covers the whole corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    comp = _neardup_components(spark, sf_dir)
+    sizes = comp.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    hist = sizes.groupBy("cluster_size").agg(F.count("*").alias("n_clusters"))
+    n_docs = docs.agg(F.count("*").alias("n_total"))
+    n_in_pairs = comp.agg(F.count("*").alias("n_paired"))
+    singletons = n_docs.crossJoin(n_in_pairs).select(
+        F.lit(1).cast("long").alias("cluster_size"),
+        (F.col("n_total") - F.col("n_paired")).alias("n_clusters"),
+    )
+    return hist.unionByName(singletons).groupBy("cluster_size").agg(
+        F.sum("n_clusters").alias("n_clusters")
+    )
+
+
+register(
+    "dedup_cluster_histogram",
+    q_dedup_cluster_histogram,
+    f"""
+WITH RECURSIVE {_COMPONENTS_CTES},
+csizes AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size FROM comp GROUP BY 1),
+chist AS (SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters FROM csizes GROUP BY 1),
+csingles AS (
+  SELECT CAST(1 AS BIGINT) AS cluster_size,
+         (SELECT count(*) FROM documents) - (SELECT count(*) FROM comp) AS n_clusters
+)
+SELECT cluster_size, CAST(sum(n_clusters) AS BIGINT) AS n_clusters
+FROM (SELECT * FROM chist UNION ALL SELECT * FROM csingles)
+GROUP BY 1
+""",
+)
+
+
 # -- Deterministic stratified sampling -------------------------------------
 # Sampling a 100 TB corpus must be reproducible and shuffle-free: the
 # keep/drop decision is a pure function of the stable doc_id (md5
