@@ -26,6 +26,7 @@ TZ_SENSITIVE = [
     "ols_demand_trend",         # dense-week positions as regressor
     "holt_linear_forecast",     # week-sorted trailing-window fold
     "tpch_pricing_summary",     # timestamp-literal ship-date filter
+    "inventory_projection_recursive",  # recursive sim over week positions
 ]
 
 
