@@ -130,3 +130,32 @@ def test_no_inferred_generate_filters(spark):
             if line.strip().startswith("Filter") or "+- Filter" in line:
                 assert "sequence(" not in line, name
                 assert "transform(" not in line, name
+
+
+def test_trend_family_shuffle_budget(spark):
+    """OLS / Holt / theta / Mann-Kendall all reduce to ONE dense-series
+    partitioning: dense resample on (product, week) -> series aggregate
+    on (product). More exchanges means a fold started shuffling twice."""
+    for name in ("ols_demand_trend", "holt_linear_forecast",
+                 "theta_forecast", "mann_kendall_trend"):
+        plan = plan_of(spark, name)
+        n = plan.count("+- Exchange")
+        assert n <= 4, f"{name}: exchange count grew to {n}"
+        # The quadratic MK pair sum must run as a per-row fold over the
+        # series array, never as a self-join.
+        assert "Join" not in plan or name != "mann_kendall_trend"
+
+
+def test_pricing_summary_single_pass(spark):
+    """One scan, one 2-key exchange, no joins — the canonical shape."""
+    plan = plan_of(spark, "tpch_pricing_summary")
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("+- Exchange") <= 1
+    assert "Join" not in plan
+
+
+def test_salted_query_spreads_key(spark):
+    """The salted join must shuffle on (key, salt), not key alone, and
+    must not degrade to a broadcast that would defeat the spread."""
+    plan = plan_of(spark, "skew_salted_brand_revenue")
+    assert "_salt" in plan
