@@ -1,0 +1,43 @@
+"""Partition-count invariance: at 1000 executors the shuffle layout is
+whatever the cluster decides, so results must not depend on it. The
+exact scaled-BIGINT sums and sequential per-series folds exist for this
+reason — this test locks the property in by running the same queries
+under different spark.sql.shuffle.partitions and requiring
+bit-identical frames (not approximately equal)."""
+
+import pytest
+
+from dataframe_retail_e_inventarios_spark.registry import queries
+from tests.conftest import SF_SMOKE
+
+INVARIANT_QUERIES = [
+    "tpch_pricing_summary",    # associative money sums
+    "ols_demand_trend",        # exact BIGINT moments
+    "holt_linear_forecast",    # sequential fold per series
+    "ewma_weekly_demand",      # scalar fold
+    "star_join_revenue",       # exact sums through a join tree
+    "revenue_concentration_hhi",
+]
+
+
+@pytest.fixture()
+def restore_shuffle_partitions(spark):
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    yield
+    spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+@pytest.mark.parametrize("name", INVARIANT_QUERIES)
+def test_results_invariant_to_shuffle_partitioning(
+    spark, restore_shuffle_partitions, name
+):
+    fn = queries()[name]
+    frames = {}
+    for parts in ("3", "17"):
+        spark.conf.set("spark.sql.shuffle.partitions", parts)
+        df = fn(spark, SF_SMOKE).toPandas()
+        cols = sorted(df.columns)
+        frames[parts] = df[cols].sort_values(cols, ignore_index=True)
+    a, b = frames["3"], frames["17"]
+    assert len(a) == len(b) > 0
+    assert a.equals(b), f"{name}: results depend on shuffle partition count"
