@@ -981,3 +981,285 @@ SELECT product_id, n_weeks, m AS n_fit, s_stat,
 FROM calc
 """,
 )
+
+
+# -- three-model backtest with per-series model selection ------------------
+BT_HORIZON = 4
+BT_WINDOW = HOLT_FIT_WEEKS + BT_HORIZON  # trailing fit+holdout window
+
+
+def q_forecast_model_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's backtest loop (PRACTICA3.py:110-151: hold out
+    the last 4 weeks, fit on the rest, compare per-model MAPE) run as
+    ONE dataflow over every series at once, for three native
+    forecasters: trailing MA(4), Holt linear, and Theta. Emits each
+    model's masked MAPE (reference A12 semantics: mean over nonzero
+    actuals, x100; plain-MAE fallback when the holdout is all zeros)
+    and the winning model per series — distributed model selection
+    with zero Python in the loop.
+
+    Shape: the trailing BT_WINDOW weeks ride one product-keyed
+    partitioning (two window passes for position/length, one
+    aggregate). Train-side regression moments are CONDITIONAL ROW SUMS
+    inside the aggregate (exact BIGINTs, map-side partial) — not folds
+    over the series array — so every per-element lambda downstream
+    reads O(1) attributes (see the evaluation-shape note above).
+    Forecast horizons are 4-element transforms; the Holt fold runs
+    once per series over its own train array."""
+    from ..operators.cleaning import clean_sales
+    from ..operators.resample import weekly_dense_resample
+
+    sales = clean_sales(load_table(spark, sf_dir, "lineitem"))
+    dense = weekly_dense_resample(sales, ["product_id"], "invoice_date", "units_sold")
+    w = Window.partitionBy("product_id").orderBy("week")
+    wp = Window.partitionBy("product_id")
+    rows = (
+        dense.select(
+            "product_id",
+            "week",
+            F.row_number().over(w).cast("long").alias("rn"),
+            F.count("*").over(wp).cast("long").alias("n_all"),
+            F.bround(F.col("units_sold"), 0).cast("long").alias("y"),
+        )
+        .withColumn("off", F.greatest(F.col("n_all") - BT_WINDOW, F.lit(0)))
+        .filter((F.col("rn") > F.col("off")) & (F.col("n_all") >= 16))
+        .withColumn("x", F.col("rn") - F.col("off"))
+        .withColumn(
+            "n_train", F.least(F.col("n_all"), F.lit(BT_WINDOW)) - BT_HORIZON
+        )
+        .withColumn("is_train", F.col("x") <= F.col("n_train"))
+    )
+    series = rows.groupBy("product_id").agg(
+        F.max("n_all").alias("n_weeks"),
+        F.max("n_train").alias("n_train"),
+        F.sum(F.when(F.col("is_train"), F.col("y"))).alias("sy"),
+        F.sum(F.when(F.col("is_train"), F.col("x") * F.col("y"))).alias("sxy"),
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("x", "y"))), lambda s: s["y"]
+        ).alias("ys"),
+    )
+
+    nt, sy, sxy, ys = F.col("n_train"), F.col("sy"), F.col("sxy"), F.col("ys")
+    # OLS closed forms over train positions 1..n_train (exact ints).
+    sx = nt * (nt + 1) / F.lit(2)
+    sxx = nt * (nt + 1) * (2 * nt + 1) / F.lit(6)
+    slope = (nt * sxy - sx * sy) / (nt * sxx - sx * sx)
+    intercept = (sy - slope * sx) / nt
+
+    a, b = HOLT_ALPHA, HOLT_BETA
+    train = F.slice(ys, 1, nt.cast("int"))
+    pairs = F.transform(
+        train, lambda x: F.struct(x.cast("double").alias("l"), F.lit(0.0).alias("b"))
+    )
+    holt_state = F.aggregate(
+        F.slice(pairs, 2, F.greatest(F.size(pairs) - 1, F.lit(0))),
+        F.element_at(pairs, 1),
+        lambda acc, p: F.struct(
+            (a * p["l"] + (1 - a) * (acc["l"] + acc["b"])).alias("l"),
+            (
+                b * ((a * p["l"] + (1 - a) * (acc["l"] + acc["b"])) - acc["l"])
+                + (1 - b) * acc["b"]
+            ).alias("b"),
+        ),
+    )
+    z = F.transform(
+        F.sequence(F.lit(1).cast("long"), nt),
+        lambda i: 2.0 * F.element_at(ys, i.cast("int")) - (intercept + slope * i),
+    )
+    ses = F.aggregate(
+        F.slice(z, 2, F.greatest(F.size(z) - 1, F.lit(0))),
+        F.element_at(z, 1),
+        lambda acc, x: THETA_ALPHA * x + (1 - THETA_ALPHA) * acc,
+    )
+    ma4 = (
+        F.element_at(ys, nt.cast("int"))
+        + F.element_at(ys, (nt - 1).cast("int"))
+        + F.element_at(ys, (nt - 2).cast("int"))
+        + F.element_at(ys, (nt - 3).cast("int"))
+    ) / 4.0
+
+    def fc_holt(h):
+        return F.greatest(holt_state["l"] + h * holt_state["b"], F.lit(0.0))
+
+    def fc_theta(h):
+        return F.greatest(
+            0.5 * (intercept + slope * (nt + h)) + 0.5 * ses, F.lit(0.0)
+        )
+
+    def fc_ma4(h):
+        return F.greatest(ma4, F.lit(0.0))
+
+    def mape(fc_fn):
+        # Reference A12: mean over nonzero actuals of |a-f|/a * 100;
+        # all-zero holdout -> plain MAE. Fixed h=1..4 summation order.
+        hs = F.sequence(F.lit(1).cast("long"), F.lit(BT_HORIZON).cast("long"))
+        actual = lambda h: F.element_at(ys, (nt + h).cast("int")).cast("double")
+        nz = F.size(F.filter(hs, lambda h: actual(h) != 0.0)).cast("long")
+        err_sum = F.aggregate(
+            hs,
+            F.lit(0.0),
+            lambda acc, h: acc
+            + F.when(
+                actual(h) != 0.0, F.abs((actual(h) - fc_fn(h)) / actual(h))
+            ).otherwise(0.0),
+        )
+        mae = (
+            F.aggregate(
+                hs, F.lit(0.0), lambda acc, h: acc + F.abs(actual(h) - fc_fn(h))
+            )
+            / float(BT_HORIZON)
+        )
+        return F.when(nz > 0, err_sum / nz * 100.0).otherwise(mae)
+
+    m_ma4 = F.bround(mape(fc_ma4) * 10000.0, 0) / 10000.0
+    m_holt = F.bround(mape(fc_holt) * 10000.0, 0) / 10000.0
+    m_theta = F.bround(mape(fc_theta) * 10000.0, 0) / 10000.0
+    best = (
+        F.when((m_holt <= m_ma4) & (m_holt <= m_theta), F.lit("holt"))
+        .when(m_ma4 <= m_theta, F.lit("ma4"))
+        .otherwise(F.lit("theta"))
+    )
+    return series.select(
+        "product_id",
+        "n_weeks",
+        "n_train",
+        m_ma4.alias("mape_ma4"),
+        m_holt.alias("mape_holt"),
+        m_theta.alias("mape_theta"),
+        best.alias("best_model"),
+    )
+
+
+def _model_selection_oracle() -> str:
+    a, one_a = repr(HOLT_ALPHA), repr(1 - HOLT_ALPHA)
+    b, one_b = repr(HOLT_BETA), repr(1 - HOLT_BETA)
+    ta, one_ta = repr(THETA_ALPHA), repr(1 - THETA_ALPHA)
+    lnew = f"{a}::DOUBLE * CAST(x.y AS DOUBLE) + {one_a}::DOUBLE * (r.l + r.b)"
+    # Per-horizon error terms, summed in fixed h order.
+    def err_terms(f_expr: str) -> tuple[str, str, str]:
+        nz = " + ".join(
+            f"(CASE WHEN CAST(ys[n_train + {h}] AS DOUBLE) != 0.0 THEN 1 ELSE 0 END)"
+            for h in range(1, BT_HORIZON + 1)
+        )
+        s = " + ".join(
+            f"(CASE WHEN CAST(ys[n_train + {h}] AS DOUBLE) != 0.0 THEN "
+            f"abs((CAST(ys[n_train + {h}] AS DOUBLE) - ({f_expr.format(h=h)})) / CAST(ys[n_train + {h}] AS DOUBLE)) ELSE 0.0 END)"
+            for h in range(1, BT_HORIZON + 1)
+        )
+        mae = " + ".join(
+            f"abs(CAST(ys[n_train + {h}] AS DOUBLE) - ({f_expr.format(h=h)}))"
+            for h in range(1, BT_HORIZON + 1)
+        )
+        return nz, s, mae
+
+    f_ma4 = "greatest(ma4, 0.0::DOUBLE)"
+    f_holt = "greatest(hl + {h} * hb, 0.0::DOUBLE)"
+    f_theta = f"greatest(0.5::DOUBLE * (intercept + slope * (n_train + {{h}})) + 0.5::DOUBLE * ses, 0.0::DOUBLE)"
+    nz0, s_ma4, mae_ma4 = err_terms(f_ma4)
+    _, s_holt, mae_holt = err_terms(f_holt)
+    _, s_theta, mae_theta = err_terms(f_theta)
+
+    def mape_sql(s, mae):
+        return (
+            f"round_even((CASE WHEN ({nz0}) > 0 THEN ({s}) / ({nz0}) * 100.0 "
+            f"ELSE ({mae}) / {float(BT_HORIZON)} END) * 10000.0, 0) / 10000.0"
+        )
+
+    return f"""
+WITH RECURSIVE {_OF.CLEAN_SALES_CTE.strip()},
+weekly AS (
+  SELECT product_id,
+         CAST(invoice_date AS DATE)
+           + CAST((7 - isodow(CAST(invoice_date AS DATE))) % 7 AS INTEGER) AS week,
+         sum(units_sold) AS units_sold
+  FROM sales GROUP BY 1, 2
+),
+bounds AS (SELECT product_id, min(week) AS mn, max(week) AS mx FROM weekly GROUP BY 1),
+spine AS (
+  SELECT product_id,
+         CAST(unnest(generate_series(CAST(mn AS TIMESTAMP), CAST(mx AS TIMESTAMP),
+                                     INTERVAL 7 DAY)) AS DATE) AS week
+  FROM bounds
+),
+dense AS (
+  SELECT s.product_id, s.week, coalesce(w.units_sold, 0.0) AS units_sold
+  FROM spine s LEFT JOIN weekly w USING (product_id, week)
+),
+ranked AS (
+  SELECT product_id, week,
+         CAST(row_number() OVER (PARTITION BY product_id ORDER BY week) AS BIGINT) AS rn,
+         CAST(count(*) OVER (PARTITION BY product_id) AS BIGINT) AS n_all,
+         CAST(round_even(units_sold, 0) AS BIGINT) AS y
+  FROM dense
+),
+trimmed AS (
+  SELECT product_id, n_all, rn - greatest(n_all - {BT_WINDOW}, 0) AS x, y,
+         least(n_all, {BT_WINDOW}) - {BT_HORIZON} AS n_train
+  FROM ranked
+  WHERE rn > greatest(n_all - {BT_WINDOW}, 0) AND n_all >= 16
+),
+series AS (
+  SELECT product_id, max(n_all) AS n_weeks, max(n_train) AS n_train,
+         sum(CASE WHEN x <= n_train THEN y END) AS sy,
+         sum(CASE WHEN x <= n_train THEN x * y END) AS sxy,
+         list(y ORDER BY x) AS ys
+  FROM trimmed GROUP BY 1
+),
+fit AS (
+  SELECT *,
+         (n_train * sxy - (n_train * (n_train + 1) / 2) * sy)
+           / (n_train * (n_train * (n_train + 1) * (2 * n_train + 1) / 6)
+              - (n_train * (n_train + 1) / 2) * (n_train * (n_train + 1) / 2)) AS slope
+  FROM series
+),
+fit2 AS (
+  SELECT *, (sy - slope * (n_train * (n_train + 1) / 2)) / n_train AS intercept
+  FROM fit
+),
+theta_ses AS (
+  SELECT product_id,
+         list_reduce(
+           list_transform(range(1, CAST(n_train + 1 AS INTEGER)),
+                          i -> 2.0::DOUBLE * ys[i] - (intercept + slope * CAST(i AS BIGINT))),
+           (acc, x) -> {ta}::DOUBLE * x + {one_ta}::DOUBLE * acc) AS ses
+  FROM fit2
+),
+hx AS (
+  SELECT product_id, x, y, n_train FROM trimmed WHERE x <= n_train
+),
+holt AS (
+  SELECT product_id, CAST(1 AS BIGINT) AS t, CAST(y AS DOUBLE) AS l, 0.0::DOUBLE AS b, n_train
+  FROM hx WHERE x = 1
+  UNION ALL
+  SELECT r.product_id, r.t + 1, {lnew},
+         {b}::DOUBLE * (({lnew}) - r.l) + {one_b}::DOUBLE * r.b, r.n_train
+  FROM holt r JOIN hx x ON x.product_id = r.product_id AND x.x = r.t + 1
+),
+holt_end AS (
+  SELECT product_id, l AS hl, b AS hb FROM holt WHERE t = n_train
+),
+final AS (
+  SELECT f.product_id, f.n_weeks, f.n_train, f.ys, f.slope, f.intercept,
+         t.ses, h.hl, h.hb,
+         CAST(ys[n_train] + ys[n_train - 1] + ys[n_train - 2] + ys[n_train - 3] AS DOUBLE) / 4.0 AS ma4
+  FROM fit2 f
+  JOIN theta_ses t USING (product_id)
+  JOIN holt_end h USING (product_id)
+)
+SELECT product_id, n_weeks, n_train,
+       {mape_sql(s_ma4, mae_ma4)} AS mape_ma4,
+       {mape_sql(s_holt, mae_holt)} AS mape_holt,
+       {mape_sql(s_theta, mae_theta)} AS mape_theta,
+       CASE WHEN {mape_sql(s_holt, mae_holt)} <= {mape_sql(s_ma4, mae_ma4)}
+             AND {mape_sql(s_holt, mae_holt)} <= {mape_sql(s_theta, mae_theta)} THEN 'holt'
+            WHEN {mape_sql(s_ma4, mae_ma4)} <= {mape_sql(s_theta, mae_theta)} THEN 'ma4'
+            ELSE 'theta' END AS best_model
+FROM final
+"""
+
+
+register(
+    "forecast_model_selection",
+    q_forecast_model_selection,
+    _model_selection_oracle(),
+)

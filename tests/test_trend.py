@@ -242,3 +242,30 @@ def test_mann_kendall_detects_monotone_trend(spark, tmp_path):
     r = out[0]
     assert r.s_stat == 20 * 19 // 2
     assert r.trend == "increasing" and r.z > 1.96
+
+
+def test_model_selection_prefers_trend_aware_on_linear_series(spark, tmp_path):
+    # Strongly trending series: the constant MA(4) forecast must lose
+    # to the trend-aware members; a constant series is a three-way tie
+    # broken deterministically in favor of 'holt'.
+    from dataframe_retail_e_inventarios_spark.plans.queries_trend import (
+        q_forecast_model_selection,
+    )
+
+    base = datetime.datetime(2024, 1, 7)
+    rows = [
+        (t, 1, 1, 1, float(10 + 5 * (t + 1)), 100.0, 0.0, 0.0, "N", "O",
+         base + datetime.timedelta(weeks=t))
+        for t in range(30)
+    ] + [
+        (100 + t, 2, 1, 1, 20.0, 100.0, 0.0, 0.0, "N", "O",
+         base + datetime.timedelta(weeks=t))
+        for t in range(30)
+    ]
+    _write_lineitem(spark, str(tmp_path), rows)
+    out = {r.product_id: r for r in q_forecast_model_selection(spark, str(tmp_path)).collect()}
+    trending, constant = out[1], out[2]
+    assert trending.mape_holt < trending.mape_ma4
+    assert trending.best_model in ("holt", "theta")
+    assert constant.mape_ma4 == constant.mape_holt == constant.mape_theta == 0.0
+    assert constant.best_model == "holt"  # deterministic tie-break
