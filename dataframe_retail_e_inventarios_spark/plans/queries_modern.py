@@ -257,3 +257,117 @@ FROM lineitem
 GROUP BY 1
 """,
 )
+
+
+# -- built-in session_window (batch) ---------------------------------------
+def q_session_window_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's native session_window(ts, gap) run in batch — the same
+    30-minute-gap semantics events_sessionization derives from first
+    principles (lag + cumulative flag). Registering BOTH against
+    independent oracles cross-validates Spark's built-in operator
+    against the gaps-and-islands construction: window.end is
+    last_event + gap by definition, which the oracle reproduces as
+    max(ts) + INTERVAL 30 MINUTE. One user-keyed shuffle; the session
+    merge happens inside the aggregate (no self-join)."""
+    from ..functions.timewall import wall_epoch_seconds
+
+    ev = load_table(spark, sf_dir, "events")
+    sw = F.session_window("ts", "30 minutes")
+    return (
+        ev.groupBy("user_id", sw)
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            wall_epoch_seconds(F.col("session_window.start")).alias("start_epoch"),
+            wall_epoch_seconds(F.col("session_window.end")).alias("end_epoch"),
+            "n_events",
+        )
+    )
+
+
+register(
+    "events_session_window_builtin",
+    q_session_window_builtin,
+    """
+WITH seq AS (
+  SELECT user_id, ts, event_id,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+),
+flagged AS (
+  SELECT user_id, ts,
+         -- Spark merges on a CLOSED interval: an event at exactly
+         -- prev + gap still joins the session (probed on 4.1.2; the
+         -- boundary unit test locks it in) -> new session only when
+         -- the gap strictly exceeds 30:00.
+         CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM seq
+),
+numbered AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+  FROM flagged
+)
+SELECT user_id,
+       CAST(floor(epoch_us(min(ts)) / 1000000) AS BIGINT) AS start_epoch,
+       CAST(floor(epoch_us(max(ts) + INTERVAL 30 MINUTE) / 1000000) AS BIGINT) AS end_epoch,
+       count(*) AS n_events
+FROM numbered
+GROUP BY user_id, session_no
+""",
+)
+
+
+# -- time-RANGE window frame (trailing 28 days) ----------------------------
+def q_trailing_28d_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-28-day demand per product per day using a RANGE frame
+    over epoch-day ordering — the time-based frame the rowsBetween
+    family can't express (rows != days when days are missing; a RANGE
+    frame weights actual dates, so gaps shrink the window's content
+    instead of stretching its span). One product-keyed sort; integral
+    demand sums stay BIGINT-exact inside the frame."""
+    from ..operators.cleaning import clean_sales
+
+    sales = clean_sales(load_table(spark, sf_dir, "lineitem"))
+    daily = (
+        sales.groupBy(
+            "product_id", F.to_date("invoice_date").alias("day")
+        )
+        .agg(F.sum(F.bround("units_sold", 0).cast("long")).alias("units"))
+        .withColumn("epoch_day", F.unix_date(F.col("day")).cast("long"))
+    )
+    w = (
+        Window.partitionBy("product_id")
+        .orderBy("epoch_day")
+        .rangeBetween(-27, 0)
+    )
+    return daily.select(
+        "product_id",
+        "epoch_day",
+        "units",
+        F.sum("units").over(w).alias("units_28d"),
+    )
+
+
+register(
+    "trailing_28d_range_frame",
+    q_trailing_28d_range,
+    f"""
+WITH {_OF.CLEAN_SALES_CTE.strip()},
+daily AS (
+  SELECT product_id, CAST(invoice_date AS DATE) AS day,
+         sum(CAST(round_even(units_sold, 0) AS BIGINT)) AS units
+  FROM sales GROUP BY 1, 2
+),
+keyed AS (
+  SELECT product_id, CAST(datediff('day', DATE '1970-01-01', day) AS BIGINT) AS epoch_day, units
+  FROM daily
+)
+SELECT product_id, epoch_day, units,
+       sum(units) OVER (PARTITION BY product_id ORDER BY epoch_day
+                        RANGE BETWEEN 27 PRECEDING AND CURRENT ROW) AS units_28d
+FROM keyed
+""",
+)

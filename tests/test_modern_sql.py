@@ -65,3 +65,53 @@ def test_sql_udf_is_inlined_not_python(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     bands = {r.band for r in df.collect()}
     assert bands == {"none", "light", "deep"}
+
+
+def test_session_window_exact_gap_boundary(spark, tmp_path):
+    # Spark's session merge interval is CLOSED: an event at exactly
+    # prev + gap still joins (probed on 4.1.2); one microsecond past
+    # splits. The oracle's `>` comparison encodes the same rule.
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 3, 1, 12, 0, 0)
+    rows = [
+        (1, t0, 10, "view", 1.0, "{}"),
+        (2, t0 + dt.timedelta(minutes=30), 10, "view", 1.0, "{}"),  # exact gap: merges
+        (3, t0 + dt.timedelta(hours=2), 10, "view", 1.0, "{}"),
+        (4, t0 + dt.timedelta(hours=2, minutes=30, microseconds=1), 10, "view", 1.0, "{}"),  # 1us past: splits
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    from dataframe_retail_e_inventarios_spark.plans.queries_modern import (
+        q_session_window_builtin,
+    )
+
+    out = q_session_window_builtin(spark, str(tmp_path)).collect()
+    sizes = sorted(r.n_events for r in out)
+    assert sizes == [1, 1, 2]
+
+
+def test_range_frame_weights_dates_not_rows(spark, tmp_path):
+    # Two sales 40 days apart: a 28-day RANGE frame must NOT include
+    # the older day, even though it is the adjacent row.
+    import datetime as dt
+
+    rows = [
+        (1, 5, 1, 1, 10.0, 100.0, 0.0, 0.0, "N", "O", dt.datetime(2024, 1, 1)),
+        (2, 5, 1, 1, 7.0, 100.0, 0.0, 0.0, "N", "O", dt.datetime(2024, 2, 10)),
+    ]
+    from tests.test_trend import _write_lineitem
+
+    _write_lineitem(spark, str(tmp_path), rows)
+    from dataframe_retail_e_inventarios_spark.plans.queries_modern import (
+        q_trailing_28d_range,
+    )
+
+    out = sorted(
+        q_trailing_28d_range(spark, str(tmp_path)).collect(),
+        key=lambda r: r.epoch_day,
+    )
+    assert [r.units_28d for r in out] == [10, 7]
