@@ -59,6 +59,10 @@ HEADLINE = [
     "mann_kendall_trend",
     "gopher_quality_flags",
     "pagerank_event_graph",
+    "forecast_model_selection",
+    "events_session_window_builtin",
+    "trailing_28d_range_frame",
+    "decontamination_bloom",
 ]
 
 

@@ -194,3 +194,81 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("approx_distinct_users", q_approx_distinct, None)  # sketch: rows-only
+
+
+# -- N2 extension: Bloom-filter decontamination ------------------------------
+def q_decontamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-membership flag per train doc via a broadcast Bloom
+    filter (operators/bloom.py) instead of the shingle-index join:
+    build an 8 KB bitmap from the eval split's shingle hashes once,
+    then every train doc answers "do I touch the benchmark?" with pure
+    per-row arithmetic — no corpus shuffle, no join, no aggregation
+    (one output row per input doc straight off the scan pipeline).
+    False positives are possible by construction and BOTH engines
+    reproduce them bit-for-bit (md5-derived positions), so the
+    approximate operator still gets the full hash check; the exact
+    pair query (decontamination_overlap) remains the precision tool.
+    tests/test_datacleaning assert the no-false-negative direction
+    against the exact overlap."""
+    from ..operators.bloom import bloom_build, bloom_probe_any
+    from ..operators.dedup import shingle_hash32, word_shingles
+    from ..operators.textops import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    shingles = F.transform(word_shingles(tokens("text"), 3), shingle_hash32)
+    ev_keys = (
+        docs.filter(F.col("doc_id") % 97 == 0)
+        .select(F.explode(shingles).alias("hs"))
+        .distinct()
+    )
+    bloom = bloom_build(ev_keys, "hs")
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    return train.crossJoin(F.broadcast(bloom)).select(
+        "doc_id",
+        F.size(shingles).alias("n_shingles"),
+        F.coalesce(
+            bloom_probe_any(shingles, F.col("bloom_words")), F.lit(False)
+        ).alias("contaminated"),
+    )
+
+
+def _bloom_oracle() -> str:
+    from ..operators.bloom import K_HASHES, position_sql
+
+    pos_list = ", ".join(position_sql("hs", s) for s in range(K_HASHES))
+    all_in = " AND ".join(
+        f"({position_sql('hs', s)}) IN (SELECT pos FROM bench_pos)"
+        for s in range(K_HASHES)
+    )
+    return f"""
+WITH toks_t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+shingled AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 3
+              THEN list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+              ELSE CAST([] AS VARCHAR[]) END AS shingles
+  FROM toks_t
+),
+ds AS (SELECT doc_id, unnest(shingles) AS shingle FROM shingled),
+ds_h AS (SELECT doc_id, {_HS} AS hs FROM ds),
+bench_pos AS (
+  SELECT DISTINCT unnest([{pos_list}]) AS pos
+  FROM (SELECT DISTINCT hs FROM ds_h WHERE doc_id % 97 = 0)
+),
+probe AS (
+  SELECT doc_id, bool_or({all_in}) AS contaminated
+  FROM ds_h WHERE doc_id % 97 != 0
+  GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(len(s.shingles) AS INTEGER) AS n_shingles,
+       coalesce(p.contaminated, FALSE) AS contaminated
+FROM documents d
+JOIN shingled s USING (doc_id)
+LEFT JOIN probe p USING (doc_id)
+WHERE d.doc_id % 97 != 0
+"""
+
+
+register("decontamination_bloom", q_decontamination_bloom, _bloom_oracle())

@@ -118,3 +118,36 @@ class TestApproxDistinct:
         assert len(got) > 0
         for r in got:
             assert abs(r.approx - r.exact) <= max(1, 0.05 * r.exact)
+
+
+def test_bloom_decontamination_has_no_false_negatives(spark):
+    """Every train doc the EXACT overlap query flags (>=1 shared
+    shingle with the benchmark split) must also be bloom-flagged;
+    bloom extras are false positives, whose rate stays under the
+    analytic bound for m=65536, k=3."""
+    import pyspark.sql.functions as F
+
+    from dataframe_retail_e_inventarios_spark.operators.dedup import (
+        contamination_pairs,
+    )
+    from dataframe_retail_e_inventarios_spark.plans.queries_datacleaning import (
+        q_decontamination_bloom,
+    )
+    from dataframe_retail_e_inventarios_spark.sources.readers import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    ev = docs.filter(F.col("doc_id") % 97 == 0)
+    tr = docs.filter(F.col("doc_id") % 97 != 0)
+    exact_ids = {
+        r.train_id
+        for r in contamination_pairs(tr, ev, min_shared=1).select("train_id").collect()
+    }
+    bloom = {r.doc_id: r.contaminated for r in q_decontamination_bloom(spark, SF_SMOKE).collect()}
+    flagged = {d for d, c in bloom.items() if c}
+    assert exact_ids <= flagged, "bloom produced a false negative"
+    n_train = len(bloom)
+    fp = len(flagged - exact_ids)
+    # Loose ceiling: per-shingle FPP is ~(1-e^{-kn/m})^k; a doc with s
+    # shingles gets ~s chances. Assert the observed rate is sane.
+    assert fp / max(n_train, 1) < 0.25, f"false-positive rate {fp}/{n_train}"
