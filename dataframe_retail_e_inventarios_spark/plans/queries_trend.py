@@ -1263,3 +1263,144 @@ register(
     q_forecast_model_selection,
     _model_selection_oracle(),
 )
+
+
+# -- per-series autocorrelation (lags 1, 4, 8) -----------------------------
+ACF_LAGS = (1, 4, 8)
+
+
+def q_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation of weekly demand at lags 1/4/8 per
+    product — the cycle diagnostic that tells a planner whether
+    demand has weekly persistence or monthly/bi-monthly seasonality
+    (and tells the forecast family which lags matter). Standard
+    estimator: r_k = Σ(y_t−ȳ)(y_{t+k}−ȳ) / Σ(y_t−ȳ)², expanded so
+    every moment (Σy, Σy², Σ y_t·y_{t+k}) is an EXACT BIGINT — the
+    lag cross-moments fold once over the series' own array
+    (aggregate-output barrier, O(n) per lag), everything else is
+    O(1) attribute arithmetic. One dense-resample shuffle + one
+    aggregate, same skeleton as the rest of the family."""
+    from ..operators.cleaning import clean_sales
+    from ..operators.resample import weekly_dense_resample
+
+    sales = clean_sales(load_table(spark, sf_dir, "lineitem"))
+    dense = weekly_dense_resample(sales, ["product_id"], "invoice_date", "units_sold")
+    w = Window.partitionBy("product_id").orderBy("week")
+    xy = dense.select(
+        "product_id",
+        F.row_number().over(w).cast("long").alias("x"),
+        F.bround(F.col("units_sold"), 0).cast("long").alias("y"),
+    )
+    series = (
+        xy.groupBy("product_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"),
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("x", "y"))), lambda s: s["y"]
+            ).alias("ys"),
+        )
+        .filter(F.col("n") >= 16)
+    )
+    n, sy, syy, ys = F.col("n"), F.col("sy"), F.col("syy"), F.col("ys")
+    mean = sy.cast("double") / n
+    # Σ(y-ȳ)² = syy - sy²/n, exact-int inputs -> deterministic double.
+    den = syy.cast("double") - sy.cast("double") * sy / n
+
+    def acf(k: int):
+        # Σ_{t=1..n-k} y_t·y_{t+k} as an exact BIGINT fold.
+        cross = F.aggregate(
+            F.sequence(F.lit(1).cast("long"), n - k),
+            F.lit(0).cast("long"),
+            lambda acc, t: acc
+            + F.element_at(ys, t.cast("int"))
+            * F.element_at(ys, (t + k).cast("int")),
+        )
+        # Σ(y_t−ȳ)(y_{t+k}−ȳ) over the overlap; head/tail partial sums
+        # are exact-int folds as well.
+        head = F.aggregate(
+            F.sequence(F.lit(1).cast("long"), n - k),
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + F.element_at(ys, t.cast("int")),
+        )
+        tail = F.aggregate(
+            F.sequence(F.lit(k + 1).cast("long"), n),
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + F.element_at(ys, t.cast("int")),
+        )
+        num = (
+            cross.cast("double")
+            - mean * head
+            - mean * tail
+            + (n - k) * mean * mean
+        )
+        return F.when(den > 0, _r4(num / den))
+
+    return series.select(
+        "product_id",
+        "n",
+        *[acf(k).alias(f"acf_{k}") for k in ACF_LAGS],
+    )
+
+
+def _acf_oracle() -> str:
+    def acf_sql(k: int) -> str:
+        cross = (
+            f"list_sum(list_transform(range(1, CAST(n - {k} + 1 AS INTEGER)), "
+            f"t -> ys[t] * ys[t + {k}]))"
+        )
+        head = (
+            f"list_sum(list_transform(range(1, CAST(n - {k} + 1 AS INTEGER)), t -> ys[t]))"
+        )
+        tail = (
+            f"list_sum(list_transform(range({k} + 1, CAST(n + 1 AS INTEGER)), t -> ys[t]))"
+        )
+        num = (
+            f"CAST({cross} AS DOUBLE) - mean * ({head}) - mean * ({tail})"
+            f" + (n - {k}) * mean * mean"
+        )
+        return f"CASE WHEN den > 0 THEN {_R4_SQL.format(x=f'({num}) / den')} END"
+
+    return f"""
+WITH {_OF.CLEAN_SALES_CTE.strip()},
+weekly AS (
+  SELECT product_id,
+         CAST(invoice_date AS DATE)
+           + CAST((7 - isodow(CAST(invoice_date AS DATE))) % 7 AS INTEGER) AS week,
+         sum(units_sold) AS units_sold
+  FROM sales GROUP BY 1, 2
+),
+bounds AS (SELECT product_id, min(week) AS mn, max(week) AS mx FROM weekly GROUP BY 1),
+spine AS (
+  SELECT product_id,
+         CAST(unnest(generate_series(CAST(mn AS TIMESTAMP), CAST(mx AS TIMESTAMP),
+                                     INTERVAL 7 DAY)) AS DATE) AS week
+  FROM bounds
+),
+dense AS (
+  SELECT s.product_id, s.week, coalesce(w.units_sold, 0.0) AS units_sold
+  FROM spine s LEFT JOIN weekly w USING (product_id, week)
+),
+series AS (
+  SELECT product_id, CAST(count(*) AS BIGINT) AS n,
+         sum(CAST(round_even(units_sold, 0) AS BIGINT)) AS sy,
+         sum(CAST(round_even(units_sold, 0) AS BIGINT) * CAST(round_even(units_sold, 0) AS BIGINT)) AS syy,
+         list_transform(list(units_sold ORDER BY week), x -> CAST(round_even(x, 0) AS BIGINT)) AS ys
+  FROM dense GROUP BY 1 HAVING count(*) >= 16
+),
+m AS (
+  SELECT product_id, n, ys,
+         CAST(sy AS DOUBLE) / n AS mean,
+         CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n AS den
+  FROM series
+)
+SELECT product_id, n,
+       {acf_sql(1)} AS acf_1,
+       {acf_sql(4)} AS acf_4,
+       {acf_sql(8)} AS acf_8
+FROM m
+"""
+
+
+register("demand_autocorrelation", q_autocorrelation, _acf_oracle())

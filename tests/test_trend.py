@@ -269,3 +269,26 @@ def test_model_selection_prefers_trend_aware_on_linear_series(spark, tmp_path):
     assert trending.best_model in ("holt", "theta")
     assert constant.mape_ma4 == constant.mape_holt == constant.mape_theta == 0.0
     assert constant.best_model == "holt"  # deterministic tie-break
+
+
+def test_acf_detects_period_4_cycle(spark, tmp_path):
+    # Perfect period-4 demand: ACF at lag 4 is ~1, lag 1 well below.
+    from dataframe_retail_e_inventarios_spark.plans.queries_trend import (
+        q_autocorrelation,
+    )
+
+    base = datetime.datetime(2024, 1, 7)
+    pattern = [10.0, 40.0, 25.0, 5.0]
+    rows = [
+        (t, 8, 1, 1, pattern[t % 4], 100.0, 0.0, 0.0, "N", "O",
+         base + datetime.timedelta(weeks=t))
+        for t in range(32)
+    ]
+    _write_lineitem(spark, str(tmp_path), rows)
+    out = q_autocorrelation(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    # The sample estimator's numerator has n-k terms against a full-n
+    # denominator, so a PERFECT cycle measures exactly (n-k)/n.
+    assert r.acf_4 == (32 - 4) / 32 and r.acf_8 == (32 - 8) / 32
+    assert r.acf_1 < r.acf_4 - 0.5
