@@ -101,3 +101,47 @@ def test_ivf_probe_is_exact_within_probed_cells(spark):
         cands = [i for i, c in cell.items() if c in probed and i != qid]
         expected = sorted(cands, key=lambda i: (-cos(qv, vecs[i]), i))[:10]
         assert got[got.query_id == qid]["cand_id"].tolist() == expected, qid
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """AQE's skew-join rewrite is the runtime complement to explicit
+    salting: with one key carrying 60% of a shuffle join's rows, the
+    final adaptive plan must mark the join skew-handled
+    (SortMergeJoin(skew=true)) — the skewed partition is split across
+    tasks instead of becoming the straggler."""
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "100KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "50KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        big = spark.range(0, 300_000).select(
+            F.when(F.col("id") % 10 < 6, F.lit(7))
+            .otherwise(F.col("id") % 100)
+            .alias("k"),
+            F.sha2(F.col("id").cast("string"), 256).alias("pad"),
+        )
+        small = spark.range(0, 1_000).select(
+            (F.col("id") % 100).alias("k"), F.col("id").alias("w")
+        )
+        j = big.join(small, "k").select("k", "pad", "w")
+        n = 0
+        for _ in j.toLocalIterator():
+            n += 1
+        assert n == 3_000_000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, "AQE did not split the skewed partition"
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
