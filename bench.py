@@ -63,6 +63,7 @@ HEADLINE = [
     "events_session_window_builtin",
     "trailing_28d_range_frame",
     "decontamination_bloom",
+    "demand_autocorrelation",
 ]
 
 
