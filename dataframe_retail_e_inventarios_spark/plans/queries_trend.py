@@ -1404,3 +1404,74 @@ FROM m
 
 
 register("demand_autocorrelation", q_autocorrelation, _acf_oracle())
+
+
+# -- economic order quantity (EOQ) -----------------------------------------
+EOQ_ORDER_COST = 50.0     # S: fixed cost per order
+EOQ_HOLDING_COST = 2.0    # H: per unit per year
+
+
+def q_eoq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson EOQ per product: Q* = sqrt(2·D·S / H) with annualized
+    demand D estimated over the series' calendar span — the classic
+    order-sizing complement to the flagship's safety-stock/ROP
+    (PRACTICA3.py:68-81 computes WHEN to order; EOQ computes HOW MUCH
+    per order to minimize ordering+holding cost). Pure aggregates:
+    one weekly rollup + one product aggregate; demand totals are exact
+    BIGINTs so D and Q* are deterministic doubles everywhere."""
+    from ..operators.cleaning import clean_sales
+    from ..operators.resample import weekly_resample_sum
+
+    sales = clean_sales(load_table(spark, sf_dir, "lineitem"))
+    weekly = weekly_resample_sum(sales, ("product_id",), "invoice_date", "units_sold")
+    agg = weekly.groupBy("product_id").agg(
+        F.sum(F.bround("units_sold", 0).cast("long")).alias("total_units"),
+        (
+            (F.datediff(F.max("week"), F.min("week")) / 7 + 1).cast("long")
+        ).alias("weeks_span"),
+    )
+    d_annual = F.col("total_units").cast("double") * 52.0 / F.col("weeks_span")
+    eoq = F.sqrt(2.0 * d_annual * EOQ_ORDER_COST / EOQ_HOLDING_COST)
+    return (
+        agg.filter(F.col("weeks_span") >= 12)
+        .select(
+            "product_id",
+            "weeks_span",
+            "total_units",
+            _r4(d_annual).alias("annual_demand"),
+            _r4(eoq).alias("eoq_units"),
+            _r4(d_annual / eoq).alias("orders_per_year"),
+        )
+    )
+
+
+register(
+    "eoq_order_quantity",
+    q_eoq,
+    f"""
+WITH {_OF.CLEAN_SALES_CTE.strip()},
+weekly AS (
+  SELECT product_id,
+         CAST(invoice_date AS DATE)
+           + CAST((7 - isodow(CAST(invoice_date AS DATE))) % 7 AS INTEGER) AS week,
+         sum(units_sold) AS units_sold
+  FROM sales GROUP BY 1, 2
+),
+agg AS (
+  SELECT product_id,
+         sum(CAST(round_even(units_sold, 0) AS BIGINT)) AS total_units,
+         CAST(datediff('day', min(week), max(week)) / 7 + 1 AS BIGINT) AS weeks_span
+  FROM weekly GROUP BY 1
+),
+c AS (
+  SELECT product_id, weeks_span, total_units,
+         CAST(total_units AS DOUBLE) * 52.0 / weeks_span AS d_annual
+  FROM agg WHERE weeks_span >= 12
+)
+SELECT product_id, weeks_span, total_units,
+       {_R4_SQL.format(x='d_annual')} AS annual_demand,
+       {_R4_SQL.format(x=f'sqrt(2.0 * d_annual * {EOQ_ORDER_COST} / {EOQ_HOLDING_COST})')} AS eoq_units,
+       {_R4_SQL.format(x=f'd_annual / sqrt(2.0 * d_annual * {EOQ_ORDER_COST} / {EOQ_HOLDING_COST})')} AS orders_per_year
+FROM c
+""",
+)

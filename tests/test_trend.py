@@ -292,3 +292,21 @@ def test_acf_detects_period_4_cycle(spark, tmp_path):
     # denominator, so a PERFECT cycle measures exactly (n-k)/n.
     assert r.acf_4 == (32 - 4) / 32 and r.acf_8 == (32 - 8) / 32
     assert r.acf_1 < r.acf_4 - 0.5
+
+
+def test_eoq_square_root_law(spark, tmp_path):
+    # Wilson formula on a known demand: 20 units/week over 26 weeks ->
+    # D = 1040/yr, EOQ = sqrt(2*1040*50/2) = sqrt(52000).
+    from dataframe_retail_e_inventarios_spark.plans.queries_trend import q_eoq
+
+    base = datetime.datetime(2024, 1, 7)
+    rows = [
+        (t, 4, 1, 1, 20.0, 100.0, 0.0, 0.0, "N", "O", base + datetime.timedelta(weeks=t))
+        for t in range(26)
+    ]
+    _write_lineitem(spark, str(tmp_path), rows)
+    out = q_eoq(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.annual_demand == 1040.0
+    assert abs(r.eoq_units - 52000 ** 0.5) < 1e-3
