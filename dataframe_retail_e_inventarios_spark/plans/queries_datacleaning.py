@@ -11,7 +11,7 @@ redaction chain itself is hash-checked end to end.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..operators.dedup import contamination_pairs
 from ..operators.pii import pii_sql_fragments, redact_pii
@@ -272,3 +272,88 @@ WHERE d.doc_id % 97 != 0
 
 
 register("decontamination_bloom", q_decontamination_bloom, _bloom_oracle())
+
+
+# -- Benford first-digit distribution ---------------------------------------
+def q_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit distribution of line amounts vs
+    Benford's law — the classic bulk-data anomaly screen (fabricated
+    or truncated monetary data drifts from log10(1+1/d)). One scan,
+    one 9-row aggregate; the chi-square-style deviation term is
+    computed per digit from exact counts, so the screen is
+    deterministic and cheap enough to run per corpus snapshot next to
+    profile_lineitem_columns."""
+    li = load_table(spark, sf_dir, "lineitem")
+    digit = F.substring(
+        F.regexp_replace(F.col("l_extendedprice").cast("string"), r"[^1-9]", ""), 1, 1
+    )
+    counts = (
+        li.filter(F.col("l_extendedprice") > 0)
+        .groupBy(digit.cast("int").alias("digit"))
+        .agg(F.count("*").alias("n"))
+    )
+    total = Window.partitionBy()
+    obs = F.col("n") / F.sum("n").over(total)
+    exp = F.log10(1 + 1 / F.col("digit"))
+    return counts.select(
+        "digit",
+        "n",
+        (F.bround(obs * 10000.0, 0) / 10000.0).alias("observed_freq"),
+        (F.bround(exp * 10000.0, 0) / 10000.0).alias("benford_freq"),
+        (
+            F.bround((obs - exp) * (obs - exp) / exp * 1_000_000.0, 0) / 1_000_000.0
+        ).alias("sq_dev_over_exp"),
+    )
+
+
+register(
+    "benford_first_digit",
+    q_benford_digits,
+    """
+WITH counts AS (
+  SELECT CAST(substr(regexp_replace(CAST(l_extendedprice AS VARCHAR), '[^1-9]', '', 'g'), 1, 1) AS INTEGER) AS digit,
+         count(*) AS n
+  FROM lineitem WHERE l_extendedprice > 0
+  GROUP BY 1
+)
+SELECT digit, n,
+       round_even(n / sum(n) OVER () * 10000.0, 0) / 10000.0 AS observed_freq,
+       round_even(log10(1 + 1.0 / digit) * 10000.0, 0) / 10000.0 AS benford_freq,
+       round_even((n / sum(n) OVER () - log10(1 + 1.0 / digit))
+                  * (n / sum(n) OVER () - log10(1 + 1.0 / digit))
+                  / log10(1 + 1.0 / digit) * 1000000.0, 0) / 1000000.0 AS sq_dev_over_exp
+FROM counts
+""",
+)
+
+
+# -- order-line sequence-gap detection --------------------------------------
+def q_linenumber_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity screen: orders whose line numbers are not
+    the contiguous sequence 1..count — dropped or duplicated lines in
+    ingestion show up here before they corrupt joins downstream. The
+    contiguity test is count vs max vs distinct-count arithmetic (one
+    aggregate, no sort, no self-join)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_lines"),
+        F.max("l_linenumber").alias("max_line"),
+        F.countDistinct("l_linenumber").alias("n_distinct"),
+    )
+    return per_order.filter(
+        (F.col("max_line") != F.col("n_lines")) | (F.col("n_distinct") != F.col("n_lines"))
+    ).select("l_orderkey", "n_lines", "max_line", "n_distinct")
+
+
+register(
+    "order_linenumber_gaps",
+    q_linenumber_gaps,
+    """
+SELECT l_orderkey, count(*) AS n_lines,
+       max(l_linenumber) AS max_line,
+       count(DISTINCT l_linenumber) AS n_distinct
+FROM lineitem
+GROUP BY 1
+HAVING max(l_linenumber) != count(*) OR count(DISTINCT l_linenumber) != count(*)
+""",
+)
