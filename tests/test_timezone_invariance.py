@@ -27,6 +27,11 @@ TZ_SENSITIVE = [
     "holt_linear_forecast",     # week-sorted trailing-window fold
     "tpch_pricing_summary",     # timestamp-literal ship-date filter
     "inventory_projection_recursive",  # recursive sim over week positions
+    "forecast_model_selection",        # train/holdout split on week order
+    "demand_autocorrelation",          # week-ordered lag products
+    "eoq_order_quantity",              # calendar-span annualization
+    "events_session_window_builtin",   # native session_window on NTZ ts
+    "trailing_28d_range_frame",        # epoch-day RANGE frame
 ]
 
 
