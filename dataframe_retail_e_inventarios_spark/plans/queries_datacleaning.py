@@ -357,3 +357,28 @@ GROUP BY 1
 HAVING max(l_linenumber) != count(*) OR count(DISTINCT l_linenumber) != count(*)
 """,
 )
+
+
+# -- heavy hitters (frequent-items sketch) ----------------------------------
+FREQ_SUPPORT = 0.01
+
+
+def q_frequent_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter part keys in the fact via Spark's frequent-items
+    sketch (`df.stat.freqItems`, Karp/Misra-Gries family): one pass,
+    fixed memory, NO false negatives — every key with frequency above
+    the support threshold is guaranteed present (false positives
+    possible; the exact twin in the test filters them). This completes
+    the sketch family (HLL distinct, GK quantiles, Bloom membership,
+    MG heavy hitters) — the four summaries a 100 TB profiler runs
+    where exact aggregation would shuffle the world. Approximate by
+    construction -> rows-only check; the no-false-negative guarantee
+    is asserted against exact counts in tests/test_datacleaning."""
+    li = load_table(spark, sf_dir, "lineitem")
+    freq = li.select("l_partkey").stat.freqItems(["l_partkey"], support=FREQ_SUPPORT)
+    return freq.select(
+        F.explode(F.col("l_partkey_freqItems")).alias("part_key")
+    ).orderBy("part_key")
+
+
+register("frequent_parts_sketch", q_frequent_parts, None)  # sketch: rows-only

@@ -151,3 +151,28 @@ def test_bloom_decontamination_has_no_false_negatives(spark):
     # Loose ceiling: per-shingle FPP is ~(1-e^{-kn/m})^k; a doc with s
     # shingles gets ~s chances. Assert the observed rate is sane.
     assert fp / max(n_train, 1) < 0.25, f"false-positive rate {fp}/{n_train}"
+
+
+def test_freq_items_sketch_has_no_false_negatives(spark):
+    """Misra-Gries guarantee: every part whose true frequency exceeds
+    the support threshold appears in the sketch output."""
+    import pyspark.sql.functions as F
+
+    from dataframe_retail_e_inventarios_spark.plans.queries_datacleaning import (
+        FREQ_SUPPORT,
+        q_frequent_parts,
+    )
+    from dataframe_retail_e_inventarios_spark.sources.readers import load_table
+    from tests.conftest import SF_SMOKE
+
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    n = li.count()
+    exact_hot = {
+        r.l_partkey
+        for r in li.groupBy("l_partkey")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") > FREQ_SUPPORT * n)
+        .collect()
+    }
+    sketched = {r.part_key for r in q_frequent_parts(spark, SF_SMOKE).collect()}
+    assert exact_hot <= sketched
