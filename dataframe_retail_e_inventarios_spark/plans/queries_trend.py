@@ -1475,3 +1475,59 @@ SELECT product_id, weeks_span, total_units,
 FROM c
 """,
 )
+
+
+# -- deterministic per-series demand mode ----------------------------------
+def q_demand_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most frequent weekly demand level per product with a
+    DETERMINISTIC tie-break (highest count, then smallest value) via
+    max_by over a (count, -value) struct — engines disagree on bare
+    mode()'s tie choice, so the portable form is the argmax composition
+    (same reason the repo avoids first()/mode() everywhere else). Two
+    stacked aggregates on the same key — the second is nearly free
+    because the first already partitioned by product."""
+    from ..operators.cleaning import clean_sales
+    from ..operators.resample import weekly_resample_sum
+
+    sales = clean_sales(load_table(spark, sf_dir, "lineitem"))
+    weekly = weekly_resample_sum(sales, ("product_id",), "invoice_date", "units_sold")
+    counts = weekly.groupBy(
+        "product_id", F.bround("units_sold", 0).cast("long").alias("demand")
+    ).agg(F.count("*").alias("c"))
+    # Composite orderable key (count major, smallest-value minor) packed
+    # into one BIGINT: DuckDB's arg_max can't order by a struct, and the
+    # packed key is portable to any engine with a plain argmax.
+    key = F.col("c") * F.lit(1_000_000_000_000) + (
+        F.lit(1_000_000_000_000) - F.col("demand")
+    )
+    return counts.groupBy("product_id").agg(
+        F.max_by(F.col("demand"), key).alias("mode_demand"),
+        F.max("c").alias("mode_weeks"),
+        F.count("*").alias("n_distinct_levels"),
+    )
+
+
+register(
+    "demand_mode",
+    q_demand_mode,
+    f"""
+WITH {_OF.CLEAN_SALES_CTE.strip()},
+weekly AS (
+  SELECT product_id,
+         CAST(invoice_date AS DATE)
+           + CAST((7 - isodow(CAST(invoice_date AS DATE))) % 7 AS INTEGER) AS week,
+         sum(units_sold) AS units_sold
+  FROM sales GROUP BY 1, 2
+),
+counts AS (
+  SELECT product_id, CAST(round_even(units_sold, 0) AS BIGINT) AS demand,
+         count(*) AS c
+  FROM weekly GROUP BY 1, 2
+)
+SELECT product_id,
+       arg_max(demand, c * 1000000000000 + (1000000000000 - demand)) AS mode_demand,
+       max(c) AS mode_weeks,
+       count(*) AS n_distinct_levels
+FROM counts GROUP BY 1
+""",
+)

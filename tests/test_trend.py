@@ -310,3 +310,21 @@ def test_eoq_square_root_law(spark, tmp_path):
     r = out[0]
     assert r.annual_demand == 1040.0
     assert abs(r.eoq_units - 52000 ** 0.5) < 1e-3
+
+
+def test_demand_mode_tie_breaks_to_smallest_value(spark, tmp_path):
+    # Two demand levels with equal counts: the mode must be the
+    # smaller value (deterministic tie-break), never engine whim.
+    from dataframe_retail_e_inventarios_spark.plans.queries_trend import q_demand_mode
+
+    base = datetime.datetime(2024, 1, 7)
+    qty = [30.0, 10.0, 30.0, 10.0, 5.0]
+    rows = [
+        (t, 6, 1, 1, q, 100.0, 0.0, 0.0, "N", "O", base + datetime.timedelta(weeks=t))
+        for t, q in enumerate(qty)
+    ]
+    _write_lineitem(spark, str(tmp_path), rows)
+    out = q_demand_mode(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.mode_demand == 10 and r.mode_weeks == 2 and r.n_distinct_levels == 3
