@@ -1531,3 +1531,67 @@ SELECT product_id,
 FROM counts GROUP BY 1
 """,
 )
+
+
+# -- multi-quantile demand distribution ------------------------------------
+QUANTILES = (0.25, 0.5, 0.75, 0.9)
+
+
+def q_demand_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-product demand distribution summary in ONE aggregate pass:
+    `percentile(col, array(q...))` computes every cut from a single
+    sorted buffer instead of one aggregate per quantile (4x less state
+    at 100 TB series cardinality than four scalar percentile calls).
+    Exact linear interpolation ↔ DuckDB's quantile_cont list form;
+    results unpivoted to (product, q, value) rows."""
+    from ..operators.cleaning import clean_sales
+    from ..operators.resample import weekly_resample_sum
+
+    sales = clean_sales(load_table(spark, sf_dir, "lineitem"))
+    weekly = weekly_resample_sum(sales, ("product_id",), "invoice_date", "units_sold")
+    agg = weekly.groupBy("product_id").agg(
+        F.percentile(
+            "units_sold", F.array(*[F.lit(q) for q in QUANTILES])
+        ).alias("qs"),
+        F.count("*").alias("n_weeks"),
+    )
+    pairs = F.arrays_zip(
+        F.array(*[F.lit(q) for q in QUANTILES]).alias("q"),
+        F.col("qs").alias("v"),
+    )
+    return agg.filter(F.col("n_weeks") >= 12).select(
+        "product_id",
+        "n_weeks",
+        F.explode(pairs).alias("p"),
+    ).select(
+        "product_id",
+        "n_weeks",
+        F.col("p.q").alias("q"),
+        _r4(F.col("p.v")).alias("demand_at_q"),
+    )
+
+
+_QLIST = ", ".join(str(q) for q in QUANTILES)
+register(
+    "demand_quartiles",
+    q_demand_quartiles,
+    f"""
+WITH {_OF.CLEAN_SALES_CTE.strip()},
+weekly AS (
+  SELECT product_id,
+         CAST(invoice_date AS DATE)
+           + CAST((7 - isodow(CAST(invoice_date AS DATE))) % 7 AS INTEGER) AS week,
+         sum(units_sold) AS units_sold
+  FROM sales GROUP BY 1, 2
+),
+agg AS (
+  SELECT product_id, count(*) AS n_weeks,
+         quantile_cont(units_sold, [{_QLIST}]) AS qs
+  FROM weekly GROUP BY 1 HAVING count(*) >= 12
+),
+ql AS (SELECT unnest([{_QLIST}]) AS q, generate_subscripts([{_QLIST}], 1) AS i)
+SELECT a.product_id, a.n_weeks, ql.q,
+       {_R4_SQL.format(x='a.qs[ql.i]')} AS demand_at_q
+FROM agg a CROSS JOIN ql
+""",
+)
