@@ -251,10 +251,14 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.length("text").cast("long").alias("n_chars"),
         n_tokens.alias("n_tokens"),
-        F.round(avg_tok_len, 4).alias("avg_tok_len"),
-        F.round(stopword_ratio(toks), 4).alias("stop_ratio"),
-        F.round(punct_ratio("text"), 4).alias("punct_ratio"),
-        F.round(quality, 4).alias("quality"),
+        # bround-scale, not round(x, 4): the composite quality double
+        # lands on representation boundaries at corpus scale where the
+        # two engines' round() implementations flip the last digit
+        # (14 cells at sf0.1 — invisible at the smaller gates).
+        (F.bround(avg_tok_len * 10000.0, 0) / 10000.0).alias("avg_tok_len"),
+        (F.bround(stopword_ratio(toks) * 10000.0, 0) / 10000.0).alias("stop_ratio"),
+        (F.bround(punct_ratio("text") * 10000.0, 0) / 10000.0).alias("punct_ratio"),
+        (F.bround(quality * 10000.0, 0) / 10000.0).alias("quality"),
     )
 
 
@@ -282,11 +286,11 @@ m AS (
   FROM t
 )
 SELECT doc_id, lang, n_chars, n_tokens,
-  round(avg_tok_len, 4) AS avg_tok_len,
-  round(stop_ratio, 4) AS stop_ratio,
-  round(punct_ratio, 4) AS punct_ratio,
-  round(0.4 * least(1.0, n_tokens / 100.0)
-        + 0.3 * (1 - stop_ratio) + 0.3 * (1 - punct_ratio), 4) AS quality
+  round_even(avg_tok_len * 10000.0, 0) / 10000.0 AS avg_tok_len,
+  round_even(stop_ratio * 10000.0, 0) / 10000.0 AS stop_ratio,
+  round_even(punct_ratio * 10000.0, 0) / 10000.0 AS punct_ratio,
+  round_even((0.4 * least(1.0, n_tokens / 100.0)
+        + 0.3 * (1 - stop_ratio) + 0.3 * (1 - punct_ratio)) * 10000.0, 0) / 10000.0 AS quality
 FROM m
 """,
 )

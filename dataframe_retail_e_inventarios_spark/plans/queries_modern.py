@@ -113,6 +113,15 @@ def q_inventory_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH RECURSIVE (depth = PROJECTION_WEEKS ≤ the engine's recursion
     limit of 100); the same SQL text (modulo source binding) runs as
     the DuckDB oracle."""
+    # Spark guards runaway recursion with a TOTAL-rows valve
+    # (spark.sql.cteRecursionRowLimit, default 1e6). This recursion is
+    # depth-bounded by construction (52 levels), but its row count is
+    # products x weeks — 1.04M already at sf0.1. Raise the valve to
+    # cover the known bound; the depth limit (100) still protects
+    # against true runaways.
+    cur = int(spark.conf.get("spark.sql.cteRecursionRowLimit", "1000000"))
+    if cur < 100_000_000:
+        spark.conf.set("spark.sql.cteRecursionRowLimit", "100000000")
     # Materialize the position frame once: every recursion level reads
     # `pos`, and without the cut each of the 52 levels would re-derive
     # the whole dense-resample pipeline (52 full scans). After the

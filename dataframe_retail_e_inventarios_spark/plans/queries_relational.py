@@ -418,9 +418,13 @@ def q_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rev",
         F.rank().over(w).cast("long").alias("rnk"),
         F.dense_rank().over(w).cast("long").alias("drnk"),
-        F.round(F.percent_rank().over(w), 6).alias("prnk"),
+        # bround-scale, not round(x, 6): percent_rank/cume_dist are
+        # int/int divisions (identical doubles on both engines), but
+        # round(double, n) itself diverges at representation
+        # boundaries — found as 1e-6 flips at sf0.1, invisible below.
+        (F.bround(F.percent_rank().over(w) * 1e6, 0) / 1e6).alias("prnk"),
         F.ntile(4).over(w).cast("long").alias("quartile"),
-        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        (F.bround(F.cume_dist().over(w) * 1e6, 0) / 1e6).alias("cdist"),
     )
 
 
@@ -436,9 +440,9 @@ WITH rev_t AS (
 SELECT l_suppkey, l_partkey, rev,
   CAST(rank() OVER w AS BIGINT) AS rnk,
   CAST(dense_rank() OVER w AS BIGINT) AS drnk,
-  round(percent_rank() OVER w, 6) AS prnk,
+  round_even(percent_rank() OVER w * 1e6, 0) / 1e6 AS prnk,
   CAST(ntile(4) OVER w AS BIGINT) AS quartile,
-  round(cume_dist() OVER w, 6) AS cdist
+  round_even(cume_dist() OVER w * 1e6, 0) / 1e6 AS cdist
 FROM rev_t
 WINDOW w AS (PARTITION BY l_suppkey ORDER BY rev DESC, l_partkey)
 """,
@@ -459,7 +463,16 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         rev.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 3)
-        .select("l_suppkey", "l_partkey", F.round("rev", 2).alias("rev"), F.col("rk").cast("long").alias("rk"))
+        .select(
+            "l_suppkey",
+            "l_partkey",
+            # bround-scale (half-even) instead of round(x, 2): the
+            # 4-decimal exact sum hits .xx5 boundaries at scale where
+            # Spark's and DuckDB's round() implementations split by a
+            # cent (observed at sf0.1).
+            (F.bround(F.col("rev") * 100.0, 0) / 100.0).alias("rev"),
+            F.col("rk").cast("long").alias("rk"),
+        )
     )
 
 
@@ -467,7 +480,7 @@ register(
     "topk_parts_per_supplier",
     q_topk_per_group,
     """
-SELECT l_suppkey, l_partkey, round(rev, 2) AS rev, rk FROM (
+SELECT l_suppkey, l_partkey, round_even(rev * 100.0, 0) / 100.0 AS rev, rk FROM (
   SELECT l_suppkey, l_partkey, rev,
          row_number() OVER (PARTITION BY l_suppkey
                             ORDER BY rev DESC, l_partkey) AS rk

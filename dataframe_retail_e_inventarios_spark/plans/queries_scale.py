@@ -1596,8 +1596,12 @@ def q_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select(
             "doc_id",
             "lang",
-            F.round(q, 4).alias("quality"),
-            F.round(u, 6).alias("draw"),
+            # bround-scale, not round(x, n): the composite quality
+            # double flips its last digit between engines at sf0.1
+            # representation boundaries (same fix as
+            # text_quality_scores).
+            (F.bround(q * 10000.0, 0) / 10000.0).alias("quality"),
+            (F.bround(u * 1000000.0, 0) / 1000000.0).alias("draw"),
         )
         .filter(F.col("draw") < F.col("quality"))
     )
@@ -1627,9 +1631,9 @@ m AS (
 ),
 scored AS (
   SELECT doc_id, lang,
-         round(0.4 * least(1.0, n_tokens / 100.0)
-               + 0.3 * (1 - stop_ratio) + 0.3 * (1 - punct_ratio), 4) AS quality,
-         round(u, 6) AS draw
+         round_even((0.4 * least(1.0, n_tokens / 100.0)
+               + 0.3 * (1 - stop_ratio) + 0.3 * (1 - punct_ratio)) * 10000.0, 0) / 10000.0 AS quality,
+         round_even(u * 1000000.0, 0) / 1000000.0 AS draw
   FROM m
 )
 SELECT doc_id, lang, quality, draw FROM scored WHERE draw < quality
