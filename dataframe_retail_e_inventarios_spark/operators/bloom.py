@@ -53,7 +53,6 @@ def bloom_build(keys: DataFrame, key_col: str) -> DataFrame:
     )
     words = positions.select(
         (F.col("pos") / 64).cast("long").alias("word_idx"),
-        F.shiftleft(F.lit(1).cast("long"), 0).alias("_one"),  # placeholder
         (F.col("pos") % 64).cast("int").alias("bit"),
     ).select(
         "word_idx",

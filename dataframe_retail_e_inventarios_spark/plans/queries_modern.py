@@ -120,18 +120,28 @@ def q_inventory_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cover the known bound; the depth limit (100) still protects
     # against true runaways.
     cur = int(spark.conf.get("spark.sql.cteRecursionRowLimit", "1000000"))
-    if cur < 100_000_000:
-        spark.conf.set("spark.sql.cteRecursionRowLimit", "100000000")
-    # Materialize the position frame once: every recursion level reads
-    # `pos`, and without the cut each of the 52 levels would re-derive
-    # the whole dense-resample pipeline (52 full scans). After the
-    # checkpoint each level joins a small in-memory frame — the same
-    # rule as the PageRank loop in queries_trend.
-    pos = _positions(spark, sf_dir).localCheckpoint(eager=True)
-    pos.createOrReplaceTempView("_inv_pos")
-    # Same SQL text as the oracle modulo the half-even rounding builtin
-    # name (Spark: bround, DuckDB: round_even).
-    return spark.sql(_SIM_SQL.format(src="_inv_pos", round_fn="bround"))
+    try:
+        if cur < 100_000_000:
+            spark.conf.set("spark.sql.cteRecursionRowLimit", "100000000")
+        # Materialize the position frame once: every recursion level
+        # reads `pos`, and without the cut each of the 52 levels would
+        # re-derive the whole dense-resample pipeline (52 full scans).
+        # After the checkpoint each level joins a small in-memory frame
+        # — the same rule as the PageRank loop in queries_trend.
+        pos = _positions(spark, sf_dir).localCheckpoint(eager=True)
+        pos.createOrReplaceTempView("_inv_pos")
+        # Same SQL text as the oracle modulo the half-even rounding
+        # builtin name (Spark: bround, DuckDB: round_even). Execute
+        # (checkpoint) INSIDE the raised-valve scope so the session
+        # conf can be restored immediately: the result is bounded by
+        # products x PROJECTION_WEEKS rows, so the materialization is
+        # small, and later queries on the shared session get the
+        # default runaway-recursion valve back.
+        return spark.sql(
+            _SIM_SQL.format(src="_inv_pos", round_fn="bround")
+        ).localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.cteRecursionRowLimit", str(cur))
 
 
 _ORACLE_POS = f"""
@@ -196,14 +206,22 @@ def q_events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     (events_props_json is the from_json/schema-known twin.)"""
     ev = load_table(spark, sf_dir, "events")
     ev.createOrReplaceTempView("_ev_variant")
+    # Parse each props string ONCE in a subquery (not three times per
+    # row), and via try_parse_json so a malformed payload degrades to
+    # NULL — matching the oracle's json_extract semantics — instead of
+    # failing the whole query.
     return spark.sql(
         """
         SELECT event_type,
-               CAST(floor(variant_get(parse_json(props), '$.k', 'int') / 10.0) AS INT) AS k_decile,
+               CAST(floor(k / 10.0) AS INT) AS k_decile,
                count(*) AS n,
-               sum(CAST(variant_get(parse_json(props), '$.k', 'int') AS BIGINT)) AS k_sum
-        FROM _ev_variant
-        WHERE variant_get(parse_json(props), '$.k', 'int') IS NOT NULL
+               sum(CAST(k AS BIGINT)) AS k_sum
+        FROM (
+          SELECT event_type,
+                 variant_get(try_parse_json(props), '$.k', 'int') AS k
+          FROM _ev_variant
+        )
+        WHERE k IS NOT NULL
         GROUP BY 1, 2
         """
     )
@@ -304,7 +322,7 @@ WITH seq AS (
   FROM events
 ),
 flagged AS (
-  SELECT user_id, ts,
+  SELECT user_id, ts, event_id,
          -- Spark merges on a CLOSED interval: an event at exactly
          -- prev + gap still joins the session (probed on 4.1.2; the
          -- boundary unit test locks it in) -> new session only when
@@ -314,8 +332,11 @@ flagged AS (
   FROM seq
 ),
 numbered AS (
+  -- The running sum MUST tie-break on event_id exactly like the lag()
+  -- above: with ts-only ordering, two boundary events sharing a ts
+  -- could fold into the wrong session depending on scan order.
   SELECT user_id, ts,
-         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
   FROM flagged
 )

@@ -1,11 +1,17 @@
 """Run every registered query against its DuckDB oracle (or rows-only)
 at a given scale factor. Usage:
 
-    python tools/selfcheck.py [sf_dir] [name_filter ...]
+    python tools/selfcheck.py [--json OUT.json] [sf_dir] [name_filter ...]
+
+With --json, writes a driver-shaped report: one row per query with
+rows/schema/hash match flags (oracle-less queries get err=no_oracle),
+so the full registry has committed hard-signal evidence every round
+even when the driver samples a subset.
 """
 
 from __future__ import annotations
 
+import json
 import sys
 import time
 
@@ -17,10 +23,16 @@ from dataframe_retail_e_inventarios_spark.testing import compare_query
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    filters = sys.argv[2:]
+    argv = list(sys.argv[1:])
+    json_out = None
+    if argv and argv[0] == "--json":
+        json_out = argv[1]
+        argv = argv[2:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
+    filters = argv[1:]
     spark = get_spark("selfcheck")
     qs, oracles = queries(), oracle_sql()
+    report: dict[str, dict] = {}
     failed = 0
     for name, fn in qs.items():
         if filters and not any(f in name for f in filters):
@@ -30,15 +42,46 @@ def main() -> int:
             if name in oracles:
                 res = compare_query(spark, name, fn, oracles[name], sf_dir)
                 ok = res.ok
-                print(f"{res}  ({time.time()-t0:.1f}s)")
+                print(f"{res}  ({time.time()-t0:.1f}s)", flush=True)
+                report[name] = {
+                    "rows_match": res.rows_spark == res.rows_oracle,
+                    "schema_match": not any("columns differ" in i for i in res.issues),
+                    "hash_match": res.ok,
+                    "spark_rows": res.rows_spark,
+                    "oracle_rows": res.rows_oracle,
+                    "err": None if ok else "; ".join(res.issues[:3]),
+                    "sec": round(time.time() - t0, 2),
+                }
             else:
                 n = fn(spark, sf_dir).count()
                 ok = n >= 0
-                print(f"[ROWS] {name}: {n} rows  ({time.time()-t0:.1f}s)")
+                print(f"[ROWS] {name}: {n} rows  ({time.time()-t0:.1f}s)", flush=True)
+                report[name] = {
+                    "rows_match": None,
+                    "schema_match": None,
+                    "hash_match": None,
+                    "spark_rows": n,
+                    "oracle_rows": None,
+                    "err": "no_oracle",
+                    "sec": round(time.time() - t0, 2),
+                }
         except Exception as e:
             ok = False
-            print(f"[ERR ] {name}: {type(e).__name__}: {str(e)[:500]}")
+            print(f"[ERR ] {name}: {type(e).__name__}: {str(e)[:500]}", flush=True)
+            report[name] = {
+                "rows_match": False,
+                "schema_match": False,
+                "hash_match": False,
+                "spark_rows": None,
+                "oracle_rows": None,
+                "err": f"{type(e).__name__}: {str(e)[:300]}",
+                "sec": round(time.time() - t0, 2),
+            }
         failed += (not ok)
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump({"sf_dir": sf_dir, "results": report}, f, indent=1)
+        print(f"wrote {json_out} ({len(report)} queries)")
     print(f"\n{'ALL OK' if not failed else f'{failed} FAILED'}")
     return 1 if failed else 0
 
