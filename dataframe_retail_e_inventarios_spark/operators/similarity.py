@@ -69,11 +69,34 @@ def cosine_neardup_pairs(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_rows: int = 100_000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, exact all-pairs [N1
     embedding variant]. O(n^2): this is the SMALL-CORPUS ORACLE TWIN
     for verifying the bucketed scale path below — corpus-wide runs use
-    cosine_neardup_pairs_bucketed."""
+    cosine_neardup_pairs_bucketed.
+
+    Because this is a user-facing registered surface, the O(n^2) plan
+    is GUARDED: the corpus is counted first (one cheap column-pruned
+    scan — metadata-only for parquet row counts) and anything above
+    ``max_rows`` raises instead of silently launching a quadratic job.
+    100k rows = 5e9 candidate pairs, the outer edge of what an exact
+    all-pairs sweep should ever attempt; past that the LSH-banded
+    ``cosine_neardup_pairs_bucketed`` (recall 1.0 for true near-dups)
+    is the only defensible plan. Loose thresholds near the noise floor
+    (the regime LSH provably cannot bucket — see the bucketed
+    docstring) are small-corpus analytics by nature, so the guard
+    encodes the real semantic boundary, not an arbitrary limit.
+    """
+    n = embeddings.count()
+    if n > max_rows:
+        raise ValueError(
+            f"cosine_neardup_pairs is an exact all-pairs (O(n^2)) operator "
+            f"guarded at max_rows={max_rows}, got {n} vectors: use "
+            f"cosine_neardup_pairs_bucketed (banded sign-LSH, recall 1.0 "
+            f"for true near-duplicates) for corpus-scale runs, or raise "
+            f"max_rows explicitly if a quadratic sweep is intended."
+        )
     a = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     return (

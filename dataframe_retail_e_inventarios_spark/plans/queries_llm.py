@@ -382,6 +382,12 @@ SELECT query_id, cand_id, round(cos, 6) AS cos, rk FROM (
 
 # -- N1/N3: embedding-cosine near-duplicate pairs --------------------------
 def q_cos_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs cosine near-dup at a loose (0.35) threshold —
+    the noise-floor regime no sublinear scheme can bucket (see
+    cosine_neardup_pairs_bucketed's docstring), so all-pairs is the
+    only correct plan and the operator itself guards the quadratic
+    blowup: corpora above max_rows raise with a pointer to the banded
+    scale path instead of launching an O(n^2) job."""
     return cosine_neardup_pairs(load_table(spark, sf_dir, "embeddings"), threshold=0.35)
 
 

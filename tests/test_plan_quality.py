@@ -159,3 +159,21 @@ def test_salted_query_spreads_key(spark):
     must not degrade to a broadcast that would defeat the spread."""
     plan = plan_of(spark, "skew_salted_brand_revenue")
     assert "_salt" in plan
+
+
+def test_registered_similarity_scale_paths_never_all_pairs(spark):
+    """Every REGISTERED embedding-similarity scale path must be a band/
+    bucket equi-join — CartesianProduct (or an unbroadcast nested-loop)
+    in any of these plans means the O(n^2) fallback leaked back into a
+    user-facing query. (The exact all-pairs twin embedding_cosine_neardup
+    is corpus-size-guarded at the operator level instead — covered by
+    test_allpairs_neardup_guard_raises_on_large_corpus.)"""
+    for name in (
+        "embedding_cosine_neardup_bucketed",
+        "ann_lsh_bucketed_topk",
+        "ann_ivf_topk",
+        "ann_ivf_kmeans_topk",
+        "sparse_cosine_topk",
+    ):
+        plan = plan_of(spark, name)
+        assert "CartesianProduct" not in plan, name

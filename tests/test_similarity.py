@@ -97,3 +97,24 @@ def test_bucketed_neardup_plan_has_no_all_pairs_join(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "band_key" in plan
+
+
+def test_allpairs_neardup_guard_raises_on_large_corpus(spark):
+    """The exact all-pairs operator is a registered user-facing surface;
+    above max_rows it must refuse to launch the O(n^2) join and point
+    at the banded scale path instead."""
+    import pytest
+
+    from dataframe_retail_e_inventarios_spark.operators.similarity import (
+        cosine_neardup_pairs,
+    )
+
+    big = spark.range(0, 1001).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(0.0)).alias("embedding"),
+    )
+    with pytest.raises(ValueError, match="bucketed"):
+        cosine_neardup_pairs(big, threshold=0.9, max_rows=1000)
+    # At or below the guard the quadratic sweep is sanctioned and runs.
+    small = big.limit(10)
+    assert cosine_neardup_pairs(small, threshold=0.9, max_rows=1000).count() == 45
