@@ -7,11 +7,17 @@ the reference's hand-rolled ``multiprocessing.Pool`` fan-out
 hash-shuffle to executors and run in Arrow-fed Python workers.
 
 Prophet / Holt-Winters are optional imports exactly as in the
-reference (PRACTICA3.py:22-32): absent -> that ensemble member is
-skipped, the moving-average member never fails, per-model try/except
-isolation preserved (U6). With only the MA member the ensemble median
-equals the MA forecast, which is what the native flagship plan
-computes — the two paths are differential-tested against each other.
+reference (PRACTICA3.py:22-32). When a library is absent, the member
+does NOT silently vanish: a dependency-free numpy implementation of
+the same public model family (functions/tsmodels.py — additive
+Holt-Winters recursions; Prophet's piecewise-trend + Fourier
+decomposition as one ridge solve) takes its slot, so the ensemble
+median (PRACTICA3.py:151) is a genuine 3-member vote in every
+environment. Per-model try/except isolation is preserved (U6), and
+the moving-average member never fails. ``native_members=False``
+restores the MA-only configuration, under which the UDF must agree
+exactly with the native flagship plan — the two paths are
+differential-tested against each other.
 
 Everything SQL-expressible inside the loop also exists as native
 relational ops (flagship.py) so the oracle can check it; only the
@@ -91,7 +97,7 @@ def _inventory(train_sales: pd.Series, forecast: np.ndarray) -> dict:
     }
 
 
-def process_series(pdf: pd.DataFrame) -> pd.DataFrame:
+def process_series(pdf: pd.DataFrame, native_members: bool = True) -> pd.DataFrame:
     """One (product, store) weekly series -> one result row (or none if
     gated out). Input: columns product_id, store_id, week, units_sold —
     already densely resampled by the native plan, so the pandas side
@@ -110,35 +116,61 @@ def process_series(pdf: pd.DataFrame) -> pd.DataFrame:
     train, test = s[:-FORECAST_HORIZON_WEEKS], s[-FORECAST_HORIZON_WEEKS:]
     preds: list[np.ndarray] = []
 
-    if PROPHET_AVAILABLE and len(train) >= MIN_WEEKS:  # U2
-        try:
-            dfp = pd.DataFrame(
-                {"ds": pd.to_datetime(train.index), "y": np.log1p(train.clip(lower=0.0).values)}
-            )
-            m = Prophet(
-                yearly_seasonality=True,
-                weekly_seasonality=False,
-                daily_seasonality=False,
-                seasonality_mode="additive",
-                changepoint_prior_scale=0.1,
-            )
-            m.fit(dfp)
-            future = m.make_future_dataframe(periods=FORECAST_HORIZON_WEEKS, freq="W-SUN")
-            yhat = np.expm1(m.predict(future)["yhat"].iloc[-FORECAST_HORIZON_WEEKS:].values)
-            preds.append(np.maximum(yhat, 0.0))
-        except Exception:
-            pass  # U6: model isolation
+    if len(train) >= MIN_WEEKS:  # U2: Prophet slot
+        if PROPHET_AVAILABLE:
+            try:
+                dfp = pd.DataFrame(
+                    {"ds": pd.to_datetime(train.index), "y": np.log1p(train.clip(lower=0.0).values)}
+                )
+                m = Prophet(
+                    yearly_seasonality=True,
+                    weekly_seasonality=False,
+                    daily_seasonality=False,
+                    seasonality_mode="additive",
+                    changepoint_prior_scale=0.1,
+                )
+                m.fit(dfp)
+                future = m.make_future_dataframe(periods=FORECAST_HORIZON_WEEKS, freq="W-SUN")
+                yhat = np.expm1(m.predict(future)["yhat"].iloc[-FORECAST_HORIZON_WEEKS:].values)
+                preds.append(np.maximum(yhat, 0.0))
+            except Exception:
+                pass  # U6: model isolation
+        elif native_members:
+            # Same model family, native math: piecewise trend + yearly
+            # Fourier seasonality on log1p'd sales, ridge-fit
+            # (functions/tsmodels.fourier_trend_forecast).
+            try:
+                from ..functions.tsmodels import fourier_trend_forecast
 
-    if HW_AVAILABLE and len(train) >= 8:  # U3
-        try:
-            ts = np.log1p(train.values)
-            seasonal = "add" if len(ts) >= 52 else None
-            hw = ExponentialSmoothing(
-                ts, trend="add", seasonal=seasonal, seasonal_periods=52 if seasonal else None
-            ).fit(optimized=True)
-            preds.append(np.maximum(np.expm1(hw.forecast(FORECAST_HORIZON_WEEKS)), 0.0))
-        except Exception:
-            pass
+                idx = pd.to_datetime(train.index)
+                t_days = (idx - idx[0]).days.to_numpy(dtype=float)
+                ylog = np.log1p(np.clip(train.values, 0.0, None))
+                yhat = fourier_trend_forecast(ylog, t_days, FORECAST_HORIZON_WEEKS)
+                preds.append(np.maximum(np.expm1(yhat), 0.0))
+            except Exception:
+                pass  # U6
+
+    if len(train) >= 8:  # U3: Holt-Winters slot
+        if HW_AVAILABLE:
+            try:
+                ts = np.log1p(train.values)
+                seasonal = "add" if len(ts) >= 52 else None
+                hw = ExponentialSmoothing(
+                    ts, trend="add", seasonal=seasonal, seasonal_periods=52 if seasonal else None
+                ).fit(optimized=True)
+                preds.append(np.maximum(np.expm1(hw.forecast(FORECAST_HORIZON_WEEKS)), 0.0))
+            except Exception:
+                pass
+        elif native_members:
+            try:
+                from ..functions.tsmodels import holt_winters_forecast
+
+                ts = np.log1p(train.values)
+                sp = 52 if len(ts) >= 52 else None
+                yhat = holt_winters_forecast(ts, FORECAST_HORIZON_WEEKS, seasonal_periods=sp)
+                preds.append(np.maximum(np.expm1(yhat), 0.0))
+            except Exception:
+                pass
 
     # U4: the moving-average member never fails.
     ma = train.tail(4).mean() if len(train) >= 4 else train.mean()
@@ -164,13 +196,16 @@ def process_series(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def forecast_with_models(dense_weekly: DataFrame) -> DataFrame:
+def forecast_with_models(dense_weekly: DataFrame, native_members: bool = True) -> DataFrame:
     """groupBy(series).applyInPandas over the densified weekly table.
 
     The admission gates run BOTH natively before the shuffle (cheap
     group pruning Catalyst can't infer through a UDF — the reference
     does the same manually, PRACTICA3.py:97-99) and inside the UDF
-    (defense in depth for direct callers)."""
+    (defense in depth for direct callers). ``native_members=False``
+    drops the numpy Holt-Winters / Fourier-trend fallback members,
+    leaving library members (if importable) + MA — the configuration
+    the MA-only differential test against the native flagship uses."""
     import pyspark.sql.functions as F
     from pyspark.sql import Window
 
@@ -181,6 +216,17 @@ def forecast_with_models(dense_weekly: DataFrame) -> DataFrame:
         .filter((F.col("_n") >= MIN_WEEKS) & (F.col("_tot") >= MIN_TOTAL_SALES))
         .drop("_n", "_tot")
     )
+    # The model-fit stage is CPU-bound per GROUP, not per byte: a few
+    # thousand weekly series are only ~tens of MB, so AQE's byte-based
+    # partition coalescing folds the group-map exchange down to ONE
+    # partition and every fit runs serially in a single Python worker
+    # (measured exactly that: 1 post-AQE partition, 54 s -> 17 s at
+    # sf0.01 after this pin). An explicit user repartition on the SAME
+    # keys is AQE-exempt, sized by executor parallelism, and satisfies
+    # the group-map's clustering requirement so no second shuffle is
+    # planned.
+    parallelism = dense_weekly.sparkSession.sparkContext.defaultParallelism
+    gated = gated.repartition(parallelism * 2, "product_id", "store_id")
     return gated.groupBy("product_id", "store_id").applyInPandas(
-        lambda pdf: process_series(pdf), RESULT_SCHEMA
+        lambda pdf: process_series(pdf, native_members=native_members), RESULT_SCHEMA
     )

@@ -18,14 +18,28 @@ from tests.conftest import SF_SMOKE
 
 
 @pytest.fixture(scope="module")
-def udf_results(spark):
-    dense = weekly_dense_resample(
+def dense_weekly(spark):
+    return weekly_dense_resample(
         clean_sales(load_table(spark, SF_SMOKE, "lineitem")),
         KEYS,
         "invoice_date",
         "units_sold",
     )
-    return forecast_with_models(dense).toPandas()
+
+
+@pytest.fixture(scope="module")
+def udf_results(dense_weekly):
+    """Default configuration: genuine 3-member ensemble (numpy
+    Holt-Winters + Fourier-trend members stand in when the libraries
+    are absent)."""
+    return forecast_with_models(dense_weekly).toPandas()
+
+
+@pytest.fixture(scope="module")
+def udf_results_ma_only(dense_weekly):
+    """native_members=False -> MA-only (in this container), the
+    configuration that must agree exactly with the native flagship."""
+    return forecast_with_models(dense_weekly, native_members=False).toPandas()
 
 
 def test_udf_properties(udf_results):
@@ -38,14 +52,27 @@ def test_udf_properties(udf_results):
     assert df["Test"].map(len).eq(4).all()
 
 
+def test_udf_ensemble_bounded_with_native_members(udf_results):
+    """With the real numpy model members voting, every forecast must
+    stay finite and the MAPE defined: a diverging trend extrapolation
+    (the classic expm1-of-a-bad-fit failure) would blow past this."""
+    import numpy as np
+
+    for fc in udf_results["Forecast"]:
+        a = np.asarray(fc, dtype=float)
+        assert np.isfinite(a).all()
+    assert np.isfinite(udf_results["MAPE"].to_numpy(dtype=float)).all()
+    assert (udf_results["MAPE"] >= 0).all()
+
+
 @pytest.mark.skipif(
     PROPHET_AVAILABLE or HW_AVAILABLE,
     reason="with stat models present the UDF ensemble adds members and "
     "legitimately diverges from the native MA-only plan",
 )
-def test_udf_matches_native_flagship(spark, udf_results):
+def test_udf_matches_native_flagship(spark, udf_results_ma_only):
     native = flagship(spark, SF_SMOKE, top_k=None).toPandas()
-    u = udf_results.assign(
+    u = udf_results_ma_only.assign(
         product_id=lambda d: d["SKU"].astype(int),
         store_id=lambda d: d["Store"].astype(int),
     ).set_index(["product_id", "store_id"])
