@@ -112,8 +112,20 @@ def series_stats(
     return with_ens.withColumn("mape_raw", mape_raw).drop("_ma4", "_train_avg", "_test_pairs")
 
 
-def flagship(spark: SparkSession, sf_dir: str, top_k: int | None = 100) -> DataFrame:
-    stats = series_stats(clean_sales(load_table(spark, sf_dir, "lineitem")))
+def flagship(
+    spark: SparkSession,
+    sf_dir: str,
+    top_k: int | None = 100,
+    *,
+    lineitem: DataFrame | None = None,
+) -> DataFrame:
+    """``lineitem`` overrides the fact source (same schema as the
+    testdata table) — used by the partitioned-layout twin
+    (queries_layout.py) to run the identical pipeline over a
+    partition-pruned scan."""
+    stats = series_stats(clean_sales(
+        load_table(spark, sf_dir, "lineitem") if lineitem is None else lineitem
+    ))
     inv = inventory_columns(
         sigma=F.col("sigma"),
         avg_forecast=F.col("ens"),  # constant forecast -> mean == value

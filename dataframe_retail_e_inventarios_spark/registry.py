@@ -60,6 +60,7 @@ def _load_all() -> None:
         "queries_scale",
         "queries_trend",
         "queries_modern",
+        "queries_layout",
     ):
         qualname = f"{__package__}.plans.{mod}"
         try:

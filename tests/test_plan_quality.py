@@ -4,6 +4,7 @@ broadcast joins for dims, whole-stage codegen — so a regression shows
 up as a test failure, not a 10x slowdown at deploy time."""
 
 import pytest
+import pyspark.sql.functions as F
 
 from dataframe_retail_e_inventarios_spark.registry import queries
 from tests.conftest import SF_SMOKE
@@ -177,3 +178,35 @@ def test_registered_similarity_scale_paths_never_all_pairs(spark):
     ):
         plan = plan_of(spark, name)
         assert "CartesianProduct" not in plan, name
+
+
+def test_partitioned_flagship_prunes_months_at_plan_time(spark):
+    """The partitioned-layout flagship must push its date bound into
+    the scan as a PartitionFilter (directory-level pruning, zero I/O
+    for pruned months) — asserted on the flagship plan itself, and
+    backed by the file listing: the pruned scan reads only the
+    surviving month directories of the partitioned copy."""
+    from dataframe_retail_e_inventarios_spark.plans.queries_layout import (
+        PARTITION_CUTOFF,
+        partitioned_lineitem,
+    )
+
+    plan = plan_of(spark, "flagship_inventory_partitioned")
+    seg = plan.split("PartitionFilters: [")
+    assert len(seg) >= 2, "no PartitionFilters in the flagship scan"
+    assert "_part" in seg[1].split("]")[0]
+
+    # Execute the pruned scan and record which files it ACTUALLY read
+    # (inputFiles() lists the unpruned FileIndex, so it can't serve as
+    # evidence). Every touched month directory must be >= the cutoff,
+    # and strictly fewer directories than the full copy holds.
+    full = partitioned_lineitem(spark, SF_SMOKE)
+    pruned = full.filter(F.col("_part") >= F.lit(PARTITION_CUTOFF).cast("date"))
+    read_dirs = {
+        r[0].rsplit("/", 2)[1]
+        for r in pruned.select(F.input_file_name()).distinct().collect()
+    }
+    all_dirs = {f.rsplit("/", 2)[1] for f in full.inputFiles()}
+    assert 0 < len(read_dirs) < len(all_dirs)
+    for part in read_dirs:
+        assert part >= f"_part={PARTITION_CUTOFF}", part
