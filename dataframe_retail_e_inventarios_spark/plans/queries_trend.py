@@ -20,6 +20,18 @@
 Scale posture notes are on each query. Everything is built-in column
 expressions — no Python UDFs, no driver-side collects (the PageRank
 loop is a fixed 5-iteration plan build, not a convergence probe).
+
+SERIES-LENGTH BOUND (the one per-group materialization in this
+family): several queries collect each product's dense weekly series
+into an array (`collect_list` sites below). That array's length is
+bounded by the CALENDAR — one element per week between the series'
+first and last sale, i.e. ~520 for a decade — and is INDEPENDENT of
+row volume: the weekly pre-aggregation collapses any number of fact
+rows per (product, week) into one element before collection. Scaling
+the fact 100x widens the aggregate's input, never the array. The
+bound breaks only if key granularity changes (e.g. per-minute
+buckets), which is a different query. Locked in by
+tests/test_trend_property.py::test_series_arrays_calendar_bounded_at_520_weeks.
 """
 
 from __future__ import annotations
@@ -687,7 +699,9 @@ GROUP BY 1
 THETA_ALPHA = 0.3
 
 
-def q_theta_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_theta_forecast(
+    spark: SparkSession, sf_dir: str, *, sales: DataFrame | None = None
+) -> DataFrame:
     """Theta method (Assimakopoulos & Nikolopoulos 2000) per dense
     product series: decompose into the theta=0 line (the OLS linear
     trend — pure long-run signal) and the theta=2 line (2·y − trend,
@@ -708,11 +722,18 @@ def q_theta_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialization barrier, so the downstream theta-line lambda reads
     them as O(1) attributes. Inlining the fold-based moments into the
     per-element lambda (the first draft) made each z element re-derive
-    an O(n) expression → O(n³) interpreted evaluation per series."""
+    an O(n) expression → O(n³) interpreted evaluation per series.
+
+    Memory bound: the collected ys array is calendar-bounded (one
+    element per week of the series' span — see the module docstring),
+    so per-group state does not grow with fact volume; the 520-week
+    property test pins this. ``sales`` injects a synthetic cleaned
+    sales frame (product_id/invoice_date/units_sold) for such tests."""
     from ..operators.cleaning import clean_sales
     from ..operators.resample import weekly_dense_resample
 
-    sales = clean_sales(load_table(spark, sf_dir, "lineitem"))
+    if sales is None:
+        sales = clean_sales(load_table(spark, sf_dir, "lineitem"))
     dense = weekly_dense_resample(sales, ["product_id"], "invoice_date", "units_sold")
     w = Window.partitionBy("product_id").orderBy("week")
     xy = dense.select(

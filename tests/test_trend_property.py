@@ -99,3 +99,60 @@ def test_ols_moments_closed_form_matches_numpy(spark, ys):
     scale = max(1.0, abs(np_slope))
     assert abs(slope - np_slope) < 1e-6 * scale
     assert abs(intercept - np_intercept) < 1e-4 * max(1.0, abs(np_intercept))
+
+
+def test_series_arrays_calendar_bounded_at_520_weeks(spark):
+    """The trend family's one per-group materialization is the dense
+    weekly series array; its length must be bounded by the CALENDAR
+    SPAN (520 weeks here — a decade of weekly data), not by fact row
+    volume. A synthetic fact with 10 rows per (product, week) must
+    produce n = 520 exactly (the weekly pre-aggregation collapses the
+    volume axis before collection), and the theta math over the long
+    series must match an independent Python reference."""
+    import datetime
+
+    from dataframe_retail_e_inventarios_spark.plans.queries_trend import (
+        HOLT_HORIZON,
+        THETA_ALPHA,
+        q_theta_forecast,
+    )
+
+    n_weeks, rows_per_week = 520, 10
+    start = datetime.date(2015, 1, 4)  # a Sunday: stable W-SUN labels
+    rows = []
+    for pid in (1, 2):
+        for wk in range(n_weeks):
+            d = start + datetime.timedelta(weeks=wk)
+            for r in range(rows_per_week):
+                # per-row units; weekly total = 10*(wk%7) + pid
+                u = float(wk % 7) + (0.1 * pid if r == 0 else 0.0) * 10
+                rows.append((pid, d, float(wk % 7) + (pid if r == 0 else 0)))
+    sales = spark.createDataFrame(
+        rows, "product_id long, invoice_date date, units_sold double"
+    )
+    out = q_theta_forecast(spark, "unused", sales=sales).toPandas()
+    assert len(out) == 2
+    # Calendar bound: 5200 input rows per product -> arrays of 520.
+    assert (out["n"] == n_weeks).all()
+
+    # Independent reference for one product.
+    weekly = {}
+    for pid, d, u in rows:
+        if pid == 1:
+            weekly[d] = weekly.get(d, 0.0) + u
+    ys = [round(weekly[k]) for k in sorted(weekly)]
+    n = len(ys)
+    sy = sum(ys)
+    sxy = sum((i + 1) * y for i, y in enumerate(ys))
+    sx = n * (n + 1) / 2
+    sxx = n * (n + 1) * (2 * n + 1) / 6
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    z = [2.0 * y - (intercept + slope * (i + 1)) for i, y in enumerate(ys)]
+    ses = z[0]
+    for x in z[1:]:
+        ses = THETA_ALPHA * x + (1 - THETA_ALPHA) * ses
+    linear_h4 = intercept + slope * (n + HOLT_HORIZON)
+    expected = max(0.5 * linear_h4 + 0.5 * ses, 0.0)
+    got = float(out.set_index("product_id").loc[1, "theta_forecast_h4"])
+    assert math.isclose(got, expected, rel_tol=1e-6, abs_tol=1e-4)
