@@ -260,3 +260,100 @@ SELECT count(*) AS n_raw,
 FROM m
 """,
 )
+
+
+# -- Per-source (domain) quality rollup ------------------------------------
+# RefinedWeb/C4-style domain triage: corpus curation decisions are made
+# per SOURCE (drop boilerplate domains, cap syndicators) before any
+# per-document work. One tokenize pass, one (source, lang) aggregate —
+# the per-doc quality double is quantized to a BIGINT scale-4 grid
+# BEFORE summing, so the rollup mean is order-independent and
+# bit-identical across engines/partitionings (the repo's standard
+# exact-sum trick; see functions/exact.py).
+def q_source_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textops import quality_score, tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    q4 = F.bround(quality_score("text", tokens("text")) * 10000.0, 0).cast("long")
+    per = docs.select(
+        "source",
+        "lang",
+        F.length("text").cast("long").alias("nc"),
+        q4.alias("q4"),
+    )
+    return per.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("nc").alias("total_chars"),
+        (F.bround(F.sum("q4") / F.count("*"), 0) / 10000.0).alias("avg_quality"),
+        F.sum((F.col("q4") >= 5000).cast("long")).alias("n_pass"),
+    )
+
+
+register(
+    "source_quality_rollup",
+    q_source_quality_rollup,
+    f"""
+WITH t AS (
+  SELECT source, lang, text, {_TOKS_SQL} AS toks FROM documents
+),
+m AS (
+  SELECT source, lang, CAST(length(text) AS BIGINT) AS nc,
+    CAST(round_even((
+      0.4 * least(1.0, CAST(len(toks) AS BIGINT) / 100.0)
+      + 0.3 * (1 - CASE WHEN len(toks) > 0
+                        THEN len(list_filter(toks, x -> x IN ({_STOP_IN}))) / len(toks)
+                        ELSE 0.0 END)
+      + 0.3 * (1 - CASE WHEN length(text) > 0
+                        THEN (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) / length(text)
+                        ELSE 0.0 END)) * 10000.0, 0) AS BIGINT) AS q4
+  FROM t
+)
+SELECT source, lang,
+       count(*) AS n_docs,
+       sum(nc) AS total_chars,
+       round_even(sum(q4) / count(*), 0) / 10000.0 AS avg_quality,
+       CAST(sum(CASE WHEN q4 >= 5000 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+FROM m
+GROUP BY 1, 2
+""",
+)
+
+
+# -- Deterministic train/val/test split ------------------------------------
+# The split a training pipeline actually ships: assignment is a pure
+# function of the stable doc_id (md5 bucket 0..255 -> ~97.7/1.2/1.2),
+# so it is reproducible across runs, engines, and repartitionings, and
+# membership never migrates when the corpus grows (a new doc lands in
+# exactly one split; existing docs never move). Zero shuffle for the
+# assignment itself; one aggregate for the audit counts.
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = _hash_bucket(F.col("doc_id"))
+    split = (
+        F.when(bucket < 250, F.lit("train"))
+        .when(bucket < 253, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        docs.select(split.alias("split"), "lang", F.length("text").cast("long").alias("nc"))
+        .groupBy("split", "lang")
+        .agg(F.count("*").alias("n_docs"), F.sum("nc").alias("total_chars"))
+    )
+
+
+register(
+    "dataset_split_counts",
+    q_dataset_split,
+    f"""
+WITH b AS (
+  SELECT lang, length(text) AS nc,
+         CASE WHEN {_BUCKET_SQL} < 250 THEN 'train'
+              WHEN {_BUCKET_SQL} < 253 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT split, lang, count(*) AS n_docs, CAST(sum(nc) AS BIGINT) AS total_chars
+FROM b
+GROUP BY 1, 2
+""",
+)
