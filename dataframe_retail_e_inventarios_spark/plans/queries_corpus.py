@@ -1,0 +1,204 @@
+"""Corpus-level statistics [SURVEY §2.11 N4 extensions]: the profiling
+numbers a pre-training data report leads with — vocabulary frequency
+profile (Zipf), its log-log slope, and the duplicated-n-gram mass
+(memorization-risk proxy from the dedup literature: what fraction of
+5-gram OCCURRENCES are repeats of an already-seen 5-gram).
+
+Scale posture: every query is one tokenize scan plus hash-keyed
+aggregation. The n-gram pass groups on a 32-bit md5 prefix of the gram
+(operators/dedup.shingle_hash32) so the shuffle carries 8-byte keys,
+never gram strings; the Zipf top-k is sort+limit
+(TakeOrderedAndProject) with ranking applied to the tiny top-k result,
+not a global single-partition window.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..operators.dedup import shingle_hash32
+from ..operators.textops import tokens
+from ..registry import register
+from ..sources.readers import load_table
+
+_TOP_N = 100
+_TOKS_SQL = "string_split_regex(lower(trim(text)), '\\s+')"
+
+
+def _term_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokens("text")).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count("*").alias("freq"))
+    )
+
+
+def _zipf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-N terms by frequency with a deterministic (freq desc, term)
+    tie order. sort+limit so the heavy side stays a distributed top-k;
+    the row_number window runs on the N surviving rows only."""
+    top = (
+        _term_counts(spark, sf_dir)
+        .orderBy(F.col("freq").desc(), "term")
+        .limit(_TOP_N)
+    )
+    w = Window.orderBy(F.col("freq").desc(), "term")
+    return top.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        "term",
+        "freq",
+    )
+
+
+def q_zipf_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _zipf_topk(spark, sf_dir)
+    return t.select(
+        "rank",
+        "term",
+        "freq",
+        F.round(F.log(F.col("rank")), 6).alias("ln_rank"),
+        F.round(F.log(F.col("freq")), 6).alias("ln_freq"),
+    )
+
+
+_ZIPF_TOP_SQL = f"""
+  SELECT CAST(row_number() OVER (ORDER BY freq DESC, term) AS BIGINT) AS rank,
+         term, freq
+  FROM (
+    SELECT term, count(*) AS freq
+    FROM (SELECT unnest({_TOKS_SQL}) AS term FROM documents)
+    WHERE term != '' GROUP BY term
+  )
+  ORDER BY freq DESC, term LIMIT {_TOP_N}
+"""
+
+register(
+    "zipf_vocab_topk",
+    q_zipf_vocab_topk,
+    f"""
+WITH top AS ({_ZIPF_TOP_SQL})
+SELECT rank, term, freq,
+       round(ln(rank), 6) AS ln_rank,
+       round(ln(freq), 6) AS ln_freq
+FROM top
+""",
+)
+
+
+def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLS slope/intercept of ln(freq) on ln(rank) over the top-100
+    terms — the classic Zipf exponent check (slope near -1 for natural
+    text). Parity recipe from ols_demand_trend: each ln is rounded to
+    6 dp and scaled to an exact BIGINT, so the regression moments are
+    integer sums (deterministic under any aggregation order); only the
+    final closed-form division is floating point."""
+    t = _zipf_topk(spark, sf_dir)
+    x = F.round(F.log(F.col("rank")) * 1e6, 0).cast("long")
+    y = F.round(F.log(F.col("freq")) * 1e6, 0).cast("long")
+    m = t.select(x.alias("x"), y.alias("y")).agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("n") / 1e6
+    return m.select(
+        F.col("n").alias("n_terms"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(intercept, 6).alias("zipf_intercept"),
+    )
+
+
+register(
+    "zipf_slope",
+    q_zipf_slope,
+    f"""
+WITH top AS ({_ZIPF_TOP_SQL}),
+m AS (
+  SELECT count(*) AS n,
+         sum(CAST(round(ln(rank) * 1e6, 0) AS BIGINT)) AS sx,
+         sum(CAST(round(ln(freq) * 1e6, 0) AS BIGINT)) AS sy,
+         sum(CAST(round(ln(rank) * 1e6, 0) AS BIGINT)
+             * CAST(round(ln(freq) * 1e6, 0) AS BIGINT)) AS sxy,
+         sum(CAST(round(ln(rank) * 1e6, 0) AS BIGINT)
+             * CAST(round(ln(rank) * 1e6, 0) AS BIGINT)) AS sxx
+  FROM top
+)
+SELECT n AS n_terms,
+       round((n * sxy - sx * sy) / CAST(n * sxx - sx * sx AS DOUBLE), 6)
+         AS zipf_slope,
+       round((sy - (n * sxy - sx * sy) / CAST(n * sxx - sx * sx AS DOUBLE) * sx)
+             / n / 1e6, 6) AS zipf_intercept
+FROM m
+""",
+)
+
+
+def q_duplicate_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus duplicated-5-gram mass: of all word-5-gram occurrences,
+    how many are occurrences of a gram seen more than once? Grams are
+    NOT per-doc deduped (occurrence statistics, unlike the shingle
+    index) and are hashed to 32 bits before the shuffle — the group-by
+    carries 8-byte keys regardless of gram text width."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    idx = F.sequence(F.lit(1), F.size(toks) - 4)
+    grams = F.when(
+        F.size(toks) >= 5,
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j) for j in range(5)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    per_gram = (
+        docs.select(F.explode(grams).alias("gram"))
+        .select(shingle_hash32("gram").alias("gh"))
+        .groupBy("gh")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return per_gram.agg(
+        F.sum("cnt").alias("total_ngrams"),
+        F.count("*").alias("distinct_ngrams"),
+        F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(F.lit(0))).alias(
+            "dup_occurrences"
+        ),
+        F.round(
+            F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(F.lit(0)))
+            / F.sum("cnt"),
+            6,
+        ).alias("dup_fraction"),
+    )
+
+
+register(
+    "duplicate_ngram_fraction",
+    q_duplicate_ngram_fraction,
+    f"""
+WITH t AS (SELECT {_TOKS_SQL} AS tk FROM documents),
+g AS (
+  SELECT CAST(('0x' || substr(md5(gram), 1, 8)) AS BIGINT) AS gh
+  FROM t, LATERAL unnest(
+    list_transform(range(1, len(tk) - 3),
+                   i -> array_to_string(tk[i:i+4], ' '))
+  ) AS u(gram)
+  WHERE len(tk) >= 5
+),
+c AS (SELECT gh, count(*) AS cnt FROM g GROUP BY gh)
+SELECT CAST(sum(cnt) AS BIGINT) AS total_ngrams,
+       count(*) AS distinct_ngrams,
+       CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT)
+         AS dup_occurrences,
+       round(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) / CAST(sum(cnt) AS DOUBLE), 6)
+         AS dup_fraction
+FROM c
+""",
+)

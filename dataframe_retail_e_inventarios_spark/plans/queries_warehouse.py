@@ -1,0 +1,246 @@
+"""Warehouse-maintenance queries [SURVEY §2 parity-plus; reference
+treats every load as full-refresh pandas (PRACTICA3.py:20-40) — at
+100 TB the same semantics need incremental/dimension-history forms]:
+
+- SCD Type-2 history build from a change stream (change suppression +
+  validity intervals) — one shuffle on the dimension key, two window
+  passes over the same partitioning (no second exchange).
+- Leak-free grouped holdout split: train/val/test assignment is a pure
+  hash of the SERIES key, so every row of a series lands on one side —
+  the split a forecasting/training pipeline must use to avoid
+  target leakage (row-hash splits leak: the same (part,supplier)
+  series would straddle train and val).
+- Domain mixture reweighting: per-source sampling weights that move
+  the corpus token mixture toward a target distribution (static
+  mixture rebalancing a la DoReMi baselines) — one scan, one tiny
+  aggregate, weights broadcastable back onto the corpus.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..functions.timewall import wall_epoch_seconds
+from ..operators.tokenize import bpe_ish_tokens
+from ..registry import register
+from ..sources.readers import load_table
+
+# ---------------------------------------------------------------------------
+# SCD Type-2 dimension history
+# ---------------------------------------------------------------------------
+
+
+def scd2_history(
+    changes: DataFrame,
+    keys: tuple[str, ...],
+    attr: str,
+    seq_cols: tuple[str, ...],
+) -> DataFrame:
+    """Slowly-Changing-Dimension Type-2 build: collapse a change stream
+    into validity intervals per key.
+
+    Change suppression first (drop versions whose tracked attribute is
+    null-safe-equal to the previous version), then validity windows
+    over the survivors. Both windows share the same partitioning, so
+    the plan carries ONE hash exchange on the dimension key; the filter
+    between them preserves distribution. Scale: per-key state is the
+    key's version count (bounded by its change history), never the
+    table width.
+    """
+    korder = [F.col(c) for c in seq_cols]
+    w = Window.partitionBy(*keys).orderBy(*korder)
+    staged = changes.select(
+        *keys,
+        *seq_cols,
+        attr,
+        F.row_number().over(w).alias("_rn"),
+        F.lag(F.col(attr)).over(w).alias("_prev"),
+    )
+    suppressed = staged.filter(
+        (F.col("_rn") == 1) | ~F.col(attr).eqNullSafe(F.col("_prev"))
+    )
+    w2 = Window.partitionBy(*keys).orderBy(*korder)
+    return suppressed.select(
+        *keys,
+        F.row_number().over(w2).alias("version_n"),
+        wall_epoch_seconds(seq_cols[0]).alias("valid_from_epoch"),
+        F.lead(wall_epoch_seconds(seq_cols[0])).over(w2).alias("valid_to_epoch"),
+        F.col(attr),
+        F.lead(F.col(attr)).over(w2).isNull().alias("is_current"),
+    )
+
+
+def q_scd2_user_event_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events as a change stream keyed by (user_id, event_type) with
+    `value` the tracked attribute — the SCD2 twin of cdc_latest_state
+    (queries_scale.py): where CDC keeps only the latest version, SCD2
+    keeps every distinct-value version with its validity interval."""
+    ev = load_table(spark, sf_dir, "events")
+    return scd2_history(
+        ev,
+        keys=("user_id", "event_type"),
+        attr="value",
+        seq_cols=("ts", "event_id"),
+    )
+
+
+register(
+    "scd2_user_event_history",
+    q_scd2_user_event_history,
+    """
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id, value,
+         lag(value) OVER (
+           PARTITION BY user_id, event_type ORDER BY ts, event_id
+         ) AS prev,
+         row_number() OVER (
+           PARTITION BY user_id, event_type ORDER BY ts, event_id
+         ) AS rn
+  FROM events
+),
+suppressed AS (
+  SELECT * FROM ordered WHERE rn = 1 OR value IS DISTINCT FROM prev
+)
+SELECT user_id, event_type,
+       CAST(row_number() OVER w AS INT) AS version_n,
+       CAST(floor(epoch_us(ts) / 1000000) AS BIGINT) AS valid_from_epoch,
+       CAST(lead(floor(epoch_us(ts) / 1000000)) OVER w AS BIGINT) AS valid_to_epoch,
+       value,
+       lead(value) OVER w IS NULL AS is_current
+FROM suppressed
+WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+""",
+)
+
+
+# ---------------------------------------------------------------------------
+# Leak-free grouped holdout split
+# ---------------------------------------------------------------------------
+
+# Same md5-bucket idiom as sample_stratified_hash (queries_curation.py):
+# the keep decision is a pure function of the stable key — reproducible,
+# shuffle-free, and pushable into the scan. Split boundaries: bucket
+# 0..191 train (75%), 192..223 val (12.5%), 224..255 test (12.5%).
+_TRAIN_UB, _VAL_UB = 192, 224
+
+
+def _series_bucket(*cols) -> F.Column:
+    h = F.md5(F.concat_ws(":", *[F.col(c).cast("string") for c in cols]))
+    v1 = F.instr(F.lit("0123456789abcdef"), F.substring(h, 1, 1)) - 1
+    v2 = F.instr(F.lit("0123456789abcdef"), F.substring(h, 2, 1)) - 1
+    return (v1 * 16 + v2).cast("long")
+
+
+def q_group_holdout_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-split row/series counts for a grouped train/val/test split
+    of the (l_partkey, l_suppkey) demand series. The split function
+    hashes the SERIES key only — disjointness across splits is by
+    construction (a series maps to exactly one bucket), which is the
+    anti-leakage property a row-level split lacks."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bucket = _series_bucket("l_partkey", "l_suppkey")
+    split = (
+        F.when(bucket < _TRAIN_UB, F.lit("train"))
+        .when(bucket < _VAL_UB, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        li.select(
+            split.alias("split"),
+            F.concat_ws(":", F.col("l_partkey").cast("string"), F.col("l_suppkey").cast("string")).alias("series"),
+            F.col("l_quantity"),
+        )
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct("series").alias("n_series"),
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+        )
+    )
+
+
+_SERIES_MD5_SQL = (
+    "md5(CAST(l_partkey AS VARCHAR) || ':' || CAST(l_suppkey AS VARCHAR))"
+)
+_BUCKET2_SQL = (
+    f"CAST((strpos('0123456789abcdef', substr({_SERIES_MD5_SQL}, 1, 1)) - 1) * 16"
+    f" + (strpos('0123456789abcdef', substr({_SERIES_MD5_SQL}, 2, 1)) - 1) AS BIGINT)"
+)
+
+register(
+    "group_holdout_split",
+    q_group_holdout_split,
+    f"""
+WITH b AS (
+  SELECT CASE WHEN {_BUCKET2_SQL} < {_TRAIN_UB} THEN 'train'
+              WHEN {_BUCKET2_SQL} < {_VAL_UB} THEN 'val'
+              ELSE 'test' END AS split,
+         CAST(l_partkey AS VARCHAR) || ':' || CAST(l_suppkey AS VARCHAR) AS series,
+         l_quantity
+  FROM lineitem
+)
+SELECT split, count(*) AS n_rows,
+       count(DISTINCT series) AS n_series,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM b GROUP BY split
+""",
+)
+
+
+# ---------------------------------------------------------------------------
+# Domain mixture reweighting
+# ---------------------------------------------------------------------------
+
+
+def q_domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source sampling weight to move the corpus token mixture to a
+    uniform target across sources: weight = target_share /
+    current_share. One corpus scan (BPE-ish token counting is codegen,
+    tokenize.py), one tiny per-source aggregate; the weight table is
+    dimension-sized and broadcastable onto the corpus for weighted
+    sampling (see quality_weighted_sample). Shares and weights are
+    ratios of exact BIGINT token sums — deterministic across engines —
+    rounded for publication."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_source = (
+        docs.select("source", F.size(bpe_ish_tokens("text")).cast("long").alias("n_tok"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tok").alias("tokens"))
+    )
+    totals = per_source.agg(
+        F.sum("tokens").alias("total_tokens"),
+        F.count("*").alias("n_sources"),
+    )
+    j = per_source.crossJoin(F.broadcast(totals))
+    share = F.col("tokens") / F.col("total_tokens")
+    target = F.lit(1.0) / F.col("n_sources")
+    return j.select(
+        "source",
+        "n_docs",
+        "tokens",
+        F.round(share, 6).alias("token_share"),
+        F.round(target / share, 6).alias("mix_weight"),
+    )
+
+
+from ..operators.tokenize import BPE_ISH_PATTERN as _BPE_RAW3  # noqa: E402
+
+_BPE3 = _BPE_RAW3.replace("'", "''")
+
+register(
+    "domain_mixture_weights",
+    q_domain_mixture_weights,
+    f"""
+WITH per_source AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(len(regexp_extract_all(text, '{_BPE3}'))) AS BIGINT) AS tokens
+  FROM documents GROUP BY source
+),
+tot AS (SELECT sum(tokens) AS total_tokens, count(*) AS n_sources FROM per_source)
+SELECT source, n_docs, tokens,
+       round(tokens / total_tokens, 6) AS token_share,
+       round((1.0 / n_sources) / (tokens / total_tokens), 6) AS mix_weight
+FROM per_source CROSS JOIN tot
+""",
+)

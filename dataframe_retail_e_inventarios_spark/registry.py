@@ -95,6 +95,13 @@ _PRIORITY = [
     "events_sliding_counts",
     "sparse_cosine_topk",
     "service_level_coverage",
+    # round-3 additions: warehouse maintenance + corpus statistics
+    "scd2_user_event_history",
+    "group_holdout_split",
+    "domain_mixture_weights",
+    "zipf_vocab_topk",
+    "zipf_slope",
+    "duplicate_ngram_fraction",
 ]
 
 
@@ -139,6 +146,8 @@ def _load_all() -> None:
         "queries_trend",
         "queries_modern",
         "queries_layout",
+        "queries_warehouse",
+        "queries_corpus",
     ):
         qualname = f"{__package__}.plans.{mod}"
         try:
