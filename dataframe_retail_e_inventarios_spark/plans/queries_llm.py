@@ -511,3 +511,24 @@ def q_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("ann_ivf_kmeans_topk", q_ivf_kmeans_topk, None)  # approximate: rows-only
+
+
+# -- N3 dimensionality reduction: distributed PCA --------------------------
+def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-4 principal components of the embedding corpus. The moment
+    pass is exact scaled-BIGINT (order-independent covariance); the
+    64x64 eigenproblem is driver-side numpy (operators/pca.py — same
+    sanctioned collect as the PQ codebook fit). Deterministic incl.
+    eigenvector sign, pinned against a single-node numpy reference in
+    tests/test_pca.py — no SQL oracle because DuckDB has no
+    eigensolver."""
+    from ..operators.pca import pca_fit, pca_project
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    comps, mean, _ = pca_fit(emb, k=4)
+    return pca_project(emb, comps, mean).select(
+        "vec_id", "label", "pc1", "pc2", "pc3", "pc4"
+    )
+
+
+register("embedding_pca_projection", q_embedding_pca, None)  # no SQL eigensolver: rows-only

@@ -244,3 +244,48 @@ SELECT source, n_docs, tokens,
 FROM per_source CROSS JOIN tot
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Incremental materialized-rollup maintenance
+# ---------------------------------------------------------------------------
+
+
+def q_incremental_monthly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standing (part, ship-month) rollup maintained incrementally:
+    the fact is split at a cutoff into history + new arrivals, the
+    history rollup is folded with the delta's partials, and the fold
+    is bit-identical to the one-shot aggregate (the oracle) because
+    every partial state is an associative BIGINT. At 100 TB the fold
+    touches O(delta + affected keys) rows — history fact rows are
+    never re-scanned (operators/incremental.py; random-split property
+    test in tests/test_incremental.py)."""
+    from ..operators.incremental import finalize_rollup, fold_rollup, rollup_partials
+
+    li = load_table(spark, sf_dir, "lineitem")
+    month = (F.year("l_shipdate") * 100 + F.month("l_shipdate")).cast("long")
+    fact = li.select(
+        "l_partkey", month.alias("ship_month"), "l_quantity"
+    )
+    cutoff = 199800  # history = months < 1998-01; delta = the rest
+    keys = ("l_partkey", "ship_month")
+    base = rollup_partials(fact.filter(F.col("ship_month") < cutoff), keys, "l_quantity")
+    delta = rollup_partials(fact.filter(F.col("ship_month") >= cutoff), keys, "l_quantity")
+    return finalize_rollup(fold_rollup(base, delta, keys))
+
+
+register(
+    "incremental_monthly_rollup",
+    q_incremental_monthly_rollup,
+    """
+SELECT l_partkey,
+       CAST(year(l_shipdate) * 100 + month(l_shipdate) AS BIGINT) AS ship_month,
+       count(*) AS n_rows,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(min(CAST(l_quantity AS BIGINT)) AS BIGINT) AS min_qty,
+       CAST(max(CAST(l_quantity AS BIGINT)) AS BIGINT) AS max_qty,
+       round(sum(CAST(l_quantity AS BIGINT)) / CAST(count(*) AS DOUBLE), 6) AS avg_qty
+FROM lineitem
+GROUP BY 1, 2
+""",
+)
