@@ -86,6 +86,14 @@ HEADLINE = [
     "flagship_inventory_partitioned",
     "skew_hot_key_revenue_plain",
     "skew_hot_key_revenue_salted",
+    # round 3, part 2: warehouse maintenance + corpus statistics
+    "scd2_user_event_history",
+    "group_holdout_split",
+    "domain_mixture_weights",
+    "incremental_monthly_rollup",
+    "zipf_vocab_topk",
+    "duplicate_ngram_fraction",
+    "embedding_pca_projection",
 ]
 
 # Scale-curve subset: the heaviest headline queries (r02 timings),

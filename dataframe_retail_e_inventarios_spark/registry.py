@@ -40,11 +40,7 @@ _PRIORITY = [
     # anchors (driver-green in r01+r02; keep the headline chain on record)
     "flagship_inventory",
     "weekly_resample_dense",
-    "series_admission_gates",
-    "backtest_metrics",
     "dedup_minhash_lsh",
-    "ann_cosine_topk",
-    "events_sessionization",
     "report_enrich",
     # previously unsampled: modern SQL + layout + skew (round-3 additions)
     "inventory_projection_recursive",
@@ -55,6 +51,17 @@ _PRIORITY = [
     "flagship_inventory_partitioned",
     "skew_hot_key_revenue_plain",
     "skew_hot_key_revenue_salted",
+    # round-3 part-2: warehouse maintenance + corpus statistics (never
+    # driver-sampled before — spend the 50-row budget here; the four
+    # r01+r02-green anchors they displace stay selfchecked every round)
+    "scd2_user_event_history",
+    "group_holdout_split",
+    "domain_mixture_weights",
+    "incremental_monthly_rollup",
+    "zipf_vocab_topk",
+    "zipf_slope",
+    "duplicate_ngram_fraction",
+    "embedding_pca_projection",
     # trend / forecast family
     "tpch_pricing_summary",
     "ols_demand_trend",
@@ -70,14 +77,10 @@ _PRIORITY = [
     "rfm_segmentation",
     "basket_pair_lift",
     "eoq_order_quantity",
-    "demand_mode",
-    "demand_quartiles",
     # relational / modern
     "asof_join_latest_order",
     "range_join_holiday_seasons",
     "cube_sales_summary",
-    "grouping_sets_summary",
-    "pivot_qty_by_returnflag",
     "window_value_family",
     # LLM-data curation + ranking + cleaning
     "bm25_top_terms",
@@ -95,13 +98,6 @@ _PRIORITY = [
     "events_sliding_counts",
     "sparse_cosine_topk",
     "service_level_coverage",
-    # round-3 additions: warehouse maintenance + corpus statistics
-    "scd2_user_event_history",
-    "group_holdout_split",
-    "domain_mixture_weights",
-    "zipf_vocab_topk",
-    "zipf_slope",
-    "duplicate_ngram_fraction",
 ]
 
 
