@@ -94,6 +94,8 @@ HEADLINE = [
     "zipf_vocab_topk",
     "duplicate_ngram_fraction",
     "embedding_pca_projection",
+    "last_touch_attribution",
+    "passage_dedup_stats",
 ]
 
 # Scale-curve subset: the heaviest headline queries (r02 timings),

@@ -202,3 +202,64 @@ SELECT CAST(sum(cnt) AS BIGINT) AS total_ngrams,
 FROM c
 """,
 )
+
+
+def q_passage_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level (sub-document) duplication: chunk every doc into
+    NON-overlapping 64-token passages (stride == chunk — overlapping
+    windows would self-duplicate), fingerprint each passage, and report
+    per-doc how much of it also appears in ANOTHER doc. This is the
+    signal whole-doc dedup misses: partially-copied documents. The
+    passage join is keyed on the 32-bit fingerprint (8-byte shuffle
+    keys); passage text never shuffles."""
+    from ..operators.chunking import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    ch = chunk_documents(docs, chunk=64, stride=64).select(
+        "doc_id", shingle_hash32("chunk_text").alias("gh")
+    )
+    fp_stats = ch.groupBy("gh").agg(
+        F.countDistinct("doc_id").alias("nd")
+    )
+    return (
+        ch.join(fp_stats, "gh")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_passages"),
+            F.sum((F.col("nd") > 1).cast("long")).alias("n_shared"),
+            F.round(
+                F.sum((F.col("nd") > 1).cast("long")) / F.count("*"), 6
+            ).alias("shared_frac"),
+        )
+    )
+
+
+register(
+    "passage_dedup_stats",
+    q_passage_dedup_stats,
+    """
+WITH toks_t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+nz AS (SELECT doc_id, toks, len(toks) AS n FROM toks_t WHERE len(toks) > 0),
+starts AS (
+  SELECT doc_id, toks, n, unnest(range(1, n + 1, 64)) AS s FROM nz
+),
+ch AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(array_to_string(list_slice(toks, s, s + 63), ' ')), 1, 8))
+              AS BIGINT) AS gh
+  FROM starts
+  WHERE s = 1 OR s - 64 + 63 < n
+),
+fs AS (SELECT gh, count(DISTINCT doc_id) AS nd FROM ch GROUP BY gh)
+SELECT doc_id, count(*) AS n_passages,
+       CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+       round(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6)
+         AS shared_frac
+FROM ch JOIN fs USING (gh)
+GROUP BY doc_id
+""",
+)

@@ -289,3 +289,72 @@ FROM lineitem
 GROUP BY 1, 2
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Last-touch attribution
+# ---------------------------------------------------------------------------
+
+
+def q_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing-style last-touch attribution: each purchase is
+    credited to the same user's most recent PRIOR non-purchase event
+    within a 24h lookback. One per-user window pass (conditional
+    last-ignore-nulls over rows-preceding) — the as-of-join semantics
+    without a join: at 100 TB this is one shuffle on user_id, and the
+    carried state per row is a single (ts, id, type) triple."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    nonp = F.col("event_type") != "purchase"
+    touch_ts = F.last(F.when(nonp, F.col("ts")), ignorenulls=True).over(w)
+    touch_id = F.last(F.when(nonp, F.col("event_id")), ignorenulls=True).over(w)
+    touch_type = F.last(F.when(nonp, F.col("event_type")), ignorenulls=True).over(w)
+    gap = wall_epoch_seconds(F.col("ts")) - wall_epoch_seconds(touch_ts)
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            "ts",
+            "event_type",
+            touch_id.alias("touch_event_id"),
+            touch_type.alias("touch_type"),
+            gap.alias("gap_s"),
+        )
+        .filter(
+            (F.col("event_type") == "purchase")
+            & F.col("touch_event_id").isNotNull()
+            & (F.col("gap_s") <= 86400)
+        )
+        .select("event_id", "user_id", "touch_event_id", "touch_type", "gap_s")
+    )
+
+
+register(
+    "last_touch_attribution",
+    q_last_touch_attribution,
+    """
+WITH t AS (
+  SELECT event_id, user_id, event_type,
+         floor(epoch_us(ts) / 1000000) AS es,
+         last_value(CASE WHEN event_type != 'purchase' THEN event_id END IGNORE NULLS)
+           OVER w AS touch_event_id,
+         last_value(CASE WHEN event_type != 'purchase' THEN event_type END IGNORE NULLS)
+           OVER w AS touch_type,
+         last_value(CASE WHEN event_type != 'purchase'
+                         THEN floor(epoch_us(ts) / 1000000) END IGNORE NULLS)
+           OVER w AS touch_es
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT event_id, user_id, touch_event_id, touch_type,
+       CAST(es - touch_es AS BIGINT) AS gap_s
+FROM t
+WHERE event_type = 'purchase' AND touch_event_id IS NOT NULL
+  AND es - touch_es <= 86400
+""",
+)

@@ -62,6 +62,8 @@ _PRIORITY = [
     "zipf_slope",
     "duplicate_ngram_fraction",
     "embedding_pca_projection",
+    "last_touch_attribution",
+    "passage_dedup_stats",
     # trend / forecast family
     "tpch_pricing_summary",
     "ols_demand_trend",

@@ -210,3 +210,52 @@ def test_partitioned_flagship_prunes_months_at_plan_time(spark):
     assert 0 < len(read_dirs) < len(all_dirs)
     for part in read_dirs:
         assert part >= f"_part={PARTITION_CUTOFF}", part
+
+
+def test_scd2_single_exchange(spark):
+    """Both SCD2 window passes share the (user_id, event_type)
+    partitioning: exactly one hash exchange in the plan."""
+    plan = plan_of(spark, "scd2_user_event_history")
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_holdout_split_is_scan_side(spark):
+    """The split function is a pure projection: no join, no window —
+    one exchange for the final 3-group aggregate only."""
+    plan = plan_of(spark, "group_holdout_split")
+    assert "Join" not in plan
+    assert "Window" not in plan
+
+
+def test_zipf_topk_is_distributed_topk(spark):
+    """The heavy ranking must be TakeOrderedAndProject (distributed
+    top-k), never a global single-partition Sort + Window over the
+    whole vocabulary."""
+    plan = plan_of(spark, "zipf_vocab_topk")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_ngram_and_passage_shuffles_carry_hashes_not_text(spark):
+    """The duplicated-n-gram and passage-dedup group-bys key on the
+    32-bit fingerprint: no string gram/chunk column in any exchange."""
+    for name in ("duplicate_ngram_fraction", "passage_dedup_stats"):
+        plan = plan_of(spark, name)
+        for line in plan.splitlines():
+            if line.strip().startswith("Exchange hashpartitioning"):
+                assert "gh#" in line, f"{name}: non-hash shuffle key: {line}"
+
+
+def test_incremental_fold_single_shuffle_over_partials(spark):
+    """Union-of-partials + re-aggregate: the fold itself must not add
+    a shuffle per input — partials aggregate under one exchange."""
+    plan = plan_of(spark, "incremental_monthly_rollup")
+    # two partial rollups + one fold: 3 aggregation exchanges max,
+    # and no join anywhere (the fold is a union, not a merge join)
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 3
+
+
+def test_attribution_single_user_shuffle(spark):
+    plan = plan_of(spark, "last_touch_attribution")
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
