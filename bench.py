@@ -96,6 +96,8 @@ HEADLINE = [
     "embedding_pca_projection",
     "last_touch_attribution",
     "passage_dedup_stats",
+    "bigram_logprob_scores",
+    "rolling_active_users",
 ]
 
 # Scale-curve subset: the heaviest headline queries (r02 timings),

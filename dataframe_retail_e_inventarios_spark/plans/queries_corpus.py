@@ -263,3 +263,96 @@ FROM ch JOIN fs USING (gh)
 GROUP BY doc_id
 """,
 )
+
+
+def q_bigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram-LM fluency score per document (the
+    CCNet-style perplexity-proxy quality filter, with the n-gram LM
+    trained on the corpus itself): score = mean over bigram positions
+    of -ln p(w2|w1), Laplace-smoothed, lower = more fluent.
+
+    Scale shape: ONE tokenize pass feeds both the model build (bigram +
+    unigram count tables) and the scoring join; both joins are keyed on
+    32-bit md5-prefix hashes, so no token text crosses an exchange.
+    Hot heads ("the") skew the unigram join — AQE's skew split covers
+    it (tests/test_partitioning). Parity: each -ln p is rounded to 6dp
+    and scaled to BIGINT before the per-doc mean, so the aggregate is
+    order-independent on both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    pos = F.sequence(F.lit(1), F.size(toks) - 1)
+    pairs = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            pos,
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("w1"),
+                F.concat_ws(
+                    " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+                ).alias("bg"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,bg:string>>"))
+    exploded = docs.select(
+        "doc_id", F.explode(pairs).alias("p")
+    ).select(
+        "doc_id",
+        shingle_hash32(F.col("p.w1")).alias("h1"),
+        shingle_hash32(F.col("p.bg")).alias("h2"),
+    )
+    bigram_counts = exploded.groupBy("h2").agg(F.count("*").alias("c12"))
+    unigram_counts = (
+        docs.select(F.explode(toks).alias("term"))
+        .filter(F.col("term") != "")
+        .select(shingle_hash32("term").alias("h1"))
+        .groupBy("h1")
+        .agg(F.count("*").alias("c1"))
+    )
+    vocab = unigram_counts.agg(F.count("*").alias("v"))
+    scored = (
+        exploded.join(bigram_counts, "h2")
+        .join(unigram_counts, "h1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.round(
+                -F.log((F.col("c12") + 1) / (F.col("c1") + F.col("v"))) * 1e6, 0
+            )
+            .cast("long")
+            .alias("nlp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(F.sum("nlp") / F.count("*") / 1e6, 6).alias("avg_neg_logprob"),
+    )
+
+
+register(
+    "bigram_logprob_scores",
+    q_bigram_logprob_scores,
+    f"""
+WITH t AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+ex AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(tk[i]), 1, 8)) AS BIGINT) AS h1,
+         CAST(('0x' || substr(md5(tk[i] || ' ' || tk[i+1]), 1, 8)) AS BIGINT) AS h2
+  FROM t, LATERAL unnest(range(1, len(tk))) AS r(i)
+  WHERE len(tk) >= 2
+),
+bc AS (SELECT h2, count(*) AS c12 FROM ex GROUP BY h2),
+uc AS (
+  SELECT CAST(('0x' || substr(md5(term), 1, 8)) AS BIGINT) AS h1, count(*) AS c1
+  FROM (SELECT unnest(tk) AS term FROM t) WHERE term != '' GROUP BY 1
+),
+v AS (SELECT count(*) AS v FROM uc),
+s AS (
+  SELECT doc_id,
+         CAST(round(-ln((c12 + 1) / CAST(c1 + v AS DOUBLE)) * 1e6, 0) AS BIGINT) AS nlp
+  FROM ex JOIN bc USING (h2) JOIN uc USING (h1) CROSS JOIN v
+)
+SELECT doc_id, count(*) AS n_bigrams,
+       round(sum(nlp) / CAST(count(*) AS DOUBLE) / 1e6, 6) AS avg_neg_logprob
+FROM s GROUP BY doc_id
+""",
+)

@@ -358,3 +358,61 @@ WHERE event_type = 'purchase' AND touch_event_id IS NOT NULL
   AND es - touch_es <= 86400
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Rolling engagement: DAU / WAU / MAU
+# ---------------------------------------------------------------------------
+
+
+def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact DAU / trailing-7d WAU / trailing-28d MAU per day. The
+    fact collapses to the (user, day) grid FIRST (one dedup shuffle —
+    at 100 TB this is the compression step: grid size is
+    users × active-days, not raw events); the day spine then fans each
+    grid row out over the ≤28 windows it contributes to via a
+    broadcast range join, and three conditional distinct-counts close
+    per window. The 28× fan-out is of the GRID, bounded and constant —
+    the standard exact form; the sketch twin (approx_distinct_users)
+    is the 100-TB approximate path."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.floor(wall_epoch_seconds("ts") / 86400).cast("long")
+    grid = ev.select("user_id", day.alias("day")).distinct()
+    spine = grid.select("day").distinct().select(F.col("day").alias("d"))
+    fan = grid.join(
+        F.broadcast(spine),
+        (F.col("day") <= F.col("d")) & (F.col("day") >= F.col("d") - 27),
+    )
+    return (
+        fan.groupBy("d")
+        .agg(
+            F.countDistinct(
+                F.when(F.col("day") == F.col("d"), F.col("user_id"))
+            ).alias("dau"),
+            F.countDistinct(
+                F.when(F.col("day") >= F.col("d") - 6, F.col("user_id"))
+            ).alias("wau"),
+            F.countDistinct("user_id").alias("mau"),
+        )
+        .select(F.col("d").alias("epoch_day"), "dau", "wau", "mau")
+    )
+
+
+register(
+    "rolling_active_users",
+    q_rolling_active_users,
+    """
+WITH grid AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(floor(epoch_us(ts) / 1000000) / 86400) AS BIGINT) AS day
+  FROM events
+),
+spine AS (SELECT DISTINCT day AS d FROM grid)
+SELECT d AS epoch_day,
+       count(DISTINCT CASE WHEN day = d THEN user_id END) AS dau,
+       count(DISTINCT CASE WHEN day >= d - 6 THEN user_id END) AS wau,
+       count(DISTINCT user_id) AS mau
+FROM grid JOIN spine ON day <= d AND day >= d - 27
+GROUP BY d
+""",
+)

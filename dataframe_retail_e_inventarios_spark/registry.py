@@ -64,6 +64,8 @@ _PRIORITY = [
     "embedding_pca_projection",
     "last_touch_attribution",
     "passage_dedup_stats",
+    "bigram_logprob_scores",
+    "rolling_active_users",
     # trend / forecast family
     "tpch_pricing_summary",
     "ols_demand_trend",
