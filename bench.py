@@ -98,6 +98,8 @@ HEADLINE = [
     "passage_dedup_stats",
     "bigram_logprob_scores",
     "rolling_active_users",
+    "lateral_topk_per_brand",
+    "geomean_demand_grouped_udf",
 ]
 
 # Scale-curve subset: the heaviest headline queries (r02 timings),

@@ -1,0 +1,31 @@
+"""pandas GROUPED_AGG UDF definitions (Series -> scalar aggregates).
+
+Two deliberate quirks:
+- NO ``from __future__ import annotations`` — pandas_udf infers the
+  aggregate signature from EVALUATED type hints; postponed
+  (stringified) annotations break the inference.
+- UDFs are built lazily via factories — ``@pandas_udf`` parses its DDL
+  return type against the active SparkSession at decoration time, so a
+  module-level decorator would force a session to exist at import.
+"""
+
+from functools import lru_cache
+
+import numpy as np
+import pandas as pd
+
+
+@lru_cache(maxsize=1)
+def sum_scaled_log_udf():
+    """GROUPED_AGG aggregate: exact scaled-BIGINT sum of ln(x). Each
+    element's log is rounded at 1e-6 then summed as int64, so the
+    result is independent of Arrow batch boundaries and accumulation
+    order."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def sum_scaled_log(v: pd.Series) -> int:
+        a = np.log(v.to_numpy(dtype=float)) * 1e6
+        return int(np.round(a).astype(np.int64).sum())
+
+    return sum_scaled_log

@@ -401,3 +401,79 @@ SELECT product_id, epoch_day, units,
 FROM keyed
 """,
 )
+
+
+# -- SQL LATERAL correlated subquery ---------------------------------------
+_LATERAL_SQL = """
+SELECT b.p_brand, t.l_partkey, t.rev_cents
+FROM (SELECT DISTINCT p_brand FROM part) b,
+LATERAL (
+  SELECT l.l_partkey,
+         CAST(sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS rev_cents
+  FROM lineitem l JOIN part p2 ON l.l_partkey = p2.p_partkey
+  WHERE p2.p_brand = b.p_brand
+  GROUP BY l.l_partkey
+  ORDER BY rev_cents DESC, l.l_partkey
+  LIMIT 3
+) t
+"""
+
+
+def q_lateral_topk_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 revenue parts per brand via a correlated LATERAL subquery
+    — the SQL-standard form of per-group top-k (identical text runs on
+    DuckDB as the oracle; the window-function form of the same shape
+    is topk_parts_per_supplier). Catalyst decorrelates the lateral
+    into a join + per-group limit, so this is a declarative-surface
+    query, not a nested-loop: revenue sums are exact integer cents."""
+    for t in ("part", "lineitem"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_LATERAL_SQL)
+
+
+register("lateral_topk_per_brand", q_lateral_topk_per_brand, _LATERAL_SQL)
+
+
+# -- pandas GROUPED_AGG UDF (Series -> scalar) -----------------------------
+def q_geomean_grouped_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometric-mean quantity per return flag via a pandas
+    GROUPED_AGG UDF — the Arrow-batched aggregate-UDF surface
+    (Series -> scalar, usable in groupBy().agg() like any builtin).
+    The UDF returns the scaled-BIGINT sum of logs (exact, order-
+    independent); the geometric mean closes natively as
+    exp(sum/n/1e6), so the result is hash-comparable to the SQL
+    oracle despite Python in the loop. The all-native twin (same
+    expression without the UDF) is differential-tested in
+    tests/test_grouped_udf.py — at 100 TB you'd ship the native form;
+    this query pins the API surface."""
+    from ..functions.udafs import sum_scaled_log_udf
+
+    sum_scaled_log = sum_scaled_log_udf()
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
+    # Spark disallows mixing GROUPED_AGG UDFs with native aggregates in
+    # one agg(): close counts in a second tiny aggregate and join on
+    # the 3-key group (broadcast).
+    g_udf = li.groupBy("l_returnflag").agg(
+        sum_scaled_log("l_quantity").alias("slog")
+    )
+    g_n = li.groupBy("l_returnflag").agg(F.count("*").alias("n"))
+    g = g_udf.join(F.broadcast(g_n), "l_returnflag")
+    return g.select(
+        "l_returnflag",
+        "n",
+        F.round(F.exp(F.col("slog") / F.col("n") / 1e6), 6).alias("geomean_qty"),
+    )
+
+
+register(
+    "geomean_demand_grouped_udf",
+    q_geomean_grouped_udf,
+    """
+SELECT l_returnflag, count(*) AS n,
+       round(exp(sum(CAST(round(ln(l_quantity) * 1e6, 0) AS BIGINT))
+                 / CAST(count(*) AS DOUBLE) / 1e6), 6) AS geomean_qty
+FROM lineitem WHERE l_quantity > 0
+GROUP BY l_returnflag
+""",
+)

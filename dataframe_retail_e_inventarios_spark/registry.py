@@ -66,6 +66,8 @@ _PRIORITY = [
     "passage_dedup_stats",
     "bigram_logprob_scores",
     "rolling_active_users",
+    "lateral_topk_per_brand",
+    "geomean_demand_grouped_udf",
     # trend / forecast family
     "tpch_pricing_summary",
     "ols_demand_trend",
