@@ -100,6 +100,7 @@ HEADLINE = [
     "rolling_active_users",
     "lateral_topk_per_brand",
     "geomean_demand_grouped_udf",
+    "pit_join_purchase_state",
 ]
 
 # Scale-curve subset: the heaviest headline queries (r02 timings),

@@ -416,3 +416,102 @@ FROM grid JOIN spine ON day <= d AND day >= d - 27
 GROUP BY d
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Point-in-time (temporal) join against the SCD2 dimension
+# ---------------------------------------------------------------------------
+
+
+def q_pit_join_purchase_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct enrichment — the feature-store join: each
+    purchase event picks up the (user, 'view') SCD2 version that was
+    VALID AT the purchase instant (valid_from <= t < valid_to), never
+    a later one (no training-time leakage). Implemented as the as-of
+    window form: union the versioned dimension rows with the probe
+    events per user, one (user) shuffle + one ordered window carrying
+    the last-seen version forward — the same shape as
+    last_touch_attribution, avoiding an interval join entirely.
+    Validity here = [version ts, next version ts) of the viewed-value
+    history; purchases before any view stay unmatched and are dropped
+    (inner PIT semantics)."""
+    ev = load_table(spark, sf_dir, "events")
+    dim = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.col("value").alias("view_value"),
+    )
+    probe = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", F.col("value").alias("purchase_value")
+    )
+    tagged = dim.select(
+        "user_id", "ts", "event_id", F.lit(0).alias("side"), "view_value",
+        F.lit(None).cast("double").alias("purchase_value"),
+    ).unionByName(
+        probe.select(
+            "user_id", "ts", "event_id", F.lit(1).alias("side"),
+            F.lit(None).cast("double").alias("view_value"), "purchase_value",
+        )
+    )
+    # dimension rows sort before a probe at the same instant (side 0
+    # first): "valid at t" includes a version starting exactly at t.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = tagged.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "side",
+        "purchase_value",
+        F.last(F.when(F.col("side") == 0, F.col("view_value")), ignorenulls=True)
+        .over(w)
+        .alias("state_view_value"),
+        F.last(F.when(F.col("side") == 0, F.col("event_id")), ignorenulls=True)
+        .over(w)
+        .alias("state_version_id"),
+    )
+    return (
+        carried.filter((F.col("side") == 1) & F.col("state_view_value").isNotNull())
+        .select(
+            F.col("event_id").alias("purchase_event_id"),
+            "user_id",
+            "purchase_value",
+            "state_view_value",
+            "state_version_id",
+        )
+    )
+
+
+register(
+    "pit_join_purchase_state",
+    q_pit_join_purchase_state,
+    """
+WITH tagged AS (
+  SELECT user_id, ts, event_id, 0 AS side, value AS view_value,
+         CAST(NULL AS DOUBLE) AS purchase_value
+  FROM events WHERE event_type = 'view'
+  UNION ALL
+  SELECT user_id, ts, event_id, 1 AS side, CAST(NULL AS DOUBLE) AS view_value,
+         value AS purchase_value
+  FROM events WHERE event_type = 'purchase'
+),
+carried AS (
+  SELECT user_id, ts, event_id, side, purchase_value,
+         last_value(CASE WHEN side = 0 THEN view_value END IGNORE NULLS)
+           OVER w AS state_view_value,
+         last_value(CASE WHEN side = 0 THEN event_id END IGNORE NULLS)
+           OVER w AS state_version_id
+  FROM tagged
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, side, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_id AS purchase_event_id, user_id, purchase_value,
+       state_view_value, state_version_id
+FROM carried
+WHERE side = 1 AND state_view_value IS NOT NULL
+""",
+)

@@ -68,6 +68,7 @@ _PRIORITY = [
     "rolling_active_users",
     "lateral_topk_per_brand",
     "geomean_demand_grouped_udf",
+    "pit_join_purchase_state",
     # trend / forecast family
     "tpch_pricing_summary",
     "ols_demand_trend",
