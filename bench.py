@@ -66,6 +66,7 @@ HEADLINE = [
     "demand_autocorrelation",
     # round 3: remaining families' heaviest + the new layout/skew queries
     "inventory_projection_recursive",
+    "inventory_projection_folded",
     "events_props_variant",
     "sql_udf_discount_bands",
     "basket_pair_lift",

@@ -108,40 +108,91 @@ def _positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TOPK_PRODUCTS = 2000  # recursion population bound (see q docstring)
+
+
+def _topk_positions(pos: DataFrame, k: int = TOPK_PRODUCTS) -> DataFrame:
+    """Restrict the position frame to the top-k products by exact
+    total trailing demand (ties broken by product_id)."""
+    totals = pos.groupBy("product_id").agg(
+        F.sum("demand").cast("long").alias("tot")
+    )
+    topk = (
+        totals.orderBy(F.col("tot").desc(), "product_id")
+        .limit(k)
+        .select("product_id")
+    )
+    return pos.join(F.broadcast(topk), "product_id")
+
+
 def q_inventory_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """See module docstring. The recursion is Spark 4's native
     WITH RECURSIVE (depth = PROJECTION_WEEKS ≤ the engine's recursion
     limit of 100); the same SQL text (modulo source binding) runs as
-    the DuckDB oracle."""
-    # Spark guards runaway recursion with a TOTAL-rows valve
-    # (spark.sql.cteRecursionRowLimit, default 1e6). This recursion is
-    # depth-bounded by construction (52 levels), but its row count is
-    # products x weeks — 1.04M already at sf0.1. Raise the valve to
-    # cover the known bound; the depth limit (100) still protects
-    # against true runaways.
-    cur = int(spark.conf.get("spark.sql.cteRecursionRowLimit", "1000000"))
-    try:
-        if cur < 100_000_000:
-            spark.conf.set("spark.sql.cteRecursionRowLimit", "100000000")
-        # Materialize the position frame once: every recursion level
-        # reads `pos`, and without the cut each of the 52 levels would
-        # re-derive the whole dense-resample pipeline (52 full scans).
-        # After the checkpoint each level joins a small in-memory frame
-        # — the same rule as the PageRank loop in queries_trend.
-        pos = _positions(spark, sf_dir).localCheckpoint(eager=True)
-        pos.createOrReplaceTempView("_inv_pos")
-        # Same SQL text as the oracle modulo the half-even rounding
-        # builtin name (Spark: bround, DuckDB: round_even). Execute
-        # (checkpoint) INSIDE the raised-valve scope so the session
-        # conf can be restored immediately: the result is bounded by
-        # products x PROJECTION_WEEKS rows, so the materialization is
-        # small, and later queries on the shared session get the
-        # default runaway-recursion valve back.
-        return spark.sql(
-            _SIM_SQL.format(src="_inv_pos", round_fn="bround")
-        ).localCheckpoint(eager=True)
-    finally:
-        spark.conf.set("spark.sql.cteRecursionRowLimit", str(cur))
+    the DuckDB oracle.
+
+    The simulated population is the TOP-2000 products by trailing
+    demand: a recursive CTE executes one sequential join per level
+    (52 engine round-trips), so its row count must be a PLANNING
+    choice, not a corpus-proportional one — at sf0.1 the unbounded
+    form walked products × weeks ≈ 1.04M recursion rows in ~49 s of
+    lockstep levels. Capped, the recursion is 2000 × 52 rows at ANY
+    scale factor (sub-second, and comfortably inside Spark's default
+    1e6-row recursion valve, which this query no longer touches).
+    The uncapped every-product simulation is the FOLD twin below
+    (inventory_projection_folded) — same policy arithmetic, one
+    shuffle, no lockstep levels."""
+    # Materialize the position frame once: every recursion level
+    # reads `pos`, and without the cut each of the 52 levels would
+    # re-derive the whole dense-resample pipeline (52 full scans).
+    # After the checkpoint each level joins a small in-memory frame
+    # — the same rule as the PageRank loop in queries_trend.
+    pos = _topk_positions(_positions(spark, sf_dir)).localCheckpoint(eager=True)
+    pos.createOrReplaceTempView("_inv_pos")
+    # Same SQL text as the oracle modulo the half-even rounding
+    # builtin name (Spark: bround, DuckDB: round_even).
+    return spark.sql(_SIM_SQL.format(src="_inv_pos", round_fn="bround"))
+
+
+def q_inventory_projection_folded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100-TB path for the SAME simulation over EVERY product: the
+    recursion is sequential per product but independent ACROSS
+    products, so it folds as a per-series array aggregate — one
+    product shuffle, a calendar-bounded (≤52-element) array per group,
+    and a single F.aggregate pass replaying the identical double
+    arithmetic in the identical order. No lockstep levels, no
+    recursion valve. The DuckDB oracle IS the recursive CTE over all
+    products — the two formulations must agree bit-for-bit."""
+    pos = _positions(spark, sf_dir)
+    grouped = pos.groupBy("product_id").agg(
+        F.sort_array(F.collect_list(F.struct("t", "demand"))).alias("arr"),
+        F.first("rop").alias("rop"),
+        F.first("oq").alias("oq"),
+        F.count("*").alias("n_weeks"),
+    )
+    state0 = F.struct(
+        (F.col("rop") + F.col("oq")).alias("on_hand"),
+        F.lit(0).cast("long").alias("orders"),
+        F.lit(0).cast("long").alias("stk"),
+    )
+
+    def step(s, x):
+        depleted = F.greatest(s["on_hand"] - x["demand"], F.lit(0.0))
+        reorder = depleted < F.col("rop")
+        return F.struct(
+            F.when(reorder, depleted + F.col("oq")).otherwise(depleted).alias("on_hand"),
+            (s["orders"] + reorder.cast("long")).alias("orders"),
+            (s["stk"] + (s["on_hand"] - x["demand"] < 0).cast("long")).alias("stk"),
+        )
+
+    final = F.aggregate("arr", state0, step)
+    return grouped.select(
+        "product_id",
+        "n_weeks",
+        (F.bround(final["on_hand"] * 10000.0, 0) / 10000.0).alias("end_on_hand"),
+        final["orders"].alias("orders_placed"),
+        final["stk"].alias("stockout_weeks"),
+    )
 
 
 _ORACLE_POS = f"""
@@ -194,7 +245,20 @@ _ORACLE_SIM = _SIM_SQL.format(src="src", round_fn="round_even").replace(
     "WITH RECURSIVE\npos", _ORACLE_POS.replace("WITH ", "WITH RECURSIVE ", 1) + ",\npos"
 )
 
-register("inventory_projection_recursive", q_inventory_projection, _ORACLE_SIM)
+# Top-k-restricted oracle for the registered recursive form: same
+# position CTEs plus the deterministic top-k cut.
+_TOPK_CTES = f"""
+tot AS (SELECT product_id, CAST(sum(demand) AS BIGINT) AS tot FROM src GROUP BY 1),
+topk AS (SELECT product_id FROM tot ORDER BY tot DESC, product_id LIMIT {TOPK_PRODUCTS}),
+src2 AS (SELECT s.* FROM src s JOIN topk USING (product_id))
+"""
+_ORACLE_SIM_TOPK = _SIM_SQL.format(src="src2", round_fn="round_even").replace(
+    "WITH RECURSIVE\npos",
+    _ORACLE_POS.replace("WITH ", "WITH RECURSIVE ", 1) + "," + _TOPK_CTES + ",\npos",
+)
+
+register("inventory_projection_recursive", q_inventory_projection, _ORACLE_SIM_TOPK)
+register("inventory_projection_folded", q_inventory_projection_folded, _ORACLE_SIM)
 
 
 # -- VARIANT semi-structured extraction ------------------------------------

@@ -44,6 +44,7 @@ _PRIORITY = [
     "report_enrich",
     # previously unsampled: modern SQL + layout + skew (round-3 additions)
     "inventory_projection_recursive",
+    "inventory_projection_folded",
     "events_props_variant",
     "sql_udf_discount_bands",
     "events_session_window_builtin",
