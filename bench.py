@@ -117,6 +117,13 @@ CURVE = [
     "events_sessionization",
     "bm25_top_terms",
     "tpch_pricing_summary",
+    # round-3 part-2 heavies: warehouse + corpus + fold-form projection
+    "scd2_user_event_history",
+    "incremental_monthly_rollup",
+    "bigram_logprob_scores",
+    "duplicate_ngram_fraction",
+    "passage_dedup_stats",
+    "inventory_projection_folded",
 ]
 
 
