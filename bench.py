@@ -102,6 +102,8 @@ HEADLINE = [
     "lateral_topk_per_brand",
     "geomean_demand_grouped_udf",
     "pit_join_purchase_state",
+    "demand_anomalies_mad",
+    "conversion_lag_quantiles",
 ]
 
 # Scale-curve subset: the heaviest headline queries (r02 timings),

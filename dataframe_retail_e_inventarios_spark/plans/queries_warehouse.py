@@ -515,3 +515,140 @@ FROM carried
 WHERE side = 1 AND state_view_value IS NOT NULL
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Robust (MAD) demand anomalies + conversion-lag quantiles
+# ---------------------------------------------------------------------------
+
+
+def q_demand_anomalies_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust twin of demand_anomalies (queries_scale): modified
+    z-score 0.6745*(x - median)/MAD with the Iglewicz-Hoaglin 3.5
+    gate — immune to the outliers that inflate sigma and mask
+    themselves in the classic z-score screen. Medians via exact
+    linear-interp percentiles as two small per-product aggregates
+    (grouped, not windowed — window median isn't portable), joined
+    back broadcast-style; MAD rounded to 4dp before the divide so
+    both engines gate on identical bounds."""
+    from ..operators.cleaning import clean_sales
+    from ..operators.resample import weekly_resample_sum
+
+    sales = clean_sales(load_table(spark, sf_dir, "lineitem"))
+    weekly = weekly_resample_sum(sales, ("product_id",), "invoice_date", "units_sold")
+    med = weekly.groupBy("product_id").agg(
+        F.count("*").alias("n_weeks"),
+        F.percentile("units_sold", F.lit(0.5)).alias("med"),
+    )
+    j = weekly.join(med, "product_id")
+    mad = (
+        j.groupBy("product_id")
+        .agg(
+            (
+                F.bround(
+                    F.percentile(F.abs(F.col("units_sold") - F.col("med")), F.lit(0.5))
+                    * 10000.0,
+                    0,
+                )
+                / 10000.0
+            ).alias("mad_r")
+        )
+    )
+    full = j.join(mad, "product_id")
+    z = (F.col("units_sold") - F.col("med")) * 0.6745 / F.col("mad_r")
+    return (
+        full.filter(
+            (F.col("n_weeks") >= 12) & (F.col("mad_r") > 0) & (F.abs(z) > 3.5)
+        )
+        .select(
+            "product_id",
+            "week",
+            "units_sold",
+            (F.bround(z * 10000.0, 0) / 10000.0).alias("robust_z"),
+        )
+    )
+
+
+from . import oracle_fragments as _OF2  # noqa: E402
+
+register(
+    "demand_anomalies_mad",
+    q_demand_anomalies_mad,
+    f"""
+WITH {_OF2.CLEAN_SALES_CTE.strip()},
+weekly AS (
+  SELECT product_id,
+         CAST(invoice_date AS DATE)
+           + CAST((7 - isodow(CAST(invoice_date AS DATE))) % 7 AS INTEGER) AS week,
+         sum(units_sold) AS units_sold
+  FROM sales GROUP BY 1, 2
+),
+med AS (
+  SELECT product_id, count(*) AS n_weeks,
+         quantile_cont(units_sold, 0.5) AS med
+  FROM weekly GROUP BY 1
+),
+j AS (SELECT w.*, m.n_weeks, m.med FROM weekly w JOIN med m USING (product_id)),
+mad AS (
+  SELECT product_id,
+         round_even(quantile_cont(abs(units_sold - med), 0.5) * 10000.0, 0) / 10000.0
+           AS mad_r
+  FROM j GROUP BY 1
+)
+SELECT product_id, week, units_sold,
+       round_even((units_sold - med) * 0.6745 / mad_r * 10000.0, 0) / 10000.0
+         AS robust_z
+FROM j JOIN mad USING (product_id)
+WHERE n_weeks >= 12 AND mad_r > 0
+  AND abs((units_sold - med) * 0.6745 / mad_r) > 3.5
+""",
+)
+
+
+def q_conversion_lag_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution per attributed touch type: median /
+    p90 of the purchase-minus-touch gap from last_touch_attribution —
+    the funnel-latency metric the attribution table exists to feed.
+    One extra tiny aggregate over the attribution output."""
+    att = q_last_touch_attribution(spark, sf_dir)
+    return att.groupBy("touch_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.percentile("gap_s", F.lit(0.5)), 4).alias("p50_gap_s"),
+        F.round(F.percentile("gap_s", F.lit(0.9)), 4).alias("p90_gap_s"),
+    )
+
+
+_ATTRIBUTION_SQL_BODY = """
+WITH t AS (
+  SELECT event_id, user_id, event_type,
+         floor(epoch_us(ts) / 1000000) AS es,
+         last_value(CASE WHEN event_type != 'purchase' THEN event_id END IGNORE NULLS)
+           OVER w AS touch_event_id,
+         last_value(CASE WHEN event_type != 'purchase' THEN event_type END IGNORE NULLS)
+           OVER w AS touch_type,
+         last_value(CASE WHEN event_type != 'purchase'
+                         THEN floor(epoch_us(ts) / 1000000) END IGNORE NULLS)
+           OVER w AS touch_es
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+att AS (
+  SELECT touch_type, CAST(es - touch_es AS BIGINT) AS gap_s
+  FROM t
+  WHERE event_type = 'purchase' AND touch_event_id IS NOT NULL
+    AND es - touch_es <= 86400
+)
+"""
+
+register(
+    "conversion_lag_quantiles",
+    q_conversion_lag_quantiles,
+    _ATTRIBUTION_SQL_BODY
+    + """
+SELECT touch_type, count(*) AS n,
+       round(quantile_cont(gap_s, 0.5), 4) AS p50_gap_s,
+       round(quantile_cont(gap_s, 0.9), 4) AS p90_gap_s
+FROM att GROUP BY touch_type
+""",
+)

@@ -70,6 +70,8 @@ _PRIORITY = [
     "lateral_topk_per_brand",
     "geomean_demand_grouped_udf",
     "pit_join_purchase_state",
+    "demand_anomalies_mad",
+    "conversion_lag_quantiles",
     # trend / forecast family
     "tpch_pricing_summary",
     "ols_demand_trend",
