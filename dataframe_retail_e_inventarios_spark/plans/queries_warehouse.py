@@ -14,6 +14,12 @@ treats every load as full-refresh pandas (PRACTICA3.py:20-40) — at
   the corpus token mixture toward a target distribution (static
   mixture rebalancing a la DoReMi baselines) — one scan, one tiny
   aggregate, weights broadcastable back onto the corpus.
+- Incremental materialized-rollup maintenance (fold-of-partials, see
+  operators/incremental.py) and its registered query.
+- Event analytics over the same change-stream framing: last-touch
+  attribution, conversion-lag quantiles, point-in-time (temporal)
+  join against the SCD2 history, rolling DAU/WAU/MAU engagement, and
+  a robust MAD anomaly screen.
 """
 
 from __future__ import annotations
