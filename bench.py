@@ -104,6 +104,7 @@ HEADLINE = [
     "pit_join_purchase_state",
     "demand_anomalies_mad",
     "conversion_lag_quantiles",
+    "source_kl_divergence",
 ]
 
 # Scale-curve subset: the heaviest headline queries (r02 timings),

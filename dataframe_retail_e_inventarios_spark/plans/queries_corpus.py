@@ -391,3 +391,67 @@ SELECT doc_id, count(*) AS n_bigrams,
 FROM s GROUP BY doc_id
 """,
 )
+
+
+def q_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KL(source token distribution || corpus distribution) per source
+    — the divergence diagnostic beside domain_mixture_weights: high KL
+    = the source's unigram mix is far from the corpus blend (dedup it
+    from mixture smoothing decisions). One tokenize scan -> (source,
+    term-hash) counts; corpus marginals re-aggregate FROM that frame
+    (no second scan). Each per-term contribution p*ln(p/q) is rounded
+    to a scaled BIGINT before the per-source sum, so the aggregate is
+    order-independent on both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    st = (
+        docs.select(
+            "source", F.explode(F.filter(tokens("text"), lambda x: x != "")).alias("term")
+        )
+        .select("source", shingle_hash32("term").alias("h"))
+        .groupBy("source", "h")
+        .agg(F.count("*").alias("c_sw"))
+    )
+    s_tot = st.groupBy("source").agg(F.sum("c_sw").alias("c_s"))
+    w_tot = st.groupBy("h").agg(F.sum("c_sw").alias("c_w"))
+    tot = st.agg(F.sum("c_sw").alias("c"))
+    j = (
+        st.join(F.broadcast(s_tot), "source")
+        .join(w_tot, "h")
+        .crossJoin(F.broadcast(tot))
+    )
+    p = F.col("c_sw") / F.col("c_s")
+    q = F.col("c_w") / F.col("c")
+    contrib = F.round(p * F.log(p / q) * 1e9, 0).cast("long")
+    return (
+        j.select("source", contrib.alias("kl_term"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_terms"),
+            F.round(F.sum("kl_term") / 1e9, 6).alias("kl_nats"),
+        )
+    )
+
+
+register(
+    "source_kl_divergence",
+    q_source_kl_divergence,
+    f"""
+WITH st AS (
+  SELECT source, CAST(('0x' || substr(md5(term), 1, 8)) AS BIGINT) AS h,
+         count(*) AS c_sw
+  FROM (
+    SELECT source, unnest(list_filter({_TOKS_SQL}, x -> x != '')) AS term
+    FROM documents
+  )
+  GROUP BY 1, 2
+),
+s_tot AS (SELECT source, sum(c_sw) AS c_s FROM st GROUP BY 1),
+w_tot AS (SELECT h, sum(c_sw) AS c_w FROM st GROUP BY 1),
+tot AS (SELECT sum(c_sw) AS c FROM st)
+SELECT source, count(*) AS n_terms,
+       round(sum(CAST(round((c_sw / c_s) * ln((c_sw / c_s) / (c_w / CAST(c AS DOUBLE))) * 1e9, 0) AS BIGINT)) / 1e9, 6)
+         AS kl_nats
+FROM st JOIN s_tot USING (source) JOIN w_tot USING (h) CROSS JOIN tot
+GROUP BY source
+""",
+)

@@ -72,6 +72,7 @@ _PRIORITY = [
     "pit_join_purchase_state",
     "demand_anomalies_mad",
     "conversion_lag_quantiles",
+    "source_kl_divergence",
     # trend / forecast family
     "tpch_pricing_summary",
     "ols_demand_trend",
