@@ -105,6 +105,7 @@ HEADLINE = [
     "demand_anomalies_mad",
     "conversion_lag_quantiles",
     "source_kl_divergence",
+    "forecast_udf_ensemble",
 ]
 
 # Scale-curve subset: the heaviest headline queries (r02 timings),

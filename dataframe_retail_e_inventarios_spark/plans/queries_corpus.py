@@ -410,6 +410,12 @@ def q_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", shingle_hash32("term").alias("h"))
         .groupBy("source", "h")
         .agg(F.count("*").alias("c_sw"))
+        # materialize the count frame: three marginals + the join all
+        # read it, and without the cut each would replan its own
+        # corpus tokenize scan (4 scans measured). The frame is
+        # (source x vocab-hash)-sized — bounded by vocabulary, not
+        # corpus volume.
+        .localCheckpoint(eager=True)
     )
     s_tot = st.groupBy("source").agg(F.sum("c_sw").alias("c_s"))
     w_tot = st.groupBy("h").agg(F.sum("c_sw").alias("c_w"))

@@ -259,3 +259,27 @@ def test_attribution_single_user_shuffle(spark):
     plan = plan_of(spark, "last_touch_attribution")
     assert "Join" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_pit_join_is_windowed_not_joined(spark):
+    """Point-in-time enrichment must be the union + carry-forward
+    window (one user shuffle), never an interval/inequality join."""
+    plan = plan_of(spark, "pit_join_purchase_state")
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_mad_screen_has_no_window_median(spark):
+    """Robust MAD screen uses grouped exact medians (portable), not a
+    window median."""
+    plan = plan_of(spark, "demand_anomalies_mad")
+    assert "percentile" in plan.lower()
+    # the only Window ops allowed are none at all
+    assert "Window" not in plan
+
+
+def test_kl_divergence_single_scan(spark):
+    """Marginals and the join all read the materialized count frame:
+    the executed plan contains NO parquet re-scan."""
+    plan = plan_of(spark, "source_kl_divergence")
+    assert plan.count("FileScan parquet") == 0  # localCheckpointed RDD scan only
