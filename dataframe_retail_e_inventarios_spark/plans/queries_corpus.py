@@ -251,7 +251,9 @@ def q_passage_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     ch = chunk_documents(docs, chunk=64, stride=64).select(
         "doc_id", shingle_hash32("chunk_text").alias("gh")
-    )
+        # 16-byte rows; materialized so the fingerprint stats and the
+        # per-doc join share ONE tokenize+chunk pass (2 scans before)
+    ).localCheckpoint(eager=True)
     fp_stats = ch.groupBy("gh").agg(
         F.countDistinct("doc_id").alias("nd")
     )

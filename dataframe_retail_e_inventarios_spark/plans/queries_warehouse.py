@@ -213,6 +213,10 @@ def q_domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("source", F.size(bpe_ish_tokens("text")).cast("long").alias("n_tok"))
         .groupBy("source")
         .agg(F.count("*").alias("n_docs"), F.sum("n_tok").alias("tokens"))
+        # materialized: the totals aggregate AND the final join both
+        # read this source-count-sized frame — without the cut each
+        # replans its own corpus tokenize scan (2 scans measured)
+        .localCheckpoint(eager=True)
     )
     totals = per_source.agg(
         F.sum("tokens").alias("total_tokens"),
@@ -383,7 +387,9 @@ def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the 100-TB approximate path."""
     ev = load_table(spark, sf_dir, "events")
     day = F.floor(wall_epoch_seconds("ts") / 86400).cast("long")
-    grid = ev.select("user_id", day.alias("day")).distinct()
+    # grid materialized: both the spine derivation and the fan-out
+    # join read it — without the cut each replans its own events scan
+    grid = ev.select("user_id", day.alias("day")).distinct().localCheckpoint(eager=True)
     spine = grid.select("day").distinct().select(F.col("day").alias("d"))
     fan = grid.join(
         F.broadcast(spine),

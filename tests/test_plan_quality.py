@@ -278,8 +278,16 @@ def test_mad_screen_has_no_window_median(spark):
     assert "Window" not in plan
 
 
-def test_kl_divergence_single_scan(spark):
-    """Marginals and the join all read the materialized count frame:
-    the executed plan contains NO parquet re-scan."""
-    plan = plan_of(spark, "source_kl_divergence")
-    assert plan.count("FileScan parquet") == 0  # localCheckpointed RDD scan only
+def test_multi_consumer_queries_scan_once(spark):
+    """Queries whose plan fans one frame into several consumers must
+    materialize that frame: the executed plan contains NO parquet
+    re-scan (the localCheckpointed frame is the only source)."""
+    for name in (
+        "source_kl_divergence",
+        "domain_mixture_weights",
+        "rolling_active_users",
+        "passage_dedup_stats",
+        "bigram_logprob_scores",
+    ):
+        plan = plan_of(spark, name)
+        assert plan.count("FileScan parquet") == 0, f"{name} re-scans parquet"
