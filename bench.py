@@ -105,6 +105,8 @@ HEADLINE = [
     "demand_anomalies_mad",
     "conversion_lag_quantiles",
     "source_kl_divergence",
+    "langid_confusion",
+    "embedding_int8_quantization",
     "forecast_udf_ensemble",
 ]
 

@@ -532,3 +532,101 @@ def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("embedding_pca_projection", q_embedding_pca, None)  # no SQL eigensolver: rows-only
+
+
+def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the lang-ID heuristic against the labeled
+    lang column — the evaluation a classifier-backed curation filter
+    ships with: per (label, prediction) counts and the within-label
+    share (row-normalized recall). Tiny double aggregate over the
+    per-doc prediction frame."""
+    from pyspark.sql import Window
+
+    pred = q_lang_id(spark, sf_dir)
+    cm = pred.groupBy(
+        F.col("labeled_lang"), F.col("pred_lang")
+    ).agg(F.count("*").alias("n"))
+    w = Window.partitionBy("labeled_lang")
+    return cm.select(
+        "labeled_lang",
+        "pred_lang",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(w), 6).alias("label_share"),
+    )
+
+
+register(
+    "langid_confusion",
+    q_langid_confusion,
+    f"""
+WITH pred AS ({_lang_sql().strip()})
+SELECT labeled_lang, pred_lang, count(*) AS n,
+       round(count(*) / CAST(sum(count(*)) OVER (PARTITION BY labeled_lang) AS DOUBLE), 6)
+         AS label_share
+FROM pred
+GROUP BY 1, 2
+""",
+)
+
+
+def q_embedding_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-dimension int8 quantization of the embedding
+    corpus (the 4x storage/bandwidth path for vector stores at 100 TB:
+    scale = per-dim max|x|, q = clamp(round(x/scale*127))) with the
+    per-vector reconstruction-error report that decides whether int8
+    is acceptable for the retrieval stage. One posexplode pass feeds
+    both the 64-row scale table and the error join; squared errors
+    sum as scaled BIGINTs (order-independent); Spark round() and
+    DuckDB round() agree at ties (both half-away-from-zero)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id", F.posexplode("embedding").alias("d", "x")
+    ).localCheckpoint(eager=True)  # scale table + error join share one pass
+    scales = ex.groupBy("d").agg(F.max(F.abs(F.col("x"))).alias("s"))
+    j = ex.join(F.broadcast(scales), "d")
+    qv = F.greatest(
+        F.lit(-127),
+        F.least(F.lit(127), F.round(F.col("x") / F.col("s") * 127, 0)),
+    )
+    deq = qv * F.col("s") / 127
+    err = F.when(F.col("s") > 0, F.abs(F.col("x") - deq)).otherwise(
+        F.abs(F.col("x"))
+    )
+    return (
+        j.select("vec_id", err.alias("err"))
+        .groupBy("vec_id")
+        .agg(
+            F.count("*").alias("n_dims"),
+            F.round(F.max("err"), 6).alias("max_abs_err"),
+            F.round(
+                F.sum(F.round(F.col("err") * F.col("err") * 1e12, 0).cast("long"))
+                / F.count("*")
+                / 1e12,
+                9,
+            ).alias("mse"),
+        )
+    )
+
+
+register(
+    "embedding_int8_quantization",
+    q_embedding_int8_quantization,
+    """
+WITH ex AS (
+  SELECT vec_id, i - 1 AS d, embedding[i] AS x
+  FROM embeddings, LATERAL unnest(range(1, len(embedding) + 1)) AS r(i)
+),
+scales AS (SELECT d, max(abs(x)) AS s FROM ex GROUP BY d),
+j AS (
+  SELECT vec_id,
+         CASE WHEN s > 0
+              THEN abs(x - greatest(-127, least(127, round(x / s * 127, 0))) * s / 127)
+              ELSE abs(x) END AS err
+  FROM ex JOIN scales USING (d)
+)
+SELECT vec_id, count(*) AS n_dims,
+       round(max(err), 6) AS max_abs_err,
+       round(sum(CAST(round(err * err * 1e12, 0) AS BIGINT)) / CAST(count(*) AS DOUBLE) / 1e12, 9) AS mse
+FROM j GROUP BY vec_id
+""",
+)

@@ -73,6 +73,8 @@ _PRIORITY = [
     "demand_anomalies_mad",
     "conversion_lag_quantiles",
     "source_kl_divergence",
+    "langid_confusion",
+    "embedding_int8_quantization",
     # trend / forecast family
     "tpch_pricing_summary",
     "ols_demand_trend",
