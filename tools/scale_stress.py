@@ -49,6 +49,21 @@ STRESS_QUERIES = [
     ("mann_kendall_trend", "lineitem"),
     ("gopher_quality_flags", "documents"),
     ("pagerank_event_graph", "events"),
+    # round-3 part-2 families: key-cardinality axis for each new shape
+    ("scd2_user_event_history", "events"),
+    ("last_touch_attribution", "events"),
+    ("pit_join_purchase_state", "events"),
+    ("rolling_active_users", "events"),
+    ("incremental_monthly_rollup", "lineitem"),
+    ("inventory_projection_folded", "lineitem"),
+    ("demand_anomalies_mad", "lineitem"),
+    ("bigram_logprob_scores", "documents"),
+    ("passage_dedup_stats", "documents"),
+    ("duplicate_ngram_fraction", "documents"),
+    ("source_kl_divergence", "documents"),
+    ("zipf_vocab_topk", "documents"),
+    ("embedding_int8_quantization", "embeddings"),
+    ("embedding_pca_projection", "embeddings"),
 ]
 
 # Tables any stress query touches (flagship etc. may read dims).
