@@ -107,6 +107,7 @@ HEADLINE = [
     "source_kl_divergence",
     "langid_confusion",
     "embedding_int8_quantization",
+    "minhash_estimator_error",
     "forecast_udf_ensemble",
 ]
 

@@ -630,3 +630,77 @@ SELECT vec_id, count(*) AS n_dims,
 FROM j GROUP BY vec_id
 """,
 )
+
+
+def q_minhash_estimator_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-quality diagnostic: |MinHash-estimated - exact| Jaccard
+    over the verified LSH pairs (est = matching mins / k, exactly
+    representable in 1/16ths). The number that justifies k=16 — if
+    mean error drifted, the banding thresholds would be wrong. A
+    diagnostic run, not a production path: it re-derives signatures
+    beside the pair output (two corpus passes by construction)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, threshold=0.3, k=16, bands=4, max_df=MAX_DF)
+    sig = minhash_signatures(docs, k=16)
+    a = sig.select(F.col("doc_id").alias("id_a"), *[F.col(f"h{i}").alias(f"a{i}") for i in range(16)])
+    b = sig.select(F.col("doc_id").alias("id_b"), *[F.col(f"h{i}").alias(f"b{i}") for i in range(16)])
+    j = pairs.join(a, "id_a").join(b, "id_b")
+    matches = sum(
+        (F.col(f"a{i}") == F.col(f"b{i}")).cast("int") for i in range(16)
+    )
+    err = F.abs(matches / F.lit(16.0) - F.col("jaccard"))
+    return j.select(err.alias("err")).agg(
+        F.count("*").alias("n_pairs"),
+        F.round(
+            F.sum(F.round(F.col("err") * 1e6, 0).cast("long")) / F.count("*") / 1e6, 6
+        ).alias("mean_abs_err"),
+        F.round(F.max("err"), 6).alias("max_abs_err"),
+    )
+
+
+_EST_SQL = " + ".join(
+    f"(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)" for i in range(16)
+)
+
+register(
+    "minhash_estimator_error",
+    q_minhash_estimator_error,
+    f"""
+WITH {_SHINGLE_INDEX_SQL.strip()},
+ds_h AS (SELECT doc_id, {_HS} AS hs FROM ds),
+sig AS (
+  SELECT doc_id,
+  {_minhash_aggs_sql(16)}
+  FROM ds_h GROUP BY doc_id
+),
+banded AS (
+  SELECT doc_id,
+  {_BANDS}
+  FROM sig
+),
+melted AS (
+  SELECT doc_id, unnest([band0, band1, band2, band3]) AS band_key FROM banded
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM melted a JOIN melted b
+    ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+verified AS (
+  SELECT c.id_a, c.id_b, round(j.jaccard, 4) AS jaccard
+  FROM cands c JOIN jac j ON c.id_a = j.id_a AND c.id_b = j.id_b
+  WHERE j.jaccard >= 0.3
+),
+errs AS (
+  SELECT abs(({_EST_SQL}) / 16.0 - v.jaccard) AS err
+  FROM verified v
+  JOIN sig sa ON sa.doc_id = v.id_a
+  JOIN sig sb ON sb.doc_id = v.id_b
+)
+SELECT count(*) AS n_pairs,
+       round(sum(CAST(round(err * 1e6, 0) AS BIGINT)) / CAST(count(*) AS DOUBLE) / 1e6, 6)
+         AS mean_abs_err,
+       round(max(err), 6) AS max_abs_err
+FROM errs
+""",
+)

@@ -75,6 +75,7 @@ _PRIORITY = [
     "source_kl_divergence",
     "langid_confusion",
     "embedding_int8_quantization",
+    "minhash_estimator_error",
     # trend / forecast family
     "tpch_pricing_summary",
     "ols_demand_trend",
