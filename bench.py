@@ -92,6 +92,7 @@ HEADLINE = [
     "group_holdout_split",
     "domain_mixture_weights",
     "incremental_monthly_rollup",
+    "streaming_rollup_maintenance",
     "zipf_vocab_topk",
     "duplicate_ngram_fraction",
     "embedding_pca_projection",

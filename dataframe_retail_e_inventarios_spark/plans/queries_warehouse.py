@@ -664,3 +664,87 @@ SELECT touch_type, count(*) AS n,
 FROM att GROUP BY touch_type
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Streaming rollup maintenance as a REGISTERED query
+# ---------------------------------------------------------------------------
+
+
+def q_streaming_rollup_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The foreachBatch materialized-view maintenance loop run for
+    real, end to end, inside a registered query: the fact lands as a
+    multi-file stream source, Structured Streaming drains it in
+    micro-batches (availableNow), every batch folds its partials into
+    the standing (part, ship-month) rollup, and the FINAL STATE is
+    returned — gated by the same one-shot GROUP BY oracle as
+    incremental_monthly_rollup. Whatever micro-batch boundaries the
+    engine picks, the fold's associative-BIGINT states make the result
+    identical to the one-shot aggregate — that is the invariant that
+    lets a 100 TB deployment maintain the rollup hourly instead of
+    recomputing history."""
+    import shutil
+    import tempfile
+
+    from ..operators.incremental import finalize_rollup, fold_rollup, rollup_partials
+
+    keys = ("l_partkey", "ship_month")
+    li = load_table(spark, sf_dir, "lineitem")
+    month = (F.year("l_shipdate") * 100 + F.month("l_shipdate")).cast("long")
+
+    def fact_cols(df: DataFrame) -> DataFrame:
+        m = (F.year("l_shipdate") * 100 + F.month("l_shipdate")).cast("long")
+        return df.select("l_partkey", m.alias("ship_month"), "l_quantity")
+
+    work = tempfile.mkdtemp(prefix="spark_graft_stream_rollup_")
+    try:
+        src = f"{work}/src"
+        li.repartition(6).write.parquet(src)
+        state_dir = f"{work}/state"
+
+        def fold_batch(batch_df, batch_id):
+            delta = rollup_partials(fact_cols(batch_df), keys, "l_quantity")
+            try:
+                base = batch_df.sparkSession.read.parquet(state_dir)
+                merged = fold_rollup(base, delta, keys)
+            except Exception:
+                merged = delta
+            out = f"{work}/state_new_{batch_id}"
+            merged.write.mode("overwrite").parquet(out)
+            shutil.rmtree(state_dir, ignore_errors=True)
+            shutil.move(out, state_dir)
+
+        stream = (
+            spark.readStream.schema(li.schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(fold_batch)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        # materialize before the workdir disappears
+        return finalize_rollup(spark.read.parquet(state_dir)).localCheckpoint(
+            eager=True
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+register(
+    "streaming_rollup_maintenance",
+    q_streaming_rollup_maintenance,
+    """
+SELECT l_partkey,
+       CAST(year(l_shipdate) * 100 + month(l_shipdate) AS BIGINT) AS ship_month,
+       count(*) AS n_rows,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(min(CAST(l_quantity AS BIGINT)) AS BIGINT) AS min_qty,
+       CAST(max(CAST(l_quantity AS BIGINT)) AS BIGINT) AS max_qty,
+       round(sum(CAST(l_quantity AS BIGINT)) / CAST(count(*) AS DOUBLE), 6) AS avg_qty
+FROM lineitem
+GROUP BY 1, 2
+""",
+)

@@ -59,6 +59,7 @@ _PRIORITY = [
     "group_holdout_split",
     "domain_mixture_weights",
     "incremental_monthly_rollup",
+    "streaming_rollup_maintenance",
     "zipf_vocab_topk",
     "zipf_slope",
     "duplicate_ngram_fraction",
