@@ -93,6 +93,7 @@ HEADLINE = [
     "domain_mixture_weights",
     "incremental_monthly_rollup",
     "streaming_rollup_maintenance",
+    "streaming_cdc_upsert",
     "zipf_vocab_topk",
     "duplicate_ngram_fraction",
     "embedding_pca_projection",

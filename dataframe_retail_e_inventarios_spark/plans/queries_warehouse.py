@@ -748,3 +748,84 @@ FROM lineitem
 GROUP BY 1, 2
 """,
 )
+
+
+def q_streaming_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The changelog-consumer loop run for real under the oracle gate:
+    events stream in as micro-batches (availableNow), each batch
+    MERGEs into the standing latest-state table via
+    operators/cdc.merge_changes with tombstones RETAINED in state
+    (an out-of-order older version in a later batch must not
+    resurrect a deleted key), and deletes apply at read time. The
+    final state is hash-compared against the same ranked-stream SQL
+    oracle as cdc_latest_state — batch boundaries are invisible
+    because (ts, event_id) totally orders versions."""
+    import shutil
+    import tempfile
+
+    from ..operators.cdc import merge_changes
+
+    keys, seq = ("user_id", "event_type"), ("ts", "event_id")
+    tomb = F.col("value") < 1.0
+    ev = load_table(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="spark_graft_stream_cdc_")
+    try:
+        src = f"{work}/src"
+        ev.repartition(6).write.parquet(src)
+        state_dir = f"{work}/state"
+
+        def upsert_batch(batch_df, batch_id):
+            try:
+                base = batch_df.sparkSession.read.parquet(state_dir)
+            except Exception:
+                base = batch_df.filter(F.lit(False))
+            merged = merge_changes(
+                base, batch_df, keys=keys, seq_cols=seq,
+                delete_pred=tomb, drop_deleted=False,
+            )
+            out = f"{work}/state_new_{batch_id}"
+            merged.write.mode("overwrite").parquet(out)
+            shutil.rmtree(state_dir, ignore_errors=True)
+            shutil.move(out, state_dir)
+
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(upsert_batch)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        final = (
+            spark.read.parquet(state_dir)
+            .filter(~tomb)
+            .select(
+                "user_id",
+                "event_type",
+                wall_epoch_seconds("ts").alias("last_epoch"),
+                "value",
+            )
+        )
+        return final.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+register(
+    "streaming_cdc_upsert",
+    q_streaming_cdc_upsert,
+    """
+WITH ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC
+  ) AS rn
+  FROM events
+)
+SELECT user_id, event_type,
+       CAST(floor(epoch_us(ts) / 1000000) AS BIGINT) AS last_epoch, value
+FROM ranked WHERE rn = 1 AND NOT (value < 1.0)
+""",
+)

@@ -60,6 +60,7 @@ _PRIORITY = [
     "domain_mixture_weights",
     "incremental_monthly_rollup",
     "streaming_rollup_maintenance",
+    "streaming_cdc_upsert",
     "zipf_vocab_topk",
     "zipf_slope",
     "duplicate_ngram_fraction",
