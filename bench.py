@@ -98,6 +98,7 @@ HEADLINE = [
     "duplicate_ngram_fraction",
     "embedding_pca_projection",
     "last_touch_attribution",
+    "first_touch_attribution",
     "passage_dedup_stats",
     "bigram_logprob_scores",
     "rolling_active_users",

@@ -829,3 +829,64 @@ SELECT user_id, event_type,
 FROM ranked WHERE rn = 1 AND NOT (value < 1.0)
 """,
 )
+
+
+def q_first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch twin of last_touch_attribution: each purchase is
+    credited to the EARLIEST non-purchase event inside the trailing
+    24h window — a RANGE frame over wall-epoch-micros (the window
+    membership is value-based, so the lookback bound lives in the
+    frame itself instead of a post-filter). Precondition: (user, ts)
+    is unique (true of the event stream; duplicate instants would
+    make first_value order-ambiguous — the last-touch form's (ts,
+    event_id) ROWS ordering is the tie-robust variant)."""
+    from ..functions.timewall import wall_epoch_micros
+
+    ev = load_table(spark, sf_dir, "events")
+    eus = wall_epoch_micros(F.col("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(eus)
+        .rangeBetween(-86_400_000_000, -1)
+    )
+    nonp = F.col("event_type") != "purchase"
+    touch_id = F.first(F.when(nonp, F.col("event_id")), ignorenulls=True).over(w)
+    touch_type = F.first(F.when(nonp, F.col("event_type")), ignorenulls=True).over(w)
+    touch_us = F.first(F.when(nonp, eus), ignorenulls=True).over(w)
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            "event_type",
+            touch_id.alias("touch_event_id"),
+            touch_type.alias("touch_type"),
+            ((eus - touch_us) / 1_000_000).cast("long").alias("gap_s"),
+        )
+        .filter((F.col("event_type") == "purchase") & F.col("touch_event_id").isNotNull())
+        .select("event_id", "user_id", "touch_event_id", "touch_type", "gap_s")
+    )
+
+
+register(
+    "first_touch_attribution",
+    q_first_touch_attribution,
+    """
+WITH t AS (
+  SELECT event_id, user_id, event_type,
+         epoch_us(ts) AS eus,
+         first_value(CASE WHEN event_type != 'purchase' THEN event_id END IGNORE NULLS)
+           OVER w AS touch_event_id,
+         first_value(CASE WHEN event_type != 'purchase' THEN event_type END IGNORE NULLS)
+           OVER w AS touch_type,
+         first_value(CASE WHEN event_type != 'purchase' THEN epoch_us(ts) END IGNORE NULLS)
+           OVER w AS touch_us
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+               RANGE BETWEEN 86400000000 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_id, user_id, touch_event_id, touch_type,
+       CAST((eus - touch_us) // 1000000 AS BIGINT) AS gap_s
+FROM t
+WHERE event_type = 'purchase' AND touch_event_id IS NOT NULL
+""",
+)

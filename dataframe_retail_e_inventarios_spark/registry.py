@@ -66,6 +66,7 @@ _PRIORITY = [
     "duplicate_ngram_fraction",
     "embedding_pca_projection",
     "last_touch_attribution",
+    "first_touch_attribution",
     "passage_dedup_stats",
     "bigram_logprob_scores",
     "rolling_active_users",
