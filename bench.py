@@ -94,6 +94,7 @@ HEADLINE = [
     "incremental_monthly_rollup",
     "streaming_rollup_maintenance",
     "streaming_cdc_upsert",
+    "streaming_session_windows",
     "zipf_vocab_topk",
     "duplicate_ngram_fraction",
     "embedding_pca_projection",

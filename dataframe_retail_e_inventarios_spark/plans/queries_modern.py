@@ -376,10 +376,7 @@ def q_session_window_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-register(
-    "events_session_window_builtin",
-    q_session_window_builtin,
-    """
+_SESSION_ORACLE_SQL = """
 WITH seq AS (
   SELECT user_id, ts, event_id,
          lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
@@ -410,7 +407,12 @@ SELECT user_id,
        count(*) AS n_events
 FROM numbered
 GROUP BY user_id, session_no
-""",
+"""
+
+register(
+    "events_session_window_builtin",
+    q_session_window_builtin,
+    _SESSION_ORACLE_SQL,
 )
 
 

@@ -890,3 +890,78 @@ FROM t
 WHERE event_type = 'purchase' AND touch_event_id IS NOT NULL
 """,
 )
+
+
+def q_streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third live-streaming surface under the oracle gate: the
+    STATEFUL session_window aggregation run as a real availableNow
+    stream (watermarked state, micro-batch session merging) and
+    drained complete into a memory sink; the result is gated by the
+    same first-principles gaps-and-islands oracle as the batch
+    session_window query. Session-merge across micro-batch boundaries
+    is exactly what this exercises — a session split over two batches
+    must still come out as one row."""
+    import uuid
+
+    import shutil
+    import tempfile
+
+    from ..functions.timewall import wall_epoch_micros
+
+    ev = load_table(spark, sf_dir, "events")
+    # Watermarks demand an LTZ event-time column; build the instant
+    # DETERMINISTICALLY as wall-clock-read-as-UTC (timestamp_micros of
+    # the wall epoch), so the stream's session bounds are identical
+    # under ANY driver session timezone — the same invariance contract
+    # as every batch query (timewall.py).
+    ev = ev.withColumn("ts", F.timestamp_micros(wall_epoch_micros("ts")))
+    work = tempfile.mkdtemp(prefix="spark_graft_stream_sess_")
+    try:
+        src = f"{work}/src"
+        ev.repartition(6).write.parquet(src)
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src)
+        )
+        # No watermark here: the source files are not time-ordered, so
+        # a watermark would drop genuinely-old events as late and lose
+        # sessions (observed: 6474 of 9549). Complete mode retains all
+        # session state for the bounded verification drain; the
+        # watermarked production form is user_sessions_stream
+        # (streaming/events.py), covered by the streaming tests.
+        sessions = (
+            stream.groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+            .agg(F.count("*").alias("n_events"))
+            .select(
+                F.col("sw.start").alias("session_start"),
+                F.col("sw.end").alias("session_end"),
+                "user_id",
+                "n_events",
+            )
+        )
+        name = f"sess_{uuid.uuid4().hex[:8]}"
+        q = (
+            sessions.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        # LTZ -> epoch via long cast: absolute-instant arithmetic,
+        # timezone-free by construction.
+        out = spark.table(name).select(
+            "user_id",
+            F.col("session_start").cast("long").alias("start_epoch"),
+            F.col("session_end").cast("long").alias("end_epoch"),
+            "n_events",
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+from .queries_modern import _SESSION_ORACLE_SQL as _SESS_SQL  # noqa: E402
+
+register("streaming_session_windows", q_streaming_session_windows, _SESS_SQL)

@@ -61,6 +61,7 @@ _PRIORITY = [
     "incremental_monthly_rollup",
     "streaming_rollup_maintenance",
     "streaming_cdc_upsert",
+    "streaming_session_windows",
     "zipf_vocab_topk",
     "zipf_slope",
     "duplicate_ngram_fraction",
