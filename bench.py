@@ -95,6 +95,7 @@ HEADLINE = [
     "streaming_rollup_maintenance",
     "streaming_cdc_upsert",
     "streaming_session_windows",
+    "streaming_view_purchase_join",
     "zipf_vocab_topk",
     "duplicate_ngram_fraction",
     "embedding_pca_projection",

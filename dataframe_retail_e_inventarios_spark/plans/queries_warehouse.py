@@ -965,3 +965,82 @@ def q_streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 from .queries_modern import _SESSION_ORACLE_SQL as _SESS_SQL  # noqa: E402
 
 register("streaming_session_windows", q_streaming_session_windows, _SESS_SQL)
+
+
+def q_streaming_view_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fourth live-streaming surface under the gate: the STREAM-STREAM
+    inner join (purchases x same-user views within 30 min) drained
+    availableNow, gated by the batch join's oracle. Stream-stream
+    joins REQUIRE watermarks (state eviction), and watermarks drop
+    late rows. The file source orders same-mtime files ARBITRARILY
+    (mod-time sort, second granularity — path order is not
+    guaranteed), so a historical replay cannot rely on file layout
+    for event-time order: the verification drain therefore runs with
+    a watermark delay longer than the dataset's span (nothing is ever
+    late; state stays bounded by the drained window). A live
+    deployment keeps the tight 1h watermark — its arrival order IS
+    event-time order — which the streaming tests cover. This
+    late-vs-replay distinction is exactly what a 100 TB backfill
+    pipeline has to get right (observed here: a 1h watermark on an
+    unordered replay silently dropped half the joins)."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..functions.timewall import wall_epoch_micros
+    from ..streaming.events import view_purchase_join_stream
+
+    ev = load_table(spark, sf_dir, "events")
+    ev = ev.withColumn("ts", F.timestamp_micros(wall_epoch_micros("ts")))
+    work = tempfile.mkdtemp(prefix="spark_graft_stream_join_")
+    try:
+        src = f"{work}/src"
+        ev.repartition(6).write.parquet(src)
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src)
+        )
+        views = stream.filter(F.col("event_type") == "view")
+        purchases = stream.filter(F.col("event_type") == "purchase")
+        joined = view_purchase_join_stream(views, purchases, window_min=30, watermark="90 days")
+        name = f"vpj_{uuid.uuid4().hex[:8]}"
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        out = spark.table(name).select(
+            "user_id",
+            "view_id",
+            F.col("purchase_id"),
+            F.floor(
+                F.timestamp_diff("MICROSECOND", F.col("view_ts"), F.col("purchase_ts"))
+                / 1_000_000
+            )
+            .cast("long")
+            .alias("gap_s"),
+            "value",
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+register(
+    "streaming_view_purchase_join",
+    q_streaming_view_purchase_join,
+    """
+SELECT p.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+       CAST(floor((epoch_us(p.ts) - epoch_us(v.ts)) / 1000000) AS BIGINT) AS gap_s,
+       p.value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON p.user_id = v.user_id
+ AND p.ts >= v.ts
+ AND epoch_us(p.ts) - epoch_us(v.ts) <= 1800000000
+""",
+)

@@ -93,7 +93,8 @@ def user_sessions_stream(events: DataFrame, gap: str = "30 minutes") -> DataFram
 
 
 def view_purchase_join_stream(
-    views: DataFrame, purchases: DataFrame, window_min: int = 30
+    views: DataFrame, purchases: DataFrame, window_min: int = 30,
+    watermark: str = "1 hour",
 ) -> DataFrame:
     """Stream-stream inner join: purchases matched to same-user views
     in the preceding ``window_min`` minutes. Both sides carry
@@ -104,7 +105,7 @@ def view_purchase_join_stream(
     sides would buffer forever). Batch twin (oracle-checked):
     plans/queries_streaming.q_view_purchase_join."""
     v = (
-        views.withWatermark("ts", "1 hour")
+        views.withWatermark("ts", watermark)
         .select(
             F.col("user_id").alias("v_user_id"),
             F.col("event_id").alias("view_id"),
@@ -112,7 +113,7 @@ def view_purchase_join_stream(
         )
     )
     p = (
-        purchases.withWatermark("ts", "1 hour")
+        purchases.withWatermark("ts", watermark)
         .select(
             F.col("user_id"),
             F.col("event_id").alias("purchase_id"),
