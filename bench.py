@@ -95,6 +95,7 @@ HEADLINE = [
     "streaming_rollup_maintenance",
     "streaming_cdc_upsert",
     "streaming_session_windows",
+    "streaming_dedup_replay",
     # streaming_view_purchase_join is registered + selfchecked but not
     # benched: its ~26s is micro-batch count x two-sided join state
     # (an end-to-end drain loop), not per-query engine cost.

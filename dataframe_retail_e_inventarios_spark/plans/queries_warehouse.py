@@ -1044,3 +1044,65 @@ JOIN (SELECT * FROM events WHERE event_type = 'view') v
  AND epoch_us(p.ts) - epoch_us(v.ts) <= 1800000000
 """,
 )
+
+
+def q_streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay-dedup under the gate: the source lands TWICE (a full
+    replay of every file — the at-least-once delivery a real ingest
+    must tolerate) and the drain runs dropDuplicatesWithinWatermark on
+    event_id; the deduped stream must hash-match the original table
+    exactly. Watermark delay exceeds the dataset span for the
+    historical drain (same replay-ordering reasoning as
+    streaming_view_purchase_join); a live pipeline's tight watermark
+    is covered by the streaming tests."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..functions.timewall import wall_epoch_micros
+
+    ev = load_table(spark, sf_dir, "events")
+    ev = ev.withColumn("ts", F.timestamp_micros(wall_epoch_micros("ts")))
+    work = tempfile.mkdtemp(prefix="spark_graft_stream_dedup_")
+    try:
+        src = f"{work}/src"
+        ev.repartition(4).write.parquet(src)
+        ev.repartition(4).write.mode("append").parquet(src)  # the replay
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 3)
+            .parquet(src)
+        )
+        deduped = stream.withWatermark("ts", "90 days").dropDuplicatesWithinWatermark(
+            ["event_id"]
+        )
+        name = f"dedup_{uuid.uuid4().hex[:8]}"
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        out = spark.table(name).select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.col("ts").cast("long").alias("epoch_s"),
+            "value",
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+register(
+    "streaming_dedup_replay",
+    q_streaming_dedup_replay,
+    """
+SELECT event_id, user_id, event_type,
+       CAST(floor(epoch_us(ts) / 1000000) AS BIGINT) AS epoch_s, value
+FROM events
+""",
+)

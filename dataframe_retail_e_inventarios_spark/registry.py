@@ -62,6 +62,7 @@ _PRIORITY = [
     "streaming_rollup_maintenance",
     "streaming_cdc_upsert",
     "streaming_session_windows",
+    "streaming_dedup_replay",
     "streaming_view_purchase_join",
     "zipf_vocab_topk",
     "zipf_slope",
