@@ -212,14 +212,33 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # Full per-query map goes to a FILE plus an early stdout line; the
+    # FINAL stdout line is a compact summary. Round 3's single ~4 KB
+    # JSON line overflowed the driver's tail capture ("parsed": null),
+    # losing the round's headline number — the driver needs a short
+    # parseable last line, humans/judges get the full map from the file.
+    full = {
+        "metric": "headline_suite_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_full.json"), "w") as f:
+        json.dump(full, f, indent=1)
+    print(json.dumps(full))
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:5])
     print(
         json.dumps(
             {
                 "metric": "headline_suite_wall_sec",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "sf": sf_val,
+                "n_queries": len(timings),
+                "slowest5": slowest,
+                "queries_file": "BENCH_full.json",
             }
         )
     )

@@ -26,6 +26,11 @@ def sum_scaled_log_udf():
     @pandas_udf("long")
     def sum_scaled_log(v: pd.Series) -> int:
         a = np.log(v.to_numpy(dtype=float)) * 1e6
-        return int(np.round(a).astype(np.int64).sum())
+        # round half-AWAY from zero to match the DuckDB oracle's
+        # round() (np.round is half-even; a tie at .5 is unreachable
+        # for irrational logs, but the repo's rounding convention is
+        # uniform half-away for semantic roundings)
+        r = np.where(a >= 0, np.floor(a + 0.5), np.ceil(a - 0.5))
+        return int(r.astype(np.int64).sum())
 
     return sum_scaled_log

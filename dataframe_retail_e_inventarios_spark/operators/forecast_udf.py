@@ -97,7 +97,9 @@ def _inventory(train_sales: pd.Series, forecast: np.ndarray) -> dict:
     }
 
 
-def process_series(pdf: pd.DataFrame, native_members: bool = True) -> pd.DataFrame:
+def process_series(
+    pdf: pd.DataFrame, native_members: bool = True, ma_only: bool = False
+) -> pd.DataFrame:
     """One (product, store) weekly series -> one result row (or none if
     gated out). Input: columns product_id, store_id, week, units_sold —
     already densely resampled by the native plan, so the pandas side
@@ -116,7 +118,7 @@ def process_series(pdf: pd.DataFrame, native_members: bool = True) -> pd.DataFra
     train, test = s[:-FORECAST_HORIZON_WEEKS], s[-FORECAST_HORIZON_WEEKS:]
     preds: list[np.ndarray] = []
 
-    if len(train) >= MIN_WEEKS:  # U2: Prophet slot
+    if len(train) >= MIN_WEEKS and not ma_only:  # U2: Prophet slot
         if PROPHET_AVAILABLE:
             try:
                 dfp = pd.DataFrame(
@@ -150,7 +152,7 @@ def process_series(pdf: pd.DataFrame, native_members: bool = True) -> pd.DataFra
             except Exception:
                 pass  # U6
 
-    if len(train) >= 8:  # U3: Holt-Winters slot
+    if len(train) >= 8 and not ma_only:  # U3: Holt-Winters slot
         if HW_AVAILABLE:
             try:
                 ts = np.log1p(train.values)
@@ -196,7 +198,9 @@ def process_series(pdf: pd.DataFrame, native_members: bool = True) -> pd.DataFra
     )
 
 
-def forecast_with_models(dense_weekly: DataFrame, native_members: bool = True) -> DataFrame:
+def forecast_with_models(
+    dense_weekly: DataFrame, native_members: bool = True, ma_only: bool = False
+) -> DataFrame:
     """groupBy(series).applyInPandas over the densified weekly table.
 
     The admission gates run BOTH natively before the shuffle (cheap
@@ -228,5 +232,6 @@ def forecast_with_models(dense_weekly: DataFrame, native_members: bool = True) -
     parallelism = dense_weekly.sparkSession.sparkContext.defaultParallelism
     gated = gated.repartition(parallelism * 2, "product_id", "store_id")
     return gated.groupBy("product_id", "store_id").applyInPandas(
-        lambda pdf: process_series(pdf, native_members=native_members), RESULT_SCHEMA
+        lambda pdf: process_series(pdf, native_members=native_members, ma_only=ma_only),
+        RESULT_SCHEMA
     )

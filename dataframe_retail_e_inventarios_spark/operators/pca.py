@@ -77,15 +77,21 @@ def pca_fit(
     srows = sums.collect()  # d rows
     d = max(r["i"] for r in srows) + 1
     n = srows[0]["n"]
-    sx = np.zeros(d)
+    # Accumulate the moments as PYTHON ints (object dtype): copied
+    # into float64 they silently lose exactness past 2^53, breaking
+    # the bit-identical-covariance contract at large n·scale². The
+    # covariance numerator n·Sxx − Sx·Sxᵀ is formed in exact integer
+    # arithmetic; ONE rounding happens at the final division.
+    sx = np.zeros(d, dtype=object)
     for r in srows:
-        sx[r["i"]] = r["sx"]
-    sxx = np.zeros((d, d))
+        sx[r["i"]] = int(r["sx"])
+    sxx = np.zeros((d, d), dtype=object)
     for r in mrows:
-        sxx[r["i"], r["j"]] = r["sxx"]
-        sxx[r["j"], r["i"]] = r["sxx"]
-    mean = sx / n
-    cov = (sxx - np.outer(sx, sx) / n) / (n - 1)
+        sxx[r["i"], r["j"]] = int(r["sxx"])
+        sxx[r["j"], r["i"]] = int(r["sxx"])
+    mean = (sx / n).astype(np.float64)
+    num = n * sxx - np.outer(sx, sx)  # exact (object ints)
+    cov = (num / (n * (n - 1))).astype(np.float64)
     evals, evecs = np.linalg.eigh(cov)  # ascending
     order = np.argsort(evals)[::-1][:k]
     comps = evecs[:, order].T  # k×d, in quantized units (scale-free directions)

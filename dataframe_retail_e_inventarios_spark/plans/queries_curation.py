@@ -310,7 +310,9 @@ m AS (
 )
 SELECT source, lang,
        count(*) AS n_docs,
-       sum(nc) AS total_chars,
+       -- CAST: DuckDB sum(BIGINT)=HUGEINT pandas-fetches as float64,
+       -- which the driver hash formats unlike Spark's int64
+       CAST(sum(nc) AS BIGINT) AS total_chars,
        round_even(sum(q4) / count(*), 0) / 10000.0 AS avg_quality,
        CAST(sum(CASE WHEN q4 >= 5000 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
 FROM m

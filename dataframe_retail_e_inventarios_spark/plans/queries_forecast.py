@@ -48,6 +48,51 @@ def q_forecast_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
 register("forecast_udf_ensemble", q_forecast_udf, None)  # model fits: rows-only
 
 
+def q_forecast_udf_ma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME applyInPandas pipeline restricted to its deterministic
+    MA member (``ma_only=True``): with one member the median ensemble
+    equals the MA forecast, making every output SQL-expressible — so
+    the full pandas-side path (gating, winsorize clip, train/test
+    split, safe-MAPE, SS/ROP/Q int rounding, Arrow transport) runs
+    under the driver's hash gate, not just rows-only. The model-fit
+    members stay covered by the differential tests."""
+    dense = weekly_dense_resample(
+        clean_sales(load_table(spark, sf_dir, "lineitem")), KEYS, "invoice_date", "units_sold"
+    )
+    res = forecast_with_models(dense, ma_only=True)
+    return res.select(
+        "SKU",
+        "Store",
+        "MAPE",
+        "Safety_Stock",
+        "Reorder_Point",
+        "Qty_to_Order",
+        F.round(F.element_at("Forecast", 1), 4).alias("forecast_wk1"),
+    )
+
+
+def _ensemble_ma_oracle() -> str:
+    from .flagship import flagship_stats_ctes
+
+    # Identical math to the flagship oracle (driver-green since r1);
+    # only the projection matches process_series' output contract:
+    # string keys, Python-round half-even (= round_even) MAPE/ints.
+    return f"""
+WITH {flagship_stats_ctes()}
+SELECT CAST(product_id AS VARCHAR) AS SKU,
+       CAST(store_id AS VARCHAR) AS Store,
+       round_even(mape_raw, 3) AS MAPE,
+       CAST(round_even(greatest(0.0, ss), 0) AS BIGINT) AS Safety_Stock,
+       CAST(round_even(greatest(0.0, rop), 0) AS BIGINT) AS Reorder_Point,
+       CAST(round_even(greatest(0.0, rop - last_stock), 0) AS BIGINT) AS Qty_to_Order,
+       round(ens, 4) AS forecast_wk1
+FROM inv
+"""
+
+
+register("forecast_udf_ensemble_native", q_forecast_udf_ma, _ensemble_ma_oracle())
+
+
 _MULTIMODAL_ORACLE = """
 SELECT doc_id,
        'text/plain' AS media_type,

@@ -298,7 +298,9 @@ register(
 SELECT event_type,
        CAST(floor(CAST(json_extract(props, '$.k') AS INTEGER) / 10.0) AS INTEGER) AS k_decile,
        count(*) AS n,
-       sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_sum
+       -- sum(BIGINT) is HUGEINT in DuckDB and pandas-fetches as
+       -- float64; re-cast so the driver hash sees int64 like Spark
+       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum
 FROM events
 WHERE CAST(json_extract(props, '$.k') AS INTEGER) IS NOT NULL
 GROUP BY 1, 2
@@ -328,7 +330,11 @@ def q_sql_udf_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT discount_band(l_discount) AS band,
                count(*) AS n,
-               sum(CAST(bround(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)) / 10000.0 AS revenue
+               -- divide by 1e4, not 10000.0: in SQL text a decimal
+               -- literal makes BIGINT/DECIMAL a DECIMAL division, so
+               -- toPandas yields object-dtype Decimal cells where the
+               -- DuckDB oracle yields float64 (r3 driver hash miss)
+               sum(CAST(bround(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)) / 1e4 AS revenue
         FROM _li_udf
         GROUP BY 1
         """
@@ -343,7 +349,7 @@ SELECT CASE WHEN l_discount < 0.02 THEN 'none'
             WHEN l_discount < 0.06 THEN 'light'
             ELSE 'deep' END AS band,
        count(*) AS n,
-       sum(CAST(round_even(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)) / 10000.0 AS revenue
+       sum(CAST(round_even(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)) / 1e4 AS revenue
 FROM lineitem
 GROUP BY 1
 """,
@@ -453,8 +459,10 @@ register(
     f"""
 WITH {_OF.CLEAN_SALES_CTE.strip()},
 daily AS (
+  -- CAST around both sums: DuckDB's sum(BIGINT) (incl. window sum)
+  -- is HUGEINT -> float64 on pandas fetch, mismatching Spark's int64
   SELECT product_id, CAST(invoice_date AS DATE) AS day,
-         sum(CAST(round_even(units_sold, 0) AS BIGINT)) AS units
+         CAST(sum(CAST(round_even(units_sold, 0) AS BIGINT)) AS BIGINT) AS units
   FROM sales GROUP BY 1, 2
 ),
 keyed AS (
@@ -462,8 +470,8 @@ keyed AS (
   FROM daily
 )
 SELECT product_id, epoch_day, units,
-       sum(units) OVER (PARTITION BY product_id ORDER BY epoch_day
-                        RANGE BETWEEN 27 PRECEDING AND CURRENT ROW) AS units_28d
+       CAST(sum(units) OVER (PARTITION BY product_id ORDER BY epoch_day
+                             RANGE BETWEEN 27 PRECEDING AND CURRENT ROW) AS BIGINT) AS units_28d
 FROM keyed
 """,
 )

@@ -116,7 +116,7 @@ derived AS (
          CAST(len(Forecast_List) AS BIGINT) AS Forecast_Weeks,
          Safety_Stock, Reorder_Point, Qty_to_Order,
          Qty_to_Order > 0 AS Need_Reorder,
-         0.0 AS RMSE
+         CAST(0.0 AS DOUBLE) AS RMSE
   FROM parsed
   WHERE Forecast_List IS NOT NULL AND MAPE IS NOT NULL
         AND Qty_to_Order IS NOT NULL

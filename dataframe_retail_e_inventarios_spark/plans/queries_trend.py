@@ -52,7 +52,12 @@ def _r4(c: F.Column) -> F.Column:
     return F.bround(c * 10000.0, 0) / 10000.0
 
 
-_R4_SQL = "round_even(({x}) * 10000.0, 0) / 10000.0"
+# The trailing `+ 0.0` folds IEEE -0.0 to +0.0: DuckDB's round_even
+# keeps the sign of a negative underflow (-1e-9 -> -0.0) while Spark's
+# bround goes through Java BigDecimal, which has no signed zero — the
+# exact value divergence behind the r3 driver hash mismatches on
+# ols/mann-kendall/autocorrelation (CORRECTNESS_r03).
+_R4_SQL = "(round_even(({x}) * 10000.0, 0) / 10000.0) + 0.0"
 
 
 # -- TPC-H Q1-shaped pricing summary ---------------------------------------
@@ -97,7 +102,11 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-_QTY_SUM = "sum(CAST(round_even(l_quantity, 0) AS BIGINT))"
+# DuckDB sum(BIGINT) yields HUGEINT, which pandas-fetches as float64
+# ("5.0" vs Spark's int64 "5") — a driver-hash mismatch even when the
+# values are equal (CORRECTNESS_r03). Every oracle that exposes an
+# integral sum re-casts it to BIGINT.
+_QTY_SUM = "CAST(sum(CAST(round_even(l_quantity, 0) AS BIGINT)) AS BIGINT)"
 register(
     "tpch_pricing_summary",
     q_pricing_summary,
@@ -993,7 +1002,7 @@ calc AS (
          (m * (m - 1) * (2 * m + 5) - tie_term) / 18.0::DOUBLE AS var_s
   FROM stats
 )
-SELECT product_id, n_weeks, m AS n_fit, s_stat,
+SELECT product_id, n_weeks, m AS n_fit, CAST(s_stat AS BIGINT) AS s_stat,
        {_R4_SQL.format(x='var_s')} AS var_s,
        {_R4_SQL.format(x='CASE WHEN var_s > 0 THEN (s_stat - CAST(sign(s_stat) AS BIGINT)) / sqrt(var_s) END')} AS z,
        CASE WHEN {_R4_SQL.format(x='CASE WHEN var_s > 0 THEN (s_stat - CAST(sign(s_stat) AS BIGINT)) / sqrt(var_s) END')} > 1.96 THEN 'increasing'
@@ -1485,7 +1494,7 @@ agg AS (
   FROM weekly GROUP BY 1
 ),
 c AS (
-  SELECT product_id, weeks_span, total_units,
+  SELECT product_id, weeks_span, CAST(total_units AS BIGINT) AS total_units,
          CAST(total_units AS DOUBLE) * 52.0 / weeks_span AS d_annual
   FROM agg WHERE weeks_span >= 12
 )
@@ -1611,7 +1620,7 @@ agg AS (
   FROM weekly GROUP BY 1 HAVING count(*) >= 12
 ),
 ql AS (SELECT unnest([{_QLIST}]) AS q, generate_subscripts([{_QLIST}], 1) AS i)
-SELECT a.product_id, a.n_weeks, ql.q,
+SELECT a.product_id, a.n_weeks, CAST(ql.q AS DOUBLE) AS q,
        {_R4_SQL.format(x='a.qs[ql.i]')} AS demand_at_q
 FROM agg a CROSS JOIN ql
 """,

@@ -24,6 +24,8 @@ treats every load as full-refresh pandas (PRACTICA3.py:20-40) — at
 
 from __future__ import annotations
 
+import os
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
@@ -379,22 +381,24 @@ def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact DAU / trailing-7d WAU / trailing-28d MAU per day. The
     fact collapses to the (user, day) grid FIRST (one dedup shuffle —
     at 100 TB this is the compression step: grid size is
-    users × active-days, not raw events); the day spine then fans each
-    grid row out over the ≤28 windows it contributes to via a
-    broadcast range join, and three conditional distinct-counts close
-    per window. The 28× fan-out is of the GRID, bounded and constant —
-    the standard exact form; the sketch twin (approx_distinct_users)
-    is the 100-TB approximate path."""
+    users × active-days, not raw events); each grid row then EXPLODES
+    over exactly the 28 window-end days it can contribute to
+    (sequence(day, day+27)) and an equi-join against the observed-day
+    spine keeps real windows — a true constant ≤28× fan-out. (The
+    previous broadcast range join compiled to a nested loop over
+    grid-rows × ALL spine days, i.e. work scaling with the full day
+    span — the r3 ADVICE item.) Three conditional distinct-counts
+    close per window. The sketch twin (approx_distinct_users) is the
+    100-TB approximate path."""
     ev = load_table(spark, sf_dir, "events")
     day = F.floor(wall_epoch_seconds("ts") / 86400).cast("long")
     # grid materialized: both the spine derivation and the fan-out
     # join read it — without the cut each replans its own events scan
     grid = ev.select("user_id", day.alias("day")).distinct().localCheckpoint(eager=True)
     spine = grid.select("day").distinct().select(F.col("day").alias("d"))
-    fan = grid.join(
-        F.broadcast(spine),
-        (F.col("day") <= F.col("d")) & (F.col("day") >= F.col("d") - 27),
-    )
+    fan = grid.withColumn(
+        "d", F.explode(F.sequence(F.col("day"), F.col("day") + 27))
+    ).join(F.broadcast(spine), "d")
     return (
         fan.groupBy("d")
         .agg(
@@ -704,10 +708,14 @@ def q_streaming_rollup_maintenance(spark: SparkSession, sf_dir: str) -> DataFram
 
         def fold_batch(batch_df, batch_id):
             delta = rollup_partials(fact_cols(batch_df), keys, "l_quantity")
-            try:
+            # first-batch detection by state-dir existence, NOT by
+            # catching every read error: a transient parquet failure
+            # mid-drain must fail the query loudly, not silently
+            # discard the standing rollup state
+            if os.path.exists(state_dir):
                 base = batch_df.sparkSession.read.parquet(state_dir)
                 merged = fold_rollup(base, delta, keys)
-            except Exception:
+            else:
                 merged = delta
             out = f"{work}/state_new_{batch_id}"
             merged.write.mode("overwrite").parquet(out)
@@ -775,9 +783,10 @@ def q_streaming_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         state_dir = f"{work}/state"
 
         def upsert_batch(batch_df, batch_id):
-            try:
+            # existence test, not blanket except: see fold_batch above
+            if os.path.exists(state_dir):
                 base = batch_df.sparkSession.read.parquet(state_dir)
-            except Exception:
+            else:
                 base = batch_df.filter(F.lit(False))
             merged = merge_changes(
                 base, batch_df, keys=keys, seq_cols=seq,

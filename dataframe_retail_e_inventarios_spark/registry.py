@@ -37,87 +37,78 @@ def register(name: str, fn: QueryFn, oracle: str | None) -> None:
 # order, and tools/selfcheck.py --json covers the full registry every
 # round regardless (SELFCHECK_full.json).
 _PRIORITY = [
-    # anchors (driver-green in r01+r02; keep the headline chain on record)
-    "flagship_inventory",
-    "weekly_resample_dense",
-    "dedup_minhash_lsh",
-    "report_enrich",
-    # previously unsampled: modern SQL + layout + skew (round-3 additions)
-    "inventory_projection_recursive",
-    "inventory_projection_folded",
+    # r4 front-load (judge directive): first the 7 queries the r3
+    # driver flagged hash_match:false — all root-caused to fetch-level
+    # representation drift (DuckDB HUGEINT->float64, Spark SQL decimal
+    # division, IEEE -0.0) and repaired this round; the driver row is
+    # the only evidence that closes them.
     "events_props_variant",
     "sql_udf_discount_bands",
-    "events_session_window_builtin",
     "trailing_28d_range_frame",
-    "flagship_inventory_partitioned",
-    "skew_hot_key_revenue_plain",
-    "skew_hot_key_revenue_salted",
-    # round-3 part-2: warehouse maintenance + corpus statistics (never
-    # driver-sampled before — spend the 50-row budget here; the four
-    # r01+r02-green anchors they displace stay selfchecked every round)
-    "scd2_user_event_history",
-    "group_holdout_split",
-    "domain_mixture_weights",
-    "incremental_monthly_rollup",
-    "streaming_rollup_maintenance",
-    "streaming_cdc_upsert",
-    "streaming_session_windows",
-    "streaming_dedup_replay",
-    "streaming_view_purchase_join",
-    "zipf_vocab_topk",
-    "zipf_slope",
-    "duplicate_ngram_fraction",
-    "embedding_pca_projection",
-    "last_touch_attribution",
-    "first_touch_attribution",
-    "passage_dedup_stats",
-    "bigram_logprob_scores",
-    "rolling_active_users",
-    "lateral_topk_per_brand",
-    "geomean_demand_grouped_udf",
-    "pit_join_purchase_state",
-    "demand_anomalies_mad",
-    "conversion_lag_quantiles",
-    "source_kl_divergence",
-    "langid_confusion",
-    "embedding_int8_quantization",
-    "minhash_estimator_error",
-    # trend / forecast family
     "tpch_pricing_summary",
     "ols_demand_trend",
-    "holt_linear_forecast",
-    "theta_forecast",
     "mann_kendall_trend",
-    "croston_forecast",
-    "pagerank_event_graph",
-    "forecast_model_selection",
     "demand_autocorrelation",
-    "ewma_weekly_demand",
-    "abc_classification",
-    "rfm_segmentation",
-    "basket_pair_lift",
+    # queries whose oracles carried the SAME latent HUGEINT/decimal
+    # exposure (never driver-sampled; repaired alongside)
     "eoq_order_quantity",
-    # relational / modern
-    "asof_join_latest_order",
-    "range_join_holiday_seasons",
-    "cube_sales_summary",
-    "window_value_family",
-    # LLM-data curation + ranking + cleaning
-    "bm25_top_terms",
-    "cdc_latest_state",
-    "decontamination_bloom",
-    "decontamination_overlap",
+    "source_quality_rollup",
+    "demand_quartiles",
+    "demand_mode",
+    # one r3-green anchor whose oracle was also hardened (RMSE const)
+    "report_enrich",
+    # then oracle-backed queries NO round has ever sampled (only
+    # selfcheck evidence so far) — maximize new hard signal; rows-only
+    # queries are deliberately excluded from the 50-row budget.
     "dedup_cluster_assignment",
     "dedup_survivors",
+    "dedup_cluster_histogram",
     "sample_stratified_hash",
     "token_pack_batches",
     "curation_funnel",
+    "dataset_split_counts",
     "repetition_stats",
     "pii_redaction",
-    "gopher_quality_flags",
+    "decontamination_overlap",
+    "decontamination_bloom",
+    "benford_first_digit",
+    "order_linenumber_gaps",
+    "sql_exists_returned_orders",
+    "sql_parts_above_brand_avg",
     "events_sliding_counts",
+    "cdc_latest_state",
+    "bm25_top_terms",
+    "label_centroids",
+    "doc_chunks",
+    "sentence_split",
+    "demand_anomalies",
+    "stats_corr_by_flag",
+    "percentile_disc_quantity",
+    "seasonality_index",
+    "holiday_demand_lift",
+    "abc_classification",
+    "demand_intermittency",
+    "newsvendor_stock_level",
+    "profile_lineitem_columns",
+    "events_value_histogram",
+    "window_value_family",
+    "unpivot_returnflag_measures",
+    "fuzzy_part_name_pairs",
+    "class_balanced_cap",
+    "doc_vector_hashing",
     "sparse_cosine_topk",
+    "rolling_median_demand",
+    "rfm_segmentation",
+    "basket_pair_lift",
+    "event_transition_matrix",
+    "supplier_lead_times",
+    "revenue_concentration_hhi",
+    "quality_weighted_sample",
     "service_level_coverage",
+    "dataset_snapshot_diff",
+    "doc_length_histogram",
+    "gopher_quality_flags",
+    "skew_salted_brand_revenue",
 ]
 
 

@@ -90,8 +90,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from ..functions.timewall import to_wall_ntz, wall_ntz_from_micros
 
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        path = os.path.join(sf_dir, "events.parquet")
+        # Probe the footer driver-side (pyarrow, no session mutation)
+        # and only flip the legacy conf when the file actually carries
+        # TIMESTAMP(NANOS). The conf is consulted again at scan
+        # execution, so it cannot be save-restored around the read; in
+        # a nanos environment it stays set for the session (documented
+        # as the engine's one deliberate session-scoped setting).
+        import pyarrow.dataset as pads
+
+        # dataset() handles both single files and Spark-written
+        # directories of part files
+        ts_type = str(pads.dataset(path, format="parquet").schema.field("ts").type)
+        if ts_type.startswith("timestamp[ns"):
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
         from pyspark.sql import functions as F
         from pyspark.sql.types import LongType
 

@@ -12,8 +12,10 @@ from __future__ import annotations
 import math
 import os
 from dataclasses import dataclass, field
+from decimal import Decimal
 
 import duckdb
+import numpy as np
 import pandas as pd
 from pyspark.sql import SparkSession
 
@@ -75,26 +77,82 @@ def compare_query(
     if not issues:
         for c in sdf.columns:
             a, b = sdf[c], odf[c]
-            if pd.api.types.is_float_dtype(a) or pd.api.types.is_float_dtype(b):
-                af = a.astype(float).to_numpy()
-                bf = b.astype(float).to_numpy()
-                bad = 0
-                maxd = 0.0
-                for x, y in zip(af, bf):
-                    if math.isnan(x) and math.isnan(y):
-                        continue
-                    d = abs(x - y)
-                    if not (d <= float_tol):
-                        bad += 1
-                        maxd = max(maxd, d if not math.isnan(d) else float("inf"))
-                if bad:
-                    issues.append(f"col {c}: {bad} cells differ (max abs diff {maxd:.3e})")
-            else:
-                neq = ~((a == b) | (a.isna() & b.isna()))
-                if neq.any():
-                    i = int(neq.idxmax())
-                    issues.append(
-                        f"col {c}: {int(neq.sum())} cells differ "
-                        f"(first at row {i}: {a[i]!r} vs {b[i]!r})"
-                    )
+            issues.extend(_compare_column(c, a, b, float_tol))
     return CompareResult(name, not issues, len(sdf), len(odf), issues)
+
+
+def _kind(s: pd.Series) -> str:
+    """Dtype kind as the driver's value-hash would see it: an object
+    column of Decimal/date is its own kind, not a float/datetime."""
+    k = s.dtype.kind
+    if k == "O" and len(s):
+        first = next((v for v in s if v is not None and v == v), None)
+        if isinstance(first, Decimal):
+            return "decimal"
+        import datetime
+
+        if isinstance(first, datetime.datetime):
+            return "M"
+        if isinstance(first, datetime.date):
+            return "date"
+    return k
+
+
+def _compare_column(c: str, a: pd.Series, b: pd.Series, float_tol: float) -> list[str]:
+    """Driver-faithful strict compare for one column.
+
+    The driver hashes FORMATTED cell values, so divergences invisible
+    to numeric equality are real failures there (all observed in
+    CORRECTNESS_r03): DuckDB sum(BIGINT)->HUGEINT fetches as float64
+    ("5.0" vs Spark int64 "5"); Spark SQL decimal-literal division
+    yields object-dtype Decimal cells; DuckDB keeps IEEE -0.0 where
+    Spark's BigDecimal-based round returns +0.0. Hence: dtype-KIND
+    mismatch is an issue, floats compare bitwise (signbit-aware,
+    NaN==NaN) when float_tol==0.
+    """
+    issues: list[str] = []
+    ka, kb = _kind(a), _kind(b)
+    # benign cross-fetch representations: unify date-ish kinds
+    if {ka, kb} <= {"M", "date"}:
+        a = pd.to_datetime(a)
+        b = pd.to_datetime(b)
+        ka = kb = "M"
+    if ka != kb:
+        issues.append(
+            f"col {c}: dtype kind differs (spark={a.dtype}/{ka} vs oracle={b.dtype}/{kb})"
+            " — driver hash formats these differently"
+        )
+        return issues
+    if ka == "f":
+        af = a.to_numpy(dtype=np.float64)
+        bf = b.to_numpy(dtype=np.float64)
+        bad = 0
+        maxd = 0.0
+        first = None
+        for i, (x, y) in enumerate(zip(af, bf)):
+            if math.isnan(x) and math.isnan(y):
+                continue
+            if float_tol == 0.0:
+                ok = x == y and np.signbit(x) == np.signbit(y)
+            else:
+                ok = abs(x - y) <= float_tol
+            if not ok:
+                bad += 1
+                d = abs(x - y)
+                maxd = max(maxd, d if not math.isnan(d) else float("inf"))
+                if first is None:
+                    first = (i, x, y)
+        if bad:
+            issues.append(
+                f"col {c}: {bad} float cells differ (max abs diff {maxd:.3e}, "
+                f"first at row {first[0]}: {first[1]!r} vs {first[2]!r})"
+            )
+    else:
+        neq = ~((a == b) | (a.isna() & b.isna()))
+        if neq.any():
+            i = int(neq.idxmax())
+            issues.append(
+                f"col {c}: {int(neq.sum())} cells differ "
+                f"(first at row {i}: {a[i]!r} vs {b[i]!r})"
+            )
+    return issues

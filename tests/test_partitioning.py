@@ -1,6 +1,8 @@
 """Physical-layout machinery: partition pruning, salted joins,
 bucketed shuffle-free joins — asserted on plans and results."""
 
+import os
+
 import pyspark.sql.functions as F
 import pytest
 
@@ -49,6 +51,18 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
     # warehouse.dir is static config; tables land in ./spark-warehouse
     # (gitignored) and are dropped in the finally block.
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force non-broadcast
+    # Pre-clean catalog AND physical location: a stale spark-warehouse/
+    # dir left by an interrupted or concurrent run fails saveAsTable
+    # with LOCATION_ALREADY_EXISTS even after DROP TABLE (the drop only
+    # removes the catalog entry when the table isn't registered).
+    import shutil
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse").removeprefix(
+        "file:"
+    )
+    for t in ("li_b", "ord_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(os.path.join(warehouse, t), ignore_errors=True)
     try:
         li = load_table(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_quantity")
         orders = load_table(spark, SF_SMOKE, "orders").select("o_orderkey", "o_totalprice")

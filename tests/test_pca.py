@@ -20,10 +20,12 @@ def _local_reference(X: np.ndarray, k: int):
     moments, numpy eigh, sign convention."""
     Q = np.round(X * _SCALE).astype(np.int64)
     n, d = Q.shape
-    sx = Q.sum(axis=0)
+    sx = Q.sum(axis=0).astype(object)  # exact big-int sums
     sxx = Q.T.astype(object) @ Q.astype(object)  # exact integer matmul
-    cov = (sxx - np.outer(sx, sx) / n) / (n - 1)
-    evals, evecs = np.linalg.eigh(cov.astype(np.float64))
+    # exact integer numerator, single rounding at the division —
+    # mirrors pca_fit (overflow-proof past 2^53)
+    cov = ((n * sxx - np.outer(sx, sx)) / (n * (n - 1))).astype(np.float64)
+    evals, evecs = np.linalg.eigh(cov)
     order = np.argsort(evals)[::-1][:k]
     comps = evecs[:, order].T
     for row in comps:
