@@ -117,6 +117,9 @@ HEADLINE = [
     "embedding_int8_quantization",
     "minhash_estimator_error",
     "forecast_udf_ensemble",
+    # round 4: contract gate + MA-only ensemble under the hash gate
+    "dq_constraint_audit",
+    "forecast_udf_ensemble_native",
 ]
 
 # Scale-curve subset: the heaviest headline queries (r02 timings),

@@ -57,6 +57,9 @@ _PRIORITY = [
     "demand_mode",
     # one r3-green anchor whose oracle was also hardened (RMSE const)
     "report_enrich",
+    # new this round: contract gate + MA-only ensemble under the hash gate
+    "dq_constraint_audit",
+    "forecast_udf_ensemble_native",
     # then oracle-backed queries NO round has ever sampled (only
     # selfcheck evidence so far) — maximize new hard signal; rows-only
     # queries are deliberately excluded from the 50-row budget.
@@ -155,6 +158,7 @@ def _load_all() -> None:
         "queries_layout",
         "queries_warehouse",
         "queries_corpus",
+        "queries_dq",
     ):
         qualname = f"{__package__}.plans.{mod}"
         try:

@@ -1,0 +1,86 @@
+"""Data-quality constraint audit: planted-violation unit tests plus
+plan shape (broadcast anti-join for dimension FKs, single-scan
+predicate audit)."""
+
+import pyspark.sql.functions as F
+
+from dataframe_retail_e_inventarios_spark.operators.dq import (
+    foreign_key_audit,
+    predicate_audit,
+    union_audits,
+    unique_audit,
+)
+
+
+def _rows(df):
+    return {r["constraint"]: r.asDict() for r in df.collect()}
+
+
+def test_predicate_audit_counts_planted_violations_and_nulls(spark):
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, -1.0), (3, None), (4, 0.0)], "id long, qty double"
+    )
+    out = _rows(
+        predicate_audit(df, [("qty_positive", F.col("qty") <= 0)])
+    )
+    r = out["qty_positive"]
+    # -1.0 and 0.0 violate; NULL cannot be evaluated -> counts as a
+    # violation (a rule that can't pass did not pass)
+    assert r["n_checked"] == 4
+    assert r["n_violations"] == 3
+    assert r["ok"] is False
+
+
+def test_predicate_audit_single_scan_for_many_rules(spark):
+    df = spark.createDataFrame([(1, 5.0)], "id long, qty double")
+    q = predicate_audit(
+        df,
+        [
+            ("a", F.col("qty") < 0),
+            ("b", F.col("qty") > 100),
+            ("c", F.col("id").isNull()),
+        ],
+    )
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    # all three rules fold into ONE aggregate over one scan
+    assert plan.count("Scan ExistingRDD") <= 1
+    assert {r["constraint"] for r in q.collect()} == {"a", "b", "c"}
+
+
+def test_unique_audit_detects_duplicate_composite_keys(spark):
+    df = spark.createDataFrame(
+        [(1, 1), (1, 2), (1, 1), (2, 1), (1, 1)], "k1 long, k2 long"
+    )
+    r = _rows(unique_audit(df, "pk", ["k1", "k2"]))["pk"]
+    assert r["n_checked"] == 5
+    assert r["n_violations"] == 2  # (1,1) appears 3x -> 2 extras
+    assert r["ok"] is False
+
+
+def test_foreign_key_audit_counts_orphans_and_null_keys(spark):
+    child = spark.createDataFrame(
+        [(10,), (10,), (20,), (99,), (None,)], "fk long"
+    )
+    parent = spark.createDataFrame([(10,), (20,)], "pk long")
+    r = _rows(foreign_key_audit(child, "fk_ok", "fk", parent, "pk"))["fk_ok"]
+    # 99 is an orphan; NULL is an unresolvable reference -> orphan
+    assert r["n_checked"] == 5
+    assert r["n_violations"] == 2
+    assert r["ok"] is False
+
+
+def test_foreign_key_audit_broadcasts_dimension_parent(spark):
+    child = spark.createDataFrame([(10,)], "fk long")
+    parent = spark.createDataFrame([(10,)], "pk long")
+    q = foreign_key_audit(child, "fk", "fk", parent, "pk")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_union_audit_all_green_on_clean_data(spark):
+    df = spark.createDataFrame([(1, 2.0), (2, 3.0)], "id long, v double")
+    report = union_audits(
+        predicate_audit(df, [("v_pos", F.col("v") <= 0)]),
+        unique_audit(df, "id_unique", ["id"]),
+    )
+    assert all(r["ok"] for r in report.collect())
