@@ -38,7 +38,14 @@ def get_spark(
         # Python Data Source filter pushdown (sources/docgen.py) —
         # off by default in Spark 4.1, no effect on built-in sources.
         .config("spark.sql.python.filterPushdown.enabled", "true")
-        .config("spark.sql.session.timeZone", "UTC")
+        # SPARK_GRAFT_SESSION_TZ lets the TZ-invariance sweep run the
+        # whole registry under a hostile SESSION timezone (the driver
+        # builds its own session, so UTC must be a default, not a
+        # correctness requirement)
+        .config(
+            "spark.sql.session.timeZone",
+            os.environ.get("SPARK_GRAFT_SESSION_TZ", "UTC"),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .getOrCreate()
