@@ -117,9 +117,10 @@ HEADLINE = [
     "embedding_int8_quantization",
     "minhash_estimator_error",
     "forecast_udf_ensemble",
-    # round 4: contract gate + MA-only ensemble under the hash gate
+    # round 4: contract gate + MA-only ensemble + mergeable sketches
     "dq_constraint_audit",
     "forecast_udf_ensemble_native",
+    "hll_sketch_rollup",
 ]
 
 # Scale-curve subset: the heaviest headline queries (r02 timings),

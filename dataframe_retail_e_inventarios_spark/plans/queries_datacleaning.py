@@ -196,6 +196,54 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 register("approx_distinct_users", q_approx_distinct, None)  # sketch: rows-only
 
 
+def q_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE distinct-count sketches (Spark 4 Datasketches HLL):
+    build one user sketch per (event_type, day), then hll_union_agg
+    the DAILY sketch binaries up to monthly uniques — the 100 TB
+    reaggregation pattern where raw events are scanned ONCE and every
+    coarser rollup (week/month/quarter, any segment union) folds the
+    stored kilobyte sketches instead of re-shuffling user ids.
+    Emits the merged-daily estimate beside the direct one-shot monthly
+    estimate and the exact count: merged == one-shot holds BITWISE
+    (HLL union is lossless over identical-k sketches — asserted in
+    tests/test_datacleaning.py), exact stays within the k=12 error
+    envelope. Sketch output is approximate by construction ->
+    rows-only registration."""
+    from ..functions.timewall import wall_epoch_seconds
+
+    ev = load_table(spark, sf_dir, "events")
+    keyed = ev.select(
+        "event_type",
+        F.floor(wall_epoch_seconds("ts") / 86400).cast("long").alias("day"),
+        (F.floor(wall_epoch_seconds("ts") / 86400) / 30).cast("long").alias("month30"),
+        "user_id",
+    )
+    daily = keyed.groupBy("event_type", "month30", "day").agg(
+        F.hll_sketch_agg("user_id", F.lit(12)).alias("sketch")
+    )
+    merged = daily.groupBy("event_type", "month30").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("users_merged_daily"),
+        F.count("*").alias("n_days"),
+    )
+    oneshot = keyed.groupBy("event_type", "month30").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(12))).alias(
+            "users_oneshot"
+        ),
+        F.countDistinct("user_id").alias("users_exact"),
+    )
+    return merged.join(oneshot, ["event_type", "month30"]).select(
+        "event_type",
+        "month30",
+        "n_days",
+        "users_merged_daily",
+        "users_oneshot",
+        "users_exact",
+    )
+
+
+register("hll_sketch_rollup", q_hll_sketch_rollup, None)  # sketch: rows-only
+
+
 # -- N2 extension: Bloom-filter decontamination ------------------------------
 def q_decontamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark-membership flag per train doc via a broadcast Bloom

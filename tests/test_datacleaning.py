@@ -176,3 +176,21 @@ def test_freq_items_sketch_has_no_false_negatives(spark):
     }
     sketched = {r.part_key for r in q_frequent_parts(spark, SF_SMOKE).collect()}
     assert exact_hot <= sketched
+
+
+def test_hll_sketch_rollup_merge_is_lossless_and_calibrated(spark):
+    """hll_union_agg over daily sketches must equal the one-shot
+    monthly sketch BITWISE (same k -> same registers, union is
+    lossless), and both stay inside the k=12 error envelope of the
+    exact count."""
+    from dataframe_retail_e_inventarios_spark.plans.queries_datacleaning import (
+        q_hll_sketch_rollup,
+    )
+
+    rows = q_hll_sketch_rollup(spark, SF_SMOKE).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.users_merged_daily == r.users_oneshot, (
+            "daily-sketch union diverged from the one-shot sketch"
+        )
+        assert abs(r.users_oneshot - r.users_exact) <= max(2, 0.08 * r.users_exact)
