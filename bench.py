@@ -121,6 +121,7 @@ HEADLINE = [
     "dq_constraint_audit",
     "forecast_udf_ensemble_native",
     "hll_sketch_rollup",
+    "rollup_backfill_overwrite",
 ]
 
 # Scale-curve subset: the heaviest headline queries (r02 timings),

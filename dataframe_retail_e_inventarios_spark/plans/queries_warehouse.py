@@ -286,6 +286,80 @@ def q_incremental_monthly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return finalize_rollup(fold_rollup(base, delta, keys))
 
 
+def q_rollup_backfill_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned-rollup BACKFILL via dynamic partition overwrite —
+    the restatement op every warehouse needs: a correction arrives for
+    a bounded date range, the affected partitions are recomputed from
+    the fact and swapped in atomically per-partition, and every other
+    partition's files are untouched (no full-table rewrite).
+
+    Here: the monthly revenue rollup is materialized partitioned by
+    ship_month; then months >= 1998-01 are RESTATED to exclude
+    returned lines (l_returnflag = 'R') and written with
+    partitionOverwriteMode=dynamic as a WRITE OPTION (no session
+    mutation) — only the restated months' directories are replaced.
+    The read-back table is the registered result; the oracle computes
+    the same piecewise semantics in one SQL (pre-cutoff months keep
+    all rows, restated months drop returns). At 100 TB the backfill
+    writes O(affected partitions), and the pattern composes with the
+    incremental fold above for pure-append maintenance."""
+    import shutil
+    import tempfile
+
+    li = load_table(spark, sf_dir, "lineitem")
+    month = (F.year("l_shipdate") * 100 + F.month("l_shipdate")).cast("long")
+    rev_cents = F.sum(
+        F.bround(F.col("l_extendedprice") * 100, 0).cast("long")
+    ).alias("rev_cents")
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return (
+            df.select(month.alias("ship_month"), "l_extendedprice")
+            .groupBy("ship_month")
+            .agg(F.count("*").alias("n_rows"), rev_cents)
+        )
+
+    cutoff = 199801
+    work = tempfile.mkdtemp(prefix="spark_graft_backfill_")
+    try:
+        path = f"{work}/rollup"
+        rollup(li).write.partitionBy("ship_month").parquet(path)
+        restated = rollup(
+            li.filter((month >= cutoff) & (F.col("l_returnflag") != "R"))
+        )
+        (
+            restated.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ship_month")
+            .parquet(path)
+        )
+        back = spark.read.parquet(path).select(
+            # partition-column inference may narrow to INT; pin the
+            # contract types explicitly
+            F.col("ship_month").cast("long").alias("ship_month"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("rev_cents").cast("long").alias("rev_cents"),
+        )
+        return back.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+register(
+    "rollup_backfill_overwrite",
+    q_rollup_backfill_overwrite,
+    """
+SELECT CAST(year(l_shipdate) * 100 + month(l_shipdate) AS BIGINT) AS ship_month,
+       count(*) AS n_rows,
+       CAST(sum(CAST(round_even(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS rev_cents
+FROM lineitem
+WHERE year(l_shipdate) * 100 + month(l_shipdate) < 199801
+   OR l_returnflag <> 'R'
+GROUP BY 1
+""",
+)
+
+
 register(
     "incremental_monthly_rollup",
     q_incremental_monthly_rollup,

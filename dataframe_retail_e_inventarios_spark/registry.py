@@ -60,6 +60,7 @@ _PRIORITY = [
     # new this round: contract gate + MA-only ensemble under the hash gate
     "dq_constraint_audit",
     "forecast_udf_ensemble_native",
+    "rollup_backfill_overwrite",
     # then oracle-backed queries NO round has ever sampled (only
     # selfcheck evidence so far) — maximize new hard signal; rows-only
     # queries are deliberately excluded from the 50-row budget.
