@@ -68,3 +68,37 @@ def write_bucketed_table(
         .sortBy(*keys)
         .saveAsTable(table)
     )
+
+
+def compact_files(
+    df: DataFrame,
+    path: str,
+    sort_col: str | None = None,
+    max_records_per_file: int = 1_000_000,
+    n_files: int | None = None,
+) -> None:
+    """Small-files compaction with optional range layout.
+
+    A streaming/hourly ingest leaves thousands of tiny files per
+    partition; scan cost becomes task-scheduling overhead instead of
+    IO. Compaction = rewrite at a target file size. With ``sort_col``
+    the rewrite uses repartitionByRange + sortWithinPartitions, so
+    each output file covers a NARROW value range — parquet footer
+    min/max stats then let a selective range predicate skip whole
+    files/row-groups at read time (data skipping without an index;
+    the same reason Delta/Iceberg Z-order exists, in its 1-D form).
+    """
+    w = df
+    if n_files:
+        w = (
+            w.repartitionByRange(n_files, F.col(sort_col))
+            if sort_col
+            else w.repartition(n_files)
+        )
+    if sort_col:
+        w = w.sortWithinPartitions(sort_col)
+    (
+        w.write.mode("overwrite")
+        .option("maxRecordsPerFile", max_records_per_file)
+        .parquet(path)
+    )

@@ -84,3 +84,33 @@ def test_union_audit_all_green_on_clean_data(spark):
         unique_audit(df, "id_unique", ["id"]),
     )
     assert all(r["ok"] for r in report.collect())
+
+
+def test_observation_metrics_ride_the_main_query_for_free(spark):
+    """df.observe attaches DQ counters to the MAIN query's execution —
+    audit numbers arrive with the action, zero extra scans. The
+    counters must match a standalone aggregate over the same frame."""
+    from pyspark.sql import Observation
+
+    from dataframe_retail_e_inventarios_spark.sources.readers import load_table
+    from tests.conftest import SF_SMOKE
+
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    obs = Observation("dq")
+    watched = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum((F.col("l_quantity") <= 0).cast("long")).alias("bad_qty"),
+        F.sum(F.col("l_extendedprice").isNull().cast("long")).alias("null_price"),
+    )
+    # the "main query": a real aggregation the pipeline would run anyway
+    result = watched.groupBy("l_returnflag").count().collect()
+    assert len(result) > 0
+
+    expected = li.agg(
+        F.count(F.lit(1)),
+        F.sum((F.col("l_quantity") <= 0).cast("long")),
+        F.sum(F.col("l_extendedprice").isNull().cast("long")),
+    ).collect()[0]
+    got = obs.get
+    assert (got["n_rows"], got["bad_qty"], got["null_price"]) == tuple(expected)

@@ -214,3 +214,65 @@ def test_salted_twin_spreads_hot_key_across_tasks(spark):
         .count()
     )
     assert n_buckets == 8
+
+
+def test_compaction_reduces_files_and_preserves_content(spark, tmp_path):
+    import glob
+
+    from dataframe_retail_e_inventarios_spark.operators.partitioning import (
+        compact_files,
+    )
+
+    li = load_table(spark, SF_SMOKE, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    messy = str(tmp_path / "messy")
+    li.repartition(64).write.parquet(messy)  # simulated small-files ingest
+    assert len(glob.glob(f"{messy}/part-*")) == 64
+
+    compacted = str(tmp_path / "compacted")
+    compact_files(spark.read.parquet(messy), compacted, n_files=4)
+    assert len(glob.glob(f"{compacted}/part-*")) <= 4
+
+    a = li.agg(
+        F.count("*"), F.sum(F.col("l_quantity").cast("long")),
+        F.sum(F.bround(F.col("l_extendedprice") * 100, 0).cast("long")),
+    ).collect()[0]
+    b = spark.read.parquet(compacted).agg(
+        F.count("*"), F.sum(F.col("l_quantity").cast("long")),
+        F.sum(F.bround(F.col("l_extendedprice") * 100, 0).cast("long")),
+    ).collect()[0]
+    assert tuple(a) == tuple(b)
+
+
+def test_range_compaction_enables_file_skipping(spark, tmp_path):
+    """Sorted (range-partitioned) layout must let a selective range
+    predicate read FEWER rows from the scan than the shuffled layout —
+    parquet footer min/max pruning, observed via the scan's
+    numOutputRows metric."""
+    from dataframe_retail_e_inventarios_spark.operators.partitioning import (
+        compact_files,
+    )
+
+    li = load_table(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_quantity")
+    shuffled = str(tmp_path / "shuffled")
+    ranged = str(tmp_path / "ranged")
+    li.repartition(8).write.parquet(shuffled)
+    compact_files(li, ranged, sort_col="l_orderkey", n_files=8)
+
+    lo = li.agg(F.max("l_orderkey")).collect()[0][0] // 100  # ~1% slice
+
+    def rows_read(path):
+        df = spark.read.parquet(path).filter(F.col("l_orderkey") <= lo)
+        df.collect()
+        node = df._jdf.queryExecution().executedPlan()
+        # walk to the leaf scan and read its numOutputRows metric
+        while node.children().nonEmpty():
+            node = node.children().head()
+        return node.metrics().apply("numOutputRows").value()
+
+    read_shuffled = rows_read(shuffled)
+    read_ranged = rows_read(ranged)
+    # the shuffled layout reads every row-group (predicate true rows
+    # exist in all 8 files); the ranged layout skips ~7/8 of them
+    assert read_ranged < read_shuffled / 2
