@@ -73,6 +73,47 @@ def predicate_audit(
     return _finish(stacked)
 
 
+def table_audit(
+    df: DataFrame,
+    checks: Sequence[tuple[str, Column]] = (),
+    unique: Sequence[tuple[str, Sequence[str]]] = (),
+) -> DataFrame:
+    """Every same-table constraint — row predicates AND key-uniqueness
+    rules — fused into ONE aggregate over ONE scan. At 100 TB the fact
+    scan is the dominant cost; predicate_audit + unique_audit as
+    separate calls would each pay it. count_distinct composes with the
+    conditional sums in a single agg (Catalyst plans the distinct as a
+    two-phase expand without an extra scan)."""
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for name, bad in checks:
+        aggs.append(
+            F.sum(F.coalesce(bad.cast("boolean"), F.lit(True)).cast("long")).alias(
+                f"_v_{name}"
+            )
+        )
+    for name, keys in unique:
+        aggs.append(
+            (F.count(F.lit(1)) - F.count_distinct(F.struct(*keys))).alias(f"_v_{name}")
+        )
+    wide = df.agg(*aggs)
+    names = [n for n, _ in checks] + [n for n, _ in unique]
+    stacked = wide.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(n).alias("constraint"),
+                        F.col("_n").alias("n_checked"),
+                        F.col(f"_v_{n}").alias("n_violations"),
+                    )
+                    for n in names
+                ]
+            )
+        ).alias("r")
+    ).select("r.*")
+    return _finish(stacked)
+
+
 def unique_audit(df: DataFrame, name: str, keys: Sequence[str]) -> DataFrame:
     """Composite-key uniqueness: violations = rows beyond the first
     per key. count_distinct on the key struct is one hash shuffle with

@@ -7,8 +7,9 @@ value ranges and sets, sane date bounds — one audit row per
 constraint. The reference trusts its CSVs (limpieza_de_datos.py only
 coerces); a production ingest runs exactly this gate on every batch
 before the expensive joins, so the audit's plan shape (one
-conditional-aggregate scan per table + one count-distinct shuffle per
-key + broadcast anti-joins for dimension FKs) is as important as its
+conditional-aggregate scan per table INCLUDING the key-uniqueness
+rules (operators/dq.table_audit fuses them — one fact scan total) +
+broadcast anti-joins for dimension FKs) is as important as its
 answer.
 """
 
@@ -19,9 +20,8 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.dq import (
     foreign_key_audit,
-    predicate_audit,
+    table_audit,
     union_audits,
-    unique_audit,
 )
 from ..registry import register
 from ..sources.readers import load_table
@@ -33,9 +33,9 @@ def q_dq_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load_table(spark, sf_dir, "customer")
     part = load_table(spark, sf_dir, "part")
 
-    li_rules = predicate_audit(
+    li_rules = table_audit(
         li,
-        [
+        checks=[
             ("li_quantity_positive", F.col("l_quantity") <= 0),
             (
                 "li_discount_in_0_1",
@@ -52,19 +52,19 @@ def q_dq_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             ("li_extendedprice_nonnull", F.col("l_extendedprice").isNull()),
         ],
+        unique=[("li_pk_unique", ["l_orderkey", "l_linenumber"])],
     )
-    ord_rules = predicate_audit(
+    ord_rules = table_audit(
         orders,
-        [
+        checks=[
             ("ord_orderdate_nonnull", F.col("o_orderdate").isNull()),
             ("ord_totalprice_positive", F.col("o_totalprice") <= 0),
         ],
+        unique=[("ord_pk_unique", ["o_orderkey"])],
     )
     audits = union_audits(
         li_rules,
         ord_rules,
-        unique_audit(li, "li_pk_unique", ["l_orderkey", "l_linenumber"]),
-        unique_audit(orders, "ord_pk_unique", ["o_orderkey"]),
         # orders is fact-sized at 100 TB: shuffle anti-join, no broadcast
         foreign_key_audit(
             li, "li_orderkey_fk", "l_orderkey", orders, "o_orderkey",

@@ -41,7 +41,7 @@ def test_predicate_audit_single_scan_for_many_rules(spark):
             ("c", F.col("id").isNull()),
         ],
     )
-    plan = q._jdf.queryExecution().executedPlan().toString()
+    plan = q._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
     # all three rules fold into ONE aggregate over one scan
     assert plan.count("Scan ExistingRDD") <= 1
     assert {r["constraint"] for r in q.collect()} == {"a", "b", "c"}
@@ -114,3 +114,23 @@ def test_observation_metrics_ride_the_main_query_for_free(spark):
     ).collect()[0]
     got = obs.get
     assert (got["n_rows"], got["bad_qty"], got["null_price"]) == tuple(expected)
+
+
+def test_table_audit_fuses_predicates_and_uniqueness_into_one_scan(spark):
+    from dataframe_retail_e_inventarios_spark.operators.dq import table_audit
+
+    df = spark.createDataFrame(
+        [(1, 1, 5.0), (1, 1, -2.0), (2, 1, 3.0)], "k1 long, k2 long, v double"
+    )
+    q = table_audit(
+        df,
+        checks=[("v_pos", F.col("v") <= 0)],
+        unique=[("pk", ["k1", "k2"])],
+    )
+    rows = {r["constraint"]: r.asDict() for r in q.collect()}
+    assert rows["v_pos"]["n_violations"] == 1
+    assert rows["pk"]["n_violations"] == 1  # (1,1) twice
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    # AQE prints final + initial plans; count scans in the FINAL only
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Scan ExistingRDD") <= 1  # fused: one scan total
