@@ -122,6 +122,8 @@ HEADLINE = [
     "forecast_udf_ensemble_native",
     "hll_sketch_rollup",
     "rollup_backfill_overwrite",
+    "grouping_sets_revenue",
+    "map_returnflag_pivot",
 ]
 
 # Scale-curve subset: the heaviest headline queries (r02 timings),

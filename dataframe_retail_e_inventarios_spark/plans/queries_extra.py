@@ -309,3 +309,85 @@ JOIN intervals
 GROUP BY 1
 """,
 )
+
+
+# -- explicit GROUPING SETS + grouping_id ----------------------------------
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hand-picked aggregation lattice — GROUPING SETS ((flag,status),
+    (flag), ()) — with grouping_id disambiguating subtotal rows from
+    real NULL keys. CUBE/ROLLUP (registered above) are the closed
+    forms; real reporting pipelines ship exactly this mixed lattice so
+    the engine computes all levels in ONE pass (Catalyst plans an
+    Expand: each input row fans out once per set, then a single
+    hash aggregate — no per-level rescans). Identical SQL text runs on
+    both engines; DuckDB's GROUPING() returns the same bitmask."""
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("_li_gsets")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+               count(*) AS n,
+               sum(CAST(bround(l_quantity, 0) AS BIGINT)) AS qty
+        FROM _li_gsets
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )
+
+
+register(
+    "grouping_sets_revenue",
+    q_grouping_sets,
+    """
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+       count(*) AS n,
+       CAST(sum(CAST(round_even(l_quantity, 0) AS BIGINT)) AS BIGINT) AS qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+""",
+)
+
+
+# -- MapType construction + explosion --------------------------------------
+def q_map_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType round-trip: per line status, build a returnflag → qty
+    MAP column (map_from_entries over the sorted entry list — sorted
+    so map insertion order is deterministic), then explode it back to
+    flat rows. Maps are the natural carrier for sparse per-key
+    attributes at serving time (feature maps, per-variant counters);
+    this proves construction, entry ordering, and explosion against a
+    flat-relational oracle. One shuffle (the inner aggregate); the map
+    build and explode are narrow."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per = li.groupBy("l_linestatus", "l_returnflag").agg(
+        F.sum(F.bround("l_quantity", 0).cast("long")).alias("qty")
+    )
+    mapped = per.groupBy("l_linestatus").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("l_returnflag", "qty")))
+        ).alias("qty_by_flag")
+    )
+    return mapped.select(
+        "l_linestatus",
+        F.size("qty_by_flag").cast("long").alias("n_flags"),
+        F.explode("qty_by_flag").alias("flag", "qty"),
+    )
+
+
+register(
+    "map_returnflag_pivot",
+    q_map_pivot,
+    """
+WITH per AS (
+  SELECT l_linestatus, l_returnflag,
+         CAST(sum(CAST(round_even(l_quantity, 0) AS BIGINT)) AS BIGINT) AS qty
+  FROM lineitem GROUP BY 1, 2
+),
+sized AS (
+  SELECT l_linestatus, CAST(count(*) AS BIGINT) AS n_flags FROM per GROUP BY 1
+)
+SELECT p.l_linestatus, s.n_flags, p.l_returnflag AS flag, p.qty
+FROM per p JOIN sized s USING (l_linestatus)
+""",
+)

@@ -61,6 +61,8 @@ _PRIORITY = [
     "dq_constraint_audit",
     "forecast_udf_ensemble_native",
     "rollup_backfill_overwrite",
+    "grouping_sets_revenue",
+    "map_returnflag_pivot",
     # then oracle-backed queries NO round has ever sampled (only
     # selfcheck evidence so far) — maximize new hard signal; rows-only
     # queries are deliberately excluded from the 50-row budget.
