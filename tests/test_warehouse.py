@@ -1,0 +1,34 @@
+"""Warehouse maintenance physical contracts (backfill/restatement)."""
+
+
+def test_dynamic_overwrite_leaves_untouched_partitions_alone(spark, tmp_path):
+    """The backfill contract: partitionOverwriteMode=dynamic replaces
+    ONLY the partitions present in the restatement frame — file
+    listing and bytes of every other partition are untouched."""
+    import glob
+    import os
+
+    df = spark.createDataFrame(
+        [(m, v) for m in (1, 2, 3) for v in range(10)], "m int, v long"
+    )
+    path = str(tmp_path / "t")
+    df.write.partitionBy("m").parquet(path)
+
+    def files(m):
+        return sorted(
+            (f, os.path.getmtime(f), os.path.getsize(f))
+            for f in glob.glob(f"{path}/m={m}/part-*")
+        )
+
+    before_m1, before_m2 = files(1), files(2)
+    restated = spark.createDataFrame([(3, 99)], "m int, v long")
+    (
+        restated.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("m")
+        .parquet(path)
+    )
+    assert files(1) == before_m1 and files(2) == before_m2
+    back = spark.read.parquet(path)
+    assert back.filter("m = 3").count() == 1  # replaced
+    assert back.filter("m = 1").count() == 10  # intact
