@@ -27,10 +27,13 @@ def sum_scaled_log_udf():
     def sum_scaled_log(v: pd.Series) -> int:
         a = np.log(v.to_numpy(dtype=float)) * 1e6
         # round half-AWAY from zero to match the DuckDB oracle's
-        # round() (np.round is half-even; a tie at .5 is unreachable
-        # for irrational logs, but the repo's rounding convention is
-        # uniform half-away for semantic roundings)
-        r = np.where(a >= 0, np.floor(a + 0.5), np.ceil(a - 0.5))
+        # round() (np.round is half-even). floor(abs+0.5) is NOT it:
+        # the addition rounds up for doubles just below a tie (e.g.
+        # 0.49999999999999994 + 0.5 == 1.0). frac = |a| - floor(|a|)
+        # is exact in IEEE for |a| < 2^52, so compare the fraction
+        # itself — bit-for-bit std::round semantics.
+        f = np.floor(np.abs(a))
+        r = np.copysign(np.where(np.abs(a) - f >= 0.5, f + 1.0, f), a)
         return int(r.astype(np.int64).sum())
 
     return sum_scaled_log

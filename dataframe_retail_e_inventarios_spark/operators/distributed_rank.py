@@ -1,0 +1,97 @@
+"""Global rank / ntile without a single-partition sort.
+
+``row_number() OVER (ORDER BY ...)`` with no PARTITION BY moves every
+row to ONE task — the classic global-window trap; at 100× cardinality
+that task is the straggler (r4 verdict flagged exactly this in the RFM
+segmentation's three global ntiles). This module computes the same
+GLOBAL, deterministic rank with the textbook distributed scan, the
+same shape as ``operators/packing.py``:
+
+1. ``repartitionByRange`` on the order expressions — partition i holds
+   a contiguous key range, all ranges in partition-id order (this is
+   how Spark's own ORDER BY starts; we just stop before the merge);
+2. per-partition local ``row_number`` — parallel across partitions;
+3. per-partition row counts → exclusive prefix sum → broadcast
+   offsets. The ONLY sequential step is over n_partitions rows
+   (metadata-scale), never over the data.
+
+global_rank = offset[partition] + local_row_number, exactly
+``row_number()`` over the total order. ``ntile(k)`` then follows from
+the rank and the total count by SQL-standard bucket arithmetic
+(first ``n mod k`` buckets get one extra row), so the result is
+bit-identical to ``F.ntile`` / DuckDB ``ntile`` — verified by the
+equivalence test in tests/test_distributed_rank.py and by the
+``rfm_segmentation`` oracle.
+
+Requirement: the order expressions must be a TOTAL order (include a
+unique tiebreak column). Ties straddling a range boundary would
+otherwise make offsets+row_number diverge from a global sort — same
+determinism requirement any hash-checked ranking already has.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+
+def with_global_rank(
+    df: DataFrame,
+    order_exprs: list[Column],
+    rank_col: str = "global_rank",
+    total_col: str | None = None,
+    n_parts: int | None = None,
+) -> DataFrame:
+    """Append ``rank_col`` = row_number() over the global order of
+    ``order_exprs`` (and optionally ``total_col`` = total row count),
+    fully partition-parallel."""
+    n_parts = n_parts or df.sparkSession.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(n_parts, *order_exprs).withColumn(
+        "_dr_pid", F.spark_partition_id()
+    )
+    counts = ranged.groupBy("_dr_pid").agg(F.count("*").alias("_dr_cnt"))
+    # exclusive prefix sum over ONE ROW PER PARTITION — metadata-scale
+    w_off = Window.orderBy("_dr_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_dr_pid",
+        F.coalesce(F.sum("_dr_cnt").over(w_off), F.lit(0)).alias("_dr_off"),
+    )
+    w_local = Window.partitionBy("_dr_pid").orderBy(*order_exprs)
+    out = (
+        ranged.join(F.broadcast(offsets), "_dr_pid")
+        .withColumn(
+            rank_col,
+            (F.col("_dr_off") + F.row_number().over(w_local)).cast("long"),
+        )
+        .drop("_dr_pid", "_dr_off")
+    )
+    if total_col is not None:
+        total = counts.agg(F.sum("_dr_cnt").cast("long").alias(total_col))
+        out = out.crossJoin(F.broadcast(total))
+    return out
+
+
+def with_ntile(
+    df: DataFrame,
+    n_tiles: int,
+    order_exprs: list[Column],
+    out_col: str,
+    n_parts: int | None = None,
+) -> DataFrame:
+    """Append ``out_col`` = ntile(n_tiles) over the global order —
+    SQL-standard semantics (bucket sizes differ by at most one, larger
+    buckets first), without the single-partition sort ``F.ntile`` over
+    an unpartitioned window requires."""
+    ranked = with_global_rank(
+        df, order_exprs, rank_col="_dr_rank", total_col="_dr_n", n_parts=n_parts
+    )
+    k = F.lit(n_tiles)
+    q = F.floor(F.col("_dr_n") / k)  # base bucket size
+    rem = F.col("_dr_n") % k  # first `rem` buckets take q+1 rows
+    cut = rem * (q + F.lit(1))
+    r = F.col("_dr_rank")
+    tile = F.when(r <= cut, F.ceil(r / (q + F.lit(1)))).otherwise(
+        # q == 0 is unreachable here: rank > cut == n implies no row
+        rem + F.ceil((r - cut) / q)
+    )
+    return ranked.withColumn(out_col, tile.cast("long")).drop("_dr_rank", "_dr_n")

@@ -89,16 +89,69 @@ def compact_files(
     the same reason Delta/Iceberg Z-order exists, in its 1-D form).
     """
     w = df
-    if n_files:
-        w = (
-            w.repartitionByRange(n_files, F.col(sort_col))
-            if sort_col
-            else w.repartition(n_files)
-        )
     if sort_col:
-        w = w.sortWithinPartitions(sort_col)
+        # ALWAYS range-repartition when a sort layout is requested:
+        # sortWithinPartitions over the existing (arbitrary) hash
+        # partitioning would leave file min/max ranges overlapping and
+        # void the skipping claim above. Without an explicit n_files,
+        # keep the current partition count as the output file count.
+        n = n_files or df.rdd.getNumPartitions()
+        w = w.repartitionByRange(n, F.col(sort_col)).sortWithinPartitions(sort_col)
+    elif n_files:
+        w = w.repartition(n_files)
     (
         w.write.mode("overwrite")
         .option("maxRecordsPerFile", max_records_per_file)
         .parquet(path)
     )
+
+
+def backfill_partition_overwrite(
+    restated: DataFrame,
+    path: str,
+    partition_col: str,
+    in_restated_range,
+) -> None:
+    """Partition-level backfill with CORRECT empty-restatement
+    semantics.
+
+    Dynamic partition overwrite only replaces partitions PRESENT in
+    the restated frame; a restated partition whose recomputation
+    yields zero rows would silently keep its stale files (ADVICE r4).
+    This operator completes the restatement contract: after the
+    dynamic overwrite, any existing partition inside the restated
+    range that produced no rows is deleted — the moral equivalent of
+    Delta's ``replaceWhere``, done explicitly for raw parquet.
+
+    ``in_restated_range`` receives the RAW partition-directory value
+    (a string, e.g. ``"199801"`` for ``ship_month=199801``) and says
+    whether that partition belongs to the restated range.
+
+    Scale: both the restated-partition list (distinct on the
+    partition column of an already-aggregated frame) and the existing
+    listing (directory names, no data scan) are metadata-scale —
+    O(partitions), never O(rows). On a cluster the listing would go
+    through the Hadoop FileSystem / catalog API; local paths use
+    os.listdir, same O().
+    """
+    import os
+    import shutil
+
+    new_vals = {
+        str(r[0]) for r in restated.select(partition_col).distinct().collect()
+    }
+    prefix = f"{partition_col}="
+    existing = {
+        name[len(prefix):]: os.path.join(path, name)
+        for name in os.listdir(path)
+        if name.startswith(prefix)
+    }
+    (
+        restated.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partition_col)
+        .parquet(path)
+    )
+    for raw, part_dir in existing.items():
+        if in_restated_range(raw) and raw not in new_vals:
+            shutil.rmtree(part_dir, ignore_errors=True)

@@ -319,6 +319,8 @@ def q_rollup_backfill_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("n_rows"), rev_cents)
         )
 
+    from ..operators.partitioning import backfill_partition_overwrite
+
     cutoff = 199801
     work = tempfile.mkdtemp(prefix="spark_graft_backfill_")
     try:
@@ -327,11 +329,8 @@ def q_rollup_backfill_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         restated = rollup(
             li.filter((month >= cutoff) & (F.col("l_returnflag") != "R"))
         )
-        (
-            restated.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("ship_month")
-            .parquet(path)
+        backfill_partition_overwrite(
+            restated, path, "ship_month", lambda raw: int(raw) >= cutoff
         )
         back = spark.read.parquet(path).select(
             # partition-column inference may narrow to INT; pin the
@@ -355,6 +354,76 @@ SELECT CAST(year(l_shipdate) * 100 + month(l_shipdate) AS BIGINT) AS ship_month,
 FROM lineitem
 WHERE year(l_shipdate) * 100 + month(l_shipdate) < 199801
    OR l_returnflag <> 'R'
+GROUP BY 1
+""",
+)
+
+
+def q_rollup_backfill_empty_restatement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backfill where part of the restated range legitimately EMPTIES
+    — the case dynamic partition overwrite alone gets wrong (it only
+    replaces partitions present in the new frame, so an emptied month
+    would keep its stale files; ADVICE r4). A product recall restates
+    months >= 1998-01: returned lines are dropped AND nothing shipped
+    on/after 1998-10-01 may be billed. Months 1998-10..12 therefore
+    recompute to zero rows and must VANISH from the rollup —
+    ``backfill_partition_overwrite`` deletes exactly those partition
+    directories (metadata-scale listing, no full-table rewrite). The
+    oracle states the same piecewise semantics in one SQL; a stale
+    partition would surface as extra rows."""
+    import shutil
+    import tempfile
+
+    from ..operators.partitioning import backfill_partition_overwrite
+
+    li = load_table(spark, sf_dir, "lineitem")
+    month = (F.year("l_shipdate") * 100 + F.month("l_shipdate")).cast("long")
+    rev_cents = F.sum(
+        F.bround(F.col("l_extendedprice") * 100, 0).cast("long")
+    ).alias("rev_cents")
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return (
+            df.select(month.alias("ship_month"), "l_extendedprice")
+            .groupBy("ship_month")
+            .agg(F.count("*").alias("n_rows"), rev_cents)
+        )
+
+    cutoff = 199801
+    work = tempfile.mkdtemp(prefix="spark_graft_backfill_empty_")
+    try:
+        path = f"{work}/rollup"
+        rollup(li).write.partitionBy("ship_month").parquet(path)
+        restated = rollup(
+            li.filter(
+                (month >= cutoff)
+                & (F.col("l_returnflag") != "R")
+                & (F.col("l_shipdate") < F.lit("1998-10-01").cast("date"))
+            )
+        )
+        backfill_partition_overwrite(
+            restated, path, "ship_month", lambda raw: int(raw) >= cutoff
+        )
+        back = spark.read.parquet(path).select(
+            F.col("ship_month").cast("long").alias("ship_month"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("rev_cents").cast("long").alias("rev_cents"),
+        )
+        return back.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+register(
+    "rollup_backfill_empty_restatement",
+    q_rollup_backfill_empty_restatement,
+    """
+SELECT CAST(year(l_shipdate) * 100 + month(l_shipdate) AS BIGINT) AS ship_month,
+       count(*) AS n_rows,
+       CAST(sum(CAST(round_even(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS rev_cents
+FROM lineitem
+WHERE year(l_shipdate) * 100 + month(l_shipdate) < 199801
+   OR (l_returnflag <> 'R' AND l_shipdate < DATE '1998-10-01')
 GROUP BY 1
 """,
 )

@@ -37,68 +37,13 @@ def register(name: str, fn: QueryFn, oracle: str | None) -> None:
 # order, and tools/selfcheck.py --json covers the full registry every
 # round regardless (SELFCHECK_full.json).
 _PRIORITY = [
-    # r4 front-load (judge directive): first the 7 queries the r3
-    # driver flagged hash_match:false — all root-caused to fetch-level
-    # representation drift (DuckDB HUGEINT->float64, Spark SQL decimal
-    # division, IEEE -0.0) and repaired this round; the driver row is
-    # the only evidence that closes them.
-    "events_props_variant",
-    "sql_udf_discount_bands",
-    "trailing_28d_range_frame",
-    "tpch_pricing_summary",
-    "ols_demand_trend",
-    "mann_kendall_trend",
-    "demand_autocorrelation",
-    # queries whose oracles carried the SAME latent HUGEINT/decimal
-    # exposure (never driver-sampled; repaired alongside)
-    "eoq_order_quantity",
-    "source_quality_rollup",
-    "demand_quartiles",
-    "demand_mode",
-    # one r3-green anchor whose oracle was also hardened (RMSE const)
-    "report_enrich",
-    # new this round: contract gate + MA-only ensemble under the hash gate
-    "dq_constraint_audit",
-    "forecast_udf_ensemble_native",
-    "rollup_backfill_overwrite",
-    "grouping_sets_revenue",
-    "map_returnflag_pivot",
-    # then oracle-backed queries NO round has ever sampled (only
-    # selfcheck evidence so far) — maximize new hard signal; rows-only
-    # queries are deliberately excluded from the 50-row budget.
-    "dedup_cluster_assignment",
-    "dedup_survivors",
-    "dedup_cluster_histogram",
-    "sample_stratified_hash",
-    "token_pack_batches",
-    "curation_funnel",
-    "dataset_split_counts",
-    "repetition_stats",
-    "pii_redaction",
-    "decontamination_overlap",
-    "decontamination_bloom",
-    "benford_first_digit",
-    "order_linenumber_gaps",
-    "sql_exists_returned_orders",
-    "sql_parts_above_brand_avg",
-    "events_sliding_counts",
-    "cdc_latest_state",
-    "bm25_top_terms",
-    "label_centroids",
-    "doc_chunks",
-    "sentence_split",
-    "demand_anomalies",
-    "stats_corr_by_flag",
-    "percentile_disc_quantity",
-    "seasonality_index",
-    "holiday_demand_lift",
-    "abc_classification",
-    "demand_intermittency",
-    "newsvendor_stock_level",
-    "profile_lineitem_columns",
-    "events_value_histogram",
-    "window_value_family",
-    "unpivot_returnflag_measures",
+    # r5 front-load (r4 verdict directive #1): the 16 oracle-backed
+    # queries NO driver round has ever sampled (r1-r4 collectively
+    # covered every other oracle-backed query at least once). A green
+    # row for each closes the last judge-verified-vs-driver-verified
+    # gap — after this round every oracle-backed query has >=1 driver
+    # hash row and only the 10 rows-only-by-design queries remain
+    # driver-unseen.
     "fuzzy_part_name_pairs",
     "class_balanced_cap",
     "doc_vector_hashing",
@@ -115,6 +60,62 @@ _PRIORITY = [
     "doc_length_histogram",
     "gopher_quality_flags",
     "skew_salted_brand_revenue",
+    # queries NEW or materially changed in r5 — the driver row is the
+    # first hard evidence for each. (Names appended as built.)
+    "rollup_backfill_empty_restatement",
+    # then the queries whose only driver evidence is from r1/r2 —
+    # oldest green rows, most code drift since; re-certify them with
+    # the remaining budget. Everything NOT listed still follows in
+    # registration order, and tools/selfcheck.py --json covers the
+    # full registry every round regardless (SELFCHECK_full.json).
+    "weekly_resample_sparse",
+    "series_admission_gates",
+    "clean_project_filter",
+    "conjunctive_filter",
+    "daily_lag_features",
+    "backtest_metrics",
+    "star_join_revenue",
+    "left_join_null_fill",
+    "semi_join_open_orders",
+    "anti_join_no_orders",
+    "union_two_periods",
+    "intersect_repeat_customers",
+    "except_all_part_demand",
+    "window_rank_family",
+    "topk_parts_per_supplier",
+    "last_sale_per_series",
+    "trailing_moving_average",
+    "winsorize_bounds",
+    "demand_sigma_pop",
+    "ensemble_median",
+    "report_global_summary",
+    "parse_forecast_edge_cases",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_signatures",
+    "dedup_simhash_pairs",
+    "text_quality_scores",
+    "lang_id_heuristic",
+    "ann_cosine_topk",
+    "embedding_cosine_neardup",
+    "embedding_cosine_neardup_bucketed",
+    "token_counts",
+    "multimodal_features",
+    "multimodal_features_udf",
+    "events_hourly_counts",
+    "events_view_purchase_join",
+    "events_cohort_retention",
+    "events_session_funnel",
+    "events_sessionization",
+    "rollup_sales_summary",
+    "distinct_counts_per_supplier",
+    "log_transform_weekly",
+    "events_props_json",
+    "grouping_sets_summary",
+    "asof_join_latest_order",
+    "pivot_qty_by_returnflag",
+    "cube_sales_summary",
+    "range_join_holiday_seasons",
 ]
 
 

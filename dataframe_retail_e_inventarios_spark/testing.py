@@ -86,7 +86,13 @@ def _kind(s: pd.Series) -> str:
     column of Decimal/date is its own kind, not a float/datetime."""
     k = s.dtype.kind
     if k == "O" and len(s):
-        first = next((v for v in s if v is not None and v == v), None)
+        # NaN-skipping probe; `v == v` alone is ambiguous for cells
+        # holding numpy arrays (ArrayType toPandas), so restrict the
+        # NaN test to float scalars
+        first = next(
+            (v for v in s if v is not None and not (isinstance(v, float) and v != v)),
+            None,
+        )
         if isinstance(first, Decimal):
             return "decimal"
         import datetime
@@ -111,6 +117,11 @@ def _compare_column(c: str, a: pd.Series, b: pd.Series, float_tol: float) -> lis
     NaN==NaN) when float_tol==0.
     """
     issues: list[str] = []
+    if len(a) == 0 and len(b) == 0:
+        # a legitimately empty result carries no cells to hash; pandas
+        # may fetch the two empty frames with different placeholder
+        # dtypes (object vs float64), which is not a real divergence
+        return issues
     ka, kb = _kind(a), _kind(b)
     # benign cross-fetch representations: unify date-ish kinds
     if {ka, kb} <= {"M", "date"}:

@@ -276,3 +276,39 @@ def test_range_compaction_enables_file_skipping(spark, tmp_path):
     # the shuffled layout reads every row-group (predicate true rows
     # exist in all 8 files); the ranged layout skips ~7/8 of them
     assert read_ranged < read_shuffled / 2
+
+
+def test_compaction_sort_without_nfiles_yields_disjoint_ranges(spark, tmp_path):
+    """sort_col with n_files=None must still range-partition (ADVICE
+    r4): every output file covers a disjoint l_orderkey range, so the
+    footer min/max skipping claim holds in this configuration too."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from dataframe_retail_e_inventarios_spark.operators.partitioning import (
+        compact_files,
+    )
+
+    li = load_table(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_quantity")
+    messy = str(tmp_path / "messy")
+    li.repartition(6).write.parquet(messy)
+    out = str(tmp_path / "ranged_default")
+    compact_files(spark.read.parquet(messy), out, sort_col="l_orderkey")
+
+    ranges = []
+    for f in glob.glob(f"{out}/part-*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        ci = md.row_group(0).column(0)
+        lo = ci.statistics.min
+        hi = ci.statistics.max
+        for rg in range(1, md.num_row_groups):
+            st = md.row_group(rg).column(0).statistics
+            lo, hi = min(lo, st.min), max(hi, st.max)
+        ranges.append((lo, hi))
+    assert len(ranges) > 1  # kept the incoming partition count
+    ranges.sort()
+    for (_, hi_prev), (lo_next, _) in zip(ranges, ranges[1:]):
+        assert hi_prev <= lo_next  # disjoint (boundary key may repeat)
+    # content preserved
+    assert spark.read.parquet(out).count() == li.count()

@@ -32,3 +32,41 @@ def test_dynamic_overwrite_leaves_untouched_partitions_alone(spark, tmp_path):
     back = spark.read.parquet(path)
     assert back.filter("m = 3").count() == 1  # replaced
     assert back.filter("m = 1").count() == 10  # intact
+
+
+def test_backfill_drops_emptied_restated_partition(spark, tmp_path):
+    """backfill_partition_overwrite completes the restatement
+    contract (ADVICE r4): a partition INSIDE the restated range whose
+    recomputation yields zero rows is deleted; partitions outside the
+    range — and non-empty restated ones — behave like plain dynamic
+    overwrite."""
+    import glob
+    import os
+
+    from dataframe_retail_e_inventarios_spark.operators.partitioning import (
+        backfill_partition_overwrite,
+    )
+
+    df = spark.createDataFrame(
+        [(m, v) for m in (1, 2, 3, 4) for v in range(5)], "m int, v long"
+    )
+    path = str(tmp_path / "t")
+    df.write.partitionBy("m").parquet(path)
+
+    def files(m):
+        return sorted(
+            (f, os.path.getmtime(f), os.path.getsize(f))
+            for f in glob.glob(f"{path}/m={m}/part-*")
+        )
+
+    before_m1 = files(1)
+    # restated range: m >= 3. m=3 restates to one row; m=4 empties.
+    restated = spark.createDataFrame([(3, 99)], "m int, v long")
+    backfill_partition_overwrite(restated, path, "m", lambda raw: int(raw) >= 3)
+
+    assert files(1) == before_m1  # outside range: bytes untouched
+    assert not os.path.exists(f"{path}/m=4")  # emptied: directory gone
+    back = spark.read.parquet(path)
+    assert back.filter("m = 4").count() == 0
+    assert back.filter("m = 3").count() == 1
+    assert back.filter("m <= 2").count() == 10
