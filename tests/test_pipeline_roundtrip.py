@@ -177,3 +177,68 @@ def test_notebook_flow_baseline_is_leakage_free(spark):
     for key, exp_mae in expected.items():
         assert key in got
         assert abs(got[key] - exp_mae) < 1e-6, key
+
+
+def test_rendered_report_document(spark, ventas_csv, reference_results, tmp_path):
+    """The literal generador.py:162-215 end of the story: results ->
+    enriched report frame -> rendered document (plain text; ReportLab
+    absent from this env). Asserts the reference's section structure
+    and the exact content of a known SKU's sections."""
+    from dataframe_retail_e_inventarios_spark.plans.report_render import (
+        render_report,
+    )
+
+    sales = load_ventas(spark, ventas_csv)
+    results = forecast_inventory(sales)
+    out = str(tmp_path / "results_csv")
+    write_results_csv(results, out)
+    enriched = build_report(read_results_csv(spark, out))
+
+    doc_path = str(tmp_path / "informe.txt")
+    doc = render_report(
+        enriched, out_path=doc_path, generated_at="2026-08-14 00:00:00"
+    )
+    with open(doc_path, encoding="utf-8") as f:
+        assert f.read() == doc
+
+    # document header [generador.py:176-184]
+    assert doc.splitlines()[0] == "Informe de Optimizacion de Inventario"
+    assert "Fecha de Generacion: 2026-08-14 00:00:00" in doc
+    n = len(reference_results)
+    assert f"Se analizaron {n} combinaciones SKU/Tienda." in doc
+    assert "MAPE Promedio Global:" in doc
+
+    # one section per SKU, each with the three numbered parts
+    assert doc.count("Analisis Detallado de SKU:") == n
+    assert doc.count("1. Decision de Pedido:") == n
+    assert doc.count("2. Parametros Logisticos:") == n
+    assert doc.count("3. Calidad del Pronostico:") == n
+
+    # known-row content: pick one enriched row and check its section
+    row = enriched.orderBy("StockCode", "StoreID").limit(1).collect()[0]
+    sec = doc.split(f"Analisis Detallado de SKU: {row['StockCode']} en {row['StoreID']}")[1]
+    sec = sec.split("Analisis Detallado de SKU:")[0]
+    assert f"El punto de reorden (ROP) es de {int(row['Reorder_Point'])} unidades." in sec
+    assert f"El stock de seguridad (SS) calculado es de {int(row['Safety_Stock'])} unidades." in sec
+    assert (
+        f"La demanda pronosticada para las {int(row['Forecast_Weeks'])} semanas "
+        f"siguientes es de {int(row['Forecast_Total'])} unidades." in sec
+    )
+    if row["Need_Reorder"]:
+        assert f"pedido de {int(row['Qty_to_Order'])} unidades" in sec
+    else:
+        assert "No se requiere realizar un pedido inmediato" in sec
+    assert f"(MAPE: {float(row['MAPE']):.2f}%)" in sec
+    # band sentence matches the engine-computed band column
+    band_sentence = {
+        "alta precision": "Las predicciones son muy fiables.",
+        "aceptable": "Requiere monitorizacion.",
+        "baja precision": "demanda intermitente o volatil",
+    }[row["banda"]]
+    assert band_sentence in sec
+    assert f"[{row['banda_color']}]" in sec
+
+    # HTML variant keeps the same content with markup
+    html = render_report(enriched, generated_at="2026-08-14 00:00:00", html=True)
+    assert "<b>" in html and "<font color=" in html
+    assert html.count("Analisis Detallado de SKU:") == n
