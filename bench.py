@@ -123,8 +123,11 @@ HEADLINE = [
     "rollup_backfill_overwrite",
     "grouping_sets_revenue",
     "map_returnflag_pivot",
-    # round 5: backfill with emptied-partition deletion
+    # round 5: backfill with emptied-partition deletion, incremental
+    # LSH-index maintenance, deterministic corpus shuffle
     "rollup_backfill_empty_restatement",
+    "dedup_minhash_lsh_incremental",
+    "corpus_shuffle_batches",
 ]
 
 # Capability demos: registered + oracle-checked, but benched apart from

@@ -266,16 +266,40 @@ def minhash_lsh_pairs(
     free). With ``max_df`` set, the hot-shingle aggregation is the only
     second corpus pass, and its output broadcast is tiny.
     """
-    rows = k // bands
+    sig = minhash_index(docs, k, text_col, id_col, max_df)
+    return minhash_lsh_pairs_from_index(sig, threshold, k, bands, id_col)
+
+
+def minhash_index(
+    docs: DataFrame,
+    k: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_df: int | None = None,
+) -> DataFrame:
+    """The persistable MinHash dedup-index state: one row per doc with
+    its hashed shingle set and k signature mins (id, shingles,
+    h0..h{k-1}) — everything candidate generation AND exact-Jaccard
+    verification need, no text aboard.
+
+    This frame is what a 100 TB pipeline stores between crawl
+    increments: signatures are pure per-doc functions, so maintaining
+    the index under new arrivals appends O(delta) rows (embarrassingly
+    parallel, no history rescans); ``minhash_lsh_pairs_from_index``
+    with a delta filter then finds the new docs' duplicates against
+    the whole index. (With ``max_df`` the hot-shingle cap table is
+    global df counts — mergeable monoid state, maintained the same
+    incremental way.)
+
+    One groupBy delivers BOTH the signature mins (map-side partial
+    reduction) and the shingle set for verification (collect_list of
+    the already-distinct hashed shingles) — a single narrow shuffle
+    of (doc_id, hash) rows replaces any per-doc array recomputation."""
     idx = doc_shingles(
         docs, text_col, id_col, max_df=max_df, hashed=True,
         materialize=max_df is not None,
     )
-    # One groupBy delivers BOTH the signature mins (map-side partial
-    # reduction) and the shingle set for verification (collect_list of
-    # the already-distinct hashed shingles) — a single narrow shuffle
-    # of (doc_id, hash) rows replaces any per-doc array recomputation.
-    sig = (
+    return (
         idx.select(id_col, "shingle", *_mix_cols(k))
         .groupBy(id_col)
         .agg(
@@ -283,6 +307,26 @@ def minhash_lsh_pairs(
             *[F.min(f"m{i}").alias(f"h{i}") for i in range(k)],
         )
     )
+
+
+def minhash_lsh_pairs_from_index(
+    sig: DataFrame,
+    threshold: float,
+    k: int = 16,
+    bands: int = 4,
+    id_col: str = "doc_id",
+    delta_filter=None,
+) -> DataFrame:
+    """Banded candidate join + exact-Jaccard verify over a (possibly
+    stored) signature index from ``minhash_index``.
+
+    With ``delta_filter`` (a Column predicate on the index), only
+    pairs whose LARGER-id member satisfies it are generated — the
+    incremental-maintenance shape: the day's delta joins against the
+    full index, history x history is never re-joined. Requires delta
+    ids to sort after history ids (monotone ingest ids), so every
+    delta-involving pair has its larger id in the delta."""
+    rows = k // bands
     band_cols = [
         F.concat_ws("|", F.lit(str(b)), *[F.col(f"h{b * rows + r}") for r in range(rows)]).alias(
             f"band{b}"
@@ -306,7 +350,7 @@ def minhash_lsh_pairs(
         ),
     ).filter(F.col("band_key").isNotNull())
     a = melted.alias("a")
-    b_ = melted.alias("b")
+    b_ = (melted if delta_filter is None else melted.filter(delta_filter)).alias("b")
     # Emit each pair from its FIRST matching band only (no earlier band
     # agrees): near-identical docs share every band, so without this a
     # duplicate-dense corpus inflates the join output x bands and needs

@@ -359,3 +359,52 @@ FROM b
 GROUP BY 1, 2
 """,
 )
+
+
+# -- deterministic global corpus shuffle + batch assignment ----------------
+def q_corpus_shuffle_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 'shuffle the corpus before epoch 0' step of a training
+    pipeline, made deterministic AND distributed: shuffle order is
+    md5(seed || doc_id) — uniform pseudo-random yet bitwise-stable
+    across runs and cluster sizes — and the global position comes from
+    operators/distributed_rank.with_global_rank (range-repartition +
+    broadcast prefix-sum offsets), so no single task ever sorts the
+    corpus. batch_id = floor((position-1)/64) is the fixed-size
+    training-batch assignment. Membership and order are reproducible
+    from the seed alone; the oracle replays the same hash order with a
+    window row_number."""
+    from ..operators.distributed_rank import with_global_rank
+
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.lit("epoch0:"), F.col("doc_id").cast("string")))
+    shuffled = with_global_rank(
+        docs.select("doc_id", key.alias("shuffle_key")),
+        [F.col("shuffle_key").asc(), F.col("doc_id").asc()],
+        rank_col="position",
+    )
+    return shuffled.select(
+        "doc_id",
+        "shuffle_key",
+        F.col("position").cast("long").alias("position"),
+        F.floor((F.col("position") - 1) / F.lit(64)).cast("long").alias("batch_id"),
+    )
+
+
+register(
+    "corpus_shuffle_batches",
+    q_corpus_shuffle_batches,
+    """
+WITH keyed AS (
+  SELECT doc_id, md5('epoch0:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, shuffle_key,
+         CAST(row_number() OVER (ORDER BY shuffle_key, doc_id) AS BIGINT) AS position
+  FROM keyed
+)
+SELECT doc_id, shuffle_key, position,
+       CAST(floor((position - 1) / 64) AS BIGINT) AS batch_id
+FROM pos
+""",
+)

@@ -190,6 +190,74 @@ WHERE j.jaccard >= 0.3
 )
 
 
+# -- N2: incremental LSH-index dedup maintenance ---------------------------
+def q_minhash_lsh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup maintenance — the daily-crawl shape: the
+    MinHash index (operators/dedup.minhash_index) is PERSISTED state;
+    a new increment (here the top 10% of doc ids — monotone ingest
+    ids) appends its O(delta) signature rows, and candidate generation
+    band-joins ONLY the delta against the full stored index — history
+    x history pairs are never recomputed and history text is never
+    re-shingled once indexed. The index round-trips through parquet so
+    the persistence is real, not notional. Oracle: the one-shot LSH
+    over the whole corpus restricted to delta-involving pairs (id_b in
+    the delta, valid because ingest ids are monotone), so a candidate
+    missed by the incremental join — or served from a stale index —
+    breaks the hash."""
+    import shutil
+    import tempfile
+
+    from ..operators.dedup import minhash_index, minhash_lsh_pairs_from_index
+
+    docs = load_table(spark, sf_dir, "documents")
+    cutoff = int(docs.agg(F.max("doc_id")).collect()[0][0] * 0.9)
+    work = tempfile.mkdtemp(prefix="spark_graft_lshidx_")
+    try:
+        path = f"{work}/minhash_index"
+        minhash_index(docs, k=16, max_df=MAX_DF).write.parquet(path)
+        stored = spark.read.parquet(path)
+        pairs = minhash_lsh_pairs_from_index(
+            stored, threshold=0.3, k=16, bands=4,
+            delta_filter=F.col("doc_id") >= cutoff,
+        )
+        return pairs.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+register(
+    "dedup_minhash_lsh_incremental",
+    q_minhash_lsh_incremental,
+    f"""
+WITH {_SHINGLE_INDEX_SQL.strip()},
+ds_h AS (SELECT doc_id, {_HS} AS hs FROM ds),
+sig AS (
+  SELECT doc_id,
+  {_minhash_aggs_sql(16)}
+  FROM ds_h GROUP BY doc_id
+),
+banded AS (
+  SELECT doc_id,
+  {_BANDS}
+  FROM sig
+),
+melted AS (
+  SELECT doc_id, unnest([band0, band1, band2, band3]) AS band_key FROM banded
+),
+cutoff AS (SELECT CAST(floor(0.9 * max(doc_id)) AS BIGINT) AS c FROM documents),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM melted a JOIN melted b
+    ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+  WHERE b.doc_id >= (SELECT c FROM cutoff)
+)
+SELECT c.id_a, c.id_b, round(j.jaccard, 4) AS jaccard
+FROM cands c JOIN jac j ON c.id_a = j.id_a AND c.id_b = j.id_b
+WHERE j.jaccard >= 0.3
+""",
+)
+
+
 # -- N2: SimHash near-dup pairs --------------------------------------------
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(load_table(spark, sf_dir, "documents"), max_hamming=3)

@@ -63,6 +63,8 @@ _PRIORITY = [
     # queries NEW or materially changed in r5 — the driver row is the
     # first hard evidence for each. (Names appended as built.)
     "rollup_backfill_empty_restatement",
+    "dedup_minhash_lsh_incremental",
+    "corpus_shuffle_batches",
     # then the queries whose only driver evidence is from r1/r2 —
     # oldest green rows, most code drift since; re-certify them with
     # the remaining budget. Everything NOT listed still follows in

@@ -118,3 +118,40 @@ def test_minhash_lsh_single_pass_matches_exact_jaccard(spark):
     assert lsh, "fixture should contain at least one near-dup pair"
     for pair, j in lsh.items():
         assert exact[pair] == j
+
+
+def test_incremental_lsh_delta_filter_pushes_down_to_index_scan(spark, tmp_path):
+    """The incremental-maintenance claim in code: with a delta filter,
+    the b-side of the banded join reads ONLY delta rows from the
+    stored index — the doc_id predicate must reach the parquet scan
+    (PushedFilters), so at 100 TB the day's increment scans O(delta)
+    index rows, not the corpus."""
+    from dataframe_retail_e_inventarios_spark.operators.dedup import (
+        minhash_index,
+        minhash_lsh_pairs_from_index,
+    )
+    from dataframe_retail_e_inventarios_spark.sources.readers import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    path = str(tmp_path / "idx")
+    minhash_index(docs, k=16).write.parquet(path)
+    stored = spark.read.parquet(path)
+    pairs = minhash_lsh_pairs_from_index(
+        stored, threshold=0.3, k=16, bands=4,
+        delta_filter=F.col("doc_id") >= 400,
+    )
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan
+    assert "GreaterThanOrEqual(doc_id,400)" in plan
+
+    # and the incremental result is exactly the full result restricted
+    # to delta-involving pairs
+    full = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs_from_index(
+            stored, threshold=0.3, k=16, bands=4
+        ).collect()
+    }
+    inc = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert inc == {p for p in full if p[1] >= 400}

@@ -104,6 +104,35 @@ def main() -> int:
         }
         report["queries"][name] = entry
         print(name, entry, flush=True)
+
+    # nprobe sweep: measured backing for the recall-vs-probed-fraction
+    # tradeoff (the registered queries pin nprobe=2/3; this shows the
+    # knob works and recall is monotone in it)
+    import pyspark.sql.functions as F
+
+    from dataframe_retail_e_inventarios_spark.operators.similarity import (
+        ivf_kmeans_topk,
+    )
+    from dataframe_retail_e_inventarios_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_cells = 10
+    curve = {}
+    for nprobe in (1, 2, 3, 5, 10):
+        rows = ivf_kmeans_topk(
+            emb, F.col("vec_id") < 5, k=k, nprobe=nprobe, n_cells=n_cells
+        ).collect()
+        approx = _topk_sets(rows)
+        recalls = [
+            len(exact_cos[q] & approx.get(q, set())) / len(exact_cos[q])
+            for q in exact_cos
+        ]
+        curve[str(nprobe)] = {
+            "mean_recall": round(sum(recalls) / len(recalls), 4),
+            "probed_fraction": round(nprobe / n_cells, 2),
+        }
+        print("ivf_kmeans nprobe", nprobe, curve[str(nprobe)], flush=True)
+    report["ivf_nprobe_curve"] = {"n_cells": n_cells, "points": curve}
     with open(out_path, "w") as f:
         json.dump(report, f, indent=1)
     print("wrote", out_path)
