@@ -128,6 +128,11 @@ HEADLINE = [
     "rollup_backfill_empty_restatement",
     "dedup_minhash_lsh_incremental",
     "corpus_shuffle_batches",
+    # round 5, part 2: vectorized exact ANN kernel, BPE merge-round
+    # pair counting, temperature-scaled mixture weights
+    "ann_gemm_topk",
+    "bpe_pair_counts",
+    "mixture_temperature_weights",
 ]
 
 # Capability demos: registered + oracle-checked, but benched apart from

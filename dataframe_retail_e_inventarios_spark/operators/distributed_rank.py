@@ -34,6 +34,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
+from .prefix import exclusive_prefix_offsets
+
 
 def with_global_rank(
     df: DataFrame,
@@ -50,12 +52,9 @@ def with_global_rank(
         "_dr_pid", F.spark_partition_id()
     )
     counts = ranged.groupBy("_dr_pid").agg(F.count("*").alias("_dr_cnt"))
-    # exclusive prefix sum over ONE ROW PER PARTITION — metadata-scale
-    w_off = Window.orderBy("_dr_pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = counts.select(
-        "_dr_pid",
-        F.coalesce(F.sum("_dr_cnt").over(w_off), F.lit(0)).alias("_dr_off"),
-    )
+    # exclusive prefix sum over ONE ROW PER PARTITION — metadata-scale,
+    # via the warning-free triangular join (operators/prefix.py)
+    offsets = exclusive_prefix_offsets(counts, "_dr_pid", "_dr_cnt", "_dr_off")
     w_local = Window.partitionBy("_dr_pid").orderBy(*order_exprs)
     out = (
         ranged.join(F.broadcast(offsets), "_dr_pid")

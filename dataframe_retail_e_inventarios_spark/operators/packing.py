@@ -9,17 +9,19 @@ implementation uses the textbook distributed scan instead:
 1. block = id div block_size — a coarse range key;
 2. intra-block running sum via a window PARTITIONED by block (parallel);
 3. per-block totals (metadata-scale: one row per block) get their own
-   exclusive prefix sum — the only single-partition step, over
-   n_blocks rows, not n_docs — and broadcast back.
+   exclusive prefix sum — a triangular broadcast join over n_blocks
+   rows, not n_docs (operators/prefix.py) — and broadcast back.
 
 At 100 TB the data-sized passes are all partition-parallel; only the
-block-offset table (millions of times smaller) is sequential.
+block-offset table (millions of times smaller) is quadratic-in-blocks.
 """
 
 from __future__ import annotations
 
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
+
+from .prefix import exclusive_prefix_offsets
 
 
 def pack_into_batches(
@@ -41,12 +43,9 @@ def pack_into_batches(
     )
     inner = blocked.withColumn("_in_cum", F.sum("n_tokens").over(w_in))
     totals = inner.groupBy("_block").agg(F.sum("n_tokens").alias("_btot"))
-    w_blocks = (
-        Window.orderBy("_block").rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offsets = totals.withColumn(
-        "_offset", F.coalesce(F.sum("_btot").over(w_blocks), F.lit(0))
-    ).select("_block", "_offset")
+    # exclusive prefix sum over one row per block — metadata-scale,
+    # via the warning-free triangular join (operators/prefix.py)
+    offsets = exclusive_prefix_offsets(totals, "_block", "_btot", "_offset")
     packed = inner.join(F.broadcast(offsets), "_block")
     tokens_before = F.col("_in_cum") + F.col("_offset") - F.col("n_tokens")
     return packed.select(

@@ -26,6 +26,7 @@ from ..operators.similarity import (
     cosine_neardup_pairs,
     cosine_neardup_pairs_bucketed,
     cosine_topk,
+    gemm_cosine_topk,
     lsh_bucketed_topk,
 )
 from ..operators.textops import (
@@ -770,5 +771,93 @@ SELECT count(*) AS n_pairs,
          AS mean_abs_err,
        round(max(err), 6) AS max_abs_err
 FROM errs
+""",
+)
+
+
+# -- N3 vectorized exact twin: GEMM brute-force top-k ----------------------
+def q_ann_gemm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-10 neighbors via the BLAS-blocked mapInPandas kernel —
+    same neighbor sets as ann_cosine_topk, proving the vectorized
+    batch-matmul path (the throughput shape for wide-embedding corpora)
+    against an independent all-pairs SQL oracle that ranks on the same
+    rounded score."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return gemm_cosine_topk(emb, F.col("vec_id") < 5, k=10)
+
+
+register(
+    "ann_gemm_topk",
+    q_ann_gemm_topk,
+    """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 5
+),
+c AS (SELECT vec_id AS cand_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+scored AS (
+  SELECT query_id, cand_id,
+    round(CASE WHEN sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(cv, cv)) != 0
+               THEN list_inner_product(qv, cv)
+                    / (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(cv, cv)))
+               ELSE 0.0 END, 6) AS cos
+  FROM c CROSS JOIN q WHERE cand_id != query_id
+)
+SELECT query_id, cand_id, cos, rk FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, cand_id) AS rk
+  FROM scored
+) WHERE rk <= 10
+""",
+)
+
+
+# -- BPE-style vocabulary induction: adjacent-pair counting ----------------
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE merge-selection round at corpus scale: lowercase word
+    stream -> adjacent character-pair counts -> top-50 merge
+    candidates. The whole round is native expressions (split, explode,
+    substr over a sequence) — one scan, one aggregation shuffle on the
+    pair key (bounded key space: <= 26^2 for a-z), then a global
+    TakeOrdered for the merge table. Iterating merges re-runs this
+    with the previous round's vocab applied; the per-round plan shape
+    is identical, so the 100 TB posture is this query's."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("w")
+    ).filter(F.length("w") >= 2)
+    pairs = words.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.col("w").substr(i, F.lit(2)),
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "pair")
+        .limit(50)
+    )
+
+
+register(
+    "bpe_pair_counts",
+    q_bpe_pair_counts,
+    """
+WITH words AS (
+  SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w FROM documents
+),
+w2 AS (SELECT w FROM words WHERE length(w) >= 2),
+pairs AS (
+  SELECT unnest(list_transform(range(1, length(w)),
+                               i -> substr(w, CAST(i AS INT), 2))) AS pair
+  FROM w2
+)
+SELECT pair, COUNT(*) AS cnt
+FROM pairs GROUP BY pair
+ORDER BY cnt DESC, pair
+LIMIT 50
 """,
 )

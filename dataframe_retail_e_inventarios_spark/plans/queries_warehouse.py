@@ -258,6 +258,67 @@ FROM per_source CROSS JOIN tot
 )
 
 
+def q_mixture_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled sampling mixture (alpha = 0.5): the standard
+    multilingual-pretraining reweighting p_d ∝ share_d^alpha that
+    up-samples tail domains without flattening to uniform. Plan shape
+    is domain_mixture_weights' (one corpus scan, dimension-sized
+    aggregate); the cross-engine float hazard is the SUM of per-domain
+    sqrt shares (non-associative double addition), so each sqrt share
+    is snapped to a 1e12-scaled BIGINT first and the normalizer is an
+    exact integer sum — deterministic under any partitioning. Output
+    includes the expected document allocation for a 100k-doc budget."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_source = (
+        docs.select(
+            "source", F.size(bpe_ish_tokens("text")).cast("long").alias("n_tok")
+        )
+        .groupBy("source")
+        .agg(F.sum("n_tok").alias("tokens"))
+        .localCheckpoint(eager=True)
+    )
+    totals = per_source.agg(F.sum("tokens").alias("total_tokens"))
+    raw = F.round(
+        F.sqrt(F.col("tokens") / F.col("total_tokens")) * F.lit(1e12), 0
+    ).cast("long")
+    scaled = per_source.crossJoin(F.broadcast(totals)).select(
+        "source", "tokens", raw.alias("raw")
+    )
+    denom = scaled.agg(F.sum("raw").alias("denom"))
+    j = scaled.crossJoin(F.broadcast(denom))
+    w = F.col("raw") / F.col("denom")
+    return j.select(
+        "source",
+        "tokens",
+        F.round(w, 6).alias("mix_weight"),
+        F.round(w * F.lit(100000.0), 0).cast("long").alias("budget_docs"),
+    )
+
+
+register(
+    "mixture_temperature_weights",
+    q_mixture_temperature_weights,
+    f"""
+WITH per_source AS (
+  SELECT source,
+         CAST(sum(len(regexp_extract_all(text, '{_BPE3}'))) AS BIGINT) AS tokens
+  FROM documents GROUP BY source
+),
+tot AS (SELECT sum(tokens) AS total_tokens FROM per_source),
+scaled AS (
+  SELECT source, tokens,
+         CAST(round(sqrt(tokens / total_tokens) * 1e12, 0) AS BIGINT) AS raw
+  FROM per_source CROSS JOIN tot
+),
+d AS (SELECT sum(raw) AS denom FROM scaled)
+SELECT source, tokens,
+       round(raw / denom, 6) AS mix_weight,
+       CAST(round(raw / denom * 100000.0, 0) AS BIGINT) AS budget_docs
+FROM scaled CROSS JOIN d
+""",
+)
+
+
 # ---------------------------------------------------------------------------
 # Incremental materialized-rollup maintenance
 # ---------------------------------------------------------------------------

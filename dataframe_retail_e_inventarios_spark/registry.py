@@ -65,6 +65,9 @@ _PRIORITY = [
     "rollup_backfill_empty_restatement",
     "dedup_minhash_lsh_incremental",
     "corpus_shuffle_batches",
+    "ann_gemm_topk",
+    "bpe_pair_counts",
+    "mixture_temperature_weights",
     # then the queries whose only driver evidence is from r1/r2 —
     # oldest green rows, most code drift since; re-certify them with
     # the remaining budget. Everything NOT listed still follows in

@@ -118,3 +118,38 @@ def test_allpairs_neardup_guard_raises_on_large_corpus(spark):
     # At or below the guard the quadratic sweep is sanctioned and runs.
     small = big.limit(10)
     assert cosine_neardup_pairs(small, threshold=0.9, max_rows=1000).count() == 45
+
+
+def test_gemm_topk_matches_fold_topk(spark):
+    """The BLAS-blocked exact kernel must return the SAME neighbor
+    sets (and ranks, modulo last-ulp rounding pinned at 6 digits) as
+    the codegen zip_with fold — across a query set large enough to
+    exercise multiple Arrow batches of candidates."""
+    from dataframe_retail_e_inventarios_spark.operators.similarity import (
+        gemm_cosine_topk,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    qf = F.col("vec_id") < 20
+    fold = {
+        (r.query_id, r.rk): (r.cand_id, round(r.cos, 6))
+        for r in cosine_topk(emb, qf, k=10).collect()
+    }
+    gemm = {
+        (r.query_id, r.rk): (r.cand_id, r.cos)
+        for r in gemm_cosine_topk(emb, qf, k=10).collect()
+    }
+    assert set(fold) == set(gemm)
+    for key in fold:
+        assert fold[key] == gemm[key], (key, fold[key], gemm[key])
+
+
+def test_gemm_topk_masks_self_and_respects_k(spark):
+    from dataframe_retail_e_inventarios_spark.operators.similarity import (
+        gemm_cosine_topk,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    got = gemm_cosine_topk(emb, F.col("vec_id") < 3, k=5).toPandas()
+    assert (got.groupby("query_id").size() == 5).all()
+    assert not ((got.query_id == got.cand_id).any())
