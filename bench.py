@@ -133,6 +133,8 @@ HEADLINE = [
     "ann_gemm_topk",
     "bpe_pair_counts",
     "mixture_temperature_weights",
+    "asof_join_tolerance",
+    "dedup_setsim_prefix",
 ]
 
 # Capability demos: registered + oracle-checked, but benched apart from

@@ -391,3 +391,80 @@ SELECT p.l_linestatus, s.n_flags, p.l_returnflag AS flag, p.qty
 FROM per p JOIN sized s USING (l_linestatus)
 """,
 )
+
+
+# -- As-of join with a staleness tolerance ---------------------------------
+def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """asof_join_latest_order's production variant: a state older than
+    7 days is treated as NO state (feature-store / market-data
+    semantics — a quote from last month must not leak into today's
+    row). Same union-trick as-of plan (one key shuffle, no inequality
+    join); the tolerance is a post-pass null-out on the matched state's
+    age, so the scale shape is unchanged. days_stale carries the
+    matched state's age for the rows that survive."""
+    from pyspark.sql import Window as W
+
+    from ..operators.asof import asof_join
+    from ..operators.resample import wall_date
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    orders = load_table(spark, sf_dir, "orders")
+    od = orders.withColumn("o_date", F.to_date("o_orderdate"))
+    dedup = (
+        od.withColumn(
+            "_r",
+            F.row_number().over(
+                W.partitionBy("o_custkey", "o_date").orderBy(
+                    F.col("o_totalprice").desc(), F.col("o_orderkey")
+                )
+            ),
+        )
+        .filter(F.col("_r") == 1)
+        .drop("_r")
+    )
+    joined = asof_join(
+        ev,
+        dedup,
+        key_left="user_id",
+        key_right="o_custkey",
+        time_left=wall_date(F.col("ts")),
+        time_right=F.col("o_date"),
+        payload_cols=["o_orderkey", "o_totalprice", "o_date"],
+    )
+    stale = F.datediff(wall_date(F.col("ts")), F.col("o_date"))
+    fresh = stale <= 7
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.when(fresh, F.col("o_orderkey")).alias("o_orderkey"),
+        F.when(fresh, F.round("o_totalprice", 2)).alias("o_totalprice"),
+        F.when(fresh, stale.cast("long")).alias("days_stale"),
+    )
+
+
+register(
+    "asof_join_tolerance",
+    q_asof_tolerance,
+    """
+WITH dedup AS (
+  SELECT * FROM (
+    SELECT o_custkey, CAST(o_orderdate AS DATE) AS o_date,
+           o_orderkey, o_totalprice,
+           row_number() OVER (PARTITION BY o_custkey, CAST(o_orderdate AS DATE)
+                              ORDER BY o_totalprice DESC, o_orderkey) AS _r
+    FROM orders
+  ) WHERE _r = 1
+)
+SELECT e.event_id, e.user_id,
+  CASE WHEN datediff('day', d.o_date, CAST(e.ts AS DATE)) <= 7
+       THEN d.o_orderkey END AS o_orderkey,
+  CASE WHEN datediff('day', d.o_date, CAST(e.ts AS DATE)) <= 7
+       THEN round(d.o_totalprice, 2) END AS o_totalprice,
+  CASE WHEN datediff('day', d.o_date, CAST(e.ts AS DATE)) <= 7
+       THEN CAST(datediff('day', d.o_date, CAST(e.ts AS DATE)) AS BIGINT)
+       END AS days_stale
+FROM events e
+ASOF LEFT JOIN dedup d
+  ON e.user_id = d.o_custkey AND CAST(e.ts AS DATE) >= d.o_date
+""",
+)

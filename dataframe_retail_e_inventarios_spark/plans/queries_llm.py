@@ -861,3 +861,27 @@ ORDER BY cnt DESC, pair
 LIMIT 50
 """,
 )
+
+
+# -- N2: lossless prefix-filter set-similarity join ------------------------
+def q_setsim_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PPJoin-style prefix filtering at t=0.5 over the same capped
+    shingle index as dedup_ngram_jaccard. The oracle is the ALL-PAIRS
+    Jaccard SQL — prefix filtering is lossless, so a hash match here
+    PROVES the pruning drops no qualifying pair."""
+    from ..operators.dedup import setsim_prefix_pairs
+
+    return setsim_prefix_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.5, max_df=MAX_DF
+    )
+
+
+register(
+    "dedup_setsim_prefix",
+    q_setsim_prefix,
+    f"""
+WITH {_SHINGLE_INDEX_SQL.strip()}
+SELECT id_a, id_b, round(jaccard, 4) AS jaccard
+FROM jac WHERE jaccard >= 0.5
+""",
+)

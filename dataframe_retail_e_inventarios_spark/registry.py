@@ -68,6 +68,8 @@ _PRIORITY = [
     "ann_gemm_topk",
     "bpe_pair_counts",
     "mixture_temperature_weights",
+    "asof_join_tolerance",
+    "dedup_setsim_prefix",
     # then the queries whose only driver evidence is from r1/r2 —
     # oldest green rows, most code drift since; re-certify them with
     # the remaining budget. Everything NOT listed still follows in

@@ -155,3 +155,38 @@ def test_incremental_lsh_delta_filter_pushes_down_to_index_scan(spark, tmp_path)
     }
     inc = {(r.id_a, r.id_b) for r in pairs.collect()}
     assert inc == {p for p in full if p[1] >= 400}
+
+
+def test_setsim_prefix_matches_allpairs_and_prunes(spark):
+    """Losslessness: prefix-filtered output == full inverted-index
+    Jaccard at the same threshold. Pruning: the prefix index is
+    strictly smaller than the full index."""
+    import pyspark.sql.functions as F
+
+    from dataframe_retail_e_inventarios_spark.operators.dedup import (
+        doc_shingles,
+        jaccard_pairs,
+        setsim_prefix_pairs,
+    )
+    from dataframe_retail_e_inventarios_spark.sources.readers import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    got = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in setsim_prefix_pairs(docs, threshold=0.5).collect()
+    }
+    want = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert got == want
+
+    full = doc_shingles(docs, hashed=True)
+    n_full = full.count()
+    sizes = full.groupBy("doc_id").agg(F.count("*").alias("m"))
+    # at t=0.5 the prefix keeps m - ceil(m/2) + 1 ~ m/2 + 1 entries
+    n_prefix_bound = sizes.select(
+        F.sum(F.col("m") - F.ceil(F.col("m") * 0.5) + 1)
+    ).collect()[0][0]
+    assert n_prefix_bound < n_full

@@ -312,3 +312,88 @@ def test_compaction_sort_without_nfiles_yields_disjoint_ranges(spark, tmp_path):
         assert hi_prev <= lo_next  # disjoint (boundary key may repeat)
     # content preserved
     assert spark.read.parquet(out).count() == li.count()
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
+    """A fact partitioned on disk joined to a FILTERED dim must get a
+    runtime partition filter (dynamicpruningexpression) — Catalyst's
+    DPP, the mechanism that keeps star joins from scanning every
+    partition when the predicate lives on the dimension side. This is
+    free at 100 TB only if the layout + join shape allow it; assert it
+    actually fires."""
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    path = str(tmp_path / "li_month")
+    (
+        li.withColumn(
+            "ship_month", (F.year("l_shipdate") * 100 + F.month("l_shipdate")).cast("int")
+        )
+        .write.mode("overwrite")
+        .partitionBy("ship_month")
+        .parquet(path)
+    )
+    fact = spark.read.parquet(path)
+    # An INDEPENDENT month dimension with a real attribute to filter
+    # on: DPP's heuristic requires a selective non-join-column
+    # predicate on the dim side (a constant lit(True) filter folds
+    # away and never qualifies — probed explicitly).
+    months = sorted(r[0] for r in fact.select("ship_month").distinct().collect())
+    dim = spark.createDataFrame(
+        [(m, (m % 100 - 1) // 3 + 1) for m in months], "ship_month int, qtr int"
+    )
+    dim_path = str(tmp_path / "dim")
+    dim.write.parquet(dim_path)
+    dim_back = spark.read.parquet(dim_path).filter(F.col("qtr") == 1)
+    q = fact.join(dim_back, "ship_month").agg(F.sum("l_quantity").alias("qty"))
+    plan = q._jdf.queryExecution().sparkPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    # pruned result == statically filtered result
+    q1 = [m for m in months if (m % 100 - 1) // 3 + 1 == 1]
+    expected = (
+        fact.filter(F.col("ship_month").isin(q1)).agg(F.sum("l_quantity")).collect()[0][0]
+    )
+    assert abs(q.collect()[0][0] - expected) < 1e-6
+
+
+def test_runtime_bloom_filter_reduces_shuffle_join(spark, tmp_path):
+    """With broadcast disabled (fact-to-fact shape), Spark's runtime
+    bloom filter should inject a might_contain semi-filter on the big
+    side, pruning shuffle input by the small side's key set. Thresholds
+    are lowered to make the fixture qualify; the assertion is that the
+    optimizer path is available and fires under the documented confs."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li_path = str(tmp_path / "li")
+        ord_path = str(tmp_path / "ord")
+        load_table(spark, SF_SMOKE, "lineitem").select(
+            "l_orderkey", "l_quantity"
+        ).write.parquet(li_path)
+        load_table(spark, SF_SMOKE, "orders").select(
+            "o_orderkey", "o_orderpriority"
+        ).write.parquet(ord_path)
+        big = spark.read.parquet(li_path)
+        # the injection heuristic needs a SELECTIVE filter visible on
+        # the creation side at plan time (a pre-filtered file has no
+        # filter node and never qualifies)
+        small = spark.read.parquet(ord_path).filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        ).select("o_orderkey")
+        q = big.join(small, big.l_orderkey == small.o_orderkey).agg(
+            F.sum("l_quantity")
+        )
+        plan = q._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan.lower(), plan[:2000]
+        assert q.collect()[0][0] is not None
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
