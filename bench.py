@@ -172,6 +172,11 @@ CURVE = [
     # by design) and one availableNow foreachBatch drain.
     "rollup_backfill_overwrite",
     "streaming_rollup_maintenance",
+    # round 5, part 2: the lossless prefix-filter join (output-driven
+    # growth expected on the replicated 10x corpus — every replica
+    # pair is a true near-dup) and the scan-bound BPE pair count.
+    "dedup_setsim_prefix",
+    "bpe_pair_counts",
 ]
 
 

@@ -43,14 +43,23 @@ def with_global_rank(
     rank_col: str = "global_rank",
     total_col: str | None = None,
     n_parts: int | None = None,
+    materialize: bool = False,
 ) -> DataFrame:
     """Append ``rank_col`` = row_number() over the global order of
     ``order_exprs`` (and optionally ``total_col`` = total row count),
-    fully partition-parallel."""
+    fully partition-parallel.
+
+    ``materialize=True`` localCheckpoints the range-partitioned frame:
+    the offsets aggregate and the final join both consume it, and
+    without the cut each replans the WHOLE upstream — chaining k
+    rankings (RFM's three ntiles) then recomputes the input 2^k times
+    (measured 12x wall regression at sf0.1 before the cut)."""
     n_parts = n_parts or df.sparkSession.sparkContext.defaultParallelism
     ranged = df.repartitionByRange(n_parts, *order_exprs).withColumn(
         "_dr_pid", F.spark_partition_id()
     )
+    if materialize:
+        ranged = ranged.localCheckpoint(eager=True)
     counts = ranged.groupBy("_dr_pid").agg(F.count("*").alias("_dr_cnt"))
     # exclusive prefix sum over ONE ROW PER PARTITION — metadata-scale,
     # via the warning-free triangular join (operators/prefix.py)
@@ -76,13 +85,15 @@ def with_ntile(
     order_exprs: list[Column],
     out_col: str,
     n_parts: int | None = None,
+    materialize: bool = False,
 ) -> DataFrame:
     """Append ``out_col`` = ntile(n_tiles) over the global order —
     SQL-standard semantics (bucket sizes differ by at most one, larger
     buckets first), without the single-partition sort ``F.ntile`` over
     an unpartitioned window requires."""
     ranked = with_global_rank(
-        df, order_exprs, rank_col="_dr_rank", total_col="_dr_n", n_parts=n_parts
+        df, order_exprs, rank_col="_dr_rank", total_col="_dr_n", n_parts=n_parts,
+        materialize=materialize,
     )
     k = F.lit(n_tiles)
     q = F.floor(F.col("_dr_n") / k)  # base bucket size

@@ -1323,13 +1323,16 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.distributed_rank import with_ntile
 
     scored = with_ntile(
-        enriched, 5, [F.col("recency_days").asc(), F.col("user_id").asc()], "r_score"
+        enriched, 5, [F.col("recency_days").asc(), F.col("user_id").asc()],
+        "r_score", materialize=True,
     )
     scored = with_ntile(
-        scored, 5, [F.col("frequency").desc(), F.col("user_id").asc()], "f_score"
+        scored, 5, [F.col("frequency").desc(), F.col("user_id").asc()],
+        "f_score", materialize=True,
     )
     scored = with_ntile(
-        scored, 5, [F.col("monetary").desc(), F.col("user_id").asc()], "m_score"
+        scored, 5, [F.col("monetary").desc(), F.col("user_id").asc()],
+        "m_score", materialize=True,
     )
     return scored.select(
         "user_id", "recency_days", "frequency", "monetary",
