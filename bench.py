@@ -135,6 +135,8 @@ HEADLINE = [
     "mixture_temperature_weights",
     "asof_join_tolerance",
     "dedup_setsim_prefix",
+    "triangle_count_copurchase",
+    "position_based_attribution",
 ]
 
 # Capability demos: registered + oracle-checked, but benched apart from

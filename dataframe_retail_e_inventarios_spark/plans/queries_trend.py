@@ -1625,3 +1625,126 @@ SELECT a.product_id, a.n_weeks, CAST(ql.q AS DOUBLE) AS q,
 FROM agg a CROSS JOIN ql
 """,
 )
+
+
+# -- Triangle counting on the co-purchase graph ----------------------------
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part triangle participation in the co-purchase graph
+    (edges = part pairs sharing >= 2 orders). Enumeration uses the
+    degree-ordered orientation (the classic compact-forward trick,
+    public literature): every undirected edge points from its
+    lower-(degree, id) endpoint to the higher one, so each triangle is
+    found EXACTLY once as two out-edges of its smallest vertex closed
+    by a third oriented edge — and the wedge join's fan-out is bounded
+    by out-degrees, which orientation caps near sqrt(m) instead of the
+    max raw degree (the hub-explosion guard at scale). Ordering uses
+    one integer key deg*10^9 + id, identical in both engines, so the
+    orientation — and therefore the hash — is deterministic."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
+        )
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= 2)
+        .select("p1", "p2")
+    )
+    pairs = pairs.localCheckpoint(eager=True)  # degree agg + orientation both read it
+    deg = (
+        pairs.select(F.col("p1").alias("v"))
+        .unionAll(pairs.select(F.col("p2").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("d"))
+    )
+    okey = (F.col("d") * F.lit(1_000_000_000) + F.col("v")).alias("okey")
+    keyed = deg.select("v", okey)
+    k1 = keyed.select(F.col("v").alias("p1"), F.col("okey").alias("k1"))
+    k2 = keyed.select(F.col("v").alias("p2"), F.col("okey").alias("k2"))
+    e = pairs.join(k1, "p1").join(k2, "p2")
+    oriented = e.select(
+        F.when(F.col("k1") < F.col("k2"), F.col("p1")).otherwise(F.col("p2")).alias("src"),
+        F.when(F.col("k1") < F.col("k2"), F.col("k1")).otherwise(F.col("k2")).alias("ksrc"),
+        F.when(F.col("k1") < F.col("k2"), F.col("p2")).otherwise(F.col("p1")).alias("dst"),
+        F.when(F.col("k1") < F.col("k2"), F.col("k2")).otherwise(F.col("k1")).alias("kdst"),
+    ).localCheckpoint(eager=True)  # wedge join reads it twice, closer once
+    e1, e2, e3 = oriented.alias("e1"), oriented.alias("e2"), oriented.alias("e3")
+    tri = (
+        e1.join(
+            e2,
+            (F.col("e1.src") == F.col("e2.src"))
+            & (F.col("e1.kdst") < F.col("e2.kdst")),
+        )
+        .join(
+            e3,
+            (F.col("e3.src") == F.col("e1.dst"))
+            & (F.col("e3.dst") == F.col("e2.dst")),
+        )
+        .select(
+            F.col("e1.src").alias("va"),
+            F.col("e1.dst").alias("vb"),
+            F.col("e2.dst").alias("vc"),
+        )
+    )
+    verts = (
+        tri.select(F.col("va").alias("part"))
+        .unionAll(tri.select(F.col("vb").alias("part")))
+        .unionAll(tri.select(F.col("vc").alias("part")))
+    )
+    return (
+        verts.groupBy("part")
+        .agg(F.count("*").cast("long").alias("n_triangles"))
+        .orderBy(F.col("n_triangles").desc(), "part")
+        .limit(100)
+    )
+
+
+register(
+    "triangle_count_copurchase",
+    q_triangle_count,
+    """
+WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2
+  FROM lp a JOIN lp b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING count(*) >= 2
+),
+deg AS (
+  SELECT v, count(*) AS d FROM (
+    SELECT p1 AS v FROM pairs UNION ALL SELECT p2 AS v FROM pairs
+  ) GROUP BY 1
+),
+keyed AS (SELECT v, d * 1000000000 + v AS okey FROM deg),
+oriented AS (
+  SELECT CASE WHEN ka.okey < kb.okey THEN p1 ELSE p2 END AS src,
+         CASE WHEN ka.okey < kb.okey THEN ka.okey ELSE kb.okey END AS ksrc,
+         CASE WHEN ka.okey < kb.okey THEN p2 ELSE p1 END AS dst,
+         CASE WHEN ka.okey < kb.okey THEN kb.okey ELSE ka.okey END AS kdst
+  FROM pairs
+  JOIN keyed ka ON ka.v = p1
+  JOIN keyed kb ON kb.v = p2
+),
+tri AS (
+  SELECT e1.src AS va, e1.dst AS vb, e2.dst AS vc
+  FROM oriented e1
+  JOIN oriented e2 ON e1.src = e2.src AND e1.kdst < e2.kdst
+  JOIN oriented e3 ON e3.src = e1.dst AND e3.dst = e2.dst
+)
+SELECT part, CAST(count(*) AS BIGINT) AS n_triangles
+FROM (
+  SELECT va AS part FROM tri
+  UNION ALL SELECT vb FROM tri
+  UNION ALL SELECT vc FROM tri
+)
+GROUP BY part
+ORDER BY n_triangles DESC, part
+LIMIT 100
+""",
+)

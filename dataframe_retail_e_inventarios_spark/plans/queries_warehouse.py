@@ -1319,3 +1319,103 @@ SELECT event_id, user_id, event_type,
 FROM events
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Position-based (U-shaped) multi-touch attribution
+# ---------------------------------------------------------------------------
+
+
+def q_position_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-shaped multi-touch attribution beside the first/last-touch
+    pair: every non-purchase event is assigned to the SAME USER's next
+    purchase within 24h (one forward-looking window pass — no join),
+    then each conversion's touch list is weighted 40/20/40: first and
+    last touch get 0.4, interior touches split the middle 0.2 evenly;
+    2 touches -> 0.5 each, 1 touch -> 1.0. All passes are user- or
+    conversion-keyed windows — one shuffle each, no data-sized state."""
+    ev = load_table(spark, sf_dir, "events")
+    w_fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    is_p = F.col("event_type") == "purchase"
+    conv_id = F.first(F.when(is_p, F.col("event_id")), ignorenulls=True).over(w_fwd)
+    conv_ts = F.first(F.when(is_p, F.col("ts")), ignorenulls=True).over(w_fwd)
+    touches = (
+        ev.select(
+            "event_id",
+            "user_id",
+            "ts",
+            "event_type",
+            conv_id.alias("conv_event_id"),
+            (
+                wall_epoch_seconds(conv_ts) - wall_epoch_seconds(F.col("ts"))
+            ).alias("lead_s"),
+        )
+        .filter(
+            (~is_p)
+            & F.col("conv_event_id").isNotNull()
+            & (F.col("lead_s") <= 86400)
+        )
+    )
+    w_conv = Window.partitionBy("conv_event_id").orderBy("ts", "event_id")
+    w_all = Window.partitionBy("conv_event_id")
+    pos = F.row_number().over(w_conv)
+    n = F.count("*").over(w_all)
+    weight = (
+        F.when(n == 1, F.lit(1.0))
+        .when(n == 2, F.lit(0.5))
+        .when((pos == 1) | (pos == n), F.lit(0.4))
+        .otherwise(F.lit(0.2) / (n - F.lit(2)))
+    )
+    return touches.select(
+        "conv_event_id",
+        "user_id",
+        F.col("event_id").alias("touch_event_id"),
+        "event_type",
+        pos.cast("long").alias("touch_pos"),
+        n.cast("long").alias("n_touches"),
+        F.round(weight, 6).alias("weight"),
+    )
+
+
+register(
+    "position_based_attribution",
+    q_position_attribution,
+    """
+WITH t AS (
+  SELECT event_id, user_id, ts, event_type,
+         first_value(CASE WHEN event_type = 'purchase' THEN event_id END IGNORE NULLS)
+           OVER w AS conv_event_id,
+         first_value(CASE WHEN event_type = 'purchase'
+                          THEN floor(epoch_us(ts) / 1000000) END IGNORE NULLS)
+           OVER w AS conv_es
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+),
+touches AS (
+  SELECT event_id, user_id, ts, event_type, conv_event_id,
+         conv_es - floor(epoch_us(ts) / 1000000) AS lead_s
+  FROM t
+  WHERE event_type != 'purchase' AND conv_event_id IS NOT NULL
+    AND conv_es - floor(epoch_us(ts) / 1000000) <= 86400
+),
+ranked AS (
+  SELECT conv_event_id, user_id, event_id AS touch_event_id, event_type,
+         row_number() OVER (PARTITION BY conv_event_id ORDER BY ts, event_id) AS touch_pos,
+         count(*) OVER (PARTITION BY conv_event_id) AS n_touches
+  FROM touches
+)
+SELECT conv_event_id, user_id, touch_event_id, event_type,
+       CAST(touch_pos AS BIGINT) AS touch_pos,
+       CAST(n_touches AS BIGINT) AS n_touches,
+       round(CASE WHEN n_touches = 1 THEN 1.0
+                  WHEN n_touches = 2 THEN 0.5
+                  WHEN touch_pos = 1 OR touch_pos = n_touches THEN 0.4
+                  ELSE 0.2 / (n_touches - 2) END, 6) AS weight
+FROM ranked
+""",
+)

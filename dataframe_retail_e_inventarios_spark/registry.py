@@ -70,6 +70,8 @@ _PRIORITY = [
     "mixture_temperature_weights",
     "asof_join_tolerance",
     "dedup_setsim_prefix",
+    "triangle_count_copurchase",
+    "position_based_attribution",
     # then the queries whose only driver evidence is from r1/r2 —
     # oldest green rows, most code drift since; re-certify them with
     # the remaining budget. Everything NOT listed still follows in
