@@ -137,6 +137,7 @@ HEADLINE = [
     "dedup_setsim_prefix",
     "triangle_count_copurchase",
     "position_based_attribution",
+    "dedup_containment_pairs",
 ]
 
 # Capability demos: registered + oracle-checked, but benched apart from

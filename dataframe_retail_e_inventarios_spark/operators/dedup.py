@@ -606,3 +606,53 @@ def setsim_prefix_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
     )
+
+
+def containment_pairs_directed(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    max_df: int | None = None,
+    min_set: int = 5,
+) -> DataFrame:
+    """Asymmetric near-dup: shingle CONTAINMENT c(A->B) = |A∩B| / |A|
+    — the quote/excerpt/boilerplate-inclusion signal Jaccard misses (a
+    short doc fully quoted inside a long one has tiny Jaccard but
+    containment 1.0; Broder's original resemblance/containment pair,
+    public literature). Pairs come from the same capped inverted
+    shingle index as jaccard_pairs — one index join, both directions
+    scored from the one intersection count, tiny sets (< min_set
+    shingles, where containment is noise) dropped at the size join."""
+    ds = doc_shingles(
+        docs, text_col, id_col, n, max_df, hashed=True,
+        materialize=max_df is not None,
+    )
+    sizes = ds.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a, b = ds.alias("a"), ds.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    c_ab = F.col("n_inter") / F.col("n_a")
+    c_ba = F.col("n_inter") / F.col("n_b")
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter((F.col("n_a") >= min_set) & (F.col("n_b") >= min_set))
+        .filter((c_ab >= threshold) | (c_ba >= threshold))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(c_ab, 4).alias("containment_ab"),
+            F.round(c_ba, 4).alias("containment_ba"),
+        )
+    )

@@ -885,3 +885,61 @@ SELECT id_a, id_b, round(jaccard, 4) AS jaccard
 FROM jac WHERE jaccard >= 0.5
 """,
 )
+
+
+# -- N2: directed containment pairs (quote/excerpt detection) --------------
+def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment at 0.6 over the capped shingle index — catches
+    excerpt/boilerplate inclusion that symmetric Jaccard misses. The
+    corpus has no planted excerpts, so the query constructs them
+    deterministically: for doc_id < 40, the doc's first 200 characters
+    re-enter the corpus as a new doc under doc_id + 20000 — a true
+    excerpt whose shingles are (near-)subsets of the source's."""
+    from ..operators.dedup import containment_pairs_directed
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    excerpts = docs.filter(F.col("doc_id") < 40).select(
+        (F.col("doc_id") + 20000).alias("doc_id"),
+        F.substring("text", 1, 200).alias("text"),
+    )
+    return containment_pairs_directed(
+        docs.unionByName(excerpts), threshold=0.6, max_df=MAX_DF
+    )
+
+
+register(
+    "dedup_containment_pairs",
+    q_containment,
+    f"""
+WITH docs2 AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 20000 AS doc_id, substr(text, 1, 200) AS text
+  FROM documents WHERE doc_id < 40
+),
+toks_t AS (SELECT doc_id, {{toks}} AS toks FROM docs2),
+shingled AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 3 THEN {{sh}}
+              ELSE CAST([] AS VARCHAR[]) END AS shingles
+  FROM toks_t
+),
+ds0 AS (SELECT doc_id, unnest(shingles) AS shingle FROM shingled),
+hot AS (SELECT shingle FROM ds0 GROUP BY 1 HAVING count(*) > {{max_df}}),
+ds AS (SELECT * FROM ds0 WHERE shingle NOT IN (SELECT shingle FROM hot)),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM ds GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(n_inter / sa.n_sh, 4) AS containment_ab,
+       round(n_inter / sb.n_sh, 4) AS containment_ba
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE sa.n_sh >= 5 AND sb.n_sh >= 5
+  AND (n_inter / sa.n_sh >= 0.6 OR n_inter / sb.n_sh >= 0.6)
+""".format(toks=_TOKS, sh=_SH, max_df=MAX_DF),
+)

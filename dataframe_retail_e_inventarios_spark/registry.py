@@ -72,6 +72,7 @@ _PRIORITY = [
     "dedup_setsim_prefix",
     "triangle_count_copurchase",
     "position_based_attribution",
+    "dedup_containment_pairs",
     # then the queries whose only driver evidence is from r1/r2 —
     # oldest green rows, most code drift since; re-certify them with
     # the remaining budget. Everything NOT listed still follows in
