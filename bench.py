@@ -95,9 +95,11 @@ HEADLINE = [
     "streaming_cdc_upsert",
     "streaming_session_windows",
     "streaming_dedup_replay",
-    # streaming_view_purchase_join is registered + selfchecked but not
-    # benched: its ~26s is micro-batch count x two-sided join state
-    # (an end-to-end drain loop), not per-query engine cost.
+    # streaming_view_purchase_join and streaming_static_enrichment are
+    # registered + selfchecked but not benched: their wall is
+    # micro-batch count x drain machinery (end-to-end loops), not
+    # per-query engine cost — three drains in HEADLINE already carry
+    # the streaming point.
     "zipf_vocab_topk",
     "duplicate_ngram_fraction",
     "embedding_pca_projection",

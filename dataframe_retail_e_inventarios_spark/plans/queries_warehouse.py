@@ -1419,3 +1419,70 @@ SELECT conv_event_id, user_id, touch_event_id, event_type,
 FROM ranked
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Streaming: stream-static dimension enrichment
+# ---------------------------------------------------------------------------
+
+
+def q_streaming_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The most common production streaming shape, run for real under
+    the hash gate: a fact stream enriched by a STATIC broadcastable
+    dimension inside the stream (Structured Streaming's stream-static
+    join — no foreachBatch, no state store for the join itself), then
+    a streaming aggregate drained availableNow in complete mode.
+    Orders arrive as a multi-file stream, customers are the static
+    side; the final aggregate equals the one-shot batch join+group
+    because every aggregation state is an associative BIGINT (counts +
+    exact cents). At 100 TB the static side is a broadcast refreshed
+    per deploy — the join adds zero streaming state."""
+    import shutil
+    import tempfile
+
+    from ..functions.exact import exact_decimal_sum
+    from ..streaming.events import run_stream_to_memory
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), F.col("c_mktsegment")
+    )
+    work = tempfile.mkdtemp(prefix="spark_graft_stream_static_")
+    try:
+        src = f"{work}/src"
+        orders.repartition(6).write.parquet(src)
+        stream = (
+            spark.readStream.schema(orders.schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src)
+        )
+        enriched = stream.join(
+            F.broadcast(cust), stream["o_custkey"] == cust["c_custkey"]
+        )
+        agg = enriched.groupBy("c_mktsegment", "o_orderpriority").agg(
+            F.count("*").alias("n_orders"),
+            F.round(exact_decimal_sum(F.col("o_totalprice"), 2), 2).alias(
+                "total_price"
+            ),
+        )
+        run_stream_to_memory(spark, agg, "stream_static_enrichment")
+        return (
+            spark.table("stream_static_enrichment")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+register(
+    "streaming_static_enrichment",
+    q_streaming_static_enrichment,
+    """
+SELECT c.c_mktsegment, o.o_orderpriority,
+       count(*) AS n_orders,
+       round(sum(CAST(round_even(o.o_totalprice * 100, 0) AS BIGINT)) / 100.0, 2)
+         AS total_price
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY 1, 2
+""",
+)

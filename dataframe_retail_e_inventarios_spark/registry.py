@@ -73,6 +73,7 @@ _PRIORITY = [
     "triangle_count_copurchase",
     "position_based_attribution",
     "dedup_containment_pairs",
+    "streaming_static_enrichment",
     # then the queries whose only driver evidence is from r1/r2 —
     # oldest green rows, most code drift since; re-certify them with
     # the remaining budget. Everything NOT listed still follows in
