@@ -64,6 +64,61 @@ def cosine_topk(
     )
 
 
+def hard_negative_topk(
+    embeddings: DataFrame,
+    anchor_filter: Column,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor,
+    the k nearest candidates with a DIFFERENT label — the negatives a
+    contrastive loss learns most from (near the anchor in embedding
+    space but semantically wrong).
+
+    Same plan shape as ``cosine_topk`` (broadcast anchors, candidate
+    scan never shuffles, per-anchor window top-k) with the label
+    exclusion applied BEFORE scoring, so mismatched pairs are the only
+    ones that pay the dot product. At 100 TB the anchor set is the
+    bounded side (a training batch / curriculum slice); the candidate
+    corpus streams through one partition-local pass and only
+    n_anchors x k rows reach the ranking exchange per partition.
+    """
+    from pyspark.sql import Window
+
+    q = embeddings.filter(anchor_filter).select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(label_col).alias("anchor_label"),
+        F.col(vec_col).alias("qvec"),
+    )
+    c = embeddings.select(
+        F.col(id_col).alias("negative_id"),
+        F.col(label_col).alias("negative_label"),
+        F.col(vec_col).alias("cvec"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("negative_label") != F.col("anchor_label"))
+        .withColumn("cos", cosine(F.col("qvec"), F.col("cvec")))
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("cos").desc(), F.col("negative_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            "anchor_id",
+            "anchor_label",
+            "negative_id",
+            "negative_label",
+            F.round("cos", 6).alias("cos"),
+            F.col("rk").cast("long").alias("rk"),
+        )
+    )
+
+
 def cosine_neardup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,

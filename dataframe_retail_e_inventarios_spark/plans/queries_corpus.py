@@ -463,3 +463,76 @@ FROM st JOIN s_tot USING (source) JOIN w_tot USING (h) CROSS JOIN tot
 GROUP BY source
 """,
 )
+
+
+# -- Tokenizer vocabulary coverage: OOV rate per source --------------------
+_VOCAB_N = 512
+
+
+def q_tokenizer_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-coverage report: induce a top-512 frequency vocab
+    from the corpus itself, then measure each source's out-of-vocab
+    occurrence rate — the number that says whether a fixed tokenizer
+    vocabulary (or a domain filter) will shred a source into UNKs.
+
+    Plan shape: ONE tokenize scan (the exploded (source, term) frame
+    is localCheckpointed and feeds both the vocab induction and the
+    coverage join), a distributed top-k for the vocab
+    (TakeOrderedAndProject — never a global window), and a broadcast
+    left join of the token stream against the 512-row vocab. The
+    corpus side never shuffles for the join; per-source rollup is the
+    only aggregation exchange. At 100 TB the vocab is still hundreds
+    of KB — broadcast stays the right side."""
+    docs = load_table(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    toks = (
+        docs.repartition(par, "doc_id")
+        .select("source", F.explode(tokens("text")).alias("term"))
+        .filter(F.col("term") != "")
+        .localCheckpoint(eager=True)
+    )
+    vocab = (
+        toks.groupBy("term")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.col("freq").desc(), "term")
+        .limit(_VOCAB_N)
+        .select("term", F.lit(1).alias("in_vocab"))
+    )
+    j = toks.join(F.broadcast(vocab), "term", "left")
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count("*").alias("total_tokens"),
+            F.sum(F.col("in_vocab").isNull().cast("long")).alias("oov_tokens"),
+        )
+        .withColumn(
+            "oov_rate",
+            F.round(F.col("oov_tokens") / F.col("total_tokens"), 6),
+        )
+        .orderBy("source")
+    )
+
+
+register(
+    "tokenizer_oov_rate",
+    q_tokenizer_oov_rate,
+    f"""
+WITH toks AS (
+  SELECT source, unnest(list_filter({_TOKS_SQL}, x -> x != '')) AS term
+  FROM documents
+),
+vocab AS (
+  SELECT term FROM (
+    SELECT term, count(*) AS freq FROM toks GROUP BY term
+  ) ORDER BY freq DESC, term LIMIT {_VOCAB_N}
+)
+SELECT t.source,
+       CAST(count(*) AS BIGINT) AS total_tokens,
+       CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS oov_tokens,
+       round(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS oov_rate
+FROM toks t LEFT JOIN vocab v ON t.term = v.term
+GROUP BY t.source
+ORDER BY t.source
+""",
+)

@@ -27,6 +27,7 @@ from ..operators.similarity import (
     cosine_neardup_pairs_bucketed,
     cosine_topk,
     gemm_cosine_topk,
+    hard_negative_topk,
     lsh_bucketed_topk,
 )
 from ..operators.textops import (
@@ -808,6 +809,133 @@ SELECT query_id, cand_id, cos, rk FROM (
                                ORDER BY cos DESC, cand_id) AS rk
   FROM scored
 ) WHERE rk <= 10
+""",
+)
+
+
+# -- N3 extension: hard-negative mining for contrastive training ----------
+def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-pair generation: for a deterministic anchor sample
+    (vec_id % 25 == 0), the 5 nearest-by-cosine vectors with a
+    DIFFERENT label — the hard negatives an embedding model trains
+    against. Broadcast anchors, label exclusion before scoring, no
+    candidate shuffle; oracle is the label-filtered all-pairs rank."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return hard_negative_topk(emb, F.col("vec_id") % 25 == 0, k=5)
+
+
+register(
+    "hard_negative_mining",
+    q_hard_negative_mining,
+    """
+WITH q AS (
+  SELECT vec_id AS anchor_id, label AS anchor_label,
+         CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id % 25 = 0
+),
+c AS (
+  SELECT vec_id AS negative_id, label AS negative_label,
+         CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings
+),
+scored AS (
+  SELECT anchor_id, anchor_label, negative_id, negative_label,
+    CASE WHEN sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(cv, cv)) != 0
+         THEN list_inner_product(qv, cv)
+              / (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(cv, cv)))
+         ELSE 0.0 END AS cos
+  FROM c CROSS JOIN q WHERE negative_label != anchor_label
+)
+SELECT anchor_id, anchor_label, negative_id, negative_label,
+       round(cos, 6) AS cos, rk
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY anchor_id
+                               ORDER BY cos DESC, negative_id) AS rk
+  FROM scored
+) WHERE rk <= 5
+""",
+)
+
+
+# -- Embedding QA: norm distribution + robust outlier flags ----------------
+def q_embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-table QA: per label, the L2-norm median, MAD, and how
+    many vectors sit more than 3 MADs from the median — the standard
+    robust screen for collapsed / exploded vectors before training.
+
+    Parity mechanics: the squared norm is an exact scaled-BIGINT sum
+    (each e**2 rounded at 1e-9 — non-negative, so HALF_UP == half-away)
+    making it independent of fold/accumulation order; norms are rounded
+    to 6dp BEFORE the medians, and each median/MAD is itself rounded to
+    6dp before reuse so the interpolation formula (lerp vs midpoint)
+    can't leak engine-specific last-ulp differences into the 3-MAD
+    comparison. One scan; the norms frame feeds three aggregates, so it
+    is localCheckpointed (single-scan discipline)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    sumsq = F.aggregate(
+        F.transform(
+            F.col("embedding"),
+            lambda e: F.round(e.cast("double") * e.cast("double") * 1e9, 0).cast(
+                "long"
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    norms = emb.select(
+        "label", F.round(F.sqrt(sumsq / 1e9), 6).alias("nrm")
+    ).localCheckpoint(eager=True)
+    med = norms.groupBy("label").agg(
+        F.round(F.percentile("nrm", F.lit(0.5)), 6).alias("med")
+    )
+    dev = norms.join(F.broadcast(med), "label").withColumn(
+        "dv", F.abs(F.col("nrm") - F.col("med"))
+    )
+    mad = dev.groupBy("label").agg(
+        F.round(F.percentile("dv", F.lit(0.5)), 6).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "label")
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n"),
+            F.first("med").alias("median_norm"),
+            F.first("mad").alias("mad"),
+            F.sum((F.col("dv") > 3 * F.col("mad")).cast("long")).alias("n_outliers"),
+        )
+        .orderBy("label")
+    )
+
+
+register(
+    "embedding_norm_outliers",
+    q_embedding_norm_outliers,
+    """
+WITH norms AS (
+  SELECT label,
+         round(sqrt(CAST(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                      e -> CAST(round(e * e * 1e9, 0) AS BIGINT))) AS BIGINT) / 1e9),
+               6) AS nrm
+  FROM embeddings
+),
+med AS (
+  SELECT label, round(quantile_cont(nrm, 0.5), 6) AS med FROM norms GROUP BY label
+),
+dev AS (
+  SELECT n.label, n.nrm, m.med, abs(n.nrm - m.med) AS dv
+  FROM norms n JOIN med m USING (label)
+),
+mad AS (
+  SELECT label, round(quantile_cont(dv, 0.5), 6) AS mad FROM dev GROUP BY label
+)
+SELECT d.label,
+       CAST(count(*) AS BIGINT) AS n,
+       any_value(d.med) AS median_norm,
+       any_value(a.mad) AS mad,
+       CAST(sum(CASE WHEN d.dv > 3 * a.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM dev d JOIN mad a USING (label)
+GROUP BY d.label
+ORDER BY d.label
 """,
 )
 

@@ -281,3 +281,115 @@ SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
 FROM numbered GROUP BY 1, 2
 """,
 )
+
+
+# -- Ordered window funnel (ClickHouse windowFunnel shape) -----------------
+_FUNNEL_WINDOW_MIN = 72 * 60
+
+
+def q_window_funnel_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered multi-step funnel with a time window: per user, how far
+    along view -> click -> purchase they got, where every later step
+    must happen strictly AFTER the previous one and within 72 hours
+    of the first view. The earliest-chain convention pins the
+    semantics deterministically (t1 = first view; t2 = first click
+    after t1; t3 = first purchase after t2; level k needs t_k within
+    the window of t1) — the analysis ClickHouse calls windowFunnel,
+    expressed relationally.
+
+    Plan shape: one filtered, column-pruned pass per step (the
+    event_type predicate reaches the scan), each reduced to ONE row
+    per user before the next join — so the chain shuffles per-user
+    aggregates, never raw events. Step k's join input shrinks
+    monotonically (only users that completed step k-1). At 100 TB
+    with events bucketed by user_id all three joins co-locate."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    users = ev.select("user_id").distinct()
+    t1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    t2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(t1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"), F.min("t1").alias("t1"))
+    )
+    t3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(t2.select("user_id", "t2"), "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    w_us = _FUNNEL_WINDOW_MIN * 60 * 1_000_000
+    in_w = lambda c: (  # noqa: E731
+        F.timestamp_diff("MICROSECOND", F.col("t1"), F.col(c)) <= w_us
+    )
+    lvl = (
+        F.when(F.col("t1").isNull(), F.lit(0))
+        .when(
+            F.col("t2").isNotNull() & in_w("t2"),
+            F.when(F.col("t3").isNotNull() & in_w("t3"), F.lit(3)).otherwise(
+                F.lit(2)
+            ),
+        )
+        .otherwise(F.lit(1))
+    )
+    joined = (
+        users.join(t1, "user_id", "left")
+        .join(t2.select("user_id", "t2"), "user_id", "left")
+        .join(t3, "user_id", "left")
+    )
+    return (
+        joined.select(lvl.cast("long").alias("level"))
+        .groupBy("level")
+        .agg(F.count("*").alias("n_users"))
+        .orderBy("level")
+    )
+
+
+register(
+    "window_funnel_levels",
+    q_window_funnel_levels,
+    f"""
+WITH t1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view'
+  GROUP BY user_id
+),
+t2 AS (
+  SELECT e.user_id, min(e.ts) AS t2, min(t1.t1) AS t1
+  FROM events e JOIN t1 ON e.user_id = t1.user_id
+  WHERE e.event_type = 'click' AND e.ts > t1.t1
+  GROUP BY e.user_id
+),
+t3 AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN t2 ON e.user_id = t2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > t2.t2
+  GROUP BY e.user_id
+),
+users AS (SELECT DISTINCT user_id FROM events),
+lv AS (
+  SELECT u.user_id,
+    CASE
+      WHEN t1.t1 IS NULL THEN 0
+      WHEN t2.t2 IS NOT NULL
+           AND date_diff('microsecond', t1.t1, t2.t2) <= {_FUNNEL_WINDOW_MIN * 60 * 1_000_000}
+        THEN CASE
+          WHEN t3.t3 IS NOT NULL
+               AND date_diff('microsecond', t1.t1, t3.t3) <= {_FUNNEL_WINDOW_MIN * 60 * 1_000_000}
+            THEN 3 ELSE 2 END
+      ELSE 1
+    END AS level
+  FROM users u
+  LEFT JOIN t1 ON u.user_id = t1.user_id
+  LEFT JOIN t2 ON u.user_id = t2.user_id
+  LEFT JOIN t3 ON u.user_id = t3.user_id
+)
+SELECT CAST(level AS BIGINT) AS level, CAST(count(*) AS BIGINT) AS n_users
+FROM lv GROUP BY level ORDER BY level
+""",
+)

@@ -1748,3 +1748,84 @@ ORDER BY n_triangles DESC, part
 LIMIT 100
 """,
 )
+
+
+# -- Cross-sectional price elasticity per brand ----------------------------
+def q_price_elasticity_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-log price elasticity of demand per brand: regress
+    ln(total quantity) on ln(realized unit price) across the brand's
+    PARTS. Aggregating to one point per (brand, part) first makes the
+    regression population catalog-bounded (parts per brand), so the
+    moment magnitudes are independent of fact-row volume — the same
+    bounding argument as the calendar-bounded series arrays above.
+
+    Parity recipe (ols_demand_trend's, extended to double features):
+    each ln is rounded at 1e-6 and scaled to an exact BIGINT (both
+    features positive, so HALF_UP == half-away); per-row products stay
+    under 2^47 and their sums accumulate in DECIMAL(30,0) on Spark /
+    HUGEINT in DuckDB — exact and associative — so the closed-form
+    numerator/denominator are identical integers cast to identical
+    doubles on both engines, under any shuffle order."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    pt = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    j = li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+    per_part = j.groupBy("p_brand", "p_partkey").agg(
+        F.sum(F.bround(F.col("l_quantity"), 0).cast("long")).alias("qty"),
+        exact_decimal_sum(F.col("l_extendedprice"), 2).alias("rev"),
+    )
+    xy = per_part.select(
+        "p_brand",
+        F.round(F.log(F.col("rev") / F.col("qty")) * 1e6, 0).cast("long").alias("x"),
+        F.round(F.log(F.col("qty").cast("double")) * 1e6, 0)
+        .cast("long")
+        .alias("y"),
+    )
+    m = xy.groupBy("p_brand").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(20,0)")).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(20,0)")).alias("sxx"),
+    )
+    nd = F.col("n").cast("decimal(10,0)")
+    sxd = F.col("sx").cast("decimal(20,0)")
+    syd = F.col("sy").cast("decimal(20,0)")
+    num = (nd * F.col("sxy") - sxd * syd).cast("double")
+    den = (nd * F.col("sxx") - sxd * sxd).cast("double")
+    return (
+        m.filter(F.col("n") >= 10)
+        .select("p_brand", "n", _r4(num / den).alias("elasticity"))
+        .orderBy("p_brand")
+    )
+
+
+register(
+    "price_elasticity_by_brand",
+    q_price_elasticity_by_brand,
+    f"""
+WITH pp AS (
+  SELECT p.p_brand, l.l_partkey,
+         sum(CAST(round_even(l.l_quantity, 0) AS BIGINT)) AS qty,
+         {exact_decimal_sum_sql('l.l_extendedprice', 2)} AS rev
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY 1, 2
+),
+xy AS (
+  SELECT p_brand,
+         CAST(round(ln(rev / qty) * 1e6, 0) AS BIGINT) AS x,
+         CAST(round(ln(CAST(qty AS DOUBLE)) * 1e6, 0) AS BIGINT) AS y
+  FROM pp
+),
+m AS (
+  SELECT p_brand, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx
+  FROM xy GROUP BY 1
+)
+SELECT p_brand, CAST(n AS BIGINT) AS n,
+       {_R4_SQL.format(x='CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)')}
+         AS elasticity
+FROM m WHERE n >= 10 ORDER BY p_brand
+""",
+)

@@ -74,6 +74,11 @@ _PRIORITY = [
     "position_based_attribution",
     "dedup_containment_pairs",
     "streaming_static_enrichment",
+    "hard_negative_mining",
+    "embedding_norm_outliers",
+    "tokenizer_oov_rate",
+    "window_funnel_levels",
+    "price_elasticity_by_brand",
     # then the queries whose only driver evidence is from r1/r2 —
     # oldest green rows, most code drift since; re-certify them with
     # the remaining budget. Everything NOT listed still follows in

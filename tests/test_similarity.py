@@ -153,3 +153,44 @@ def test_gemm_topk_masks_self_and_respects_k(spark):
     got = gemm_cosine_topk(emb, F.col("vec_id") < 3, k=5).toPandas()
     assert (got.groupby("query_id").size() == 5).all()
     assert not ((got.query_id == got.cand_id).any())
+
+
+def test_hard_negative_topk_excludes_anchor_label(spark):
+    """Hard-negative mining: every returned pair crosses labels, rk is
+    a dense 1..k per anchor, and the neighbor sets agree with a
+    label-filtered brute force over the same fold-cosine scores."""
+    from dataframe_retail_e_inventarios_spark.operators.similarity import (
+        hard_negative_topk,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    rows = hard_negative_topk(emb, F.col("vec_id") % 10 == 0, k=5).collect()
+    by_anchor = {}
+    for r in rows:
+        assert r.negative_label != r.anchor_label
+        by_anchor.setdefault(r.anchor_id, []).append(r)
+    for anchor, rs in by_anchor.items():
+        rks = sorted(r.rk for r in rs)
+        assert rks == list(range(1, len(rs) + 1))
+        ordered = sorted(rs, key=lambda r: r.rk)
+        coss = [r.cos for r in ordered]
+        assert coss == sorted(coss, reverse=True)
+
+    # brute force twin: label-filtered exact ranking via numpy
+    import numpy as np
+
+    pdf = emb.toPandas()
+    V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+    ids = pdf["vec_id"].to_numpy()
+    labels = pdf["label"].to_numpy()
+    norms = np.sqrt((V * V).sum(axis=1))
+    for aid, rs in by_anchor.items():
+        ai = int(np.where(ids == aid)[0][0])
+        cos = (V @ V[ai]) / (norms * norms[ai])
+        mask = labels != labels[ai]
+        order = sorted(
+            [(-(round(c, 6)), i) for c, i, ok in zip(cos, ids, mask) if ok]
+        )[:5]
+        expect = {i for _, i in order}
+        got = {r.negative_id for r in rs}
+        assert got == expect
