@@ -140,6 +140,14 @@ HEADLINE = [
     "triangle_count_copurchase",
     "position_based_attribution",
     "dedup_containment_pairs",
+    # round 5, part 3 (continuation): contrastive mining, embedding QA,
+    # vocab coverage, ordered funnel, elasticity, rolling-origin CV
+    "hard_negative_mining",
+    "embedding_norm_outliers",
+    "tokenizer_oov_rate",
+    "window_funnel_levels",
+    "price_elasticity_by_brand",
+    "rolling_origin_backtest",
 ]
 
 # Capability demos: registered + oracle-checked, but benched apart from

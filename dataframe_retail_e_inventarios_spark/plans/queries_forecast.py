@@ -124,3 +124,121 @@ def q_multimodal_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("multimodal_features_udf", q_multimodal_udf, _MULTIMODAL_ORACLE)
+
+
+# -- Rolling-origin cross-validation (forecast backtesting) ----------------
+_CV_FOLDS = 3
+_CV_H = 7  # horizon days; also the trailing-mean lookback
+
+
+def q_rolling_origin_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin forecast cross-validation: for each fold f in
+    1..3 the origin moves back f*7 days from the series end; the model
+    (trailing-7-day mean at the origin) is fit on data up to the
+    origin and scored on the next 7 days. This is the evaluation
+    protocol behind every 'which model wins' table — backtest_metrics
+    scores ONE split, this scores a fold family in a single plan.
+
+    No driver-side loop: the fold dimension is a 3-row frame
+    cross-joined against the dense daily series, so Catalyst sees one
+    dataflow (dense join folds -> two filtered aggregates) and fold
+    parallelism is free. Exactness: daily demand is an exact cent sum,
+    the fold mean divides an exact cent total, and the MAE sums
+    per-day absolute errors rounded at 1e-6 into BIGINTs — every
+    cross-engine / cross-partitioning drift channel is closed.
+
+    Scale: dense is calendar-bounded per series (one row per day); the
+    fold cross join triples that, still calendar-bounded. Both
+    aggregates group on (series, fold) — map-side partial, tiny
+    exchange."""
+    from ..functions.exact import exact_decimal_sum
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select("event_type", F.col("ts").cast("date").alias("ds"), "value")
+        .groupBy("event_type", "ds")
+        .agg(exact_decimal_sum(F.col("value"), 2).alias("y"))
+    )
+    bounds = daily.groupBy("event_type").agg(
+        F.min("ds").alias("mn"), F.max("ds").alias("mx")
+    )
+    spine = bounds.select(
+        "event_type", F.explode(F.sequence("mn", "mx")).alias("ds"), "mx"
+    )
+    dense = (
+        spine.join(daily, ["event_type", "ds"], "left")
+        .fillna({"y": 0.0})
+        .localCheckpoint(eager=True)
+    )
+    folds = spark.range(1, _CV_FOLDS + 1).select(F.col("id").cast("int").alias("fold"))
+    df = dense.crossJoin(F.broadcast(folds))
+    cutoff = F.date_sub(F.col("mx"), F.col("fold") * _CV_H)
+    train_tail = df.filter(
+        (F.col("ds") > F.date_sub(F.col("mx"), F.col("fold") * _CV_H + _CV_H))
+        & (F.col("ds") <= cutoff)
+    )
+    pred = train_tail.groupBy("event_type", "fold").agg(
+        (
+            F.sum(F.bround(F.col("y") * 100, 0).cast("long"))
+            / (F.lit(100.0) * F.count("*"))
+        ).alias("pred")
+    )
+    test = df.filter(
+        (F.col("ds") > cutoff)
+        & (F.col("ds") <= F.date_add(cutoff, _CV_H))
+    )
+    scored = test.join(pred, ["event_type", "fold"])
+    err6 = F.round(F.abs(F.col("y") - F.col("pred")) * 1e6, 0).cast("long")
+    return (
+        scored.groupBy("event_type", "fold")
+        .agg(
+            F.count("*").alias("n_test"),
+            F.round(F.first("pred"), 4).alias("pred"),
+            F.round(F.sum(err6) / F.count("*") / 1e6, 4).alias("mae"),
+        )
+        .orderBy("event_type", "fold")
+    )
+
+
+register(
+    "rolling_origin_backtest",
+    q_rolling_origin_backtest,
+    f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS ds,
+         sum(CAST(round_even(value * 100, 0) AS BIGINT)) / 100.0 AS y
+  FROM events GROUP BY 1, 2
+),
+bounds AS (SELECT event_type, min(ds) AS mn, max(ds) AS mx FROM daily GROUP BY 1),
+spine AS (
+  SELECT event_type, CAST(unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS DATE) AS ds, mx
+  FROM bounds
+),
+dense AS (
+  SELECT s.event_type, s.ds, s.mx, coalesce(d.y, 0.0) AS y
+  FROM spine s LEFT JOIN daily d ON s.event_type = d.event_type AND s.ds = d.ds
+),
+folds AS (SELECT unnest([1, 2, 3]) AS fold),
+df AS (SELECT * FROM dense CROSS JOIN folds),
+pred AS (
+  SELECT event_type, fold,
+         sum(CAST(round_even(y * 100, 0) AS BIGINT)) / (100.0 * count(*)) AS pred
+  FROM df
+  WHERE ds > mx - (fold * {_CV_H} + {_CV_H}) * INTERVAL 1 DAY
+    AND ds <= mx - fold * {_CV_H} * INTERVAL 1 DAY
+  GROUP BY 1, 2
+),
+test AS (
+  SELECT * FROM df
+  WHERE ds > mx - fold * {_CV_H} * INTERVAL 1 DAY
+    AND ds <= mx - fold * {_CV_H} * INTERVAL 1 DAY + {_CV_H} * INTERVAL 1 DAY
+)
+SELECT t.event_type, CAST(t.fold AS INT) AS fold,
+       CAST(count(*) AS BIGINT) AS n_test,
+       round(any_value(p.pred), 4) AS pred,
+       round(sum(CAST(round(abs(t.y - p.pred) * 1e6, 0) AS BIGINT)) / CAST(count(*) AS DOUBLE) / 1e6, 4) AS mae
+FROM test t JOIN pred p ON t.event_type = p.event_type AND t.fold = p.fold
+GROUP BY t.event_type, t.fold
+ORDER BY t.event_type, t.fold
+""",
+)

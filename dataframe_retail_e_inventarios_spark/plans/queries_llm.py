@@ -818,8 +818,9 @@ def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contrastive-pair generation: for a deterministic anchor sample
     (vec_id % 25 == 0), the 5 nearest-by-cosine vectors with a
     DIFFERENT label — the hard negatives an embedding model trains
-    against. Broadcast anchors, label exclusion before scoring, no
-    candidate shuffle; oracle is the label-filtered all-pairs rank."""
+    against. Runs on the blocked-GEMM kernel with same-label masking
+    (no candidate shuffle); both engines rank on the ROUNDED cosine
+    (GEMM vs fold accumulation order), negative_id breaks ties."""
     emb = load_table(spark, sf_dir, "embeddings")
     return hard_negative_topk(emb, F.col("vec_id") % 25 == 0, k=5)
 
@@ -840,14 +841,13 @@ c AS (
 ),
 scored AS (
   SELECT anchor_id, anchor_label, negative_id, negative_label,
-    CASE WHEN sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(cv, cv)) != 0
-         THEN list_inner_product(qv, cv)
-              / (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(cv, cv)))
-         ELSE 0.0 END AS cos
+    round(CASE WHEN sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(cv, cv)) != 0
+               THEN list_inner_product(qv, cv)
+                    / (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(cv, cv)))
+               ELSE 0.0 END, 6) AS cos
   FROM c CROSS JOIN q WHERE negative_label != anchor_label
 )
-SELECT anchor_id, anchor_label, negative_id, negative_label,
-       round(cos, 6) AS cos, rk
+SELECT anchor_id, anchor_label, negative_id, negative_label, cos, rk
 FROM (
   SELECT *, row_number() OVER (PARTITION BY anchor_id
                                ORDER BY cos DESC, negative_id) AS rk

@@ -79,6 +79,7 @@ _PRIORITY = [
     "tokenizer_oov_rate",
     "window_funnel_levels",
     "price_elasticity_by_brand",
+    "rolling_origin_backtest",
     # then the queries whose only driver evidence is from r1/r2 —
     # oldest green rows, most code drift since; re-certify them with
     # the remaining budget. Everything NOT listed still follows in
