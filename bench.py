@@ -148,6 +148,8 @@ HEADLINE = [
     "window_funnel_levels",
     "price_elasticity_by_brand",
     "rolling_origin_backtest",
+    "k_anonymity_audit",
+    "join_cardinality_probe",
 ]
 
 # Capability demos: registered + oracle-checked, but benched apart from

@@ -125,3 +125,116 @@ FROM rows_out
 """
 
 register("dq_constraint_audit", q_dq_constraint_audit, _DQ_ORACLE)
+
+
+# -- k-anonymity audit (data-release governance) ---------------------------
+_K_THRESHOLD = 5
+
+
+def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity over the customer quasi-identifier tuple
+    (nation, market segment, account-balance band): the data-release
+    gate that says how re-identifiable a table is. Reports the
+    smallest equivalence class (min_k), how many classes and what row
+    share fall below k=5 — the numbers a privacy review asks for
+    before an extract ships.
+
+    One scan + one aggregation on the QI tuple, then a metadata-scale
+    rollup of the class-size frame — group count is bounded by the QI
+    domain, not row volume, so the second aggregate is trivially
+    small at any scale. The acctbal band floors to $1000 buckets
+    (floor = exact on both engines; no rounding-mode edge)."""
+    cust = load_table(spark, sf_dir, "customer")
+    classes = (
+        cust.select(
+            "c_nationkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_band"),
+        )
+        .groupBy("c_nationkey", "c_mktsegment", "bal_band")
+        .agg(F.count("*").alias("k"))
+    )
+    return classes.agg(
+        F.sum("k").alias("n_rows"),
+        F.count("*").alias("n_classes"),
+        F.min("k").alias("min_k"),
+        F.sum((F.col("k") < _K_THRESHOLD).cast("long")).alias("classes_below_k"),
+        F.sum(F.when(F.col("k") < _K_THRESHOLD, F.col("k")).otherwise(0)).alias(
+            "rows_below_k"
+        ),
+        F.round(
+            F.sum(F.when(F.col("k") < _K_THRESHOLD, F.col("k")).otherwise(0))
+            / F.sum("k"),
+            6,
+        ).alias("share_below_k"),
+    )
+
+
+register(
+    "k_anonymity_audit",
+    q_k_anonymity_audit,
+    f"""
+WITH classes AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+         count(*) AS k
+  FROM customer GROUP BY 1, 2, 3
+)
+SELECT CAST(sum(k) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(min(k) AS BIGINT) AS min_k,
+       CAST(sum(CASE WHEN k < {_K_THRESHOLD} THEN 1 ELSE 0 END) AS BIGINT)
+         AS classes_below_k,
+       CAST(sum(CASE WHEN k < {_K_THRESHOLD} THEN k ELSE 0 END) AS BIGINT)
+         AS rows_below_k,
+       round(sum(CASE WHEN k < {_K_THRESHOLD} THEN k ELSE 0 END)
+             / CAST(sum(k) AS DOUBLE), 6) AS share_below_k
+FROM classes
+""",
+)
+
+
+# -- Join-cardinality probe (pre-flight skew/size estimate) ----------------
+def q_join_cardinality_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-flight equi-join sizing: before launching orders JOIN
+    lineitem at 100 TB, compute the EXACT output cardinality and its
+    key-level concentration from the two per-key histograms — sum over
+    keys of n_left x n_right, plus how much of that lands on the
+    heaviest key and the p99 key. This is the probe that decides
+    broadcast vs shuffle vs salt ahead of the expensive join: two
+    cheap count aggregates and a join between histograms (one row per
+    key, not per fact row). For an equi-join the estimate is exact —
+    asserted against the physical join in tests/test_dq.py."""
+    orders = load_table(spark, sf_dir, "orders").groupBy(
+        F.col("o_orderkey").alias("k")
+    ).agg(F.count("*").alias("n_l"))
+    li = load_table(spark, sf_dir, "lineitem").groupBy(
+        F.col("l_orderkey").alias("k")
+    ).agg(F.count("*").alias("n_r"))
+    per_key = orders.join(li, "k").select(
+        "k", (F.col("n_l") * F.col("n_r")).alias("pairs")
+    )
+    return per_key.agg(
+        F.sum("pairs").alias("est_rows"),
+        F.count("*").alias("n_join_keys"),
+        F.max("pairs").alias("max_key_pairs"),
+        F.round(F.max("pairs") / F.sum("pairs"), 6).alias("max_key_share"),
+        F.round(F.percentile("pairs", F.lit(0.99)), 4).alias("p99_key_pairs"),
+    )
+
+
+register(
+    "join_cardinality_probe",
+    q_join_cardinality_probe,
+    """
+WITH l AS (SELECT o_orderkey AS k, count(*) AS n_l FROM orders GROUP BY 1),
+r AS (SELECT l_orderkey AS k, count(*) AS n_r FROM lineitem GROUP BY 1),
+per_key AS (SELECT l.k, n_l * n_r AS pairs FROM l JOIN r ON l.k = r.k)
+SELECT CAST(sum(pairs) AS BIGINT) AS est_rows,
+       CAST(count(*) AS BIGINT) AS n_join_keys,
+       CAST(max(pairs) AS BIGINT) AS max_key_pairs,
+       round(max(pairs) / CAST(sum(pairs) AS DOUBLE), 6) AS max_key_share,
+       round(quantile_cont(pairs, 0.99), 4) AS p99_key_pairs
+FROM per_key
+""",
+)

@@ -80,6 +80,8 @@ _PRIORITY = [
     "window_funnel_levels",
     "price_elasticity_by_brand",
     "rolling_origin_backtest",
+    "k_anonymity_audit",
+    "join_cardinality_probe",
     # then the queries whose only driver evidence is from r1/r2 —
     # oldest green rows, most code drift since; re-certify them with
     # the remaining budget. Everything NOT listed still follows in

@@ -4,6 +4,8 @@ predicate audit)."""
 
 import pyspark.sql.functions as F
 
+from tests.conftest import SF_SMOKE
+
 from dataframe_retail_e_inventarios_spark.operators.dq import (
     foreign_key_audit,
     predicate_audit,
@@ -134,3 +136,33 @@ def test_table_audit_fuses_predicates_and_uniqueness_into_one_scan(spark):
     # AQE prints final + initial plans; count scans in the FINAL only
     final = plan.split("== Initial Plan ==")[0]
     assert final.count("Scan ExistingRDD") <= 1  # fused: one scan total
+
+
+def test_join_cardinality_probe_estimate_is_exact(spark):
+    """For an equi-join the histogram-product estimate equals the
+    physical join's row count — the property that makes the probe a
+    trustworthy pre-flight check."""
+    from dataframe_retail_e_inventarios_spark.plans.queries_dq import (
+        q_join_cardinality_probe,
+    )
+    from dataframe_retail_e_inventarios_spark.sources.readers import load_table
+
+    est = q_join_cardinality_probe(spark, SF_SMOKE).collect()[0]["est_rows"]
+    orders = load_table(spark, SF_SMOKE, "orders")
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    actual = orders.join(li, orders.o_orderkey == li.l_orderkey).count()
+    assert est == actual
+
+
+def test_k_anonymity_audit_consistency(spark):
+    """Class counts and row shares reconcile: rows_below_k <= n_rows,
+    share matches the ratio, min_k >= 1."""
+    from dataframe_retail_e_inventarios_spark.plans.queries_dq import (
+        q_k_anonymity_audit,
+    )
+
+    r = q_k_anonymity_audit(spark, SF_SMOKE).collect()[0]
+    assert r["min_k"] >= 1
+    assert 0 <= r["rows_below_k"] <= r["n_rows"]
+    assert abs(r["share_below_k"] - r["rows_below_k"] / r["n_rows"]) < 1e-6
+    assert r["classes_below_k"] <= r["n_classes"]
