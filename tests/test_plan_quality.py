@@ -291,3 +291,43 @@ def test_multi_consumer_queries_scan_once(spark):
     ):
         plan = plan_of(spark, name)
         assert plan.count("FileScan parquet") == 0, f"{name} re-scans parquet"
+
+
+def test_funnel_pushes_step_filters_to_scan(spark):
+    # Each funnel step reads only its event type: the equality
+    # predicate must reach the parquet scan, and only the three used
+    # columns survive pruning.
+    plan = plan_of(spark, "window_funnel_levels")
+    assert "EqualTo(event_type,view)" in plan
+    assert "EqualTo(event_type,click)" in plan
+    assert "EqualTo(event_type,purchase)" in plan
+    assert "value" not in plan.split("ReadSchema")[-1]
+
+
+def test_elasticity_broadcasts_part_dim(spark):
+    plan = plan_of(spark, "price_elasticity_by_brand")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_oov_rate_broadcasts_vocab_and_takeordered_topk(spark):
+    # vocab induction is a distributed top-k (TakeOrderedAndProject),
+    # and the coverage join broadcasts the 512-row vocab — the corpus
+    # side must not shuffle for it.
+    plan = plan_of(spark, "tokenizer_oov_rate")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_join_probe_never_joins_fact_rows(spark):
+    # the probe joins per-key HISTOGRAMS (post-aggregate), so each
+    # side aggregates BEFORE the join: no fact-row join appears.
+    plan = plan_of(spark, "join_cardinality_probe")
+    pre, _, post = plan.partition("SortMergeJoin")
+    if not post:  # AQE may choose broadcast for the histogram join
+        pre, _, post = plan.partition("BroadcastHashJoin")
+    assert post, "expected a histogram join in the plan"
+    # both join inputs are aggregates, not scans: HashAggregate must
+    # appear on the build side string before any parquet scan does
+    assert post.count("HashAggregate") >= 2
