@@ -150,6 +150,8 @@ HEADLINE = [
     "rolling_origin_backtest",
     "k_anonymity_audit",
     "join_cardinality_probe",
+    "target_encoding_brand",
+    "woe_information_value",
 ]
 
 # Capability demos: registered + oracle-checked, but benched apart from
@@ -192,6 +194,17 @@ CURVE = [
     # pair is a true near-dup) and the scan-bound BPE pair count.
     "dedup_setsim_prefix",
     "bpe_pair_counts",
+    # round 5, part 3: the continuation families. hard_negative_mining
+    # is the GEMM stress point (the 10x fixture replicates the anchor
+    # sample too, so pair count grows 100x — measured ~2x wall: BLAS
+    # absorbs it); rolling_origin/price_elasticity are the
+    # calendar/catalog-bounded flat-slope exhibits.
+    "hard_negative_mining",
+    "tokenizer_oov_rate",
+    "window_funnel_levels",
+    "rolling_origin_backtest",
+    "price_elasticity_by_brand",
+    "join_cardinality_probe",
 ]
 
 

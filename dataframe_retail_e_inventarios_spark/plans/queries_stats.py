@@ -165,3 +165,124 @@ SELECT product_id, store_id, round(median(pred), 4) AS ensemble,
 FROM unpivoted GROUP BY 1, 2
 """,
 )
+
+
+# -- ML feature engineering: smoothed target encoding ----------------------
+_TE_SMOOTH = 50
+
+
+def q_target_encoding_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed mean target encoding of p_brand against line quantity:
+    encoded = (sum_brand + m * prior) / (n_brand + m) with m=50 — the
+    additive-smoothing encoder every tabular-ML pipeline ships, which
+    shrinks rare categories toward the global mean instead of
+    memorizing them.
+
+    Exactness: quantity is integral, so both the brand sums and the
+    global prior are exact BIGINT ratios; the smoothing formula then
+    runs the same double ops on identical inputs in both engines. One
+    fact scan (broadcast dim join), map-side partial aggregation, and
+    a broadcast of the single-row prior."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity")
+    pt = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    j = li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+    per_brand = j.groupBy("p_brand").agg(
+        F.count("*").alias("n"),
+        F.sum(F.bround(F.col("l_quantity"), 0).cast("long")).alias("s"),
+    )
+    prior = per_brand.agg(
+        (F.sum("s") / F.sum("n")).alias("prior")
+    )
+    out = per_brand.crossJoin(F.broadcast(prior))
+    enc = (F.col("s") + _TE_SMOOTH * F.col("prior")) / (F.col("n") + _TE_SMOOTH)
+    return out.select(
+        "p_brand",
+        "n",
+        F.round(F.col("s") / F.col("n"), 6).alias("raw_mean"),
+        F.round(enc, 6).alias("encoded"),
+        F.round("prior", 6).alias("prior"),
+    ).orderBy("p_brand")
+
+
+register(
+    "target_encoding_brand",
+    q_target_encoding_brand,
+    f"""
+WITH per_brand AS (
+  SELECT p.p_brand, count(*) AS n,
+         sum(CAST(round_even(l.l_quantity, 0) AS BIGINT)) AS s
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY 1
+),
+pr AS (SELECT sum(s) / CAST(sum(n) AS DOUBLE) AS prior FROM per_brand)
+SELECT p_brand, CAST(n AS BIGINT) AS n,
+       round(s / CAST(n AS DOUBLE), 6) AS raw_mean,
+       round((s + {_TE_SMOOTH} * prior) / (n + {_TE_SMOOTH}), 6) AS encoded,
+       round(prior, 6) AS prior
+FROM per_brand CROSS JOIN pr
+ORDER BY p_brand
+""",
+)
+
+
+# -- Weight of evidence / information value --------------------------------
+def q_woe_information_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence banding of order priority against the
+    finished-order outcome (o_orderstatus = 'F'): WOE_g =
+    ln(event-share / non-event-share), with each group's IV
+    contribution (share-gap x WOE) — the credit-scoring-style
+    predictive-power screen for a categorical feature.
+
+    All shares are exact integer-count ratios; the single ln runs on
+    identical doubles in both engines and rounds at 6dp. One scan,
+    one tiny aggregation, totals broadcast back over the 5 groups."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        (F.col("o_orderstatus") == "F").cast("long").alias("evt"),
+    )
+    g = o.groupBy("o_orderpriority").agg(
+        F.sum("evt").alias("n_evt"),
+        F.sum(F.lit(1) - F.col("evt")).alias("n_non"),
+    )
+    tot = g.agg(
+        F.sum("n_evt").alias("t_evt"), F.sum("n_non").alias("t_non")
+    )
+    x = g.crossJoin(F.broadcast(tot))
+    evt_share = F.col("n_evt") / F.col("t_evt")
+    non_share = F.col("n_non") / F.col("t_non")
+    woe = F.log(evt_share / non_share)
+    return x.select(
+        "o_orderpriority",
+        "n_evt",
+        "n_non",
+        F.round(evt_share, 6).alias("evt_share"),
+        F.round(non_share, 6).alias("non_share"),
+        F.round(woe, 6).alias("woe"),
+        F.round((evt_share - non_share) * woe, 6).alias("iv_contribution"),
+    ).orderBy("o_orderpriority")
+
+
+register(
+    "woe_information_value",
+    q_woe_information_value,
+    """
+WITH g AS (
+  SELECT o_orderpriority,
+         sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_evt,
+         sum(CASE WHEN o_orderstatus = 'F' THEN 0 ELSE 1 END) AS n_non
+  FROM orders GROUP BY 1
+),
+t AS (SELECT sum(n_evt) AS t_evt, sum(n_non) AS t_non FROM g)
+SELECT o_orderpriority,
+       CAST(n_evt AS BIGINT) AS n_evt,
+       CAST(n_non AS BIGINT) AS n_non,
+       round(n_evt / CAST(t_evt AS DOUBLE), 6) AS evt_share,
+       round(n_non / CAST(t_non AS DOUBLE), 6) AS non_share,
+       round(ln((n_evt / CAST(t_evt AS DOUBLE)) / (n_non / CAST(t_non AS DOUBLE))), 6) AS woe,
+       round((n_evt / CAST(t_evt AS DOUBLE) - n_non / CAST(t_non AS DOUBLE))
+             * ln((n_evt / CAST(t_evt AS DOUBLE)) / (n_non / CAST(t_non AS DOUBLE))), 6)
+         AS iv_contribution
+FROM g CROSS JOIN t
+ORDER BY o_orderpriority
+""",
+)

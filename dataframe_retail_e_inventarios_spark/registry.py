@@ -82,6 +82,8 @@ _PRIORITY = [
     "rolling_origin_backtest",
     "k_anonymity_audit",
     "join_cardinality_probe",
+    "target_encoding_brand",
+    "woe_information_value",
     # then the queries whose only driver evidence is from r1/r2 —
     # oldest green rows, most code drift since; re-certify them with
     # the remaining budget. Everything NOT listed still follows in
