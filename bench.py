@@ -152,6 +152,7 @@ HEADLINE = [
     "join_cardinality_probe",
     "target_encoding_brand",
     "woe_information_value",
+    "survival_km_signup_purchase",
 ]
 
 # Capability demos: registered + oracle-checked, but benched apart from

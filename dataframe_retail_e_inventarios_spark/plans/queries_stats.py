@@ -286,3 +286,168 @@ FROM g CROSS JOIN t
 ORDER BY o_orderpriority
 """,
 )
+
+
+# -- Kaplan-Meier survival: signup -> first purchase -----------------------
+_KM_CUTOFF_DAYS = 7
+
+
+def q_survival_km_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve for time from signup to first
+    purchase, with administrative censoring at 7 days — the estimator
+    behind conversion-latency and churn dashboards, done properly
+    (censored users leave the risk set without counting as events).
+
+    Distributed shape: the per-user pass reduces events to one
+    (duration, event) row per user; everything after operates on the
+    day-grid frame, whose size is bounded by the censoring horizon
+    (<= 8 rows) — so the risk-set prefix sums and the cumulative
+    product run as TRIANGULAR BROADCAST JOINS over metadata-scale
+    frames (operators/prefix.py's trick), never a single-partition
+    window. The KM product is exp of an exact scaled-BIGINT sum of
+    per-day ln(1 - d/n) terms (bround <-> round_even: the terms are
+    negative), so the curve is bit-identical across engines and
+    partitionings. A day where d = n drives survival to exactly 0
+    via a flag, not ln(0)."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    su = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("su"))
+    )
+    fp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(su, "user_id")
+        .filter(F.col("ts") > F.col("su"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("fp"), F.min("su").alias("su"))
+    )
+    days = F.floor(
+        F.timestamp_diff("MICROSECOND", F.col("su"), F.col("fp")) / 86400e6
+    )
+    per_user = (
+        su.join(fp.select("user_id", "fp"), "user_id", "left")
+        .select(
+            F.when(
+                F.col("fp").isNull()
+                | (days > _KM_CUTOFF_DAYS), F.lit(_KM_CUTOFF_DAYS)
+            )
+            .otherwise(days)
+            .cast("long")
+            .alias("dur"),
+            (
+                F.col("fp").isNotNull() & (days <= _KM_CUTOFF_DAYS)
+            ).cast("long").alias("evt"),
+        )
+    )
+    grid = (
+        per_user.groupBy("dur")
+        .agg(
+            F.sum("evt").alias("d"),
+            F.sum(F.lit(1) - F.col("evt")).alias("c"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    total = grid.agg(F.sum(F.col("d") + F.col("c")).alias("total"))
+    prev = grid.select(
+        F.col("dur").alias("p_dur"), (F.col("d") + F.col("c")).alias("p_out")
+    )
+    risk = (
+        grid.crossJoin(F.broadcast(total))
+        .join(F.broadcast(prev), F.col("p_dur") < F.col("dur"), "left")
+        .groupBy("dur", "d", "c", "total")
+        .agg(F.coalesce(F.sum("p_out"), F.lit(0)).alias("before"))
+        .withColumn("n_risk", F.col("total") - F.col("before"))
+    )
+    term = F.when(
+        (F.col("d") > 0) & (F.col("d") < F.col("n_risk")),
+        F.bround(F.log(F.lit(1.0) - F.col("d") / F.col("n_risk")) * 1e9, 0).cast(
+            "long"
+        ),
+    ).otherwise(F.lit(0))
+    dead = (F.col("d") == F.col("n_risk")).cast("int")
+    e = risk.select("dur", "d", "c", "n_risk", term.alias("term"), dead.alias("dead"))
+    prev2 = e.select(
+        F.col("dur").alias("p_dur"),
+        F.col("term").alias("p_term"),
+        F.col("dead").alias("p_dead"),
+    )
+    f = (
+        e.join(F.broadcast(prev2), F.col("p_dur") <= F.col("dur"))
+        .groupBy("dur", "n_risk", "d", "c")
+        .agg(
+            F.sum("p_term").alias("ls"),
+            F.max("p_dead").alias("anydead"),
+        )
+    )
+    surv = F.when(F.col("anydead") == 1, F.lit(0.0)).otherwise(
+        F.round(F.exp(F.col("ls") / 1e9), 6)
+    )
+    return f.select(
+        F.col("dur").alias("day"),
+        "n_risk",
+        F.col("d").alias("n_events"),
+        F.col("c").alias("n_censored"),
+        surv.alias("survival"),
+    ).orderBy("day")
+
+
+register(
+    "survival_km_signup_purchase",
+    q_survival_km_signup_purchase,
+    f"""
+WITH su AS (
+  SELECT user_id, min(ts) AS su FROM events WHERE event_type = 'signup'
+  GROUP BY 1
+),
+fp AS (
+  SELECT e.user_id, min(e.ts) AS fp
+  FROM events e JOIN su ON e.user_id = su.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > su.su
+  GROUP BY 1
+),
+per_user AS (
+  SELECT
+    CASE WHEN fp.fp IS NULL
+           OR floor(date_diff('microsecond', su.su, fp.fp) / 86400e6) > {_KM_CUTOFF_DAYS}
+         THEN {_KM_CUTOFF_DAYS}
+         ELSE CAST(floor(date_diff('microsecond', su.su, fp.fp) / 86400e6) AS BIGINT)
+    END AS dur,
+    CASE WHEN fp.fp IS NOT NULL
+           AND floor(date_diff('microsecond', su.su, fp.fp) / 86400e6) <= {_KM_CUTOFF_DAYS}
+         THEN 1 ELSE 0 END AS evt
+  FROM su LEFT JOIN fp ON su.user_id = fp.user_id
+),
+grid AS (
+  SELECT dur, sum(evt) AS d, sum(1 - evt) AS c FROM per_user GROUP BY 1
+),
+w AS (
+  SELECT *,
+    (SELECT sum(d + c) FROM grid) AS total,
+    coalesce(sum(d + c) OVER (ORDER BY dur
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+  FROM grid
+),
+e AS (
+  SELECT dur, d, c, total - before AS n_risk,
+    CASE WHEN d > 0 AND d < total - before
+         THEN CAST(round_even(ln(1 - d / CAST(total - before AS DOUBLE)) * 1e9, 0) AS BIGINT)
+         ELSE 0 END AS term,
+    CASE WHEN d = total - before THEN 1 ELSE 0 END AS dead
+  FROM w
+),
+f AS (
+  SELECT dur, n_risk, d, c,
+    sum(term) OVER (ORDER BY dur) AS ls,
+    max(dead) OVER (ORDER BY dur) AS anydead
+  FROM e
+)
+SELECT dur AS day,
+       CAST(n_risk AS BIGINT) AS n_risk,
+       CAST(d AS BIGINT) AS n_events,
+       CAST(c AS BIGINT) AS n_censored,
+       CASE WHEN anydead = 1 THEN 0.0
+            ELSE round(exp(ls / 1e9), 6) END AS survival
+FROM f ORDER BY day
+""",
+)

@@ -84,6 +84,7 @@ _PRIORITY = [
     "join_cardinality_probe",
     "target_encoding_brand",
     "woe_information_value",
+    "survival_km_signup_purchase",
     # then the queries whose only driver evidence is from r1/r2 —
     # oldest green rows, most code drift since; re-certify them with
     # the remaining budget. Everything NOT listed still follows in

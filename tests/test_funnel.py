@@ -76,3 +76,23 @@ def test_window_funnel_counts_partition_users(spark, tmp_path):
     sf_dir = _write_events(spark, tmp_path, rows)
     out = q_window_funnel_levels(spark, sf_dir)
     assert out.agg(F.sum("n_users")).collect()[0][0] == 20
+
+
+def test_survival_km_properties(spark):
+    """KM invariants on the fixture: risk-set recurrence
+    n_{i+1} = n_i - d_i - c_i, and — because this design censors only
+    at the horizon — S(t) equals the ECDF complement (n - cum_d)/n
+    exactly (the two estimators coincide iff no interior censoring)."""
+    from dataframe_retail_e_inventarios_spark.plans.queries_stats import (
+        q_survival_km_signup_purchase,
+    )
+
+    rows = q_survival_km_signup_purchase(spark, "/root/testdata/sf0.01").collect()
+    n0 = rows[0]["n_risk"]
+    cum_d = 0
+    for i, r in enumerate(rows):
+        if i + 1 < len(rows):
+            assert rows[i + 1]["n_risk"] == r["n_risk"] - r["n_events"] - r["n_censored"]
+        cum_d += r["n_events"]
+        assert abs(r["survival"] - round((n0 - cum_d) / n0, 6)) <= 1e-6
+    assert rows[-1]["n_censored"] >= 0
