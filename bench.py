@@ -153,6 +153,8 @@ HEADLINE = [
     "target_encoding_brand",
     "woe_information_value",
     "survival_km_signup_purchase",
+    "chi_square_segment_nation",
+    "psi_order_price_drift",
 ]
 
 # Capability demos: registered + oracle-checked, but benched apart from

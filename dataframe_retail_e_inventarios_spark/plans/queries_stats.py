@@ -451,3 +451,143 @@ SELECT dur AS day,
 FROM f ORDER BY day
 """,
 )
+
+
+# -- Chi-square independence test ------------------------------------------
+def q_chi_square_segment_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square independence screen for two categoricals
+    (customer market segment x nation): observed counts vs
+    independence-expected counts, per-cell contributions summed into
+    the statistic with dof — the first question of any segmentation
+    analysis ('is this split real?').
+
+    Observed counts and margins are exact integers; each cell's
+    (o - e)^2 / e is computed on identical doubles in both engines
+    and snapped to a scaled BIGINT before the total (accumulation-
+    order-proof). One scan; margins broadcast back over the bounded
+    cell grid (|segments| x |nations|)."""
+    cust = load_table(spark, sf_dir, "customer")
+    cells = cust.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.count("*").alias("o")
+    ).localCheckpoint(eager=True)
+    rowm = cells.groupBy("c_mktsegment").agg(F.sum("o").alias("row_n"))
+    colm = cells.groupBy("c_nationkey").agg(F.sum("o").alias("col_n"))
+    tot = cells.agg(F.sum("o").alias("n"))
+    x = (
+        cells.join(F.broadcast(rowm), "c_mktsegment")
+        .join(F.broadcast(colm), "c_nationkey")
+        .crossJoin(F.broadcast(tot))
+    )
+    e = F.col("row_n") * F.col("col_n") / F.col("n")
+    term = F.bround((F.col("o") - e) * (F.col("o") - e) / e * 1e9, 0).cast("long")
+    agg = x.agg(
+        F.round(F.sum(term) / 1e9, 6).alias("chi2"),
+        F.countDistinct("c_mktsegment").alias("n_seg"),
+        F.countDistinct("c_nationkey").alias("n_nat"),
+    )
+    return agg.select(
+        "chi2",
+        ((F.col("n_seg") - 1) * (F.col("n_nat") - 1)).alias("dof"),
+        "n_seg",
+        "n_nat",
+    )
+
+
+register(
+    "chi_square_segment_nation",
+    q_chi_square_segment_nation,
+    """
+WITH cells AS (
+  SELECT c_mktsegment, c_nationkey, count(*) AS o
+  FROM customer GROUP BY 1, 2
+),
+rowm AS (SELECT c_mktsegment, sum(o) AS row_n FROM cells GROUP BY 1),
+colm AS (SELECT c_nationkey, sum(o) AS col_n FROM cells GROUP BY 1),
+tot AS (SELECT sum(o) AS n FROM cells)
+SELECT
+  round(sum(CAST(round_even((o - row_n * col_n / CAST(n AS DOUBLE))
+                            * (o - row_n * col_n / CAST(n AS DOUBLE))
+                            / (row_n * col_n / CAST(n AS DOUBLE)) * 1e9, 0) AS BIGINT))
+        / 1e9, 6) AS chi2,
+  CAST((count(DISTINCT c.c_mktsegment) - 1) * (count(DISTINCT c.c_nationkey) - 1) AS BIGINT) AS dof,
+  CAST(count(DISTINCT c.c_mktsegment) AS BIGINT) AS n_seg,
+  CAST(count(DISTINCT c.c_nationkey) AS BIGINT) AS n_nat
+FROM cells c
+JOIN rowm USING (c_mktsegment)
+JOIN colm USING (c_nationkey)
+CROSS JOIN tot
+""",
+)
+
+
+# -- Population stability index (distribution drift) -----------------------
+_PSI_BIN = 20000  # $20k price bins
+
+
+def q_psi_order_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the first and second half of
+    the order history, over fixed $20k total-price bins — the standard
+    production-ML drift monitor (PSI < 0.1 stable, > 0.25 shifted).
+    PSI = sum over bins of (p_a - p_b) * ln(p_a / p_b), with 0-count
+    bins floored at 1e-6 share (the conventional guard, applied
+    identically on both engines).
+
+    One scan splits on the midpoint date (derived from min/max, no
+    second pass); bin counts are exact integers, shares exact ratios,
+    and each bin's PSI term is snapped to a scaled BIGINT before the
+    total. Bin count is value-range-bounded, so everything after the
+    first aggregate is metadata-scale."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderdate", "o_totalprice")
+    bounds = o.agg(
+        F.min("o_orderdate").alias("mn"), F.max("o_orderdate").alias("mx")
+    )
+    x = o.crossJoin(F.broadcast(bounds))
+    mid = F.date_add(
+        F.col("mn"), (F.datediff(F.col("mx"), F.col("mn")) / 2).cast("int")
+    )
+    binned = x.select(
+        F.floor(F.col("o_totalprice") / _PSI_BIN).cast("long").alias("bin"),
+        F.when(F.col("o_orderdate") <= mid, 1).otherwise(0).alias("is_a"),
+    )
+    g = binned.groupBy("bin").agg(
+        F.sum("is_a").alias("n_a"),
+        F.sum(F.lit(1) - F.col("is_a")).alias("n_b"),
+    ).localCheckpoint(eager=True)
+    tot = g.agg(F.sum("n_a").alias("t_a"), F.sum("n_b").alias("t_b"))
+    j = g.crossJoin(F.broadcast(tot))
+    p_a = F.greatest(F.col("n_a") / F.col("t_a"), F.lit(1e-6))
+    p_b = F.greatest(F.col("n_b") / F.col("t_b"), F.lit(1e-6))
+    term = F.bround((p_a - p_b) * F.log(p_a / p_b) * 1e9, 0).cast("long")
+    return j.agg(
+        F.round(F.sum(term) / 1e9, 6).alias("psi"),
+        F.count("*").alias("n_bins"),
+        F.sum("n_a").alias("n_period_a"),
+        F.sum("n_b").alias("n_period_b"),
+    )
+
+
+register(
+    "psi_order_price_drift",
+    q_psi_order_price_drift,
+    f"""
+WITH bounds AS (SELECT min(o_orderdate) AS mn, max(o_orderdate) AS mx FROM orders),
+binned AS (
+  SELECT CAST(floor(o_totalprice / {_PSI_BIN}) AS BIGINT) AS bin,
+         CASE WHEN o_orderdate <= mn + CAST(date_diff('day', mn, mx) // 2 AS INT) * INTERVAL 1 DAY
+              THEN 1 ELSE 0 END AS is_a
+  FROM orders CROSS JOIN bounds
+),
+g AS (SELECT bin, sum(is_a) AS n_a, sum(1 - is_a) AS n_b FROM binned GROUP BY 1),
+t AS (SELECT sum(n_a) AS t_a, sum(n_b) AS t_b FROM g)
+SELECT
+  round(sum(CAST(round_even((greatest(n_a / CAST(t_a AS DOUBLE), 1e-6)
+                             - greatest(n_b / CAST(t_b AS DOUBLE), 1e-6))
+                            * ln(greatest(n_a / CAST(t_a AS DOUBLE), 1e-6)
+                                 / greatest(n_b / CAST(t_b AS DOUBLE), 1e-6)) * 1e9, 0) AS BIGINT))
+        / 1e9, 6) AS psi,
+  CAST(count(*) AS BIGINT) AS n_bins,
+  CAST(sum(n_a) AS BIGINT) AS n_period_a,
+  CAST(sum(n_b) AS BIGINT) AS n_period_b
+FROM g CROSS JOIN t
+""",
+)

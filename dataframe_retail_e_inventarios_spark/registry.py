@@ -85,6 +85,8 @@ _PRIORITY = [
     "target_encoding_brand",
     "woe_information_value",
     "survival_km_signup_purchase",
+    "chi_square_segment_nation",
+    "psi_order_price_drift",
     # then the queries whose only driver evidence is from r1/r2 —
     # oldest green rows, most code drift since; re-certify them with
     # the remaining budget. Everything NOT listed still follows in
