@@ -155,6 +155,7 @@ HEADLINE = [
     "survival_km_signup_purchase",
     "chi_square_segment_nation",
     "psi_order_price_drift",
+    "dedup_jaccard_threshold_sweep",
 ]
 
 # Capability demos: registered + oracle-checked, but benched apart from

@@ -1071,3 +1071,59 @@ WHERE sa.n_sh >= 5 AND sb.n_sh >= 5
   AND (n_inter / sa.n_sh >= 0.6 OR n_inter / sb.n_sh >= 0.6)
 """.format(toks=_TOKS, sh=_SH, max_df=MAX_DF),
 )
+
+
+# -- Dedup threshold calibration: Jaccard histogram sweep ------------------
+def q_dedup_jaccard_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-tuning evidence for the dedup family: the full
+    Jaccard histogram over every candidate pair the inverted shingle
+    index produces (>= 1 shared shingle, hot-shingle df cap), in 0.1
+    buckets, with the cumulative pair count at or above each bucket
+    edge — the curve an operator reads before picking 0.35 vs 0.5
+    for a new corpus. One index pass (same plan as
+    dedup_ngram_jaccard at threshold ~0); the histogram and its
+    cumulative tail run on a <= 10-row frame (triangular join, no
+    single-partition window)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, threshold=0.0001, max_df=MAX_DF)
+    bucket = F.least(F.floor(F.col("jaccard") * 10).cast("long"), F.lit(9))
+    hist = (
+        pairs.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_pairs"))
+        .localCheckpoint(eager=True)
+    )
+    prev = hist.select(
+        F.col("bucket").alias("p_bucket"), F.col("n_pairs").alias("p_n")
+    )
+    return (
+        hist.join(F.broadcast(prev), F.col("p_bucket") >= F.col("bucket"))
+        .groupBy("bucket", "n_pairs")
+        .agg(F.sum("p_n").alias("n_pairs_at_or_above"))
+        .select(
+            F.round(F.col("bucket") / 10.0, 1).alias("jaccard_floor"),
+            "n_pairs",
+            "n_pairs_at_or_above",
+        )
+        .orderBy("jaccard_floor")
+    )
+
+
+register(
+    "dedup_jaccard_threshold_sweep",
+    q_dedup_jaccard_threshold_sweep,
+    f"""
+WITH {_SHINGLE_INDEX_SQL.strip()},
+b AS (
+  SELECT least(CAST(floor(jaccard * 10) AS BIGINT), 9) AS bucket
+  FROM jac WHERE jaccard >= 0.0001
+),
+hist AS (SELECT bucket, count(*) AS n_pairs FROM b GROUP BY 1)
+SELECT round(h.bucket / 10.0, 1) AS jaccard_floor,
+       CAST(h.n_pairs AS BIGINT) AS n_pairs,
+       CAST(sum(p.n_pairs) AS BIGINT) AS n_pairs_at_or_above
+FROM hist h JOIN hist p ON p.bucket >= h.bucket
+GROUP BY h.bucket, h.n_pairs
+ORDER BY jaccard_floor
+""",
+)

@@ -87,6 +87,7 @@ _PRIORITY = [
     "survival_km_signup_purchase",
     "chi_square_segment_nation",
     "psi_order_price_drift",
+    "dedup_jaccard_threshold_sweep",
     # then the queries whose only driver evidence is from r1/r2 —
     # oldest green rows, most code drift since; re-certify them with
     # the remaining budget. Everything NOT listed still follows in
