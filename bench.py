@@ -156,6 +156,7 @@ HEADLINE = [
     "chi_square_segment_nation",
     "psi_order_price_drift",
     "dedup_jaccard_threshold_sweep",
+    "video_frame_schedule",
 ]
 
 # Capability demos: registered + oracle-checked, but benched apart from

@@ -137,3 +137,52 @@ def documents_as_media(docs: DataFrame) -> DataFrame:
         F.lit("text/plain").alias("media_type"),
         F.encode("text", "utf-8").alias("payload"),
     )
+
+
+MAX_SAMPLED_FRAMES = 16
+
+
+def frame_sample_schedule(
+    media: DataFrame,
+    duration_ms_col: str = "duration_ms",
+    fps_col: str = "fps",
+    id_col: str = "doc_id",
+    max_frames: int = MAX_SAMPLED_FRAMES,
+) -> DataFrame:
+    """Uniform-stride video frame-sampling schedule: for each asset,
+    the frame indices (and their timestamps) a decode stage should
+    pull, capped at ``max_frames`` per asset. This is the step BEFORE
+    the codec — pure arithmetic on metadata, so unlike the decode stub
+    it is fully real here: a production pipeline feeds this schedule
+    to the ffmpeg stage and decodes ONLY the scheduled frames (the
+    100 TB video trick — never decode what you won't sample).
+
+    Plan shape: sequence/transform/explode generators, zero shuffles,
+    output bounded at max_frames rows per asset.
+    """
+    n_total = F.greatest(
+        F.floor(F.col(duration_ms_col) * F.col(fps_col) / 1000).cast("long"),
+        F.lit(1),
+    )
+    stride = F.greatest((n_total / max_frames).cast("long"), F.lit(1))
+    idx_seq = F.slice(
+        F.sequence(F.lit(0), n_total - 1, stride), 1, max_frames
+    )
+    out = media.select(
+        F.col(id_col),
+        F.col(duration_ms_col),
+        F.col(fps_col),
+        n_total.alias("n_frames_total"),
+        F.posexplode(idx_seq).alias("sample_no", "frame_idx"),
+    )
+    return out.select(
+        id_col,
+        duration_ms_col,
+        fps_col,
+        "n_frames_total",
+        F.col("sample_no").cast("long").alias("sample_no"),
+        "frame_idx",
+        F.floor(F.col("frame_idx") * 1000 / F.col(fps_col))
+        .cast("long")
+        .alias("ts_ms"),
+    )

@@ -242,3 +242,61 @@ GROUP BY t.event_type, t.fold
 ORDER BY t.event_type, t.fold
 """,
 )
+
+
+# -- N5: video frame-sampling schedule (pre-decode planning) ---------------
+def q_video_frame_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling schedule for a synthetic video corpus: each
+    document stands in for an asset with deterministic metadata
+    (duration from n_chars, fps by id parity), and the operator emits
+    the <=16 uniformly-strided frame indices + timestamps a decode
+    stage would pull. The schedule is the REAL operator (pure
+    metadata arithmetic — decode only what you sample); the codec
+    stays behind the documented stub. Generator-only plan, zero
+    shuffles."""
+    from ..operators.multimodal import frame_sample_schedule
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        "doc_id",
+        ((F.col("n_chars") * 37) % 600000 + 1000).cast("long").alias("duration_ms"),
+        F.when(F.col("doc_id") % 2 == 0, 24).otherwise(30).alias("fps"),
+    )
+    return frame_sample_schedule(media)
+
+
+register(
+    "video_frame_schedule",
+    q_video_frame_schedule,
+    """
+WITH media AS (
+  SELECT doc_id,
+         CAST((n_chars * 37) % 600000 + 1000 AS BIGINT) AS duration_ms,
+         CASE WHEN doc_id % 2 = 0 THEN 24 ELSE 30 END AS fps
+  FROM documents
+),
+m AS (
+  SELECT *,
+    greatest(CAST(floor(duration_ms * fps / 1000) AS BIGINT), 1) AS n_frames_total
+  FROM media
+),
+s AS (
+  SELECT *,
+    greatest(CAST(floor(n_frames_total / 16) AS BIGINT), 1) AS stride
+  FROM m
+),
+ex AS (
+  SELECT doc_id, duration_ms, fps, n_frames_total,
+         unnest(list_slice(generate_series(0, n_frames_total - 1, stride), 1, 16))
+           AS frame_idx,
+         generate_subscripts(list_slice(generate_series(0, n_frames_total - 1, stride), 1, 16), 1) - 1
+           AS sample_no
+  FROM s
+)
+SELECT doc_id, duration_ms, fps, n_frames_total,
+       CAST(sample_no AS BIGINT) AS sample_no,
+       CAST(frame_idx AS BIGINT) AS frame_idx,
+       CAST(floor(frame_idx * 1000 / fps) AS BIGINT) AS ts_ms
+FROM ex
+""",
+)

@@ -88,6 +88,7 @@ _PRIORITY = [
     "chi_square_segment_nation",
     "psi_order_price_drift",
     "dedup_jaccard_threshold_sweep",
+    "video_frame_schedule",
     # then the queries whose only driver evidence is from r1/r2 —
     # oldest green rows, most code drift since; re-certify them with
     # the remaining budget. Everything NOT listed still follows in

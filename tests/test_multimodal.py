@@ -43,3 +43,36 @@ def test_native_and_mapinpandas_paths_agree(spark):
 def test_resize_is_explicitly_stubbed():
     with pytest.raises(NotImplementedError):
         resize_stub(b"\x89PNG", 64, 64)
+
+
+def test_frame_schedule_bounds_and_coverage(spark):
+    """Schedule invariants: <=16 frames per asset, indices strictly
+    increasing with uniform stride, every index < n_frames_total, and
+    short clips (< 16 frames) sample every frame exactly once."""
+    import pyspark.sql.functions as F
+    from dataframe_retail_e_inventarios_spark.operators.multimodal import (
+        frame_sample_schedule,
+    )
+
+    media = spark.createDataFrame(
+        [(1, 500, 24), (2, 100_000, 30), (3, 1000, 24), (4, 3_600_000, 30)],
+        "doc_id long, duration_ms long, fps int",
+    )
+    rows = frame_sample_schedule(media).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, rs in by_doc.items():
+        rs.sort(key=lambda r: r.sample_no)
+        idxs = [r.frame_idx for r in rs]
+        assert len(idxs) <= 16
+        assert all(i < rs[0].n_frames_total for i in idxs)
+        assert idxs == sorted(set(idxs))
+        if rs[0].n_frames_total <= 16:
+            # short clip: every frame scheduled
+            assert idxs == list(range(rs[0].n_frames_total))
+        if len(idxs) >= 3:
+            strides = {b - a for a, b in zip(idxs, idxs[1:])}
+            assert len(strides) == 1  # uniform stride
+        for r in rs:
+            assert r.ts_ms == r.frame_idx * 1000 // r.fps
