@@ -17,6 +17,15 @@ INVARIANT_QUERIES = [
     "ewma_weekly_demand",      # scalar fold
     "star_join_revenue",       # exact sums through a join tree
     "revenue_concentration_hhi",
+    # r5 continuation: every new query whose result passes through a
+    # float aggregate or quantile — the scaled-BIGINT recipes must
+    # hold under any shuffle layout.
+    "price_elasticity_by_brand",    # DECIMAL co-moment sums
+    "rolling_origin_backtest",      # cent sums + scaled MAE terms
+    "survival_km_signup_purchase",  # scaled ln(1-d/n) prefix sums
+    "psi_order_price_drift",        # scaled PSI terms
+    "chi_square_segment_nation",    # scaled cell terms
+    "embedding_norm_outliers",      # scaled norms + rounded medians
 ]
 
 
