@@ -32,6 +32,11 @@ TZ_SENSITIVE = [
     "eoq_order_quantity",              # calendar-span annualization
     "events_session_window_builtin",   # native session_window on NTZ ts
     "trailing_28d_range_frame",        # epoch-day RANGE frame
+    # r5 continuation: new timestamp/date-deriving queries
+    "window_funnel_levels",            # microsecond diffs on NTZ chains
+    "survival_km_signup_purchase",     # epoch-derived day durations
+    "rolling_origin_backtest",         # date casts + fold cutoff arithmetic
+    "psi_order_price_drift",           # orderdate midpoint split
 ]
 
 
