@@ -34,7 +34,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
-from .prefix import exclusive_prefix_offsets
+from .prefix import exclusive_prefix_offsets, exclusive_prefix_offsets_with_total
 
 
 def with_global_rank(
@@ -62,10 +62,17 @@ def with_global_rank(
         ranged = ranged.localCheckpoint(eager=True)
     counts = ranged.groupBy("_dr_pid").agg(F.count("*").alias("_dr_cnt"))
     # exclusive prefix sum over ONE ROW PER PARTITION — metadata-scale,
-    # via the warning-free triangular join (operators/prefix.py)
-    offsets = exclusive_prefix_offsets(counts, "_dr_pid", "_dr_cnt", "_dr_off")
+    # via the warning-free triangular join (operators/prefix.py). When
+    # the caller also needs the grand total, it rides along in the same
+    # pass instead of a second aggregate + crossJoin.
+    if total_col is not None:
+        offsets = exclusive_prefix_offsets_with_total(
+            counts, "_dr_pid", "_dr_cnt", "_dr_off", total_col
+        )
+    else:
+        offsets = exclusive_prefix_offsets(counts, "_dr_pid", "_dr_cnt", "_dr_off")
     w_local = Window.partitionBy("_dr_pid").orderBy(*order_exprs)
-    out = (
+    return (
         ranged.join(F.broadcast(offsets), "_dr_pid")
         .withColumn(
             rank_col,
@@ -73,10 +80,6 @@ def with_global_rank(
         )
         .drop("_dr_pid", "_dr_off")
     )
-    if total_col is not None:
-        total = counts.agg(F.sum("_dr_cnt").cast("long").alias(total_col))
-        out = out.crossJoin(F.broadcast(total))
-    return out
 
 
 def with_ntile(
@@ -95,13 +98,121 @@ def with_ntile(
         df, order_exprs, rank_col="_dr_rank", total_col="_dr_n", n_parts=n_parts,
         materialize=materialize,
     )
-    k = F.lit(n_tiles)
-    q = F.floor(F.col("_dr_n") / k)  # base bucket size
-    rem = F.col("_dr_n") % k  # first `rem` buckets take q+1 rows
-    cut = rem * (q + F.lit(1))
-    r = F.col("_dr_rank")
-    tile = F.when(r <= cut, F.ceil(r / (q + F.lit(1)))).otherwise(
-        # q == 0 is unreachable here: rank > cut == n implies no row
-        rem + F.ceil((r - cut) / q)
-    )
+    # q == 0 is unreachable inside _ntile_from_rank's otherwise-branch:
+    # rank > cut == n implies no row
+    tile = _ntile_from_rank(F.col("_dr_rank"), F.col("_dr_n"), n_tiles)
     return ranked.withColumn(out_col, tile.cast("long")).drop("_dr_rank", "_dr_n")
+
+
+def _ntile_from_rank(rank: Column, n: Column, n_tiles: int) -> Column:
+    """SQL-standard ntile bucket from (1-based rank, total count)."""
+    k = F.lit(n_tiles)
+    q = F.floor(n / k)
+    rem = n % k
+    cut = rem * (q + F.lit(1))
+    return F.when(rank <= cut, F.ceil(rank / (q + F.lit(1)))).otherwise(
+        rem + F.ceil((rank - cut) / q)
+    )
+
+
+def with_ntile_multi(
+    df: DataFrame,
+    n_tiles: int,
+    specs: list[tuple[str, Column]],
+    tiebreak: Column,
+    n_parts: int | None = None,
+    rows_per_part: int = 65536,
+) -> DataFrame:
+    """Append ONE ntile column per (out_col, asc_key) spec — e.g. the
+    RFM segmentation's three quintile rankings — in a SINGLE
+    distributed rank pass instead of one with_ntile chain link per
+    dimension (r5 verdict: three chained materialize=True links cost
+    three checkpoint barriers, 9x the r4 wall at sf0.1).
+
+    Shape: melt each row into ``d`` (dim, key) rows via an in-row
+    explode (no shuffle), range-repartition ONCE on
+    (dim, key, tiebreak) and checkpoint that cut, per-partition
+    row_number, then offsets from a DRIVER-collected one-row-per-
+    partition count table (metadata-scale, the same sanctioned
+    collect as zorder bounds / PCA moments — measured 0.4 s cheaper
+    at sf0.1 than the broadcast-join offset plumbing, which costs two
+    extra AQE stage materializations). Because every dimension
+    contributes exactly one melted row per input row, each dimension
+    owns a contiguous rank block of size n = total / d, so
+    rank_within_dim = global_rank - dim * n — no per-dim counting
+    pass. The pivot back is one groupBy on the original columns (the
+    melt carried them; the tiebreak is unique, so the group key is
+    unique). Two data shuffles total, each over skinny rows.
+
+    ``n_parts`` defaults to sizing from the input cardinality
+    (ceil(rows * d / rows_per_part), floor 8) — the explicit-shuffle
+    analogue of AQE's partition coalescing: a fixed
+    defaultParallelism fan-out schedules 32 near-empty tasks per
+    stage at small scale (measured 2x the query wall), while the
+    row-target keeps partitions bounded at any scale. The sizing
+    count runs on ``df``, so pass a checkpointed/cheap frame or an
+    explicit ``n_parts``.
+
+    ``specs`` keys must be ASCENDING sort keys cast-safe to double
+    (pass ``-col`` for a descending ranking; integral keys must stay
+    within 2^53 so the double widening is order-preserving). The
+    (key, tiebreak) pair must be a total order per dimension — the
+    same determinism contract as :func:`with_global_rank`."""
+    d = len(specs)
+    if n_parts is None:
+        n_rows = df.count()
+        n_parts = max(8, -(-(n_rows * d) // rows_per_part))
+    melt = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("dim"), key.cast("double").alias("key")
+                )
+                for i, (_, key) in enumerate(specs)
+            ]
+        )
+    ).alias("_dm")
+    melted = df.select(*df.columns, melt).select(
+        *df.columns,
+        F.col("_dm.dim").alias("_dm_dim"),
+        F.col("_dm.key").alias("_dm_key"),
+    )
+    order = [F.col("_dm_dim").asc(), F.col("_dm_key").asc(), tiebreak.asc()]
+    ranged = (
+        melted.repartitionByRange(n_parts, *order)
+        .withColumn("_dr_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    counts = sorted(
+        (r[0], r[1])
+        for r in ranged.groupBy("_dr_pid").agg(F.count("*").alias("_dr_cnt")).collect()
+    )
+    total = sum(c for _, c in counts)
+    if total == 0:
+        return df.select(
+            *df.columns, *[F.lit(None).cast("long").alias(o) for o, _ in specs]
+        )
+    assert total % d == 0, (total, d)
+    n = total // d
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid, c in counts:
+        offsets[pid] = acc
+        acc += c
+    off_expr = F.element_at(
+        F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]),
+        F.col("_dr_pid"),
+    )
+    w_local = Window.partitionBy("_dr_pid").orderBy(*order)
+    rank = (off_expr + F.row_number().over(w_local)).cast("long")
+    rank_in_dim = rank - F.col("_dm_dim") * F.lit(n)
+    tiled = ranged.withColumn(
+        "_dm_tile", _ntile_from_rank(rank_in_dim, F.lit(n), n_tiles)
+    )
+    aggs = [
+        F.max(F.when(F.col("_dm_dim") == i, F.col("_dm_tile")))
+        .cast("long")
+        .alias(out_col)
+        for i, (out_col, _) in enumerate(specs)
+    ]
+    return tiled.groupBy(*df.columns).agg(*aggs)

@@ -164,7 +164,11 @@ def frame_sample_schedule(
         F.floor(F.col(duration_ms_col) * F.col(fps_col) / 1000).cast("long"),
         F.lit(1),
     )
-    stride = F.greatest((n_total / max_frames).cast("long"), F.lit(1))
+    # ceil, not floor: floor-stride covers only stride*max_frames
+    # frames at the START of the asset (n_total=31 would sample frames
+    # 0..15 only); ceil makes the <=max_frames samples span the whole
+    # duration
+    stride = F.greatest(F.ceil(n_total / max_frames).cast("long"), F.lit(1))
     idx_seq = F.slice(
         F.sequence(F.lit(0), n_total - 1, stride), 1, max_frames
     )

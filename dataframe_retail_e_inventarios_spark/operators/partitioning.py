@@ -127,31 +127,43 @@ def backfill_partition_overwrite(
     (a string, e.g. ``"199801"`` for ``ship_month=199801``) and says
     whether that partition belongs to the restated range.
 
-    Scale: both the restated-partition list (distinct on the
-    partition column of an already-aggregated frame) and the existing
-    listing (directory names, no data scan) are metadata-scale —
-    O(partitions), never O(rows). On a cluster the listing would go
-    through the Hadoop FileSystem / catalog API; local paths use
-    os.listdir, same O().
+    Which partitions the write actually restated is derived from a
+    BEFORE/AFTER diff of each partition directory's file listing —
+    never from collecting the restated frame: part-file names carry
+    the write job's UUID, so "file set unchanged" reliably means "not
+    written by this job", while a collected-value match would (a)
+    execute the restated plan twice and (b) silently miss any type
+    whose Python ``str`` differs from Spark's partition-path encoding
+    (dates, escaped strings) — exactly the stale-partition bug this
+    operator exists to fix (ADVICE r5).
+
+    Scale: the diff is directory metadata — O(partitions + files),
+    never O(rows). On a cluster the listing would go through the
+    Hadoop FileSystem / catalog API; local paths use os.listdir,
+    same O().
     """
     import os
     import shutil
 
-    new_vals = {
-        str(r[0]) for r in restated.select(partition_col).distinct().collect()
-    }
     prefix = f"{partition_col}="
-    existing = {
-        name[len(prefix):]: os.path.join(path, name)
-        for name in os.listdir(path)
-        if name.startswith(prefix)
-    }
+
+    def part_files() -> dict:
+        out = {}
+        for name in os.listdir(path):
+            if name.startswith(prefix):
+                d = os.path.join(path, name)
+                out[name[len(prefix):]] = (d, frozenset(os.listdir(d)))
+        return out
+
+    before = part_files()
     (
         restated.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy(partition_col)
         .parquet(path)
     )
-    for raw, part_dir in existing.items():
-        if in_restated_range(raw) and raw not in new_vals:
+    after = part_files()
+    for raw, (part_dir, files_after) in after.items():
+        untouched = raw in before and files_after == before[raw][1]
+        if untouched and in_restated_range(raw):
             shutil.rmtree(part_dir, ignore_errors=True)

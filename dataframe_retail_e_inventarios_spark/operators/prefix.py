@@ -35,3 +35,31 @@ def exclusive_prefix_offsets(
         .groupBy(key_col)
         .agg(F.coalesce(F.sum("_pp_cnt"), F.lit(0)).cast("long").alias(out_col))
     )
+
+
+def exclusive_prefix_offsets_with_total(
+    counts: DataFrame, key_col: str, cnt_col: str, out_col: str, total_col: str
+) -> DataFrame:
+    """(key_col, out_col, total_col): the exclusive prefix sum AND the
+    grand total in ONE pass — a full broadcast pairing of the
+    metadata-scale counts frame with itself, conditionally summed.
+    Saves the separate total aggregate + crossJoin stage that
+    ``with_global_rank(total_col=...)`` otherwise schedules (two extra
+    AQE materializations per ranking; measured on rfm_segmentation)."""
+    prev = counts.select(
+        F.col(key_col).alias("_pp_key"), F.col(cnt_col).alias("_pp_cnt")
+    )
+    return (
+        counts.select(key_col)
+        .crossJoin(F.broadcast(prev))
+        .groupBy(key_col)
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("_pp_key") < F.col(key_col), F.col("_pp_cnt"))),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias(out_col),
+            F.sum("_pp_cnt").cast("long").alias(total_col),
+        )
+    )

@@ -72,6 +72,7 @@ def hard_negative_topk(
     vec_col: str = "embedding",
     label_col: str = "label",
     round_digits: int = 6,
+    max_anchors: int = 65_536,
 ) -> DataFrame:
     """Hard-negative mining for contrastive training: for each anchor,
     the k nearest candidates with a DIFFERENT label — the negatives a
@@ -91,7 +92,12 @@ def hard_negative_topk(
 
     Scale posture: anchors are the bounded side (a training batch /
     curriculum slice), shipped in the UDF closure; the candidate scan
-    never shuffles before the batch-local reduction.
+    never shuffles before the batch-local reduction. The bound is
+    ENFORCED, not just documented: the driver-side fetch is capped at
+    ``max_anchors`` + 1 rows (65 536 anchors x 64 dims x 8 B ≈ 34 MB
+    closure — broadcast-sized) and raises past it, mirroring the
+    all-pairs cap in ``cosine_neardup_pairs`` — an oversized
+    ``anchor_filter`` must fail loudly, never OOM the driver.
     """
     from pyspark.sql import Window
 
@@ -102,10 +108,19 @@ def hard_negative_topk(
             F.col(label_col).alias("albl"),
             F.col(vec_col).cast("array<double>"),
         )
+        .limit(max_anchors + 1)
         .collect()
     )
     if not rows:
         raise ValueError("hard_negative_topk: anchor_filter selected no vectors")
+    if len(rows) > max_anchors:
+        raise ValueError(
+            f"hard_negative_topk: anchor_filter selected more than "
+            f"max_anchors={max_anchors} vectors — the anchor side is a "
+            f"bounded training batch shipped in the UDF closure; slice "
+            f"the anchors into batches, or raise max_anchors explicitly "
+            f"if a larger closure is intended."
+        )
     aids = np.array([r[0] for r in rows], dtype=np.int64)
     albls = np.array([r[1] for r in rows], dtype=np.int64)
     Q = np.stack([np.asarray(r[2], dtype=np.float64) for r in rows])
@@ -581,6 +596,7 @@ def gemm_cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 6,
+    max_queries: int = 65_536,
 ) -> DataFrame:
     """Exact cosine top-k via blocked matrix multiplication — the
     vectorized twin of ``cosine_topk``.
@@ -605,17 +621,30 @@ def gemm_cosine_topk(
     Scale posture: queries are collected driver-side and shipped in
     the UDF closure — the contract is a bounded query set (same as
     ``cosine_topk``'s broadcast side); the candidate scan never
-    shuffles before the batch-local top-k reduction.
+    shuffles before the batch-local top-k reduction. The bound is
+    ENFORCED: the fetch is capped at ``max_queries`` + 1 rows and
+    raises past it (see ``hard_negative_topk`` for the sizing math) —
+    an oversized ``query_filter`` must fail loudly, never OOM the
+    driver.
     """
     from pyspark.sql import Window
 
     rows = (
         embeddings.filter(query_filter)
         .select(F.col(id_col).alias("qid"), F.col(vec_col).cast("array<double>"))
+        .limit(max_queries + 1)
         .collect()
     )
     if not rows:
         raise ValueError("gemm_cosine_topk: query_filter selected no vectors")
+    if len(rows) > max_queries:
+        raise ValueError(
+            f"gemm_cosine_topk: query_filter selected more than "
+            f"max_queries={max_queries} vectors — the query side is a "
+            f"bounded closure-shipped matrix; batch the queries, or "
+            f"raise max_queries explicitly if a larger closure is "
+            f"intended."
+        )
     qids = np.array([r[0] for r in rows], dtype=np.int64)
     Q = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
     qnorm = np.sqrt((Q * Q).sum(axis=1))

@@ -282,7 +282,7 @@ m AS (
 ),
 s AS (
   SELECT *,
-    greatest(CAST(floor(n_frames_total / 16) AS BIGINT), 1) AS stride
+    greatest(CAST(ceil(n_frames_total / 16) AS BIGINT), 1) AS stride
   FROM m
 ),
 ex AS (

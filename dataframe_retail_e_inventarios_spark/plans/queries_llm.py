@@ -798,7 +798,10 @@ WITH q AS (
 c AS (SELECT vec_id AS cand_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
 scored AS (
   SELECT query_id, cand_id,
-    round(CASE WHEN sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(cv, cv)) != 0
+    -- round_even, not round: the Spark side is np.round (half-even);
+    -- a cosine landing exactly on a 6dp tie must round the same way
+    -- in both engines or the rank order diverges
+    round_even(CASE WHEN sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(cv, cv)) != 0
                THEN list_inner_product(qv, cv)
                     / (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(cv, cv)))
                ELSE 0.0 END, 6) AS cos
@@ -841,7 +844,10 @@ c AS (
 ),
 scored AS (
   SELECT anchor_id, anchor_label, negative_id, negative_label,
-    round(CASE WHEN sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(cv, cv)) != 0
+    -- round_even, not round: the Spark side is np.round (half-even);
+    -- a cosine landing exactly on a 6dp tie must round the same way
+    -- in both engines or the rank order diverges
+    round_even(CASE WHEN sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(cv, cv)) != 0
                THEN list_inner_product(qv, cv)
                     / (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(cv, cv)))
                ELSE 0.0 END, 6) AS cos
@@ -1115,7 +1121,12 @@ register(
     f"""
 WITH {_SHINGLE_INDEX_SQL.strip()},
 b AS (
-  SELECT least(CAST(floor(jaccard * 10) AS BIGINT), 9) AS bucket
+  -- bucket the SAME representation the Spark side exposes: the
+  -- 4dp-rounded jaccard (jaccard_pairs returns round(j, 4); positive
+  -- values make HALF_UP == half-away, so round() pairs exactly) — a
+  -- raw-jaccard bucket would land large-union pairs in [b/10 - 5e-5,
+  -- b/10) one bucket lower than Spark
+  SELECT least(CAST(floor(round(jaccard, 4) * 10) AS BIGINT), 9) AS bucket
   FROM jac WHERE jaccard >= 0.0001
 ),
 hist AS (SELECT bucket, count(*) AS n_pairs FROM b GROUP BY 1)

@@ -194,3 +194,23 @@ def test_hard_negative_topk_excludes_anchor_label(spark):
         expect = {i for _, i in order}
         got = {r.negative_id for r in rs}
         assert got == expect
+
+
+def test_gemm_bounded_side_guards_raise(spark):
+    """The GEMM kernels' closure-shipped side is a HARD contract: an
+    oversized filter must raise (capped fetch), never silently
+    collect the corpus onto the driver."""
+    import pytest
+
+    from dataframe_retail_e_inventarios_spark.operators.similarity import (
+        gemm_cosine_topk,
+        hard_negative_topk,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    with pytest.raises(ValueError, match="max_queries"):
+        gemm_cosine_topk(emb, F.lit(True), k=3, max_queries=5).collect()
+    with pytest.raises(ValueError, match="max_anchors"):
+        hard_negative_topk(emb, F.lit(True), k=3, max_anchors=5).collect()
+    # under the cap the guard is invisible: normal result comes back
+    assert gemm_cosine_topk(emb, F.col("vec_id") < 3, k=3).count() == 9
