@@ -276,21 +276,70 @@ def _plane_projections(n_planes: int, seed: int = 7):
     return proj
 
 
+def _rademacher_int_projections(n_planes: int, seed_tag: str = "lshw"):
+    """Arrow-batched DETERMINISTIC sign-LSH projections, exact-integer
+    arithmetic end to end — the oracle-checkable twin of the Gaussian
+    ``_plane_projections`` family.
+
+    Weights are Rademacher (+1/-1) — a valid sign-random-projection
+    family (Achlioptas' database-friendly projections) — derived per
+    (plane, dim) cell from an md5 parity, the repo's standard
+    engine-portable seed (same construction DuckDB reproduces
+    bit-identically for the Bloom bitmap, operators/bloom.py). Each
+    element is snapped to a 6dp-scaled BIGINT (np.round is half-even
+    <-> round_even; values |e| < 1 make the products |proj| < 2^26,
+    far inside int64), so the projection SUM is order-independent
+    integer arithmetic — no cross-engine float-accumulation gap, and
+    the hyperplane SIGNS (all LSH needs) are bit-reproducible in SQL:
+
+        CAST(('0x' || substr(md5('lshw:' || p || ':' || d), 1, 8))
+             AS BIGINT) % 2 = 0  ->  +1 else -1
+
+    The matmul itself is one int64 BLAS-shaped numpy product per Arrow
+    batch, same throughput shape as the Gaussian path."""
+
+    @pandas_udf("array<bigint>")
+    def proj(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        import hashlib
+
+        mat = np.vstack(v.to_numpy()).astype(np.float64)
+        dim = mat.shape[1]
+        w = np.empty((dim, n_planes), dtype=np.int64)
+        for p in range(n_planes):
+            for d in range(dim):
+                h = hashlib.md5(f"{seed_tag}:{p}:{d}".encode()).hexdigest()
+                w[d, p] = 1 if int(h[:8], 16) % 2 == 0 else -1
+        ei = np.rint(np.round(mat, 6) * 1e6).astype(np.int64)
+        return pd.Series(list(ei @ w))
+
+    return proj
+
+
 def with_sign_band_keys(
     df: DataFrame,
     vec_col: str,
     n_planes: int = 32,
     bands: int = 4,
     prefix: str = "bk",
+    int_exact: bool = False,
 ) -> DataFrame:
     """df + ``bands`` LSH band-key columns ({prefix}0..), each the sign
     pattern of n_planes/bands hyperplane projections (band index
     prefixed so keys from different bands never collide). The
     projection array materializes as its own column (the ArrowEvalPython
     node runs once); the sign bits above it are plain element_at
-    references."""
+    references. ``int_exact=True`` swaps the Gaussian family for the
+    deterministic integer Rademacher one (oracle-reproducible signs —
+    see ``_rademacher_int_projections``)."""
     rows = n_planes // bands
-    tmp = df.withColumn("_projs", _plane_projections(n_planes)(F.col(vec_col)))
+    family = (
+        _rademacher_int_projections(n_planes)
+        if int_exact
+        else _plane_projections(n_planes)
+    )
+    tmp = df.withColumn("_projs", family(F.col(vec_col)))
     keys = []
     for b in range(bands):
         bits = [
@@ -400,15 +449,23 @@ def lsh_bucketed_topk(
 
     At 100 TB the query side is tiny and broadcast; the corpus side
     computes its band keys in one narrow pass and never shuffles —
-    the bucket join replaces the per-query full scan. Planes are
-    deterministic (seeded from the element index) so results are
-    reproducible. Approximate by construction -> rows-only check;
-    recall@10 vs the brute-force baseline is asserted in tests.
+    the bucket join replaces the per-query full scan.
+
+    This path uses the DETERMINISTIC integer-Rademacher plane family
+    (``_rademacher_int_projections``): hyperplane signs are exact
+    md5-seeded int64 arithmetic a SQL engine reproduces bit-for-bit,
+    so although the operator is approximate-by-construction as ANN,
+    its OUTPUT is fully deterministic and sits under the value-hash
+    oracle gate — the DuckDB twin rebuilds the same plane matrix,
+    the same band keys, the same candidate set, and the same exact
+    re-rank (r5 verdict #3). Recall@10 vs the brute-force baseline is
+    additionally asserted in tests.
     """
     from pyspark.sql import Window
 
     keyed = with_sign_band_keys(
-        embeddings.select(F.col(id_col), F.col(vec_col)), vec_col, n_planes, bands
+        embeddings.select(F.col(id_col), F.col(vec_col)), vec_col, n_planes, bands,
+        int_exact=True,
     )
     melted = keyed.select(
         F.col(id_col),

@@ -2,10 +2,11 @@
 [SURVEY §2.11 N1-N5]: dedup (exact / Jaccard / MinHash-LSH / SimHash),
 similarity search (brute-force + LSH-bucketed), text analysis.
 
-Everything except the LSH-bucketed ANN variant is oracle-checked —
-including MinHash and SimHash. MinHash signatures are universal-hash
-mixes over a 32-bit md5-prefix shingle hash; DuckDB reproduces the
-exact integers from the same (A, B) constants.
+Everything here is oracle-checked — including MinHash, SimHash and
+the banded sign-LSH ANN (deterministic integer-Rademacher planes).
+MinHash signatures are universal-hash mixes over a 32-bit md5-prefix
+shingle hash; DuckDB reproduces the exact integers from the same
+(A, B) constants, and the LSH plane matrix from the same md5 parity.
 """
 
 from __future__ import annotations
@@ -520,13 +521,77 @@ WHERE list_inner_product(a.v, b.v)
 )
 
 
-# -- N3 scale path: LSH-bucketed ANN (approximate -> rows-only check) ------
+# -- N3 scale path: LSH-bucketed ANN ---------------------------------------
 def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded sign-LSH ANN under the FULL value-hash oracle gate: the
+    deterministic integer-Rademacher plane family (md5-seeded +/-1
+    weights over 6dp-snapped BIGINT elements — exact integer sums, no
+    cross-engine float accumulation) lets DuckDB rebuild the identical
+    plane matrix, band keys, candidate set and exact re-rank, so this
+    approximate-ALGORITHM query has a fully deterministic OUTPUT and a
+    hash-checked oracle like every exact path (r5 verdict #3)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return lsh_bucketed_topk(emb, F.col("vec_id") < 5, k=10)
 
 
-register("ann_lsh_bucketed_topk", q_lsh_topk, None)  # approximate: rows-only
+# DuckDB twin of _rademacher_int_projections + with_sign_band_keys at
+# n_planes=24, bands=12 (r=2 planes per band): same md5-parity weights,
+# same 6dp BIGINT element snap (round_even <-> np.round half-even; CAST
+# rounds-to-nearest <-> np.rint on the ~integer scaled value), same
+# '<band>|<bit><bit>' key format, then the exact cosine re-rank of
+# ann_cosine_topk restricted to band-sharing candidates.
+register(
+    "ann_lsh_bucketed_topk",
+    q_lsh_topk,
+    """
+WITH dims AS (SELECT unnest(range(0, 64)) AS d),
+planes AS (SELECT unnest(range(0, 24)) AS p),
+w AS (
+  SELECT p, d,
+         CASE WHEN CAST(('0x' || substr(md5('lshw:' || p || ':' || d), 1, 8))
+                   AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END AS wt
+  FROM planes CROSS JOIN dims
+),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+el AS (
+  SELECT vec_id, dims.d AS d,
+         CAST(round_even(v[dims.d + 1], 6) * 1e6 AS BIGINT) AS ei
+  FROM e CROSS JOIN dims
+),
+proj AS (
+  SELECT vec_id, p, sum(ei * wt) AS s
+  FROM el JOIN w USING (d) GROUP BY 1, 2
+),
+keys AS (
+  SELECT vec_id,
+         CAST(floor(p / 2) AS BIGINT) AS band,
+         concat(CAST(floor(p / 2) AS BIGINT), '|',
+                string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, ''
+                           ORDER BY p)) AS band_key
+  FROM proj GROUP BY vec_id, floor(p / 2)
+),
+cands AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS cand_id
+  FROM keys q JOIN keys c ON q.band_key = c.band_key
+  WHERE q.vec_id < 5 AND c.vec_id != q.vec_id
+),
+scored AS (
+  SELECT query_id, cand_id,
+    CASE WHEN sqrt(list_inner_product(qe.v, qe.v)) * sqrt(list_inner_product(ce.v, ce.v)) != 0
+         THEN list_inner_product(qe.v, ce.v)
+              / (sqrt(list_inner_product(qe.v, qe.v)) * sqrt(list_inner_product(ce.v, ce.v)))
+         ELSE 0.0 END AS cos
+  FROM cands
+  JOIN e qe ON qe.vec_id = query_id
+  JOIN e ce ON ce.vec_id = cand_id
+)
+SELECT query_id, cand_id, round(cos, 6) AS cos, rk FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, cand_id) AS rk
+  FROM scored
+) WHERE rk <= 10
+""",
+)
 
 
 # -- N4: token counting (whitespace + BPE-ish regex) -----------------------
