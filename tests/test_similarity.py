@@ -214,3 +214,41 @@ def test_gemm_bounded_side_guards_raise(spark):
         hard_negative_topk(emb, F.lit(True), k=3, max_anchors=5).collect()
     # under the cap the guard is invisible: normal result comes back
     assert gemm_cosine_topk(emb, F.col("vec_id") < 3, k=3).count() == 9
+
+
+def test_ivf_planted_neighbor_recall(spark):
+    """The natural fixture is a noise-floor regime where IVF recall is
+    bounded by construction; this plants true near-neighbors (cos
+    ~0.999, query's own cluster) and asserts IVF retrieves them — the
+    check that separates a working inverted index from a broken one."""
+    import numpy as np
+
+    from dataframe_retail_e_inventarios_spark.operators.similarity import (
+        ivf_kmeans_topk,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    base = emb.select("vec_id", "label", "embedding").toPandas()
+    rng = np.random.RandomState(7)
+    rows, truth = [], {}
+    for _, r in base[base.vec_id < 3].iterrows():
+        v = np.asarray(r.embedding, dtype=np.float64)
+        scale = 0.05 * float(np.sqrt((v * v).mean()))
+        truth[int(r.vec_id)] = set()
+        for j in range(5):
+            pid = 100000 + int(r.vec_id) * 100 + j
+            rows.append(
+                (pid, int(r.label), [float(x) for x in v + rng.normal(0, scale, v.shape)])
+            )
+            truth[int(r.vec_id)].add(pid)
+    planted = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>"
+    ).select(
+        "vec_id", "label", F.col("embedding").cast("array<float>").alias("embedding")
+    )
+    corpus = emb.select("vec_id", "label", "embedding").unionByName(planted)
+    got = {}
+    for r in ivf_kmeans_topk(corpus, F.col("vec_id") < 3, k=5, nprobe=2).collect():
+        got.setdefault(r.query_id, set()).add(r.cand_id)
+    recalls = [len(truth[q] & got.get(q, set())) / len(truth[q]) for q in truth]
+    assert min(recalls) >= 0.9, recalls

@@ -70,7 +70,28 @@ def main() -> None:
                 spark.range(replicas).select(F.col("id").alias("_r"))
             )
             for c in cols:
-                rep = rep.withColumn(c, F.col(c) + F.col("_r") * F.lit(OFFSET))
+                if t == "embeddings":
+                    # Replica vec_ids get a mod-25 RESIDUE HOLE
+                    # (r*OFFSET + vec_id*25 + 1 == 1 mod 25): OFFSET is
+                    # = 0 mod 25, so a plain offset would keep every
+                    # replica copy of a `vec_id % 25 == 0` anchor an
+                    # anchor too — the anchor batch multiplying WITH
+                    # the corpus (100x pairs at 10x volume, the r5
+                    # slope-14 artifact). Hard-negative mining's
+                    # production contract is a BOUNDED anchor batch
+                    # against a growing corpus; this id map makes the
+                    # fixture measure exactly that. r=0 keeps original
+                    # ids so the base anchors/queries survive.
+                    rep = rep.withColumn(
+                        c,
+                        F.when(F.col("_r") == 0, F.col(c)).otherwise(
+                            F.col("_r") * F.lit(OFFSET)
+                            + F.col(c) * F.lit(25)
+                            + F.lit(1)
+                        ),
+                    )
+                else:
+                    rep = rep.withColumn(c, F.col(c) + F.col("_r") * F.lit(OFFSET))
             df = rep.drop("_r")
         df.write.mode("overwrite").parquet(dst)
         print(f"wrote {dst}")

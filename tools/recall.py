@@ -68,6 +68,47 @@ def _exact_l2_topk(spark, sf_dir: str, k: int = 10):
     return j.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
 
 
+def _planted_corpus(spark, sf_dir: str, k: int = 10, rel_noise: float = 0.05,
+                    seed: int = 7):
+    """The natural corpus has NO true neighbors (max pairwise cos ~0.5
+    — pure noise floor), so its recall numbers cannot distinguish a
+    good partition-probing ANN from a broken one (r5 verdict #4). This
+    builds the corpus a recall metric can actually grade: for each
+    query vector (vec_id < 5), ``k`` PLANTED neighbors — the query
+    plus small relative Gaussian noise (cos ~0.999, far above the
+    noise floor), labels inherited so they live in the query's IVF
+    cell the way real near-duplicates share a cluster. Planted ids are
+    100000 + qid*100 + j.
+
+    Returns (corpus_df, {query_id: set(planted ids)})."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from dataframe_retail_e_inventarios_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", "label", "embedding").toPandas()
+    rng = np.random.RandomState(seed)
+    rows, truth = [], {}
+    for _, r in base[base.vec_id < 5].iterrows():
+        qid = int(r.vec_id)
+        v = np.asarray(r.embedding, dtype=np.float64)
+        scale = rel_noise * float(np.sqrt((v * v).mean()))
+        truth[qid] = set()
+        for j in range(k):
+            pid = 100000 + qid * 100 + j
+            nv = v + rng.normal(0.0, scale, v.shape)
+            rows.append((pid, int(r.label), [float(x) for x in nv]))
+            truth[qid].add(pid)
+    planted = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>"
+    ).select(
+        "vec_id", "label", F.col("embedding").cast("array<float>").alias("embedding")
+    )
+    corpus = emb.select("vec_id", "label", "embedding").unionByName(planted)
+    return corpus.localCheckpoint(eager=True), truth
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     out_path = sys.argv[2] if len(sys.argv) > 2 else "RECALL.json"
@@ -81,15 +122,77 @@ def main() -> int:
         "k": k,
         "sf_dir": sf_dir,
         "note": (
-            "synthetic corpus is a noise-floor regime (max pairwise cos "
-            "~0.5, no planted neighbors), the hardest case for partition-"
-            "probing ANN: IVF at nprobe=2-3 of 16+ cells trades recall "
-            "for a proportional scan cut by construction; recall rises "
-            "monotonically with nprobe (exactness-within-probed-cells is "
-            "test-asserted). LSH/PQ shortlists re-rank exactly."
+            "Two regimes. PLANTED (the binding quality gate): k true "
+            "near-neighbors (cos ~0.999) are planted per query; a "
+            "correct ANN must retrieve them — planted recall separates "
+            "a working index from a broken one. NOISE-FLOOR (the "
+            "natural corpus, max pairwise cos ~0.5, no real neighbors): "
+            "kept as the stress exhibit — partition-probing ANN "
+            "provably trades recall for scan fraction there, so those "
+            "numbers grade the regime, not the index. Registered-query "
+            "defaults (lsh r=2xb=12, ivf nprobe=2, kmeans nprobe=3, pq "
+            "shortlist=100) are chosen to clear >= 0.9 planted recall — "
+            "see planted_nprobe_curve for the ivf justification."
         ),
-        "queries": {},
+        "planted": {},
+        "noise_floor": {},
     }
+
+    # -- planted regime: the quality gate ---------------------------------
+    import pyspark.sql.functions as F
+
+    from dataframe_retail_e_inventarios_spark.operators.pq import pq_topk_reranked
+    from dataframe_retail_e_inventarios_spark.operators.similarity import (
+        cosine_topk,
+        ivf_kmeans_topk,
+        ivf_topk,
+        lsh_bucketed_topk,
+    )
+
+    corpus, truth = _planted_corpus(spark, sf_dir, k=k)
+    qf = F.col("vec_id") < 5
+
+    def planted_recall(rows) -> dict:
+        got = _topk_sets(rows)
+        recalls = [
+            len(truth[q] & got.get(q, set())) / len(truth[q]) for q in truth
+        ]
+        return {
+            "n_queries": len(recalls),
+            "mean_recall": round(sum(recalls) / len(recalls), 4),
+            "min_recall": round(min(recalls), 4),
+        }
+
+    # sanity: the planted set IS the exact top-k (validates the fixture,
+    # not the ANN)
+    report["planted"]["exact_baseline"] = planted_recall(
+        cosine_topk(corpus, qf, k=k).collect()
+    )
+    planted_runs = {
+        "ann_lsh_bucketed_topk": lsh_bucketed_topk(corpus, qf, k=k),
+        "ann_ivf_topk": ivf_topk(corpus, qf, k=k, nprobe=2),
+        "ann_ivf_kmeans_topk": ivf_kmeans_topk(corpus, qf, k=k, nprobe=3),
+        "ann_pq_topk": pq_topk_reranked(corpus, qf, k=k, shortlist=100),
+    }
+    for name, df in planted_runs.items():
+        entry = planted_recall(df.collect())
+        entry["space"] = APPROX[name]
+        report["planted"][name] = entry
+        print("planted", name, entry, flush=True)
+
+    # planted nprobe curve: justifies the registered kmeans default
+    n_cells = 10
+    pcurve = {}
+    for nprobe in (1, 2, 3, 5):
+        entry = planted_recall(
+            ivf_kmeans_topk(corpus, qf, k=k, nprobe=nprobe, n_cells=n_cells).collect()
+        )
+        entry["probed_fraction"] = round(nprobe / n_cells, 2)
+        pcurve[str(nprobe)] = entry
+        print("planted ivf_kmeans nprobe", nprobe, entry, flush=True)
+    report["planted_nprobe_curve"] = {"n_cells": n_cells, "points": pcurve}
+
+    # -- noise-floor regime: the stress exhibit ---------------------------
     for name, space in APPROX.items():
         exact = exact_cos if space == "cosine" else exact_l2
         approx = _topk_sets(qs[name](spark, sf_dir).collect())
@@ -102,8 +205,8 @@ def main() -> int:
             "mean_recall": round(sum(recalls) / len(recalls), 4),
             "min_recall": round(min(recalls), 4),
         }
-        report["queries"][name] = entry
-        print(name, entry, flush=True)
+        report["noise_floor"][name] = entry
+        print("noise_floor", name, entry, flush=True)
 
     # nprobe sweep: measured backing for the recall-vs-probed-fraction
     # tradeoff (the registered queries pin nprobe=2/3; this shows the
