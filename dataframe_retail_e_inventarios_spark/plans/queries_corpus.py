@@ -536,3 +536,284 @@ GROUP BY t.source
 ORDER BY t.source
 """,
 )
+
+
+# -- Length-bucketed batching: pad-waste accounting ------------------------
+_LEN_BUCKETS = [16, 32, 64, 128, 256, 512, 1024]
+
+
+def _len_bucket(n_tok):  # Column -> Column
+    """Smallest power-of-two bucket >= n_tok (floor 16, cap 1024) via
+    an explicit CASE chain — integer-exact in both engines (a log2
+    formulation would ride on float last-ulp at the boundaries)."""
+    expr = F.lit(_LEN_BUCKETS[-1])
+    for edge in reversed(_LEN_BUCKETS):
+        expr = F.when(n_tok <= edge, F.lit(edge)).otherwise(expr)
+    return expr
+
+
+def q_length_bucketed_padding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length bucketing for training batch efficiency: docs
+    grouped into power-of-two token-length buckets; per bucket the doc
+    count, true token mass, padded token mass (every sequence padded
+    to its bucket ceiling) and the padding-waste fraction — plus the
+    waste the SAME docs would cost under naive global padding (everything
+    padded to the corpus max), the number a batching RFC leads with.
+
+    One tokenize scan, one bounded-key aggregate (7 buckets); the
+    global max rides along via a broadcast 1-row aggregate. At 100 TB
+    this is a scan + 7-row shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(
+        F.filter(tokens("text"), lambda t: t != F.lit(""))
+    ).cast("long")
+    lens = docs.select(n_tok.alias("n_tok"), _len_bucket(n_tok).alias("bucket"))
+    gmax = lens.agg(F.max("n_tok").alias("corpus_max"))
+    per_bucket = (
+        lens.groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("true_tokens"),
+        )
+        .crossJoin(F.broadcast(gmax))
+        .select(
+            F.col("bucket").cast("long").alias("bucket"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("true_tokens").cast("long").alias("true_tokens"),
+            (F.col("bucket") * F.col("n_docs")).cast("long").alias("padded_tokens"),
+            F.round(
+                F.lit(1.0)
+                - F.col("true_tokens") / (F.col("bucket") * F.col("n_docs")),
+                6,
+            ).alias("bucket_waste"),
+            F.round(
+                F.lit(1.0)
+                - F.col("true_tokens") / (F.col("corpus_max") * F.col("n_docs")),
+                6,
+            ).alias("naive_waste"),
+        )
+        .orderBy("bucket")
+    )
+    return per_bucket
+
+
+register(
+    "length_bucketed_padding",
+    q_length_bucketed_padding,
+    f"""
+WITH lens AS (
+  SELECT len(list_filter({_TOKS_SQL}, x -> x != '')) AS n_tok FROM documents
+),
+b AS (
+  SELECT n_tok,
+         CASE WHEN n_tok <= 16 THEN 16 WHEN n_tok <= 32 THEN 32
+              WHEN n_tok <= 64 THEN 64 WHEN n_tok <= 128 THEN 128
+              WHEN n_tok <= 256 THEN 256 WHEN n_tok <= 512 THEN 512
+              ELSE 1024 END AS bucket
+  FROM lens
+),
+gmax AS (SELECT max(n_tok) AS corpus_max FROM b)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS true_tokens,
+       CAST(bucket * count(*) AS BIGINT) AS padded_tokens,
+       round(1.0 - sum(n_tok) / CAST(bucket * count(*) AS DOUBLE), 6) AS bucket_waste,
+       round(1.0 - sum(n_tok) / CAST(corpus_max * count(*) AS DOUBLE), 6) AS naive_waste
+FROM b CROSS JOIN gmax
+GROUP BY bucket, corpus_max
+ORDER BY bucket
+""",
+)
+
+
+# -- Collocation mining: document-level co-occurrence PMI ------------------
+_PMI_MIN_CODF = 25
+_PMI_TOP = 100
+
+
+def q_token_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining — the phrase-detection statistic: for token
+    pairs co-occurring in >= {_PMI_MIN_CODF} documents, the pointwise
+    mutual information ln(P(a,b) / (P(a) P(b))) over document-level
+    presence, top-{_PMI_TOP} by SUPPORT (exact integer ranking; PMI
+    itself is reported rounded — ranking on a 6dp-rounded ln would
+    ride on cross-engine last-ulp at bucket edges).
+
+    Plan: distinct (doc, token) presence pass, per-doc sorted pair
+    generation through a self-join on doc_id (bounded by the ~40-token
+    docs; a real corpus caps tokens-per-doc first), token df and pair
+    co-df aggregates, broadcast 1-row N. The pair shuffle carries the
+    distinct observed pairs only."""
+    docs = load_table(spark, sf_dir, "documents")
+    pres = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("term")
+    ).filter(F.col("term") != "")
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    df_t = pres.groupBy("term").agg(F.count("*").alias("df"))
+    a, b = pres.alias("a"), pres.alias("b")
+    co = (
+        a.join(b, "doc_id")
+        .filter(F.col("a.term") < F.col("b.term"))
+        .groupBy(F.col("a.term").alias("tok_a"), F.col("b.term").alias("tok_b"))
+        .agg(F.count("*").alias("co_df"))
+        .filter(F.col("co_df") >= _PMI_MIN_CODF)
+    )
+    dfa = df_t.select(F.col("term").alias("tok_a"), F.col("df").alias("df_a"))
+    dfb = df_t.select(F.col("term").alias("tok_b"), F.col("df").alias("df_b"))
+    top = (
+        co.join(dfa, "tok_a")
+        .join(dfb, "tok_b")
+        .crossJoin(F.broadcast(n_docs))
+        .orderBy(F.col("co_df").desc(), "tok_a", "tok_b")
+        .limit(_PMI_TOP)
+    )
+    return top.select(
+        "tok_a",
+        "tok_b",
+        F.col("co_df").cast("long").alias("co_df"),
+        F.col("df_a").cast("long").alias("df_a"),
+        F.col("df_b").cast("long").alias("df_b"),
+        F.round(
+            F.log(
+                F.col("co_df")
+                * F.col("n_docs")
+                / (F.col("df_a") * F.col("df_b"))
+            ),
+            6,
+        ).alias("pmi_nats"),
+    ).orderBy(F.col("co_df").desc(), "tok_a", "tok_b")
+
+
+register(
+    "token_cooccurrence_pmi",
+    q_token_cooccurrence_pmi,
+    f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter({_TOKS_SQL}, x -> x != '')) AS term
+  FROM documents
+),
+pres AS (SELECT DISTINCT doc_id, term FROM toks),
+n AS (SELECT count(*) AS n_docs FROM documents),
+df_t AS (SELECT term, count(*) AS df FROM pres GROUP BY term),
+co AS (
+  SELECT a.term AS tok_a, b.term AS tok_b, count(*) AS co_df
+  FROM pres a JOIN pres b ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY 1, 2 HAVING count(*) >= {_PMI_MIN_CODF}
+),
+top AS (
+  SELECT tok_a, tok_b, co_df, da.df AS df_a, db.df AS df_b, n_docs
+  FROM co JOIN df_t da ON da.term = tok_a
+          JOIN df_t db ON db.term = tok_b
+          CROSS JOIN n
+  ORDER BY co_df DESC, tok_a, tok_b LIMIT {_PMI_TOP}
+)
+SELECT tok_a, tok_b, CAST(co_df AS BIGINT) AS co_df,
+       CAST(df_a AS BIGINT) AS df_a, CAST(df_b AS BIGINT) AS df_b,
+       round(ln(co_df * n_docs / CAST(df_a * df_b AS DOUBLE)), 6) AS pmi_nats
+FROM top ORDER BY co_df DESC, tok_a, tok_b
+""",
+)
+
+
+# -- Character-entropy quality signal --------------------------------------
+_ENTROPY_ALPHABET = "abcdefghijklmnopqrstuvwxyz0123456789 "
+
+
+def q_char_entropy_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-distribution entropy (nats) — the cheap
+    compressibility proxy quality filters use: gibberish and
+    single-char spam sit far from natural-text entropy, no compressor
+    needed. Counts per alphabet char come from the
+    length-minus-replace trick (len(s) - len(replace(s, c, ''))) —
+    identical integer arithmetic in both engines, no per-char explode
+    of the text; characters outside the alphabet are lumped into one
+    'other' mass. Each entropy term is snapped to a 1e-9-scaled BIGINT
+    before the sum, so the per-doc total is independent of the
+    char-group aggregation order (the repo's standard float-sum
+    discipline).
+
+    Plan: alphabet-literal explode (37 rows per doc), one groupBy
+    doc_id — a scan + bounded-fanout aggregate at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    low = F.lower(F.col("text"))
+    chars = F.array(*[F.lit(c) for c in _ENTROPY_ALPHABET])
+    per_char = docs.select(
+        "doc_id",
+        F.length(low).alias("n"),
+        F.explode(chars).alias("ch"),
+        low.alias("_t"),
+    ).select(
+        "doc_id",
+        "n",
+        (F.length("_t") - F.length(F.replace(F.col("_t"), F.col("ch")))).alias(
+            "cnt"
+        ),
+    )
+    # per-char entropy terms + the lumped 'other' remainder per doc
+    agg = per_char.groupBy("doc_id", "n").agg(
+        F.sum("cnt").alias("alpha_cnt"),
+        F.sum(
+            F.when(
+                F.col("cnt") > 0,
+                F.round(
+                    -(F.col("cnt") / F.col("n"))
+                    * F.log(F.col("cnt") / F.col("n"))
+                    * 1e9,
+                    0,
+                ).cast("long"),
+            ).otherwise(F.lit(0))
+        ).alias("sum_scaled"),
+    )
+    other = F.col("n") - F.col("alpha_cnt")
+    with_other = agg.select(
+        "doc_id",
+        F.col("n").cast("long").alias("n_chars"),
+        (
+            F.col("sum_scaled")
+            + F.when(
+                other > 0,
+                F.round(
+                    -(other / F.col("n")) * F.log(other / F.col("n")) * 1e9, 0
+                ).cast("long"),
+            ).otherwise(F.lit(0))
+        ).alias("scaled"),
+    )
+    return with_other.select(
+        "doc_id",
+        "n_chars",
+        F.round(F.col("scaled") / 1e9, 6).alias("entropy_nats"),
+    ).orderBy("doc_id")
+
+
+_ENT_CHARS_SQL = "['" + "', '".join(
+    c if c != " " else " " for c in _ENTROPY_ALPHABET
+) + "']"
+
+register(
+    "char_entropy_scores",
+    q_char_entropy_scores,
+    f"""
+WITH chars AS (SELECT unnest({_ENT_CHARS_SQL}) AS ch),
+base AS (SELECT doc_id, lower(text) AS t, length(text) AS n FROM documents),
+per_char AS (
+  SELECT doc_id, n, length(t) - length(replace(t, ch, '')) AS cnt
+  FROM base CROSS JOIN chars
+),
+agg AS (
+  SELECT doc_id, n,
+         sum(cnt) AS alpha_cnt,
+         sum(CASE WHEN cnt > 0
+                  THEN CAST(round(-(cnt / CAST(n AS DOUBLE))
+                                  * ln(cnt / CAST(n AS DOUBLE)) * 1e9, 0) AS BIGINT)
+                  ELSE 0 END) AS sum_scaled
+  FROM per_char GROUP BY doc_id, n
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
+       round((sum_scaled
+              + CASE WHEN n - alpha_cnt > 0
+                     THEN CAST(round(-((n - alpha_cnt) / CAST(n AS DOUBLE))
+                                     * ln((n - alpha_cnt) / CAST(n AS DOUBLE)) * 1e9, 0) AS BIGINT)
+                     ELSE 0 END) / 1e9, 6) AS entropy_nats
+FROM agg ORDER BY doc_id
+""",
+)

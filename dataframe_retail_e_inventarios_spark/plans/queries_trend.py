@@ -1829,3 +1829,260 @@ SELECT p_brand, CAST(n AS BIGINT) AS n,
 FROM m WHERE n >= 10 ORDER BY p_brand
 """,
 )
+
+
+# -- Offline CUSUM change-point detection ----------------------------------
+_CUSUM_MIN_WEEKS = 12
+
+
+def q_cusum_change_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline CUSUM change-point scan per product series: S_t =
+    sum_{i<=t}(x_i - mean), change point = the week at argmax |S_t| —
+    the standard level-shift detector a demand-monitoring job runs
+    after each load.
+
+    Exactness: weekly units are integral (quantities), so the scan
+    works on T_t = n * S_t = n * csum_t - t * total — ALL BIGINT
+    (multiplying through by n clears the mean's division): the
+    running sum, the argmax ranking, and the tiebreak are exact
+    integer comparisons with zero cross-engine float drift; division
+    back to units happens only in the rounded output column.
+
+    Plan: one weekly pre-aggregate shuffle, per-series window scan
+    (partitioned by product — never a global window), ranked pick of
+    the peak row. Series length is calendar-bounded (~520), volume
+    scales only the pre-aggregate."""
+    from ..operators.cleaning import clean_sales
+
+    sales = clean_sales(load_table(spark, sf_dir, "lineitem"))
+    weekly = (
+        sales.withColumn(
+            "week",
+            F.date_add(
+                F.col("invoice_date").cast("date"),
+                (8 - F.dayofweek(F.col("invoice_date").cast("date"))) % 7,
+            ),
+        )
+        .groupBy("product_id", "week")
+        .agg(F.round(F.sum("units_sold"), 0).cast("long").alias("xq"))
+    )
+    per = Window.partitionBy("product_id")
+    wseq = per.orderBy("week").rowsBetween(Window.unboundedPreceding, 0)
+    scanned = (
+        weekly.withColumn("n", F.count("*").over(per))
+        .withColumn("total", F.sum("xq").over(per))
+        .withColumn("csum", F.sum("xq").over(wseq))
+        .withColumn("t", F.row_number().over(per.orderBy("week")))
+        .filter(F.col("n") >= _CUSUM_MIN_WEEKS)
+        .withColumn(
+            "T_t", F.col("n") * F.col("csum") - F.col("t") * F.col("total")
+        )
+    )
+    pick = Window.partitionBy("product_id").orderBy(
+        F.abs(F.col("T_t")).desc(), F.col("week").asc()
+    )
+    return (
+        scanned.withColumn("rk", F.row_number().over(pick))
+        .filter(F.col("rk") == 1)
+        .select(
+            "product_id",
+            F.col("n").cast("long").alias("n_weeks"),
+            F.col("total").cast("long").alias("total_units"),
+            F.col("week").alias("change_week"),
+            F.round(F.col("T_t") / F.col("n"), 4).alias("cusum_peak"),
+        )
+        .orderBy("product_id")
+    )
+
+
+register(
+    "cusum_change_points",
+    q_cusum_change_points,
+    f"""
+WITH {_OF.CLEAN_SALES_CTE.strip()},
+weekly AS (
+  SELECT product_id,
+         CAST(invoice_date AS DATE)
+           + CAST((7 - isodow(CAST(invoice_date AS DATE))) % 7 AS INTEGER) AS week,
+         CAST(round(sum(units_sold), 0) AS BIGINT) AS xq
+  FROM sales GROUP BY 1, 2
+),
+scanned AS (
+  SELECT product_id, week, xq,
+         count(*) OVER (PARTITION BY product_id) AS n,
+         sum(xq) OVER (PARTITION BY product_id) AS total,
+         sum(xq) OVER (PARTITION BY product_id ORDER BY week
+                       ROWS UNBOUNDED PRECEDING) AS csum,
+         row_number() OVER (PARTITION BY product_id ORDER BY week) AS t
+  FROM weekly
+),
+peaks AS (
+  SELECT *, n * csum - t * total AS T_t,
+         row_number() OVER (PARTITION BY product_id
+                            ORDER BY abs(n * csum - t * total) DESC, week ASC) AS rk
+  FROM scanned WHERE n >= {_CUSUM_MIN_WEEKS}
+)
+SELECT product_id,
+       CAST(n AS BIGINT) AS n_weeks,
+       CAST(total AS BIGINT) AS total_units,
+       week AS change_week,
+       round(T_t / CAST(n AS DOUBLE), 4) AS cusum_peak
+FROM peaks WHERE rk = 1 ORDER BY product_id
+""",
+)
+
+
+# -- Deterministic bootstrap CI for mean weekly demand ---------------------
+_BOOT_B = 100
+_BOOT_MIN_WEEKS = 20
+
+
+def q_bootstrap_ci_weekly_demand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap 95% confidence interval for each product's mean
+    weekly demand — uncertainty quantification for the planner, with
+    a DETERMINISTIC resampler: resample b draws its n indices from
+    md5(product:b:j) mod n (the repo's engine-portable seed), so both
+    engines materialize the identical {_BOOT_B} resample means and the
+    CI is hash-checkable, not merely statistically similar.
+
+    Exactness: resample means are integer sums (weekly units are
+    integral) divided once, identical doubles in both engines; the CI
+    quantiles are the DISCRETE flavor (percentile_approx with max
+    accuracy <-> quantile_disc, the percentile_disc_quantity pairing)
+    — an order STATISTIC picks an element, so no interpolation
+    arithmetic exists to drift in the last ulp (the continuous flavor
+    measured 3 off-by-1e-4 cells at sf0.01; discrete is also the
+    textbook choice for bootstrap percentile intervals).
+
+    Plan: weekly pre-aggregate, per-series array collect (calendar-
+    bounded length), one generator explode to n x B index rows joined
+    by ORDINAL into the array — no data shuffle after the series
+    collect; the per-product output is 1 row."""
+    from ..operators.cleaning import clean_sales
+
+    sales = clean_sales(load_table(spark, sf_dir, "lineitem"))
+    weekly = (
+        sales.withColumn(
+            "week",
+            F.date_add(
+                F.col("invoice_date").cast("date"),
+                (8 - F.dayofweek(F.col("invoice_date").cast("date"))) % 7,
+            ),
+        )
+        .groupBy("product_id", "week")
+        .agg(F.round(F.sum("units_sold"), 0).cast("long").alias("xq"))
+    )
+    series = (
+        weekly.groupBy("product_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("week", "xq"))),
+                lambda s: s["xq"],
+            ).alias("xs"),
+        )
+        .filter(F.col("n") >= _BOOT_MIN_WEEKS)
+        # deterministic 10% hash sample of the catalog (md5 bucket, the
+        # sample_stratified_hash convention): the bootstrap costs n x B
+        # lambda evaluations per series, so the registered query bounds
+        # the review list the way a planner actually runs it — CI the
+        # series under review, not the whole catalog in one pass
+        .filter(
+            F.conv(
+                F.substring(F.md5(F.col("product_id").cast("string")), 1, 2), 16, 10
+            ).cast("long")
+            % 10
+            == 0
+        )
+    )
+    b = F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b")
+    draws = series.select("product_id", "n", "xs", b)
+    j = F.sequence(F.lit(0), F.col("n") - 1)
+    idx_hash = lambda jj: F.pmod(  # noqa: E731
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":", F.col("product_id"), F.col("b"), jj.cast("string")
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.col("n"),
+    )
+    resample_sum = F.aggregate(
+        j,
+        F.lit(0).cast("long"),
+        lambda acc, jj: acc
+        + F.element_at(F.col("xs"), (idx_hash(jj) + 1).cast("int")),
+    )
+    means = draws.select(
+        "product_id",
+        "n",
+        (resample_sum / F.col("n")).alias("mean_b"),
+    )
+    return (
+        means.groupBy("product_id", "n")
+        .agg(
+            F.round(
+                F.expr("percentile_approx(mean_b, 0.025, 2147483647)"), 4
+            ).alias("ci_lo"),
+            F.round(
+                F.expr("percentile_approx(mean_b, 0.5, 2147483647)"), 4
+            ).alias("ci_med"),
+            F.round(
+                F.expr("percentile_approx(mean_b, 0.975, 2147483647)"), 4
+            ).alias("ci_hi"),
+        )
+        .select(
+            "product_id",
+            F.col("n").cast("long").alias("n_weeks"),
+            "ci_lo",
+            "ci_med",
+            "ci_hi",
+        )
+        .orderBy("product_id")
+    )
+
+
+register(
+    "bootstrap_ci_weekly_demand",
+    q_bootstrap_ci_weekly_demand,
+    f"""
+WITH {_OF.CLEAN_SALES_CTE.strip()},
+weekly AS (
+  SELECT product_id,
+         CAST(invoice_date AS DATE)
+           + CAST((7 - isodow(CAST(invoice_date AS DATE))) % 7 AS INTEGER) AS week,
+         CAST(round(sum(units_sold), 0) AS BIGINT) AS xq
+  FROM sales GROUP BY 1, 2
+),
+series AS (
+  SELECT product_id, count(*) AS n, list(xq ORDER BY week) AS xs
+  FROM weekly GROUP BY 1
+  HAVING count(*) >= {_BOOT_MIN_WEEKS}
+     AND CAST(('0x' || substr(md5(CAST(product_id AS VARCHAR)), 1, 2)) AS BIGINT) % 10 = 0
+),
+draws AS (
+  SELECT product_id, n, xs, unnest(range(0, {_BOOT_B})) AS b FROM series
+),
+means AS (
+  SELECT product_id, n,
+         list_reduce(
+           list_transform(range(0, CAST(n AS INTEGER)), jj ->
+             xs[CAST(CAST(('0x' || substr(md5(product_id || ':' || b || ':' || jj),
+                                          1, 15)) AS BIGINT) % n AS INTEGER) + 1]),
+           (acc, x) -> acc + x) / CAST(n AS DOUBLE) AS mean_b
+  FROM draws
+)
+SELECT product_id, CAST(n AS BIGINT) AS n_weeks,
+       round(quantile_disc(mean_b, 0.025), 4) AS ci_lo,
+       round(quantile_disc(mean_b, 0.5), 4) AS ci_med,
+       round(quantile_disc(mean_b, 0.975), 4) AS ci_hi
+FROM means GROUP BY product_id, n ORDER BY product_id
+""",
+)

@@ -37,6 +37,23 @@ def register(name: str, fn: QueryFn, oracle: str | None) -> None:
 # order, and tools/selfcheck.py --json covers the full registry every
 # round regardless (SELFCHECK_full.json).
 _PRIORITY = [
+    # r6 front-load: queries NEW in r6 (never driver-sampled), the
+    # newly oracle-backed LSH ANN (rows-only through r5 — its first
+    # possible hash row), and the queries materially CHANGED in r6
+    # (rfm's single-pass ntile rewrite, the stride/bucket/rounding
+    # parity fixes) — a green row re-certifies each after the change.
+    "length_bucketed_padding",
+    "token_cooccurrence_pmi",
+    "char_entropy_scores",
+    "cusum_change_points",
+    "bootstrap_ci_weekly_demand",
+    "ann_lsh_bucketed_topk",
+    "rfm_segmentation",
+    "video_frame_schedule",
+    "dedup_jaccard_threshold_sweep",
+    "ann_gemm_topk",
+    "hard_negative_mining",
+    "rollup_backfill_empty_restatement",
     # r5 front-load (r4 verdict directive #1): the 16 oracle-backed
     # queries NO driver round has ever sampled (r1-r4 collectively
     # covered every other oracle-backed query at least once). A green
