@@ -166,6 +166,15 @@ HEADLINE = [
     "cusum_change_points",
     "bootstrap_ci_weekly_demand",
     "ann_lsh_bucketed_topk",
+    # round 6, part 2: bi-temporal snapshot reporting, tokenizer
+    # fertility, join-key containment discovery.
+    # streaming_late_data_watermark joins the other two non-headline
+    # drains in LIGHT: its 17 s wall is six mtime-ordered micro-batches
+    # of replay machinery (the lateness experiment IS the query), not
+    # per-query engine cost.
+    "bitemporal_snapshot_revenue",
+    "tokenizer_fertility",
+    "fk_containment_discovery",
 ]
 
 # Capability demos: registered + oracle-checked, but benched apart from

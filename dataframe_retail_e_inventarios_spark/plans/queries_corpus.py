@@ -817,3 +817,82 @@ SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
 FROM agg ORDER BY doc_id
 """,
 )
+
+
+# -- Tokenizer fertility by language ---------------------------------------
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY per language — subword tokens emitted per
+    whitespace word, the standard tokenizer-evaluation metric (a
+    fertility of 2 means the token budget buys half the text): per
+    lang, total words, total BPE-ish tokens, the corpus-level
+    fertility ratio, and the doc-level mean fertility (each doc's
+    ratio snapped to a 6dp-scaled BIGINT before averaging — the
+    float-sum discipline). One scan, one bounded-key aggregate."""
+    from ..operators.tokenize import bpe_ish_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_ws = F.size(F.filter(tokens("text"), lambda t: t != F.lit(""))).cast("long")
+    n_bpe = F.size(bpe_ish_tokens(F.col("text"))).cast("long")
+    per_doc = docs.select(
+        "lang",
+        n_ws.alias("n_ws"),
+        n_bpe.alias("n_bpe"),
+        F.when(
+            n_ws > 0,
+            F.round(n_bpe / n_ws * 1e6, 0).cast("long"),
+        ).alias("fert_scaled"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_ws").alias("total_words"),
+            F.sum("n_bpe").alias("total_tokens"),
+            F.round(F.sum("n_bpe") / F.sum("n_ws"), 6).alias("corpus_fertility"),
+            F.round(F.sum("fert_scaled") / F.count("fert_scaled") / 1e6, 6).alias(
+                "mean_doc_fertility"
+            ),
+        )
+        .select(
+            "lang",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("total_words").cast("long").alias("total_words"),
+            F.col("total_tokens").cast("long").alias("total_tokens"),
+            "corpus_fertility",
+            "mean_doc_fertility",
+        )
+        .orderBy("lang")
+    )
+
+
+from ..operators.tokenize import BPE_ISH_PATTERN as _BPE_RAW_F  # noqa: E402
+
+_BPE_F = _BPE_RAW_F.replace("'", "''")
+
+register(
+    "tokenizer_fertility",
+    q_tokenizer_fertility,
+    f"""
+WITH per_doc AS (
+  SELECT lang,
+         len(list_filter({_TOKS_SQL}, x -> x != '')) AS n_ws,
+         len(regexp_extract_all(text, '{_BPE_F}')) AS n_bpe
+  FROM documents
+),
+scaled AS (
+  SELECT lang, n_ws, n_bpe,
+         CASE WHEN n_ws > 0
+              THEN CAST(round(n_bpe / CAST(n_ws AS DOUBLE) * 1e6, 0) AS BIGINT)
+         END AS fert_scaled
+  FROM per_doc
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_ws) AS BIGINT) AS total_words,
+       CAST(sum(n_bpe) AS BIGINT) AS total_tokens,
+       round(sum(n_bpe) / CAST(sum(n_ws) AS DOUBLE), 6) AS corpus_fertility,
+       round(sum(fert_scaled) / CAST(count(fert_scaled) AS DOUBLE) / 1e6, 6)
+         AS mean_doc_fertility
+FROM scaled GROUP BY lang ORDER BY lang
+""",
+)

@@ -238,3 +238,98 @@ SELECT CAST(sum(pairs) AS BIGINT) AS est_rows,
 FROM per_key
 """,
 )
+
+
+# -- Join-key discovery: containment profiling -----------------------------
+# (child_table, child_col, parent_table, parent_col): the TRUE FK edges
+# of the schema plus planted NEGATIVES (pairs a naive type-match would
+# propose) — the discovery score must separate them.
+_FK_CANDIDATES = [
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+    # negatives: plausible-looking but wrong joins
+    ("orders", "o_orderkey", "customer", "c_custkey"),
+    ("part", "p_partkey", "nation", "n_nationkey"),
+    ("events", "user_id", "customer", "c_custkey"),
+]
+
+
+def q_fk_containment_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Automatic join-key discovery — the schema-inference pass a data
+    catalog runs over an unlabeled lake: for each candidate (child,
+    parent) column pair, the CONTAINMENT of the child's value set in
+    the parent's (|child ∩ parent| / |child|, Zhang et al.'s
+    inclusion-dependency score) and whether the parent side is unique.
+    A pair is flagged as an FK candidate iff containment >= 0.99 AND
+    the parent key is unique — the true edges of this schema score
+    1.0 and the planted decoys fall out.
+
+    Plan: per pair, two column-pruned distinct aggregates and one
+    distinct-to-distinct left join — each candidate touches only its
+    two key columns (parquet column pruning does the rest at 100 TB);
+    the per-pair 1-row results union into the report."""
+    parts = []
+    for ct, cc, pt, pc in _FK_CANDIDATES:
+        child = load_table(spark, sf_dir, ct).select(F.col(cc).alias("v")).distinct()
+        parent_tbl = load_table(spark, sf_dir, pt)
+        parent = parent_tbl.select(F.col(pc).alias("v")).distinct()
+        pstats = parent_tbl.agg(
+            F.count(pc).alias("p_rows"),
+            F.countDistinct(pc).alias("p_distinct"),
+        )
+        hit = child.join(parent, "v", "left_semi").agg(
+            F.count("*").alias("n_hit")
+        )
+        cstats = child.agg(F.count("*").alias("c_distinct"))
+        row = (
+            cstats.crossJoin(F.broadcast(hit))
+            .crossJoin(F.broadcast(pstats))
+            .select(
+                F.lit(f"{ct}.{cc}").alias("child_col"),
+                F.lit(f"{pt}.{pc}").alias("parent_col"),
+                F.col("c_distinct").cast("long").alias("child_distinct"),
+                F.col("p_distinct").cast("long").alias("parent_distinct"),
+                F.round(F.col("n_hit") / F.col("c_distinct"), 6).alias("containment"),
+                (F.col("p_distinct") == F.col("p_rows")).alias("parent_unique"),
+            )
+        )
+        parts.append(row)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.withColumn(
+        "fk_candidate",
+        (F.col("containment") >= 0.99) & F.col("parent_unique"),
+    ).orderBy("child_col", "parent_col")
+
+
+_FK_UNION_SQL = "\nUNION ALL\n".join(
+    f"""
+SELECT '{ct}.{cc}' AS child_col, '{pt}.{pc}' AS parent_col,
+       (SELECT CAST(count(DISTINCT {cc}) AS BIGINT) FROM {ct}) AS child_distinct,
+       (SELECT CAST(count(DISTINCT {pc}) AS BIGINT) FROM {pt}) AS parent_distinct,
+       round((SELECT count(*) FROM (SELECT DISTINCT {cc} AS v FROM {ct}) c
+              WHERE v IN (SELECT {pc} FROM {pt}))
+             / CAST((SELECT count(DISTINCT {cc}) FROM {ct}) AS DOUBLE), 6)
+         AS containment,
+       (SELECT count(DISTINCT {pc}) = count({pc}) FROM {pt}) AS parent_unique
+"""
+    for ct, cc, pt, pc in _FK_CANDIDATES
+)
+
+register(
+    "fk_containment_discovery",
+    q_fk_containment_discovery,
+    f"""
+WITH pairs AS ({_FK_UNION_SQL})
+SELECT child_col, parent_col, child_distinct, parent_distinct,
+       containment, parent_unique,
+       (containment >= 0.99 AND parent_unique) AS fk_candidate
+FROM pairs ORDER BY child_col, parent_col
+""",
+)

@@ -1486,3 +1486,262 @@ FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 GROUP BY 1, 2
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Streaming watermark late-data semantics, fully deterministic
+# ---------------------------------------------------------------------------
+_WM_DELAY_US = 36 * 3600 * 1_000_000  # 36 h — deliberately off the day grid
+_WM_CHUNKS = 3
+
+
+def q_streaming_late_data_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark LATE-DATA DROP semantics under the value-hash gate —
+    the one streaming behavior the other drains deliberately avoid
+    (they use complete mode or a span-exceeding delay). Here lateness
+    is the point, so the replay makes it deterministic end to end:
+
+    - arrival chunk = event_id % {chunks} (each chunk mixes old and
+      new event times, so later chunks genuinely carry late rows);
+    - each chunk is ONE parquet file with a strictly increasing
+      mtime, and the file source sorts by modification time with
+      maxFilesPerTrigger=1 — batch k IS chunk k, always;
+    - watermark delay 36 h (off the day-window grid, so a window edge
+      never lands exactly on the watermark);
+    - three far-future SENTINEL batches close every real window:
+      append mode emits a window only once the watermark passes its
+      end, and the late-row FILTER applied in batch k is built from
+      the event-time stats of batches <= k-2 (one batch to collect
+      stats, one more before the updated watermark takes effect —
+      verified with a controlled 6-batch experiment: a late row in
+      batch 1 survives a batch-0 watermark, a late row in batch 2
+      does not; the oracle's running max therefore ends at
+      2 PRECEDING) — without the flush batches the tail windows
+      would sit in state forever.
+
+    The DuckDB oracle replays the same schedule in SQL: wm_before(k)
+    = running max event time over chunks < k minus the delay; a row
+    survives iff its day-window END exceeds wm_before(its chunk);
+    every surviving window is emitted (the sentinels guarantee it).
+    A 100 TB ingest has to reason about exactly this drop set when it
+    mixes live tails with backfill replays."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..functions.timewall import wall_epoch_micros
+
+    ev = load_table(spark, sf_dir, "events")
+    ev = ev.select(
+        "event_id",
+        "event_type",
+        F.timestamp_micros(wall_epoch_micros("ts")).alias("ts"),
+    )
+    work = tempfile.mkdtemp(prefix="spark_graft_stream_wm_")
+    try:
+        src = os.path.join(work, "src")
+        os.makedirs(src)
+        base_mtime = 1_600_000_000
+
+        def land(df, k: int) -> None:
+            tmp = os.path.join(work, f"tmp{k}")
+            df.coalesce(1).write.parquet(tmp)
+            part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+            dst = os.path.join(src, f"chunk{k}.parquet")
+            shutil.move(os.path.join(tmp, part), dst)
+            os.utime(dst, (base_mtime + 10 * k, base_mtime + 10 * k))
+
+        for k in range(_WM_CHUNKS):
+            land(ev.filter(F.col("event_id") % _WM_CHUNKS == k), k)
+        far = ev.agg(
+            F.max(F.col("ts").cast("long")).alias("mx")
+        ).collect()[0][0] + 400 * 86400
+        sentinel = spark.createDataFrame(
+            [(10**12, "sentinel", far)], "event_id long, event_type string, es long"
+        ).select("event_id", "event_type", F.timestamp_seconds(F.col("es")).alias("ts"))
+        land(sentinel, _WM_CHUNKS)
+        land(sentinel.withColumn("event_id", F.lit(10**12 + 1)), _WM_CHUNKS + 1)
+        land(sentinel.withColumn("event_id", F.lit(10**12 + 2)), _WM_CHUNKS + 2)
+
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        agg = (
+            stream.withWatermark("ts", "36 hours")
+            .groupBy(F.window("ts", "1 day").alias("win"), "event_type")
+            .agg(F.count("*").alias("n_events"))
+        )
+        name = f"wm_{uuid.uuid4().hex[:8]}"
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        out = (
+            spark.table(name)
+            .filter(F.col("event_type") != "sentinel")
+            .select(
+                F.col("win.start").cast("long").alias("win_start_s"),
+                "event_type",
+                F.col("n_events").cast("long").alias("n_events"),
+            )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+q_streaming_late_data_watermark.__doc__ = q_streaming_late_data_watermark.__doc__.format(
+    chunks=_WM_CHUNKS
+)
+
+register(
+    "streaming_late_data_watermark",
+    q_streaming_late_data_watermark,
+    f"""
+WITH e AS (
+  SELECT event_id, event_type, epoch_us(ts) AS us,
+         event_id % {_WM_CHUNKS} AS chunk
+  FROM events
+),
+bmax AS (SELECT chunk, max(us) AS mx FROM e GROUP BY chunk),
+wm AS (
+  SELECT chunk,
+         max(mx) OVER (ORDER BY chunk
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING)
+           - {_WM_DELAY_US} AS wm_before
+  FROM bmax
+),
+kept AS (
+  SELECT e.*
+  FROM e JOIN wm USING (chunk)
+  WHERE wm.wm_before IS NULL
+     OR (floor(us / 86400000000) * 86400000000 + 86400000000) > wm.wm_before
+)
+SELECT CAST(floor(us / 86400000000) * 86400 AS BIGINT) AS win_start_s,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM kept GROUP BY 1, 2
+""",
+)
+
+
+# ---------------------------------------------------------------------------
+# Bi-temporal as-of reporting (valid time x transaction time)
+# ---------------------------------------------------------------------------
+_BT_SNAPSHOTS = ["1997-01-01", "1999-01-01", "2001-01-01", "2002-06-01"]
+
+
+def q_bitemporal_snapshot_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bi-temporal reporting — the restatement question SCD2/PIT don't
+    answer: monthly revenue BY VALID TIME (order month) as it was
+    KNOWN at each transaction-time snapshot. The correction history is
+    synthesized deterministically (v1 at +30 days for orderkey % 7 = 0
+    adds the 5% audit adjustment, v2 at +60 days for % 21 = 0 takes
+    2% back off), all in exact integer cents (the +5% is
+    cents + floor(cents/20) — pure BIGINT arithmetic, no percentage
+    float). For each snapshot the report takes every order's LATEST
+    version with tx_date <= snapshot, so the same order month reports
+    different revenue under different snapshots — exactly the drift a
+    restatement audit reads.
+
+    Plan: the version frame is a 3-way union projection (no shuffle),
+    snapshots are a 4-row broadcast, latest-version-per-(snapshot,
+    order) is a keyed window, and the report is one aggregate. At
+    100 TB the version store is what a lakehouse table's change log
+    already is; nothing here is quadratic."""
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("odate"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    v0 = base.select(
+        "o_orderkey", "odate", F.lit(0).alias("version"),
+        F.col("odate").alias("tx_date"), F.col("cents").alias("vcents"),
+    )
+    c1 = F.col("cents") + F.floor(F.col("cents") / 20).cast("long")
+    v1 = base.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey", "odate", F.lit(1).alias("version"),
+        F.date_add("odate", 30).alias("tx_date"), c1.alias("vcents"),
+    )
+    c2 = c1 - F.floor(c1 / 50).cast("long")
+    v2 = base.filter(F.col("o_orderkey") % 21 == 0).select(
+        "o_orderkey", "odate", F.lit(2).alias("version"),
+        F.date_add("odate", 60).alias("tx_date"), c2.alias("vcents"),
+    )
+    versions = v0.unionByName(v1).unionByName(v2)
+    snaps = spark.createDataFrame(
+        [(d,) for d in _BT_SNAPSHOTS], "snapshot string"
+    ).select(F.col("snapshot").cast("date").alias("snapshot"))
+    known = versions.join(
+        F.broadcast(snaps), F.col("tx_date") <= F.col("snapshot")
+    )
+    w = Window.partitionBy("snapshot", "o_orderkey").orderBy(
+        F.col("version").desc()
+    )
+    latest = known.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") == 1
+    )
+    return (
+        latest.groupBy("snapshot", F.date_trunc("month", "odate").cast("date").alias("order_month"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.when(F.col("version") > 0, 1).otherwise(0)).alias("n_restated"),
+            F.sum("vcents").alias("sum_cents"),
+        )
+        .select(
+            "snapshot",
+            "order_month",
+            F.col("n_orders").cast("long").alias("n_orders"),
+            F.col("n_restated").cast("long").alias("n_restated"),
+            F.round(F.col("sum_cents") / 1e2, 2).alias("revenue"),
+        )
+        .orderBy("snapshot", "order_month")
+    )
+
+
+_BT_SNAPS_SQL = ", ".join(f"DATE '{d}'" for d in _BT_SNAPSHOTS)
+
+register(
+    "bitemporal_snapshot_revenue",
+    q_bitemporal_snapshot_revenue,
+    f"""
+WITH base AS (
+  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS odate,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders
+),
+versions AS (
+  SELECT o_orderkey, odate, 0 AS version, odate AS tx_date, cents AS vcents
+  FROM base
+  UNION ALL
+  SELECT o_orderkey, odate, 1, odate + INTERVAL 30 DAY,
+         cents + CAST(floor(cents / 20) AS BIGINT)
+  FROM base WHERE o_orderkey % 7 = 0
+  UNION ALL
+  SELECT o_orderkey, odate, 2, odate + INTERVAL 60 DAY,
+         (cents + CAST(floor(cents / 20) AS BIGINT))
+           - CAST(floor((cents + CAST(floor(cents / 20) AS BIGINT)) / 50) AS BIGINT)
+  FROM base WHERE o_orderkey % 21 = 0
+),
+snaps AS (SELECT unnest([{_BT_SNAPS_SQL}]) AS snapshot),
+known AS (
+  SELECT v.*, s.snapshot,
+         row_number() OVER (PARTITION BY s.snapshot, v.o_orderkey
+                            ORDER BY v.version DESC) AS rk
+  FROM versions v JOIN snaps s ON CAST(v.tx_date AS DATE) <= s.snapshot
+)
+SELECT snapshot, CAST(date_trunc('month', odate) AS DATE) AS order_month,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CASE WHEN version > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_restated,
+       round(sum(vcents) / 1e2, 2) AS revenue
+FROM known WHERE rk = 1
+GROUP BY 1, 2 ORDER BY 1, 2
+""",
+)

@@ -47,6 +47,10 @@ _PRIORITY = [
     "char_entropy_scores",
     "cusum_change_points",
     "bootstrap_ci_weekly_demand",
+    "streaming_late_data_watermark",
+    "bitemporal_snapshot_revenue",
+    "tokenizer_fertility",
+    "fk_containment_discovery",
     "ann_lsh_bucketed_topk",
     "rfm_segmentation",
     "video_frame_schedule",
