@@ -896,3 +896,168 @@ SELECT lang,
 FROM scaled GROUP BY lang ORDER BY lang
 """,
 )
+
+
+# -- n-gram novelty per document (dedup-adjacent curation signal) ----------
+def q_ngram_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 3-gram novelty: the share of a doc's DISTINCT
+    word-3-grams whose first corpus occurrence (min doc_id over docs
+    containing the gram) is this doc. The curation signal behind
+    prefix-dedup / novelty curves: a crawl slice whose novelty rate
+    collapses is re-crawling what the corpus already has.
+
+    Shape: one tokenize scan -> per-doc distinct gram hashes (31-bit
+    Horner mix of per-token md5s — 8-byte shuffle keys, never gram
+    strings) -> groupBy gram for the first-seen doc -> hash-join back
+    -> per-doc counts. Two shuffles on bounded-width keys; the
+    repartition ahead of the generate stage parallelizes the one-file
+    source [pyspark_guide: single-small-file inputs]."""
+    docs = load_table(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    docs = docs.repartition(par, "doc_id")
+    hashed = docs.select("doc_id", _token_hashes(tokens("text")).alias("hs"))
+    hcol = F.col("hs")
+    idx = F.sequence(F.lit(1), F.size(hcol) - 2)
+    grams = F.when(
+        F.size(hcol) >= 3,
+        F.array_distinct(F.transform(idx, lambda i: _gram_mix(hcol, i, 3))),
+    ).otherwise(F.array().cast("array<bigint>"))
+    per_doc = hashed.select("doc_id", F.explode(grams).alias("gh"))
+    first = per_doc.groupBy("gh").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        per_doc.join(first, "gh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum((F.col("first_doc") == F.col("doc_id")).cast("long")).alias(
+                "n_novel"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_novel",
+            F.round(F.col("n_novel") / F.col("n_grams"), 6).alias("novelty_rate"),
+        )
+    )
+
+
+register(
+    "ngram_novelty_rate",
+    q_ngram_novelty_rate,
+    f"""
+WITH t AS (
+  SELECT doc_id,
+         list_transform({_TOKS_SQL},
+                        x -> CAST(('0x' || substr(md5(x), 1, 8)) AS BIGINT)) AS hs
+  FROM documents
+),
+g AS (
+  SELECT DISTINCT doc_id, gh
+  FROM t, LATERAL unnest(
+    list_transform(range(1, len(hs) - 1), i -> {_gram_mix_sql('hs', 'i', 3)})
+  ) AS u(gh)
+  WHERE len(hs) >= 3
+),
+f AS (SELECT gh, min(doc_id) AS first_doc FROM g GROUP BY gh)
+SELECT g.doc_id,
+       count(*) AS n_grams,
+       CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel,
+       round(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS novelty_rate
+FROM g JOIN f USING (gh)
+GROUP BY g.doc_id
+""",
+)
+
+
+# -- vocabulary coverage curve (vocab-budget planning) ---------------------
+_COVERAGE_GRID = [100, 500, 1000, 2500, 5000, 10000]
+
+
+def q_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Occurrence coverage of the top-N 3-gram vocabulary for a grid of
+    vocab budgets N — the curve a tokenizer/vocab-size decision reads
+    (the unigram vocabulary of this corpus is ~31 terms, so the curve
+    runs on 3-grams where the head/tail split is real).
+
+    Scale shape: gram occurrence counts aggregate on 8-byte Horner-mix
+    keys; the top-maxN survivors come from a distributed sort+limit
+    (TakeOrderedAndProject — never a full-vocab single-partition
+    window; row_number runs on the maxN survivors only), the budget
+    grid joins in as a broadcast theta-join against those survivors,
+    and the denominator is a broadcast 1-row normalizer."""
+    docs = load_table(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    docs = docs.repartition(par, "doc_id")
+    hashed = docs.select(_token_hashes(tokens("text")).alias("hs"))
+    hcol = F.col("hs")
+    idx = F.sequence(F.lit(1), F.size(hcol) - 2)
+    grams = F.when(
+        F.size(hcol) >= 3,
+        F.transform(idx, lambda i: _gram_mix(hcol, i, 3)),
+    ).otherwise(F.array().cast("array<bigint>"))
+    per_gram = (
+        hashed.select(F.explode(grams).alias("gh"))
+        .groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    max_n = max(_COVERAGE_GRID)
+    top = per_gram.orderBy(F.col("freq").desc(), "gh").limit(max_n)
+    w = Window.orderBy(F.col("freq").desc(), "gh")
+    ranked = top.select(
+        F.row_number().over(w).cast("long").alias("rank"), "freq"
+    )
+    grid = spark.createDataFrame(
+        [(n,) for n in _COVERAGE_GRID], "vocab_size long"
+    )
+    total = per_gram.agg(F.sum("freq").alias("total_occurrences"))
+    return (
+        ranked.join(F.broadcast(grid), F.col("rank") <= F.col("vocab_size"))
+        .groupBy("vocab_size")
+        .agg(F.sum("freq").alias("covered"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "vocab_size",
+            "covered",
+            "total_occurrences",
+            F.round(F.col("covered") / F.col("total_occurrences"), 6).alias(
+                "coverage"
+            ),
+        )
+    )
+
+
+register(
+    "vocab_coverage_curve",
+    q_vocab_coverage_curve,
+    f"""
+WITH t AS (
+  SELECT list_transform({_TOKS_SQL},
+                        x -> CAST(('0x' || substr(md5(x), 1, 8)) AS BIGINT)) AS hs
+  FROM documents
+),
+g AS (
+  SELECT gh
+  FROM t, LATERAL unnest(
+    list_transform(range(1, len(hs) - 1), i -> {_gram_mix_sql('hs', 'i', 3)})
+  ) AS u(gh)
+  WHERE len(hs) >= 3
+),
+c AS (SELECT gh, count(*) AS freq FROM g GROUP BY gh),
+top AS (
+  SELECT gh, freq, CAST(row_number() OVER (ORDER BY freq DESC, gh) AS BIGINT) AS rank
+  FROM c ORDER BY freq DESC, gh LIMIT {max(_COVERAGE_GRID)}
+),
+tot AS (SELECT CAST(sum(freq) AS BIGINT) AS total_occurrences FROM c),
+grid AS (SELECT CAST(unnest({_COVERAGE_GRID}) AS BIGINT) AS vocab_size)
+SELECT vocab_size,
+       CAST(sum(freq) AS BIGINT) AS covered,
+       total_occurrences,
+       round(sum(freq) / CAST(total_occurrences AS DOUBLE), 6) AS coverage
+FROM grid JOIN top ON top.rank <= grid.vocab_size
+CROSS JOIN tot
+GROUP BY vocab_size, total_occurrences
+""",
+)

@@ -1203,3 +1203,81 @@ GROUP BY h.bucket, h.n_pairs
 ORDER BY jaccard_floor
 """,
 )
+
+
+# -- N1/N3: SemDedup-style signature dedup (keep one per sign bucket) ------
+def q_semantic_dedup_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDedup-shaped semantic dedup: every vector gets a 10-bit
+    hyperplane sign SIGNATURE (the deterministic integer-Rademacher
+    family — md5-parity +/-1 planes over 6dp-snapped BIGINT elements,
+    the same SQL-reproducible construction the hash-green LSH ANN
+    uses); vectors sharing the full signature form a semantic cluster
+    and the min-id member survives. Exact-direction duplicates (the
+    planted x2 rescales, cos = 1) share every plane sign BY
+    CONSTRUCTION, so each planted copy lands in its original's cluster
+    and is dropped deterministically.
+
+    This is the corpus-scale shape of SemDedup (Abbas et al. 2023 —
+    cluster embeddings, keep one per cluster): ONE ArrowEvalPython
+    projection pass, one group-by on a 12-char key. No pairwise
+    similarity is ever computed — at 100 TB the signature group-by is
+    a single shuffle on tiny keys, and cluster granularity tunes by
+    plane count (10 planes -> ~1024 buckets here).
+    """
+    from ..operators.similarity import with_sign_band_keys
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    copies = emb.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform("embedding", lambda x: (x * F.lit(2.0)).cast("float")).alias(
+            "embedding"
+        ),
+    )
+    keyed = with_sign_band_keys(
+        emb.unionByName(copies), "embedding", n_planes=10, bands=1, int_exact=True
+    )
+    return keyed.groupBy(F.col("bk0").alias("signature")).agg(
+        F.count(F.lit(1)).alias("cluster_size"),
+        F.min("vec_id").alias("survivor_id"),
+        (F.count(F.lit(1)) - F.lit(1)).cast("long").alias("n_dropped"),
+    )
+
+
+register(
+    "semantic_dedup_signature",
+    q_semantic_dedup_signature,
+    """
+WITH dims AS (SELECT unnest(range(0, 64)) AS d),
+planes AS (SELECT unnest(range(0, 10)) AS p),
+w AS (
+  SELECT p, d,
+         CASE WHEN CAST(('0x' || substr(md5('lshw:' || p || ':' || d), 1, 8))
+                   AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END AS wt
+  FROM planes CROSS JOIN dims
+),
+base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+copies AS (
+  SELECT vec_id + 10000 AS vec_id, list_transform(v, x -> x * 2.0) AS v
+  FROM base WHERE vec_id < 50
+),
+e AS (SELECT * FROM base UNION ALL SELECT * FROM copies),
+el AS (
+  SELECT vec_id, dims.d AS d,
+         CAST(round_even(v[dims.d + 1], 6) * 1e6 AS BIGINT) AS ei
+  FROM e CROSS JOIN dims
+),
+proj AS (
+  SELECT vec_id, p, sum(ei * wt) AS s
+  FROM el JOIN w USING (d) GROUP BY 1, 2
+),
+sig AS (
+  SELECT vec_id,
+         concat('0|', string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, ''
+                                 ORDER BY p)) AS signature
+  FROM proj GROUP BY vec_id
+)
+SELECT signature, count(*) AS cluster_size, min(vec_id) AS survivor_id,
+       count(*) - 1 AS n_dropped
+FROM sig GROUP BY signature
+""",
+)

@@ -591,3 +591,110 @@ SELECT
 FROM g CROSS JOIN t
 """,
 )
+
+
+# -- Welch's t-test between customer segments ------------------------------
+def q_welch_ttest_price_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test of mean order value between
+    every pair of customer market segments — the A/B-readout shape
+    (does segment X really spend more per order than segment Y?),
+    with the Welch–Satterthwaite degrees of freedom reported beside
+    the statistic.
+
+    Parity recipe (price_elasticity_by_brand's): order totals snap to
+    exact cents; per-segment moments are n (long), sum (long — 1.8e12
+    max, far inside int64) and sum-of-squares accumulated in
+    DECIMAL(30,0) <-> HUGEINT (per-term squares reach 3.6e15, their
+    sums overflow int64) — exact and associative under any shuffle
+    order. The t/dof closed forms then run on doubles cast from those
+    identical integers with an expression tree mirrored verbatim in
+    the oracle. One broadcast join + one 5-row aggregate; the pair
+    join is 5x5 driver-trivial.
+    """
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cents = F.bround(F.col("o_totalprice") * 1e2, 0).cast("long")
+    m = (
+        o.join(F.broadcast(cust), o.o_custkey == cust.c_custkey)
+        .select(F.col("c_mktsegment").alias("seg"), cents.alias("c"))
+        .groupBy("seg")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("c").alias("sx"),
+            F.sum((F.col("c") * F.col("c")).cast("decimal(30,0)")).alias("sxx"),
+        )
+    )
+
+    def _stats(side: str):
+        n_d = F.col(f"{side}.n").cast("double")
+        sx_d = F.col(f"{side}.sx").cast("double")
+        sxx_d = F.col(f"{side}.sxx").cast("double")
+        mean = sx_d / n_d
+        var = (sxx_d - sx_d * sx_d / n_d) / (n_d - F.lit(1.0))
+        return n_d, mean, var
+
+    a, b = m.alias("a"), m.alias("b")
+    na, ma, va = _stats("a")
+    nb, mb, vb = _stats("b")
+    sea, seb = va / na, vb / nb
+    se2 = sea + seb
+    t = (ma - mb) / F.sqrt(se2)
+    dof = (se2 * se2) / (
+        sea * sea / (na - F.lit(1.0)) + seb * seb / (nb - F.lit(1.0))
+    )
+    return (
+        a.join(b, F.col("a.seg") < F.col("b.seg"))
+        .select(
+            F.col("a.seg").alias("seg_a"),
+            F.col("b.seg").alias("seg_b"),
+            F.col("a.n").alias("n_a"),
+            F.col("b.n").alias("n_b"),
+            F.round(ma / 1e2, 2).alias("mean_a"),
+            F.round(mb / 1e2, 2).alias("mean_b"),
+            F.bround(t, 6).alias("t_stat"),
+            F.round(dof, 4).alias("welch_dof"),
+        )
+        .orderBy("seg_a", "seg_b")
+    )
+
+
+register(
+    "welch_ttest_price_segments",
+    q_welch_ttest_price_segments,
+    """
+WITH j AS (
+  SELECT c.c_mktsegment AS seg,
+         CAST(round_even(o.o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+),
+m AS (
+  SELECT seg, count(*) AS n,
+         CAST(sum(cents) AS BIGINT) AS sx,
+         sum(cents * cents) AS sxx
+  FROM j GROUP BY seg
+),
+p AS (
+  SELECT a.seg AS seg_a, b.seg AS seg_b, a.n AS n_a, b.n AS n_b,
+         CAST(a.n AS DOUBLE) AS na, CAST(a.sx AS DOUBLE) AS sxa,
+         CAST(a.sxx AS DOUBLE) AS sxxa,
+         CAST(b.n AS DOUBLE) AS nb, CAST(b.sx AS DOUBLE) AS sxb,
+         CAST(b.sxx AS DOUBLE) AS sxxb
+  FROM m a JOIN m b ON a.seg < b.seg
+),
+s AS (
+  SELECT seg_a, seg_b, n_a, n_b, na, nb,
+         sxa / na AS ma, sxb / nb AS mb,
+         ((sxxa - sxa * sxa / na) / (na - 1.0)) / na AS sea,
+         ((sxxb - sxb * sxb / nb) / (nb - 1.0)) / nb AS seb
+  FROM p
+)
+SELECT seg_a, seg_b, n_a, n_b,
+       round(ma / 1e2, 2) AS mean_a,
+       round(mb / 1e2, 2) AS mean_b,
+       round_even((ma - mb) / sqrt(sea + seb), 6) + 0.0 AS t_stat,
+       round(((sea + seb) * (sea + seb))
+             / (sea * sea / (na - 1.0) + seb * seb / (nb - 1.0)), 4) AS welch_dof
+FROM s
+ORDER BY seg_a, seg_b
+""",
+)

@@ -42,6 +42,10 @@ _PRIORITY = [
     # possible hash row), and the queries materially CHANGED in r6
     # (rfm's single-pass ntile rewrite, the stride/bucket/rounding
     # parity fixes) — a green row re-certifies each after the change.
+    "ngram_novelty_rate",
+    "vocab_coverage_curve",
+    "welch_ttest_price_segments",
+    "semantic_dedup_signature",
     "length_bucketed_padding",
     "token_cooccurrence_pmi",
     "char_entropy_scores",
@@ -70,7 +74,6 @@ _PRIORITY = [
     "doc_vector_hashing",
     "sparse_cosine_topk",
     "rolling_median_demand",
-    "rfm_segmentation",
     "basket_pair_lift",
     "event_transition_matrix",
     "supplier_lead_times",
@@ -83,10 +86,8 @@ _PRIORITY = [
     "skew_salted_brand_revenue",
     # queries NEW or materially changed in r5 — the driver row is the
     # first hard evidence for each. (Names appended as built.)
-    "rollup_backfill_empty_restatement",
     "dedup_minhash_lsh_incremental",
     "corpus_shuffle_batches",
-    "ann_gemm_topk",
     "bpe_pair_counts",
     "mixture_temperature_weights",
     "asof_join_tolerance",
@@ -95,7 +96,6 @@ _PRIORITY = [
     "position_based_attribution",
     "dedup_containment_pairs",
     "streaming_static_enrichment",
-    "hard_negative_mining",
     "embedding_norm_outliers",
     "tokenizer_oov_rate",
     "window_funnel_levels",
@@ -108,8 +108,6 @@ _PRIORITY = [
     "survival_km_signup_purchase",
     "chi_square_segment_nation",
     "psi_order_price_drift",
-    "dedup_jaccard_threshold_sweep",
-    "video_frame_schedule",
     # then the queries whose only driver evidence is from r1/r2 —
     # oldest green rows, most code drift since; re-certify them with
     # the remaining budget. Everything NOT listed still follows in
