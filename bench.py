@@ -176,6 +176,9 @@ HEADLINE = [
     "bitemporal_snapshot_revenue",
     "tokenizer_fertility",
     "fk_containment_discovery",
+    "cross_source_ngram_leakage",
+    "perplexity_bucket_mix",
+    "copurchase_node_jaccard",
     "ngram_novelty_rate",
     "vocab_coverage_curve",
     "welch_ttest_price_segments",

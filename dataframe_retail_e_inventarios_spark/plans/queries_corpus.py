@@ -1061,3 +1061,186 @@ CROSS JOIN tot
 GROUP BY vocab_size, total_occurrences
 """,
 )
+
+
+# -- cross-source n-gram leakage matrix ------------------------------------
+def q_cross_source_ngram_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise content leakage between corpus sources: for every
+    source pair, the number of distinct word-3-grams both emit and the
+    overlap coefficient |A ∩ B| / min(|A|, |B|) — the
+    decontamination-adjacent diagnostic for "crawl slice B is
+    re-serving slice A's content" (and, run eval-suite-vs-train, for
+    benchmark leakage).
+
+    Shape: one tokenize pass -> distinct (gram-hash, source) pairs ->
+    self-join on the 8-byte gram key -> 190-row pair aggregate joined
+    to per-source gram counts. A gram shared by k sources emits
+    k(k-1)/2 pair rows, so the join output is bounded by
+    |distinct grams| x pairs(n_sources) — linear in the corpus for a
+    fixed source vocabulary; for thousands of sources you'd cap or
+    bucket the source dimension first (hot-shingle-cap shape)."""
+    docs = load_table(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    docs = docs.repartition(par, "doc_id")
+    hashed = docs.select("source", _token_hashes(tokens("text")).alias("hs"))
+    hcol = F.col("hs")
+    idx = F.sequence(F.lit(1), F.size(hcol) - 2)
+    grams = F.when(
+        F.size(hcol) >= 3,
+        F.transform(idx, lambda i: _gram_mix(hcol, i, 3)),
+    ).otherwise(F.array().cast("array<bigint>"))
+    sg = (
+        hashed.select("source", F.explode(grams).alias("gh"))
+        .dropDuplicates(["source", "gh"])
+    )
+    per_source = sg.groupBy("source").agg(F.count(F.lit(1)).alias("n_grams"))
+    a = sg.select(F.col("source").alias("source_a"), "gh")
+    b = sg.select(F.col("source").alias("source_b"), "gh")
+    shared = (
+        a.join(b, "gh")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("shared_grams"))
+    )
+    pa = per_source.select(
+        F.col("source").alias("source_a"), F.col("n_grams").alias("grams_a")
+    )
+    pb = per_source.select(
+        F.col("source").alias("source_b"), F.col("n_grams").alias("grams_b")
+    )
+    return (
+        shared.join(F.broadcast(pa), "source_a")
+        .join(F.broadcast(pb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "shared_grams",
+            "grams_a",
+            "grams_b",
+            F.round(
+                F.col("shared_grams") / F.least(F.col("grams_a"), F.col("grams_b")),
+                6,
+            ).alias("overlap_coeff"),
+        )
+    )
+
+
+register(
+    "cross_source_ngram_leakage",
+    q_cross_source_ngram_leakage,
+    f"""
+WITH t AS (
+  SELECT source,
+         list_transform({_TOKS_SQL},
+                        x -> CAST(('0x' || substr(md5(x), 1, 8)) AS BIGINT)) AS hs
+  FROM documents
+),
+sg AS (
+  SELECT DISTINCT source, gh
+  FROM t, LATERAL unnest(
+    list_transform(range(1, len(hs) - 1), i -> {_gram_mix_sql('hs', 'i', 3)})
+  ) AS u(gh)
+  WHERE len(hs) >= 3
+),
+ps AS (SELECT source, count(*) AS n_grams FROM sg GROUP BY source),
+sh AS (
+  SELECT a.source AS source_a, b.source AS source_b, count(*) AS shared_grams
+  FROM sg a JOIN sg b ON a.gh = b.gh AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT sh.source_a, sh.source_b, sh.shared_grams,
+       pa.n_grams AS grams_a, pb.n_grams AS grams_b,
+       round(sh.shared_grams
+             / CAST(least(pa.n_grams, pb.n_grams) AS DOUBLE), 6) AS overlap_coeff
+FROM sh
+JOIN ps pa ON pa.source = sh.source_a
+JOIN ps pb ON pb.source = sh.source_b
+""",
+)
+
+
+# -- perplexity-bucket curation mix (CCNet-style) --------------------------
+def q_perplexity_bucket_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-shaped quality partition: documents quartile by their
+    bigram-LM fluency score (avg -ln p, lower = head/more fluent) and
+    the report shows what each bucket would contribute to a training
+    mix — doc count, score range, character mass. The classic use is
+    keeping the head/middle buckets and dropping the tail.
+
+    The global quartile runs on operators/distributed_rank.with_ntile
+    (range-repartition + per-partition offsets — never a
+    single-partition ntile window); ordering is on the 6dp-scaled
+    BIGINT score with doc_id tiebreak, so bucket membership is exact
+    and engine-portable. DuckDB's ntile shares the SQL-standard
+    bucket-size semantics, asserted bit-equal in the distributed-rank
+    tests."""
+    from ..operators.distributed_rank import with_ntile
+
+    scores = q_bigram_logprob_scores(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    j = scores.join(docs, "doc_id").select(
+        "doc_id",
+        "n_chars",
+        F.bround(F.col("avg_neg_logprob") * 1e6, 0).cast("long").alias("s"),
+    )
+    tiled = with_ntile(
+        j, 4, [F.col("s").asc(), F.col("doc_id").asc()], "ppl_bucket"
+    )
+    return (
+        tiled.groupBy("ppl_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.min("s") / 1e6, 6).alias("min_score"),
+            F.round(F.max("s") / 1e6, 6).alias("max_score"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("ppl_bucket")
+    )
+
+
+register(
+    "perplexity_bucket_mix",
+    q_perplexity_bucket_mix,
+    f"""
+WITH t AS (
+  SELECT doc_id,
+         list_transform(list_filter({_TOKS_SQL}, x -> x != ''),
+                        x -> CAST(('0x' || substr(md5(x), 1, 8)) AS BIGINT)) AS hs
+  FROM documents
+),
+e AS (
+  SELECT doc_id, hs[i] AS h1, {_gram_mix_sql('hs', 'i', 2)} AS h2
+  FROM t, LATERAL unnest(range(1, len(hs))) AS u(i)
+  WHERE len(hs) >= 2
+),
+bc AS (SELECT h2, count(*) AS c12 FROM e GROUP BY h2),
+uc AS (
+  SELECT h1, count(*) AS c1
+  FROM (SELECT unnest(hs) AS h1 FROM t) GROUP BY h1
+),
+v AS (SELECT count(*) AS v FROM uc),
+nlp AS (
+  SELECT e.doc_id,
+         CAST(round(-ln((bc.c12 + 1) / CAST(uc.c1 + v.v AS DOUBLE)) * 1e6, 0)
+              AS BIGINT) AS nlp
+  FROM e JOIN bc USING (h2) JOIN uc USING (h1) CROSS JOIN v
+),
+sc AS (
+  SELECT doc_id,
+         CAST(round_even(round(sum(nlp) / CAST(count(*) AS DOUBLE) / 1e6, 6) * 1e6,
+                         0) AS BIGINT) AS s
+  FROM nlp GROUP BY doc_id
+),
+tiled AS (
+  SELECT sc.doc_id, d.n_chars, sc.s,
+         CAST(ntile(4) OVER (ORDER BY sc.s, sc.doc_id) AS BIGINT) AS ppl_bucket
+  FROM sc JOIN documents d USING (doc_id)
+)
+SELECT ppl_bucket,
+       count(*) AS n_docs,
+       round(min(s) / 1e6, 6) AS min_score,
+       round(max(s) / 1e6, 6) AS max_score,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM tiled GROUP BY ppl_bucket ORDER BY ppl_bucket
+""",
+)

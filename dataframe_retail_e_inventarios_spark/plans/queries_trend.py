@@ -2086,3 +2086,78 @@ SELECT product_id, CAST(n AS BIGINT) AS n_weeks,
 FROM means GROUP BY product_id, n ORDER BY product_id
 """,
 )
+
+
+# -- co-purchase node similarity (neighborhood Jaccard) --------------------
+def q_copurchase_node_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item similarity on the co-purchase graph: for part pairs
+    co-occurring in >= 2 baskets, the Jaccard of their ORDER
+    neighborhoods |O(a) ∩ O(b)| / |O(a) ∪ O(b)| — the classic
+    neighborhood-overlap recommender signal (SimRank's first hop),
+    sharper than raw lift for head items because the union normalizes
+    popularity away.
+
+    Scale shape: candidate pairs come from the per-order self-join
+    (baskets are bounded — ~7 lines/order — so pair volume is linear
+    in orders, never |parts|²); degrees are one group-by; the
+    support >= 2 gate bounds the output to genuinely co-bought pairs.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    d = li.dropDuplicates(["l_orderkey", "l_partkey"])
+    deg = d.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("deg"))
+    a, b = d.alias("a"), d.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared_orders"))
+        .filter(F.col("shared_orders") >= 2)
+    )
+    da = deg.select(F.col("l_partkey").alias("part_a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("l_partkey").alias("part_b"), F.col("deg").alias("deg_b"))
+    return (
+        shared.join(da, "part_a")
+        .join(db, "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            "shared_orders",
+            "deg_a",
+            "deg_b",
+            F.round(
+                F.col("shared_orders")
+                / (F.col("deg_a") + F.col("deg_b") - F.col("shared_orders")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+register(
+    "copurchase_node_jaccard",
+    q_copurchase_node_jaccard,
+    """
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+deg AS (SELECT l_partkey, count(*) AS deg FROM d GROUP BY l_partkey),
+sh AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS shared_orders
+  FROM d a JOIN d b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING count(*) >= 2
+)
+SELECT sh.part_a, sh.part_b, sh.shared_orders,
+       da.deg AS deg_a, db.deg AS deg_b,
+       round(sh.shared_orders
+             / CAST(da.deg + db.deg - sh.shared_orders AS DOUBLE), 6) AS jaccard
+FROM sh
+JOIN deg da ON da.l_partkey = sh.part_a
+JOIN deg db ON db.l_partkey = sh.part_b
+""",
+)

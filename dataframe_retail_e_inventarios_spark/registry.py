@@ -42,6 +42,9 @@ _PRIORITY = [
     # possible hash row), and the queries materially CHANGED in r6
     # (rfm's single-pass ntile rewrite, the stride/bucket/rounding
     # parity fixes) — a green row re-certifies each after the change.
+    "cross_source_ngram_leakage",
+    "perplexity_bucket_mix",
+    "copurchase_node_jaccard",
     "ngram_novelty_rate",
     "vocab_coverage_curve",
     "welch_ttest_price_segments",
