@@ -176,6 +176,7 @@ HEADLINE = [
     "bitemporal_snapshot_revenue",
     "tokenizer_fertility",
     "fk_containment_discovery",
+    "kmeans_lite_clusters",
     "cross_source_ngram_leakage",
     "perplexity_bucket_mix",
     "copurchase_node_jaccard",

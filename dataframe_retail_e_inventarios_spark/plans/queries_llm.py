@@ -12,7 +12,7 @@ shingle hash; DuckDB reproduces the exact integers from the same
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..operators.dedup import (
     MINHASH_AB,
@@ -1279,5 +1279,137 @@ sig AS (
 SELECT signature, count(*) AS cluster_size, min(vec_id) AS survivor_id,
        count(*) - 1 AS n_dropped
 FROM sig GROUP BY signature
+""",
+)
+
+
+# -- N3: deterministic Lloyd k-means under the full hash gate --------------
+def q_kmeans_lite_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two Lloyd iterations of k-means (k=8) over the embedding corpus
+    with EXACT integer arithmetic end to end — the hash-checkable twin
+    of the rows-only IVF-kmeans path, putting an ITERATIVE ML
+    algorithm under the value-hash oracle gate.
+
+    Determinism recipe: elements snap to 6dp-scaled BIGINTs (the LSH
+    family's snap); seeds are vec_id 0..7; distances are integer sums
+    of squared diffs (max 64 * (2e6)^2 = 2.6e14, far inside int64)
+    with (dist, cell) argmin tiebreak; centroid updates use exact
+    integer FLOOR division ((s - pmod(s, n)) / n — truncation vs
+    floor-division drift on negatives is the trap this dodges), so
+    every iteration's state is bit-identical on both engines under any
+    partitioning.
+
+    Scale shape: the element table is (n x 64) long-format rows; each
+    assignment is a broadcast join against k centroids + a group-by —
+    Lloyd's exact map-reduce form. localCheckpoints cut the
+    iteration-chain replan (the 2^k upstream-replan trap).
+
+    Output: per final cell — member count and exact integer inertia
+    vs the iteration-1 centroids the assignment used.
+    """
+    K = 8
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    par = spark.sparkContext.defaultParallelism
+    el = (
+        emb.repartition(par, "vec_id")
+        .select("vec_id", F.posexplode("embedding").alias("d", "val"))
+        .select(
+            "vec_id",
+            "d",
+            F.round(F.bround(F.col("val").cast("double"), 6) * 1e6, 0)
+            .cast("long")
+            .alias("ei"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    def assign(cents: DataFrame) -> DataFrame:
+        dist = (
+            el.join(F.broadcast(cents), "d")
+            .groupBy("vec_id", "cell")
+            .agg(
+                F.sum(
+                    (F.col("ei") - F.col("ce")) * (F.col("ei") - F.col("ce"))
+                ).alias("dist")
+            )
+        )
+        w = Window.partitionBy("vec_id").orderBy("dist", "cell")
+        return (
+            dist.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("vec_id", "cell", "dist")
+        )
+
+    def update(asg: DataFrame) -> DataFrame:
+        s = (
+            el.join(asg.select("vec_id", "cell"), "vec_id")
+            .groupBy("cell", "d")
+            .agg(F.sum("ei").alias("s"), F.count(F.lit(1)).alias("n"))
+        )
+        return s.select(
+            "cell",
+            "d",
+            ((F.col("s") - F.pmod(F.col("s"), F.col("n"))) / F.col("n"))
+            .cast("long")
+            .alias("ce"),
+        )
+
+    c0 = el.filter(F.col("vec_id") < K).select(
+        F.col("vec_id").alias("cell"), "d", F.col("ei").alias("ce")
+    )
+    a1 = assign(c0).localCheckpoint(eager=True)
+    c1 = update(a1).localCheckpoint(eager=True)
+    a2 = assign(c1)
+    return (
+        a2.groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_members"), F.sum("dist").alias("inertia"))
+        .orderBy("cell")
+    )
+
+
+_KMEANS_EL = """
+el AS (
+  SELECT vec_id, d,
+         CAST(round_even(CAST(embedding AS DOUBLE[])[d + 1], 6) * 1e6 AS BIGINT)
+           AS ei
+  FROM embeddings CROSS JOIN (SELECT unnest(range(0, 64)) AS d) dims
+)
+"""
+
+_KMEANS_ASSIGN = """
+{out} AS (
+  SELECT vec_id, cell, dist FROM (
+    SELECT e.vec_id, c.cell,
+           sum((e.ei - c.ce) * (e.ei - c.ce)) AS dist,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY sum((e.ei - c.ce) * (e.ei - c.ce)), c.cell)
+             AS rk
+    FROM el e JOIN {cents} c ON e.d = c.d
+    GROUP BY e.vec_id, c.cell
+  ) WHERE rk = 1
+)
+"""
+
+_KMEANS_UPDATE = """
+{out} AS (
+  SELECT cell, d,
+         CAST((sum(ei) - ((sum(ei) % count(*)) + count(*)) % count(*))
+              / count(*) AS BIGINT) AS ce
+  FROM el e JOIN {asg} a USING (vec_id)
+  GROUP BY cell, d
+)
+"""
+
+register(
+    "kmeans_lite_clusters",
+    q_kmeans_lite_clusters,
+    f"""
+WITH {_KMEANS_EL.strip()},
+c0 AS (SELECT vec_id AS cell, d, ei AS ce FROM el WHERE vec_id < 8),
+{_KMEANS_ASSIGN.strip().format(out='a1', cents='c0')},
+{_KMEANS_UPDATE.strip().format(out='c1', asg='a1')},
+{_KMEANS_ASSIGN.strip().format(out='a2', cents='c1')}
+SELECT cell, count(*) AS n_members, CAST(sum(dist) AS BIGINT) AS inertia
+FROM a2 GROUP BY cell ORDER BY cell
 """,
 )
