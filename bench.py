@@ -184,6 +184,7 @@ HEADLINE = [
     "vocab_coverage_curve",
     "welch_ttest_price_segments",
     "semantic_dedup_signature",
+    "dataset_stats_manifest",
 ]
 
 # Capability demos: registered + oracle-checked, but benched apart from
@@ -237,6 +238,16 @@ CURVE = [
     "rolling_origin_backtest",
     "price_elasticity_by_brand",
     "join_cardinality_probe",
+    # round-6 additions: signature dedup + iterative kmeans grow with
+    # the embedding corpus (10x vectors on the fixture); the three
+    # corpus diagnostics grow with documents; node-jaccard's pair
+    # volume is basket-bounded (linear in orders).
+    "semantic_dedup_signature",
+    "kmeans_lite_clusters",
+    "cross_source_ngram_leakage",
+    "ngram_novelty_rate",
+    "perplexity_bucket_mix",
+    "copurchase_node_jaccard",
 ]
 
 

@@ -333,3 +333,77 @@ SELECT child_col, parent_col, child_distinct, parent_distinct,
 FROM pairs ORDER BY child_col, parent_col
 """,
 )
+
+
+# -- dataset stats manifest (data card / provenance) -----------------------
+_MANIFEST_COLS = {
+    "region": ["r_regionkey", "r_name"],
+    "nation": ["n_nationkey", "n_name", "n_regionkey"],
+    "customer": ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"],
+    "supplier": ["s_suppkey", "s_name", "s_nationkey", "s_acctbal"],
+    "part": ["p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"],
+    "orders": [
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority",
+    ],
+    "lineitem": [
+        "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+        "l_linestatus", "l_shipdate",
+    ],
+    "events": ["event_id", "ts", "user_id", "event_type", "value", "props"],
+    "documents": ["doc_id", "text", "lang", "source", "n_chars"],
+    "embeddings": ["vec_id", "embedding", "label"],
+}
+
+
+def q_dataset_stats_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset manifest / data-card row per table: exact row count,
+    column count, and an md5 schema fingerprint over the RAW parquet
+    column list — the provenance record a training run pins so a
+    silently-changed input (new column, dropped column, reordered
+    write) fails loudly instead of training on it.
+
+    The expected column lists are a static contract in the engine
+    (this module); the Spark side RAISES on drift before counting, and
+    the fingerprint both engines emit is md5 of the comma-joined
+    names, so the oracle match certifies contract == reality. One
+    count(*) scan per table (parquet row-group metadata — no column
+    IO); the union is 10 one-row plans."""
+    import hashlib
+
+    parts = []
+    for t, expected in _MANIFEST_COLS.items():
+        df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
+        if list(df.columns) != expected:
+            raise ValueError(
+                f"dataset_stats_manifest: {t} schema drift — expected "
+                f"{expected}, parquet has {list(df.columns)}"
+            )
+        fp = hashlib.md5(",".join(expected).encode()).hexdigest()
+        parts.append(
+            df.agg(F.count(F.lit(1)).alias("n_rows")).select(
+                F.lit(t).alias("table_name"),
+                "n_rows",
+                F.lit(len(expected)).cast("long").alias("n_cols"),
+                F.lit(fp).alias("schema_fp"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("table_name")
+
+
+_MANIFEST_SQL = "\nUNION ALL\n".join(
+    f"SELECT '{t}' AS table_name, count(*) AS n_rows, "
+    f"CAST({len(cols)} AS BIGINT) AS n_cols, "
+    f"md5('{','.join(cols)}') AS schema_fp FROM {t}"
+    for t, cols in _MANIFEST_COLS.items()
+)
+
+register(
+    "dataset_stats_manifest",
+    q_dataset_stats_manifest,
+    f"SELECT * FROM ({_MANIFEST_SQL}) ORDER BY table_name",
+)

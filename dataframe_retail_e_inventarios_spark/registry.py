@@ -42,6 +42,7 @@ _PRIORITY = [
     # possible hash row), and the queries materially CHANGED in r6
     # (rfm's single-pass ntile rewrite, the stride/bucket/rounding
     # parity fixes) — a green row re-certifies each after the change.
+    "dataset_stats_manifest",
     "kmeans_lite_clusters",
     "cross_source_ngram_leakage",
     "perplexity_bucket_mix",
