@@ -1,0 +1,625 @@
+"""Model-evaluation and ranking-fusion queries.
+
+The training-data pipeline's read-out side: once a corpus is filtered,
+deduped and a model trained on it, the SAME engine is asked to score
+the model — exact ROC-AUC over billions of scored rows, calibration /
+Brier reliability tables, rank correlations, distribution-distance
+tests between cohorts, hybrid-retrieval rank fusion, and inequality
+(Gini/Lorenz) concentration audits.
+
+Every query here is exact-integer inside (counts, cents, doubled
+ranks; DECIMAL(38,0) <-> HUGEINT where products can cross int64) with
+one double-valued closed form at the end whose expression tree is
+mirrored verbatim in the DuckDB oracle — the Welch-t recipe
+(queries_stats.py). Scale posture per query:
+
+- ROC-AUC: tie-aware rank-sum form over the GROUPED score domain
+  (one row per distinct score, bounded by the per-doc token count),
+  prefix sums via the warning-free triangular join — never a global
+  window over data rows, never an all-pairs join.
+- Calibration/Brier: the score domain is the 11-value discount grid,
+  so the whole reliability table is one bounded group-by.
+- Spearman: BOTH rank dimensions live on bounded domains
+  (quantity 1..50, discount 0..10 cents-of-rate), so tie-averaged
+  ranks come from bounded count tables and the moment sums fold over
+  at most 550 (q, d) cells per brand — one scan, zero windows.
+- KS: fixed-width price bins give a bounded ECDF spine per segment.
+- RRF: per-list rank<=k filters compile to Spark's WindowGroupLimit
+  (partial top-k BEFORE the shuffle), the bounded-candidate contract
+  real retrieval fusion has.
+- Gini: ranks come from operators/distributed_rank.with_global_rank
+  (range-partitioned scan + metadata-scale offsets), nation-relative
+  via a 25-row broadcast offset table — never a per-nation sort task.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..operators.distributed_rank import with_global_rank
+from ..operators.prefix import exclusive_prefix_offsets
+from ..operators.textops import TOKENS_SQL, tokens
+from ..registry import register
+from ..sources.readers import load_table
+
+_TOKS = TOKENS_SQL.format(t="text")
+
+# English marker tokens (the lang_id_heuristic 'en' row) reused as the
+# classifier under evaluation: score = how many marker hits a document
+# has, label = whether it is tagged 'en'.
+_EN_MARKERS = ("the", "and", "of", "is")
+
+
+# -- exact tie-aware ROC-AUC ------------------------------------------------
+def q_roc_auc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC of the en-marker-count score against the lang='en'
+    label, tie-aware (Mann-Whitney U with the half-credit tie term).
+
+    U doubled to stay integral: U2 = sum over distinct scores s of
+    n_pos(s) * (2 * cum_neg_below(s) + n_neg(s)); AUC = U2 / (2*P*N).
+    The per-score frame has one row per DISTINCT score (bounded by max
+    tokens per doc), so the exclusive prefix sum runs on the triangular
+    broadcast join (operators/prefix.py) — no global window, no
+    all-pairs. Accumulation in DECIMAL(38,0): n_pos * cum_neg is
+    rows x rows and crosses int64 long before 100 TB.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    score = F.size(F.filter(toks, lambda x: x.isin(*_EN_MARKERS)))
+    per_score = (
+        docs.select(
+            score.alias("s"),
+            (F.col("lang") == "en").cast("long").alias("y"),
+        )
+        .groupBy("s")
+        .agg(
+            F.sum("y").alias("n_pos"),
+            (F.count(F.lit(1)) - F.sum("y")).alias("n_neg"),
+        )
+    )
+    cum = exclusive_prefix_offsets(per_score, "s", "n_neg", "cum_neg_below")
+    j = per_score.join(F.broadcast(cum), "s")
+    u2_term = (
+        F.col("n_pos").cast("decimal(38,0)")
+        * (F.lit(2) * F.col("cum_neg_below") + F.col("n_neg")).cast("decimal(38,0)")
+    )
+    agg = j.agg(
+        F.sum("n_pos").cast("long").alias("n_pos"),
+        F.sum("n_neg").cast("long").alias("n_neg"),
+        F.sum(u2_term).alias("u2"),
+    )
+    p_d = F.col("n_pos").cast("double")
+    n_d = F.col("n_neg").cast("double")
+    auc = F.col("u2").cast("double") / (F.lit(2.0) * p_d * n_d)
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        F.bround(auc, 6).alias("auc"),
+        F.bround(F.lit(2.0) * auc - F.lit(1.0), 6).alias("gini_coef"),
+    )
+
+
+register(
+    "roc_auc_langid",
+    q_roc_auc_langid,
+    f"""
+WITH scored AS (
+  SELECT len(list_filter({_TOKS}, x -> x IN ('the', 'and', 'of', 'is'))) AS s,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents
+),
+per_score AS (
+  SELECT s, sum(y) AS n_pos, count(*) - sum(y) AS n_neg
+  FROM scored GROUP BY s
+),
+cum AS (
+  SELECT s, n_pos, n_neg,
+         coalesce(sum(n_neg) OVER (ORDER BY s
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_neg_below
+  FROM per_score
+),
+agg AS (
+  SELECT CAST(sum(n_pos) AS BIGINT) AS n_pos,
+         CAST(sum(n_neg) AS BIGINT) AS n_neg,
+         sum(CAST(n_pos AS HUGEINT) * (2 * cum_neg_below + n_neg)) AS u2
+  FROM cum
+)
+SELECT n_pos, n_neg,
+       round_even(CAST(u2 AS DOUBLE)
+                  / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)), 6)
+         + 0.0 AS auc,
+       round_even(2.0 * (CAST(u2 AS DOUBLE)
+                  / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))) - 1.0, 6)
+         + 0.0 AS gini_coef
+FROM agg
+""",
+)
+
+
+# -- calibration reliability bins + Brier -----------------------------------
+def q_calibration_bins_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability table for the discount-as-return-probability toy
+    model: p_hat = l_discount * 10 (the 11-value grid), outcome
+    y = (l_returnflag = 'R'). Per bin: observed rate, calibration gap,
+    mean Brier contribution — the Brier numerator is the exact integer
+    n*d^2 - 20*d*sum_y + 100*sum_y (d = discount in hundredths), so the
+    only doubles are final divisions. One bounded group-by; scale-free.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_discount", "l_returnflag")
+    d = F.bround(F.col("l_discount") * 100, 0).cast("long")
+    y = (F.col("l_returnflag") == "R").cast("long")
+    g = (
+        li.select(d.alias("d"), y.alias("y"))
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).alias("n_obs"), F.sum("y").alias("n_pos"))
+    )
+    brier_num = (
+        F.col("n_obs") * F.col("d") * F.col("d")
+        - F.lit(20) * F.col("d") * F.col("n_pos")
+        + F.lit(100) * F.col("n_pos")
+    ).cast("decimal(38,0)")
+    n_d = F.col("n_obs").cast("double")
+    return (
+        g.select(
+            (F.col("d").cast("double") / F.lit(10.0)).alias("p_pred"),
+            F.col("n_obs"),
+            F.col("n_pos"),
+            F.bround(F.col("n_pos").cast("double") / n_d, 6).alias("obs_rate"),
+            F.bround(
+                F.col("d").cast("double") / F.lit(10.0)
+                - F.col("n_pos").cast("double") / n_d,
+                6,
+            ).alias("calib_gap"),
+            F.bround(brier_num.cast("double") / (F.lit(100.0) * n_d), 6).alias(
+                "brier"
+            ),
+        )
+        .orderBy("p_pred")
+    )
+
+
+register(
+    "calibration_bins_brier",
+    q_calibration_bins_brier,
+    """
+WITH g AS (
+  SELECT CAST(round_even(l_discount * 100, 0) AS BIGINT) AS d,
+         count(*) AS n_obs,
+         sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS n_pos
+  FROM lineitem GROUP BY 1
+)
+SELECT CAST(d AS DOUBLE) / 10.0 AS p_pred,
+       CAST(n_obs AS BIGINT) AS n_obs,
+       CAST(n_pos AS BIGINT) AS n_pos,
+       round_even(CAST(n_pos AS DOUBLE) / CAST(n_obs AS DOUBLE), 6) + 0.0 AS obs_rate,
+       round_even(CAST(d AS DOUBLE) / 10.0
+                  - CAST(n_pos AS DOUBLE) / CAST(n_obs AS DOUBLE), 6) + 0.0 AS calib_gap,
+       round_even(CAST(n_obs * d * d - 20 * d * n_pos + 100 * n_pos AS DOUBLE)
+                  / (100.0 * CAST(n_obs AS DOUBLE)), 6) + 0.0 AS brier
+FROM g
+ORDER BY p_pred
+""",
+)
+
+
+# -- Spearman rank correlation on bounded domains ---------------------------
+def q_spearman_qty_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand Spearman rho between l_quantity and l_discount.
+
+    Both variables live on BOUNDED domains (quantity 1..50, discount
+    0..10 hundredths), so tie-averaged ranks never need a window over
+    data rows: per-brand marginal count tables (<=50 and <=11 rows)
+    give doubled average ranks r2 = 2*cum_below + cnt + 1 via a
+    bounded triangular join, and the cross moments fold over the
+    <=550-cell joint (q, d) count table. Moments in DECIMAL(38,0)
+    (r2x*r2y*count crosses int64 at scale); the Pearson-on-ranks
+    closed form runs on doubles cast from those exact integers,
+    mirrored verbatim in the oracle.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_discount"
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    base = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+        F.col("p_brand").alias("brand"),
+        F.col("l_quantity").cast("long").alias("q"),
+        F.bround(F.col("l_discount") * 100, 0).cast("long").alias("d"),
+    )
+    joint = base.groupBy("brand", "q", "d").agg(F.count(F.lit(1)).alias("n_qd"))
+
+    def _ranks(dim: str) -> DataFrame:
+        marg = joint.groupBy("brand", dim).agg(F.sum("n_qd").alias("cnt"))
+        below = marg.select(
+            F.col("brand").alias("_b"),
+            F.col(dim).alias("_v"),
+            F.col("cnt").alias("_c"),
+        )
+        return (
+            marg.join(
+                F.broadcast(below),
+                (F.col("brand") == F.col("_b")) & (F.col("_v") < F.col(dim)),
+                "left",
+            )
+            .groupBy("brand", dim, "cnt")
+            .agg(F.coalesce(F.sum("_c"), F.lit(0)).alias("cum_below"))
+            .select(
+                "brand",
+                dim,
+                (F.lit(2) * F.col("cum_below") + F.col("cnt") + F.lit(1)).alias(
+                    f"r2_{dim}"
+                ),
+            )
+        )
+    rq, rd = _ranks("q"), _ranks("d")
+    cells = joint.join(rq, ["brand", "q"]).join(rd, ["brand", "d"])
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    m = cells.groupBy("brand").agg(
+        F.sum("n_qd").cast("long").alias("n"),
+        F.sum(dec(F.col("n_qd") * F.col("r2_q"))).alias("sx"),
+        F.sum(dec(F.col("n_qd") * F.col("r2_d"))).alias("sy"),
+        F.sum(dec(F.col("n_qd") * F.col("r2_q") * F.col("r2_q"))).alias("sxx"),
+        F.sum(dec(F.col("n_qd") * F.col("r2_d") * F.col("r2_d"))).alias("syy"),
+        F.sum(dec(F.col("n_qd") * F.col("r2_q") * F.col("r2_d"))).alias("sxy"),
+    )
+    n_d = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    rho = (n_d * sxy - sx * sy) / F.sqrt(
+        (n_d * sxx - sx * sx) * (n_d * syy - sy * sy)
+    )
+    return m.select(
+        "brand", "n", F.bround(rho, 6).alias("spearman_rho")
+    ).orderBy("brand")
+
+
+register(
+    "spearman_qty_discount",
+    q_spearman_qty_discount,
+    """
+WITH base AS (
+  SELECT p.p_brand AS brand, CAST(l.l_quantity AS BIGINT) AS q,
+         CAST(round_even(l.l_discount * 100, 0) AS BIGINT) AS d
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+r AS (
+  SELECT brand, q, d,
+         2 * (rank() OVER (PARTITION BY brand ORDER BY q)) - 2
+           + count(*) OVER (PARTITION BY brand, q) + 1 AS r2q,
+         2 * (rank() OVER (PARTITION BY brand ORDER BY d)) - 2
+           + count(*) OVER (PARTITION BY brand, d) + 1 AS r2d
+  FROM base
+),
+m AS (
+  SELECT brand, CAST(count(*) AS BIGINT) AS n,
+         sum(CAST(r2q AS HUGEINT)) AS sx, sum(CAST(r2d AS HUGEINT)) AS sy,
+         sum(CAST(r2q AS HUGEINT) * r2q) AS sxx,
+         sum(CAST(r2d AS HUGEINT) * r2d) AS syy,
+         sum(CAST(r2q AS HUGEINT) * r2d) AS sxy
+  FROM r GROUP BY brand
+)
+SELECT brand, n,
+       round_even((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                         * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+         + 0.0 AS spearman_rho
+FROM m
+ORDER BY brand
+""",
+)
+
+
+# -- two-sample Kolmogorov-Smirnov over binned ECDFs ------------------------
+_KS_BIN_CENTS = 500_000  # $5,000-wide price bins -> bounded spine
+
+
+def q_ks_price_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise two-sample KS distance between market segments' order-
+    price distributions on a fixed $5,000 bin grid. The binned ECDF
+    spine is BOUNDED (~110 bins regardless of data volume), so the
+    cumulative window runs over bins, never rows. The sup statistic is
+    found on exact integers — max |cum_a*n_b - cum_b*n_a| in
+    DECIMAL(38,0) (the cross product exceeds int64 at scale) — and
+    divided once at the end.
+    """
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cents = F.bround(F.col("o_totalprice") * 1e2, 0).cast("long")
+    binned = (
+        o.join(F.broadcast(cust), o.o_custkey == cust.c_custkey)
+        .select(
+            F.col("c_mktsegment").alias("seg"),
+            F.floor(cents / F.lit(_KS_BIN_CENTS)).alias("bin"),
+        )
+        .groupBy("seg", "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    spine = binned.select("bin").distinct().crossJoin(
+        F.broadcast(binned.select("seg").distinct())
+    )
+    dense = spine.join(binned, ["seg", "bin"], "left").fillna(0, subset=["cnt"])
+    w = Window.partitionBy("seg").orderBy("bin")
+    cdf = dense.select(
+        "seg", "bin", F.sum("cnt").over(w).cast("long").alias("cum")
+    )
+    totals = binned.groupBy("seg").agg(F.sum("cnt").cast("long").alias("n"))
+    a = cdf.join(totals, "seg").select(
+        F.col("seg").alias("seg_a"),
+        "bin",
+        F.col("cum").alias("cum_a"),
+        F.col("n").alias("n_a"),
+    )
+    b = cdf.join(totals, "seg").select(
+        F.col("seg").alias("seg_b"),
+        F.col("bin").alias("bin_b"),
+        F.col("cum").alias("cum_b"),
+        F.col("n").alias("n_b"),
+    )
+    diff = F.abs(
+        F.col("cum_a").cast("decimal(38,0)") * F.col("n_b")
+        - F.col("cum_b").cast("decimal(38,0)") * F.col("n_a")
+    )
+    pairs = (
+        a.join(b, (F.col("seg_a") < F.col("seg_b")) & (F.col("bin") == F.col("bin_b")))
+        .groupBy("seg_a", "seg_b", "n_a", "n_b")
+        .agg(F.max(diff).alias("sup_scaled"))
+    )
+    ks = F.col("sup_scaled").cast("double") / (
+        F.col("n_a").cast("double") * F.col("n_b").cast("double")
+    )
+    return pairs.select(
+        "seg_a", "seg_b", "n_a", "n_b", F.bround(ks, 6).alias("ks_stat")
+    ).orderBy("seg_a", "seg_b")
+
+
+register(
+    "ks_price_segments",
+    q_ks_price_segments,
+    f"""
+WITH binned AS (
+  SELECT c.c_mktsegment AS seg,
+         CAST(floor(CAST(round_even(o.o_totalprice * 100, 0) AS BIGINT)
+                    / {_KS_BIN_CENTS}) AS BIGINT) AS bin,
+         count(*) AS cnt
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+),
+spine AS (
+  SELECT seg, bin FROM (SELECT DISTINCT seg FROM binned)
+  CROSS JOIN (SELECT DISTINCT bin FROM binned)
+),
+dense AS (
+  SELECT s.seg, s.bin, coalesce(b.cnt, 0) AS cnt
+  FROM spine s LEFT JOIN binned b ON s.seg = b.seg AND s.bin = b.bin
+),
+cdf AS (
+  SELECT seg, bin,
+         CAST(sum(cnt) OVER (PARTITION BY seg ORDER BY bin) AS BIGINT) AS cum
+  FROM dense
+),
+totals AS (SELECT seg, CAST(sum(cnt) AS BIGINT) AS n FROM binned GROUP BY seg)
+SELECT a.seg AS seg_a, b.seg AS seg_b, ta.n AS n_a, tb.n AS n_b,
+       round_even(CAST(max(abs(CAST(a.cum AS HUGEINT) * tb.n
+                                - CAST(b.cum AS HUGEINT) * ta.n)) AS DOUBLE)
+                  / (CAST(ta.n AS DOUBLE) * CAST(tb.n AS DOUBLE)), 6) + 0.0 AS ks_stat
+FROM cdf a
+JOIN cdf b ON a.seg < b.seg AND a.bin = b.bin
+JOIN totals ta ON ta.seg = a.seg
+JOIN totals tb ON tb.seg = b.seg
+GROUP BY 1, 2, 3, 4
+ORDER BY seg_a, seg_b
+""",
+)
+
+
+# -- reciprocal rank fusion -------------------------------------------------
+_RRF_K = 60
+_RRF_CANDIDATES = 64
+_RRF_TOP = 5
+
+
+def q_reciprocal_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid-retrieval rank fusion per source: fuse a token-count
+    ranking and a char-length ranking with RRF
+    (score = sum over lists of 1/(60 + rank)), keep the fused top-5.
+
+    The rank<=64 candidate filters compile to WindowGroupLimit —
+    Spark inserts a per-partition top-k BEFORE the rank shuffle, so
+    each list is the bounded candidate set real fusion operates on,
+    not a full-corpus sort. The two RRF terms are added in a fixed
+    operand order (absent list contributes 0.0), bit-reproducible in
+    the oracle.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars", F.size(tokens("text")).alias("n_toks")
+    )
+    w_tok = Window.partitionBy("source").orderBy(
+        F.col("n_toks").desc(), F.col("doc_id").asc()
+    )
+    w_len = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    la = (
+        docs.withColumn("rank_tok", F.row_number().over(w_tok))
+        .where(F.col("rank_tok") <= _RRF_CANDIDATES)
+        .select("source", "doc_id", "rank_tok")
+    )
+    lb = (
+        docs.withColumn("rank_len", F.row_number().over(w_len))
+        .where(F.col("rank_len") <= _RRF_CANDIDATES)
+        .select("source", "doc_id", "rank_len")
+    )
+    fused = la.join(lb, ["source", "doc_id"], "full").select(
+        "source",
+        "doc_id",
+        "rank_tok",
+        "rank_len",
+        (
+            F.coalesce(
+                F.lit(1.0) / (F.lit(float(_RRF_K)) + F.col("rank_tok")), F.lit(0.0)
+            )
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(float(_RRF_K)) + F.col("rank_len")), F.lit(0.0)
+            )
+        ).alias("_rrf"),
+    )
+    w_out = Window.partitionBy("source").orderBy(
+        F.col("_rrf").desc(), F.col("doc_id").asc()
+    )
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w_out))
+        .where(F.col("fused_rank") <= _RRF_TOP)
+        .select(
+            "source",
+            "fused_rank",
+            "doc_id",
+            "rank_tok",
+            "rank_len",
+            F.bround(F.col("_rrf"), 6).alias("rrf_score"),
+        )
+        .orderBy("source", "fused_rank")
+    )
+
+
+register(
+    "reciprocal_rank_fusion",
+    q_reciprocal_rank_fusion,
+    f"""
+WITH d AS (
+  SELECT doc_id, source, n_chars, len({_TOKS}) AS n_toks FROM documents
+),
+la AS (
+  SELECT source, doc_id, rank_tok FROM (
+    SELECT source, doc_id,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY n_toks DESC, doc_id ASC) AS rank_tok
+    FROM d
+  ) WHERE rank_tok <= {_RRF_CANDIDATES}
+),
+lb AS (
+  SELECT source, doc_id, rank_len FROM (
+    SELECT source, doc_id,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY n_chars DESC, doc_id ASC) AS rank_len
+    FROM d
+  ) WHERE rank_len <= {_RRF_CANDIDATES}
+),
+fused AS (
+  SELECT coalesce(la.source, lb.source) AS source,
+         coalesce(la.doc_id, lb.doc_id) AS doc_id,
+         la.rank_tok, lb.rank_len,
+         coalesce(1e0 / ({_RRF_K} + la.rank_tok), 0e0)
+           + coalesce(1e0 / ({_RRF_K} + lb.rank_len), 0e0) AS rrf
+  FROM la FULL OUTER JOIN lb
+    ON la.source = lb.source AND la.doc_id = lb.doc_id
+)
+SELECT source, fused_rank, doc_id, rank_tok, rank_len,
+       round_even(rrf, 6) + 0.0 AS rrf_score
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY source
+                               ORDER BY rrf DESC, doc_id ASC) AS fused_rank
+  FROM fused
+)
+WHERE fused_rank <= {_RRF_TOP}
+ORDER BY source, fused_rank
+""",
+)
+
+
+# -- Gini concentration via distributed rank --------------------------------
+def q_gini_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation Gini coefficient of customer revenue (customers with
+    >=1 order): G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x)) with
+    x ascending, i the 1-based within-nation rank.
+
+    Ranks come from ONE global distributed rank over
+    (nationkey, revenue, custkey) — range-partitioned scan, offsets
+    from metadata-scale prefix sums (operators/distributed_rank) —
+    then shift to within-nation via a 25-row broadcast offset table;
+    no per-nation sort ever lands on a single task. Any tiebreak gives
+    the same sum(i*x) because tied x contribute x * (sum of their rank
+    block) regardless of internal order. sum(i*x) in DECIMAL(38,0)
+    (rank x cents crosses int64 at scale).
+    """
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cents = F.bround(F.col("o_totalprice") * 1e2, 0).cast("long")
+    rev = (
+        o.join(F.broadcast(cust), o.o_custkey == cust.c_custkey)
+        .groupBy(F.col("c_nationkey").alias("nationkey"), "c_custkey")
+        .agg(F.sum(cents).alias("rev"))
+    )
+    ranked = with_global_rank(
+        rev,
+        [F.col("nationkey").asc(), F.col("rev").asc(), F.col("c_custkey").asc()],
+        rank_col="grank",
+    )
+    nation_counts = rev.groupBy("nationkey").agg(F.count(F.lit(1)).alias("cnt"))
+    offsets = exclusive_prefix_offsets(nation_counts, "nationkey", "cnt", "off")
+    g = (
+        ranked.join(F.broadcast(offsets), "nationkey")
+        .select(
+            "nationkey",
+            "rev",
+            (F.col("grank") - F.col("off")).alias("i"),
+        )
+        .groupBy("nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("rev").cast("decimal(38,0)").alias("sx"),
+            F.sum((F.col("i") * F.col("rev")).cast("decimal(38,0)")).alias("six"),
+        )
+    )
+    n_d = F.col("n_customers").cast("double")
+    sx_d, six_d = F.col("sx").cast("double"), F.col("six").cast("double")
+    gini = (F.lit(2.0) * six_d - (n_d + F.lit(1.0)) * sx_d) / (n_d * sx_d)
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        g.join(F.broadcast(nation), g.nationkey == nation.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            "n_customers",
+            F.round(F.col("sx").cast("double") / 1e2, 2).alias("total_revenue"),
+            F.bround(gini, 6).alias("gini"),
+        )
+        .orderBy("nation")
+    )
+
+
+register(
+    "gini_revenue_by_nation",
+    q_gini_revenue_by_nation,
+    """
+WITH rev AS (
+  SELECT c.c_nationkey AS nationkey, o.o_custkey,
+         CAST(sum(CAST(round_even(o.o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS rev
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT nationkey, rev,
+         row_number() OVER (PARTITION BY nationkey
+                            ORDER BY rev ASC, o_custkey ASC) AS i
+  FROM rev
+),
+g AS (
+  SELECT nationkey, CAST(count(*) AS BIGINT) AS n_customers,
+         sum(CAST(rev AS HUGEINT)) AS sx,
+         sum(CAST(i AS HUGEINT) * rev) AS six
+  FROM ranked GROUP BY nationkey
+)
+SELECT n.n_name AS nation, g.n_customers,
+       round(CAST(sx AS DOUBLE) / 1e2, 2) AS total_revenue,
+       round_even((2.0 * CAST(six AS DOUBLE)
+                   - (CAST(n_customers AS DOUBLE) + 1.0) * CAST(sx AS DOUBLE))
+                  / (CAST(n_customers AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+         + 0.0 AS gini
+FROM g JOIN nation n ON g.nationkey = n.n_nationkey
+ORDER BY nation
+""",
+)

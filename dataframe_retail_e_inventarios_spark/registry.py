@@ -42,6 +42,12 @@ _PRIORITY = [
     # possible hash row), and the queries materially CHANGED in r6
     # (rfm's single-pass ntile rewrite, the stride/bucket/rounding
     # parity fixes) — a green row re-certifies each after the change.
+    "roc_auc_langid",
+    "calibration_bins_brier",
+    "spearman_qty_discount",
+    "ks_price_segments",
+    "reciprocal_rank_fusion",
+    "gini_revenue_by_nation",
     "dataset_stats_manifest",
     "kmeans_lite_clusters",
     "cross_source_ngram_leakage",
@@ -213,6 +219,7 @@ def _load_all() -> None:
         "queries_warehouse",
         "queries_corpus",
         "queries_dq",
+        "queries_eval",
     ):
         qualname = f"{__package__}.plans.{mod}"
         try:

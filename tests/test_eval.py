@@ -1,0 +1,248 @@
+"""Model-evaluation family (plans/queries_eval.py): each query checked
+against an INDEPENDENT reimplementation (pandas/numpy brute force) on
+the smoke fixture — different algorithm, same numbers — plus the
+structural invariants the closed forms must satisfy."""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+
+from dataframe_retail_e_inventarios_spark.plans.queries_eval import (
+    _EN_MARKERS,
+    _KS_BIN_CENTS,
+    _RRF_CANDIDATES,
+    _RRF_K,
+    _RRF_TOP,
+    q_calibration_bins_brier,
+    q_gini_revenue_by_nation,
+    q_ks_price_segments,
+    q_reciprocal_rank_fusion,
+    q_roc_auc_langid,
+    q_spearman_qty_discount,
+)
+from dataframe_retail_e_inventarios_spark.sources.readers import load_table
+
+from conftest import SF_SMOKE
+
+
+def test_roc_auc_matches_brute_force_pairs(spark):
+    row = q_roc_auc_langid(spark, SF_SMOKE).collect()[0]
+    docs = load_table(spark, SF_SMOKE, "documents").select("text", "lang").toPandas()
+    toks = docs["text"].str.lower().str.strip().str.split(r"\s+")
+    score = toks.map(lambda ts: sum(t in _EN_MARKERS for t in ts)).to_numpy()
+    y = (docs["lang"] == "en").to_numpy()
+    pos, neg = score[y], score[~y]
+    # O(P*N) literal pair count — the definition, not the rank-sum form
+    wins = (pos[:, None] > neg[None, :]).sum()
+    ties = (pos[:, None] == neg[None, :]).sum()
+    auc = (wins + 0.5 * ties) / (len(pos) * len(neg))
+    assert row.n_pos == len(pos) and row.n_neg == len(neg)
+    # query output is rounded to 6dp; the brute-force pair count is exact
+    assert abs(row.auc - auc) < 5e-7
+    assert abs(row.gini_coef - (2 * auc - 1)) < 1e-6
+    assert 0.0 <= row.auc <= 1.0
+
+
+def test_calibration_brier_decomposition(spark):
+    rows = q_calibration_bins_brier(spark, SF_SMOKE).collect()
+    assert [r.p_pred for r in rows] == sorted(r.p_pred for r in rows)
+    for r in rows:
+        # per-bin Brier decomposes exactly: gap^2 + rate*(1-rate)
+        expect = r.calib_gap**2 + r.obs_rate * (1 - r.obs_rate)
+        assert abs(r.brier - expect) < 1e-5
+        assert 0.0 <= r.obs_rate <= 1.0
+        assert r.n_pos <= r.n_obs
+
+
+def test_spearman_matches_pandas_rank_corr(spark):
+    out = {r.brand: r for r in q_spearman_qty_discount(spark, SF_SMOKE).collect()}
+    li = load_table(spark, SF_SMOKE, "lineitem").select(
+        "l_partkey", "l_quantity", "l_discount"
+    )
+    part = load_table(spark, SF_SMOKE, "part").select("p_partkey", "p_brand")
+    pdf = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .select(
+            F.col("p_brand").alias("brand"),
+            F.col("l_quantity").cast("long").alias("q"),
+            F.bround(F.col("l_discount") * 100, 0).cast("long").alias("d"),
+        )
+        .toPandas()
+    )
+    for brand, g in pdf.groupby("brand"):
+        rq = g["q"].rank(method="average")
+        rd = g["d"].rank(method="average")
+        rho = np.corrcoef(rq, rd)[0, 1]
+        assert abs(out[brand].spearman_rho - rho) < 1e-6, brand
+        assert out[brand].n == len(g)
+
+
+def test_ks_matches_manual_ecdf(spark):
+    rows = q_ks_price_segments(spark, SF_SMOKE).collect()
+    assert len(rows) == 10  # C(5,2) segment pairs
+    cust = load_table(spark, SF_SMOKE, "customer").toPandas()
+    orders = load_table(spark, SF_SMOKE, "orders").toPandas()
+    j = orders.merge(cust, left_on="o_custkey", right_on="c_custkey")
+    cents = np.round(j["o_totalprice"].to_numpy() * 100).astype(np.int64)
+    j["bin"] = cents // _KS_BIN_CENTS
+    bins = np.arange(j["bin"].max() + 1)
+    for r in rows:
+        da = j.loc[j["c_mktsegment"] == r.seg_a, "bin"]
+        db = j.loc[j["c_mktsegment"] == r.seg_b, "bin"]
+        cdf_a = np.searchsorted(np.sort(da), bins, side="right") / len(da)
+        cdf_b = np.searchsorted(np.sort(db), bins, side="right") / len(db)
+        ks = np.abs(cdf_a - cdf_b).max()
+        assert abs(r.ks_stat - ks) < 1e-6, (r.seg_a, r.seg_b)
+        assert r.n_a == len(da) and r.n_b == len(db)
+
+
+def test_rrf_formula_and_topk_shape(spark):
+    rows = q_reciprocal_rank_fusion(spark, SF_SMOKE).collect()
+    by_source: dict[str, list] = {}
+    for r in rows:
+        by_source.setdefault(r.source, []).append(r)
+    for source, rs in by_source.items():
+        assert [r.fused_rank for r in rs] == list(range(1, _RRF_TOP + 1)), source
+        scores = [r.rrf_score for r in rs]
+        assert scores == sorted(scores, reverse=True)
+        for r in rs:
+            expect = 0.0
+            if r.rank_tok is not None:
+                assert 1 <= r.rank_tok <= _RRF_CANDIDATES
+                expect += 1.0 / (_RRF_K + r.rank_tok)
+            if r.rank_len is not None:
+                assert 1 <= r.rank_len <= _RRF_CANDIDATES
+                expect += 1.0 / (_RRF_K + r.rank_len)
+            assert abs(r.rrf_score - expect) < 1e-6
+
+
+def test_gini_matches_manual_lorenz(spark):
+    rows = q_gini_revenue_by_nation(spark, SF_SMOKE).collect()
+    cust = load_table(spark, SF_SMOKE, "customer").toPandas()
+    orders = load_table(spark, SF_SMOKE, "orders").toPandas()
+    j = orders.merge(cust, left_on="o_custkey", right_on="c_custkey")
+    j["cents"] = np.round(j["o_totalprice"].to_numpy() * 100).astype(np.int64)
+    rev = j.groupby(["c_nationkey", "c_custkey"])["cents"].sum().reset_index()
+    nation = load_table(spark, SF_SMOKE, "nation").toPandas()
+    names = dict(zip(nation["n_nationkey"], nation["n_name"]))
+    manual = {}
+    for nk, g in rev.groupby("c_nationkey"):
+        x = np.sort(g["cents"].to_numpy())
+        n = len(x)
+        i = np.arange(1, n + 1, dtype=np.float64)
+        manual[names[nk]] = (
+            (2.0 * float((i * x).sum()) - (n + 1.0) * float(x.sum()))
+            / (n * float(x.sum())),
+            n,
+        )
+    assert len(rows) == len(manual)
+    for r in rows:
+        g, n = manual[r.nation]
+        assert r.n_customers == n
+        # query output is rounded to 6dp
+        assert abs(r.gini - g) < 5e-7, r.nation
+        assert 0.0 <= r.gini < 1.0
+    # sanity: revenue concentration exists but is moderate on TPC-H-ish
+    # uniform order totals
+    assert any(r.gini > 0.1 for r in rows)
+
+
+def test_gini_partitioning_invariance(spark):
+    """The distributed rank must give identical Gini under a hostile
+    partition count (ties broken by custkey make the order total)."""
+    base = {
+        r.nation: r.gini for r in q_gini_revenue_by_nation(spark, SF_SMOKE).collect()
+    }
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        alt = {
+            r.nation: r.gini
+            for r in q_gini_revenue_by_nation(spark, SF_SMOKE).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert base == alt
+
+
+def test_auc_of_perfect_and_random_split(spark):
+    """Degenerate-input checks of the rank-sum machinery itself:
+    a score equal to the label gives AUC 1 - tie-term only at equal
+    scores; a constant score gives exactly 0.5 (all ties)."""
+    df = spark.createDataFrame(
+        [(1, 1), (2, 1), (0, 0), (0, 1), (1, 0)], "s long, y long"
+    )
+    per = df.groupBy("s").agg(
+        F.sum("y").alias("n_pos"),
+        (F.count(F.lit(1)) - F.sum("y")).alias("n_neg"),
+    )
+    from dataframe_retail_e_inventarios_spark.operators.prefix import (
+        exclusive_prefix_offsets,
+    )
+
+    cum = exclusive_prefix_offsets(per, "s", "n_neg", "cum")
+    j = per.join(cum, "s")
+    u2 = j.agg(
+        F.sum(
+            F.col("n_pos") * (F.lit(2) * F.col("cum") + F.col("n_neg"))
+        ).alias("u2")
+    ).collect()[0].u2
+    # pairs: pos scores {1,2,0}, neg {0,1}: wins = (1>0)+(2>0)+(2>1)=3,
+    # ties = (1,1),(0,0) = 2 -> U2 = 2*3+2 = 8, AUC = 8/12
+    assert u2 == 8
+    const = spark.createDataFrame([(7, 1), (7, 0), (7, 1)], "s long, y long")
+    perc = const.groupBy("s").agg(
+        F.sum("y").alias("n_pos"),
+        (F.count(F.lit(1)) - F.sum("y")).alias("n_neg"),
+    )
+    cumc = exclusive_prefix_offsets(perc, "s", "n_neg", "cum")
+    u2c = (
+        perc.join(cumc, "s")
+        .agg(
+            F.sum(
+                F.col("n_pos") * (F.lit(2) * F.col("cum") + F.col("n_neg"))
+            ).alias("u2")
+        )
+        .collect()[0]
+        .u2
+    )
+    assert u2c == 2 * 1  # 2 pos * 1 neg, all tied -> U2 = P*N
+    assert u2c / (2 * 2 * 1) == 0.5
+
+
+def test_ks_identical_distribution_is_zero(spark):
+    """KS of a segment against itself must be 0 — run the pair logic on
+    a duplicated frame."""
+    df = spark.createDataFrame(
+        [("A", i % 7) for i in range(50)] + [("B", i % 7) for i in range(50)],
+        "seg string, bin long",
+    )
+    binned = df.groupBy("seg", "bin").agg(F.count(F.lit(1)).alias("cnt"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("seg").orderBy("bin")
+    cdf = binned.select("seg", "bin", F.sum("cnt").over(w).alias("cum"))
+    pair = (
+        cdf.alias("a")
+        .join(
+            cdf.alias("b"),
+            (F.col("a.seg") < F.col("b.seg")) & (F.col("a.bin") == F.col("b.bin")),
+        )
+        .agg(F.max(F.abs(F.col("a.cum") - F.col("b.cum"))).alias("sup"))
+        .collect()[0]
+    )
+    assert pair.sup == 0
+
+
+def test_spearman_perfect_monotone_is_one(spark):
+    """rho on a strictly increasing relationship = exactly 1 through
+    the bounded-domain rank path (brand fixed)."""
+    rows = [("B", q, q * 2) for q in range(1, 11)]
+    df = spark.createDataFrame(rows, "brand string, q long, d long")
+    joint = df.groupBy("brand", "q", "d").agg(F.count(F.lit(1)).alias("n_qd"))
+    pdf = joint.toPandas()
+    rq = pdf["q"].rank(method="average")
+    rd = pdf["d"].rank(method="average")
+    assert math.isclose(np.corrcoef(rq, rd)[0, 1], 1.0)
