@@ -1244,3 +1244,97 @@ SELECT ppl_bucket,
 FROM tiled GROUP BY ppl_bucket ORDER BY ppl_bucket
 """,
 )
+
+
+# -- positional phrase search -----------------------------------------------
+_PHRASES = (
+    ("batch", "stream"),
+    ("hash", "scan"),
+    ("order", "sort"),
+    ("spark", "window"),
+    ("window", "window"),
+)
+
+
+def q_phrase_search_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search through a positional inverted index: build
+    (term, doc_id, pos) postings, then a phrase "w1 w2" matches where
+    the two terms' postings align at adjacent positions in the same
+    document — the classic IR positional-intersection, expressed as an
+    equi-join.
+
+    Scale posture: the postings explode is one scan; BOTH posting
+    sides are filtered to the query phrases' terms BEFORE the
+    self-join (pushed predicate on the exploded frame), so join input
+    is bounded by the query terms' document frequency, never corpus
+    size; the join keys are (doc_id, pos) — pure equi-join, shuffle
+    hash-partitioned, no inequality scan. Output: per-phrase document
+    frequency and occurrence count.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    w1s = tuple(sorted({a for a, _ in _PHRASES}))
+    w2s = tuple(sorted({b for _, b in _PHRASES}))
+    post = docs.select(
+        "doc_id", F.posexplode(tokens("text")).alias("pos", "term")
+    )
+    a = post.where(F.col("term").isin(*w1s)).select(
+        "doc_id", F.col("pos").alias("pos_a"), F.col("term").alias("w1")
+    )
+    b = post.where(F.col("term").isin(*w2s)).select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("pos").alias("pos_b"),
+        F.col("term").alias("w2"),
+    )
+    phrases = spark.createDataFrame(list(_PHRASES), "w1 string, w2 string")
+    hits = (
+        a.join(
+            b,
+            (F.col("doc_id") == F.col("doc_b"))
+            & (F.col("pos_b") == F.col("pos_a") + 1),
+        )
+        .join(F.broadcast(phrases), ["w1", "w2"])
+    )
+    return (
+        hits.groupBy("w1", "w2")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .select(
+            F.concat_ws(" ", "w1", "w2").alias("phrase"),
+            "n_docs",
+            "n_occurrences",
+        )
+        .orderBy("phrase")
+    )
+
+
+def _phrase_sql() -> str:
+    vals = ", ".join(f"('{a}', '{b}')" for a, b in _PHRASES)
+    return f"""
+WITH post AS (
+  SELECT doc_id, u.term, u.pos
+  FROM documents,
+       LATERAL (SELECT unnest({_TOKS_SQL}) AS term,
+                       generate_subscripts({_TOKS_SQL}, 1) - 1 AS pos) u
+),
+phrases(w1, w2) AS (VALUES {vals}),
+hits AS (
+  SELECT p.w1, p.w2, a.doc_id
+  FROM post a
+  JOIN post b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  JOIN phrases p ON a.term = p.w1 AND b.term = p.w2
+)
+SELECT w1 || ' ' || w2 AS phrase,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_occurrences
+FROM hits GROUP BY w1, w2
+ORDER BY phrase
+"""
+
+
+register(
+    "phrase_search_positional",
+    q_phrase_search_positional,
+    _phrase_sql(),
+)

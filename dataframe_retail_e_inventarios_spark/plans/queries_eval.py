@@ -530,6 +530,137 @@ ORDER BY source, fused_rank
 )
 
 
+# -- split-conformal forecast intervals -------------------------------------
+_CONF_ALPHA_NUM = 9  # 1 - alpha = 0.9, kept as the integer 9/10
+_CONF_TEST_WEEKS = 4
+_CONF_MIN_CAL = 10
+
+
+def q_conformal_forecast_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction intervals around the 4-week trailing
+    MA forecast, per weekly series: calibration residuals -> the
+    ceil(0.9*(n+1))-th order statistic is the interval half-width
+    q_hat; report empirical coverage on the held-out last 4 weeks.
+
+    Exactness: weekly units are integral, so the residual
+    |4*y_t - sum(y_{t-4..t-1})| is an exact BIGINT (never a windowed
+    float sum — engines disagree on frame-sum association), the
+    conformal rank k = (9*(n_cal+1) + 9) // 10 is pure integer
+    arithmetic, and the order statistic comes from
+    element_at(array_sort(...), k). Per-series state is bounded by the
+    series span in weeks (the weekly_dense_resample contract), so the
+    collect_list aggregate is executor-safe at any corpus size; the
+    whole query is one groupBy after the resample's single shuffle.
+    """
+    from ..operators.cleaning import clean_sales
+    from ..operators.resample import weekly_dense_resample
+    from .flagship import KEYS
+
+    dense = weekly_dense_resample(
+        clean_sales(load_table(spark, sf_dir, "lineitem")),
+        KEYS,
+        "invoice_date",
+        "units_sold",
+    )
+    w_ord = Window.partitionBy(*KEYS).orderBy("week")
+    u = F.bround(F.col("units_sold"), 0).cast("long")
+    sum4 = F.sum(u).over(w_ord.rowsBetween(-4, -1))
+    idx = F.row_number().over(w_ord)
+    n_weeks = F.count(F.lit(1)).over(Window.partitionBy(*KEYS))
+    rows = dense.select(
+        *KEYS,
+        (F.lit(4) * u - sum4).alias("_diff"),
+        idx.alias("_idx"),
+        n_weeks.alias("_nw"),
+    ).where(F.col("_idx") >= 5)
+    r_scaled = F.abs(F.col("_diff"))
+    is_test = F.col("_idx") > F.col("_nw") - _CONF_TEST_WEEKS
+    g = (
+        rows.groupBy(*KEYS)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.when(~is_test, r_scaled))
+            ).alias("_cal"),
+            F.collect_list(F.when(is_test, r_scaled)).alias("_test"),
+        )
+        .where(F.size("_cal") >= _CONF_MIN_CAL)
+    )
+    n_cal = F.size("_cal")
+    k = F.floor(
+        (F.lit(_CONF_ALPHA_NUM) * (n_cal + 1) + F.lit(_CONF_ALPHA_NUM))
+        / F.lit(10)
+    ).cast("int")
+    # k can exceed n_cal only when n_cal < 9; the >=10 gate excludes it
+    q_hat = F.element_at("_cal", k)
+    covered = F.size(F.filter("_test", lambda x: x <= q_hat))
+    return g.select(
+        *KEYS,
+        n_cal.cast("long").alias("n_cal"),
+        F.round(q_hat.cast("double") / 4.0, 4).alias("q_hat"),
+        F.size("_test").cast("long").alias("n_test"),
+        covered.cast("long").alias("n_covered"),
+        F.bround(
+            covered.cast("double") / F.size("_test").cast("double"), 6
+        ).alias("coverage"),
+    ).orderBy(*KEYS)
+
+
+def _conformal_sql() -> str:
+    from . import oracle_fragments as _OF
+
+    return f"""
+WITH {_OF.CLEAN_SALES_CTE.strip()},
+{_OF.WEEKLY_CTE.strip()},
+{_OF.DENSE_CTE.strip()},
+seq AS (
+  SELECT product_id, store_id, week,
+         CAST(round_even(units_sold, 0) AS BIGINT) AS u,
+         row_number() OVER w AS idx,
+         count(*) OVER (PARTITION BY product_id, store_id) AS nw,
+         sum(CAST(round_even(units_sold, 0) AS BIGINT)) OVER (
+           w ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING) AS sum4
+  FROM dense
+  WINDOW w AS (PARTITION BY product_id, store_id ORDER BY week)
+),
+res AS (
+  SELECT product_id, store_id,
+         abs(4 * u - sum4) AS r_scaled,
+         idx > nw - {_CONF_TEST_WEEKS} AS is_test
+  FROM seq WHERE idx >= 5
+),
+g AS (
+  SELECT product_id, store_id,
+         list_sort(list(r_scaled) FILTER (NOT is_test)) AS cal,
+         list(r_scaled) FILTER (is_test) AS test
+  FROM res GROUP BY 1, 2
+  HAVING len(list(r_scaled) FILTER (NOT is_test)) >= {_CONF_MIN_CAL}
+)
+SELECT product_id, store_id,
+       CAST(len(cal) AS BIGINT) AS n_cal,
+       round(CAST(cal[CAST(({_CONF_ALPHA_NUM} * (len(cal) + 1)
+                            + {_CONF_ALPHA_NUM}) // 10 AS INT)] AS DOUBLE)
+             / 4.0, 4) AS q_hat,
+       CAST(len(test) AS BIGINT) AS n_test,
+       CAST(len(list_filter(test,
+            x -> x <= cal[CAST(({_CONF_ALPHA_NUM} * (len(cal) + 1)
+                                + {_CONF_ALPHA_NUM}) // 10 AS INT)]))
+         AS BIGINT) AS n_covered,
+       round_even(CAST(len(list_filter(test,
+            x -> x <= cal[CAST(({_CONF_ALPHA_NUM} * (len(cal) + 1)
+                                + {_CONF_ALPHA_NUM}) // 10 AS INT)]))
+         AS DOUBLE) / CAST(len(test) AS DOUBLE), 6) + 0.0 AS coverage
+FROM g
+ORDER BY product_id, store_id
+"""
+
+
+register(
+    "conformal_forecast_intervals",
+    q_conformal_forecast_intervals,
+    _conformal_sql(),
+)
+
+
 # -- Gini concentration via distributed rank --------------------------------
 def q_gini_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-nation Gini coefficient of customer revenue (customers with

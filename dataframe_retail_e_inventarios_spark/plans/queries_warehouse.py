@@ -1421,6 +1421,91 @@ FROM ranked
 )
 
 
+def q_time_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decay multi-touch attribution completing the first/last/
+    U-shaped family: touches assigned to the same user's next purchase
+    within 24h (the shared forward-window pass), each weighted by
+    harmonic decay 1/(1 + hours-before-conversion) and normalized per
+    conversion.
+
+    Float discipline: the decay weight is snapped to an exact BIGINT
+    (round_even(1e6 / (1 + h)) — ONE division, no float sums), so the
+    per-conversion normalizer is an exact integer window sum,
+    associative under any shuffle order; the share is a single double
+    division at the end. Same two window shuffles as the position
+    query — no join, no data-sized state."""
+    ev = load_table(spark, sf_dir, "events")
+    w_fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    is_p = F.col("event_type") == "purchase"
+    conv_id = F.first(F.when(is_p, F.col("event_id")), ignorenulls=True).over(w_fwd)
+    conv_ts = F.first(F.when(is_p, F.col("ts")), ignorenulls=True).over(w_fwd)
+    touches = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        conv_id.alias("conv_event_id"),
+        (wall_epoch_seconds(conv_ts) - wall_epoch_seconds(F.col("ts"))).alias(
+            "lead_s"
+        ),
+    ).filter(
+        (~is_p) & F.col("conv_event_id").isNotNull() & (F.col("lead_s") <= 86400)
+    )
+    hours = F.floor(F.col("lead_s") / 3600).cast("long")
+    w_scaled = F.bround(F.lit(1e6) / (F.lit(1) + hours), 0).cast("long")
+    w_all = Window.partitionBy("conv_event_id")
+    total = F.sum(w_scaled).over(w_all)
+    return touches.select(
+        "conv_event_id",
+        "user_id",
+        F.col("event_id").alias("touch_event_id"),
+        "event_type",
+        hours.alias("hours_before"),
+        F.bround(w_scaled.cast("double") / total.cast("double"), 6).alias(
+            "decay_share"
+        ),
+    )
+
+
+register(
+    "time_decay_attribution",
+    q_time_decay_attribution,
+    """
+WITH t AS (
+  SELECT event_id, user_id, ts, event_type,
+         first_value(CASE WHEN event_type = 'purchase' THEN event_id END IGNORE NULLS)
+           OVER w AS conv_event_id,
+         first_value(CASE WHEN event_type = 'purchase'
+                          THEN floor(epoch_us(ts) / 1000000) END IGNORE NULLS)
+           OVER w AS conv_es
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+),
+touches AS (
+  SELECT event_id, user_id, event_type, conv_event_id,
+         CAST(floor((conv_es - floor(epoch_us(ts) / 1000000)) / 3600) AS BIGINT)
+           AS hours_before,
+         CAST(round_even(1e6 / (1 + floor((conv_es - floor(epoch_us(ts) / 1000000))
+                                          / 3600)), 0) AS BIGINT) AS w_scaled
+  FROM t
+  WHERE event_type != 'purchase' AND conv_event_id IS NOT NULL
+    AND conv_es - floor(epoch_us(ts) / 1000000) <= 86400
+)
+SELECT conv_event_id, user_id, event_id AS touch_event_id, event_type,
+       hours_before,
+       round_even(CAST(w_scaled AS DOUBLE)
+                  / CAST(sum(w_scaled) OVER (PARTITION BY conv_event_id)
+                         AS DOUBLE), 6) + 0.0 AS decay_share
+FROM touches
+""",
+)
+
+
 # ---------------------------------------------------------------------------
 # Streaming: stream-static dimension enrichment
 # ---------------------------------------------------------------------------

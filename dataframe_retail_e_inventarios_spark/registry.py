@@ -42,6 +42,9 @@ _PRIORITY = [
     # possible hash row), and the queries materially CHANGED in r6
     # (rfm's single-pass ntile rewrite, the stride/bucket/rounding
     # parity fixes) — a green row re-certifies each after the change.
+    "conformal_forecast_intervals",
+    "phrase_search_positional",
+    "time_decay_attribution",
     "roc_auc_langid",
     "calibration_bins_brier",
     "spearman_qty_discount",

@@ -66,3 +66,37 @@ class TestRollingActiveUsers:
         )
         first = rows[0]
         assert first.dau == first.wau == first.mau
+
+
+def test_phrase_search_matches_brute_force(spark):
+    import re
+
+    from dataframe_retail_e_inventarios_spark.plans.queries_corpus import (
+        _PHRASES,
+        q_phrase_search_positional,
+    )
+    from dataframe_retail_e_inventarios_spark.sources.readers import load_table
+    from conftest import SF_SMOKE
+
+    out = {
+        r.phrase: (r.n_docs, r.n_occurrences)
+        for r in q_phrase_search_positional(spark, SF_SMOKE).collect()
+    }
+    docs = load_table(spark, SF_SMOKE, "documents").select("text").toPandas()
+    manual = {}
+    for w1, w2 in _PHRASES:
+        nd = no = 0
+        for t in docs["text"]:
+            toks = re.split(r"\s+", t.lower().strip())
+            c = sum(
+                1
+                for i in range(len(toks) - 1)
+                if toks[i] == w1 and toks[i + 1] == w2
+            )
+            nd += c > 0
+            no += c
+        manual[f"{w1} {w2}"] = (nd, no)
+    assert out == {k: v for k, v in manual.items() if k in out}
+    # every registered phrase must appear (the fixture vocabulary
+    # contains all of them)
+    assert set(out) == set(manual)

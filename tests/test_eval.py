@@ -236,6 +236,20 @@ def test_ks_identical_distribution_is_zero(spark):
     assert pair.sup == 0
 
 
+def test_rrf_plan_uses_window_group_limit(spark):
+    """The rank<=k candidate filters must compile to WindowGroupLimit
+    (per-partition top-k BEFORE the rank shuffle) — the property that
+    makes the fusion bounded-candidate at scale."""
+    plan = (
+        q_reciprocal_rank_fusion(spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # one partial + one final per window spec (tok, len, fused) = 6
+    assert plan.count("WindowGroupLimit") >= 6
+
+
 def test_spearman_perfect_monotone_is_one(spark):
     """rho on a strictly increasing relationship = exactly 1 through
     the bounded-domain rank path (brand fixed)."""
@@ -246,3 +260,58 @@ def test_spearman_perfect_monotone_is_one(spark):
     rq = pdf["q"].rank(method="average")
     rd = pdf["d"].rank(method="average")
     assert math.isclose(np.corrcoef(rq, rd)[0, 1], 1.0)
+
+
+def test_conformal_properties_and_manual_series(spark):
+    from dataframe_retail_e_inventarios_spark.plans.queries_eval import (
+        q_conformal_forecast_intervals,
+    )
+    from dataframe_retail_e_inventarios_spark.operators.cleaning import clean_sales
+    from dataframe_retail_e_inventarios_spark.operators.resample import (
+        weekly_dense_resample,
+    )
+    from dataframe_retail_e_inventarios_spark.plans.flagship import KEYS
+
+    rows = q_conformal_forecast_intervals(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r.n_cal >= 10
+        assert r.n_test == 4
+        assert 0 <= r.n_covered <= r.n_test
+        assert abs(r.coverage - r.n_covered / r.n_test) < 1e-9
+        assert r.q_hat >= 0.0
+    # split-conformal at alpha=0.1 should cover well on average (the
+    # guarantee is marginal >= 0.9 under exchangeability; allow slack
+    # on a short 4-week test window)
+    mean_cov = sum(r.n_covered for r in rows) / sum(r.n_test for r in rows)
+    assert mean_cov > 0.7
+    # manual recomputation for the first series via pandas
+    dense = (
+        weekly_dense_resample(
+            clean_sales(
+                __import__(
+                    "dataframe_retail_e_inventarios_spark.sources.readers",
+                    fromlist=["load_table"],
+                ).load_table(spark, SF_SMOKE, "lineitem")
+            ),
+            KEYS,
+            "invoice_date",
+            "units_sold",
+        )
+        .where(
+            (F.col(KEYS[0]) == rows[0][KEYS[0]])
+            & (F.col(KEYS[1]) == rows[0][KEYS[1]])
+        )
+        .orderBy("week")
+        .toPandas()
+    )
+    u = np.round(dense["units_sold"].to_numpy()).astype(np.int64)
+    diffs = [
+        abs(4 * u[t] - u[t - 4 : t].sum()) for t in range(4, len(u))
+    ]  # idx>=5 (1-based) == t>=4 (0-based)
+    cal, test = diffs[:-4], diffs[-4:]
+    k = (9 * (len(cal) + 1) + 9) // 10
+    q_hat = sorted(cal)[k - 1]
+    assert rows[0].n_cal == len(cal)
+    assert abs(rows[0].q_hat - q_hat / 4.0) < 1e-9
+    assert rows[0].n_covered == sum(x <= q_hat for x in test)

@@ -70,3 +70,27 @@ def test_backfill_drops_emptied_restated_partition(spark, tmp_path):
     assert back.filter("m = 4").count() == 0
     assert back.filter("m = 3").count() == 1
     assert back.filter("m <= 2").count() == 10
+
+
+def test_time_decay_attribution_shares(spark):
+    from collections import defaultdict
+
+    from dataframe_retail_e_inventarios_spark.registry import queries
+    from conftest import SF_SMOKE
+
+    rows = queries()["time_decay_attribution"](spark, SF_SMOKE).collect()
+    assert rows
+    by_conv = defaultdict(list)
+    for r in rows:
+        assert 0 <= r.hours_before <= 24
+        by_conv[r.conv_event_id].append(r)
+    for conv, touches in by_conv.items():
+        s = sum(t.decay_share for t in touches)
+        assert abs(s - 1.0) < 1e-4, conv  # shares normalize per conversion
+        if len(touches) == 1:
+            assert touches[0].decay_share == 1.0
+        # harmonic decay: strictly fewer hours-before never gets a
+        # smaller share
+        touches.sort(key=lambda t: t.hours_before)
+        for a, b in zip(touches, touches[1:]):
+            assert a.decay_share >= b.decay_share - 1e-9
