@@ -661,6 +661,246 @@ register(
 )
 
 
+# -- MASE: mean absolute SCALED error ---------------------------------------
+def q_backtest_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MASE of the 4-week trailing-MA forecast per weekly series —
+    the scale-free backtest metric missing from the MAPE/sMAPE/RMSE/MAE
+    family (and the one that stays defined on zero-demand weeks):
+    MAE of the forecast on the held-out last 4 weeks, divided by the
+    in-sample MAE of the naive-1 forecast on the training weeks.
+
+    Both numerator and denominator stay exact integers — test error
+    |4y - sum4| (the conformal residual), train error |y - y_prev| —
+    and the ratio (num * n_train) / (4 * den * n_test) is computed as
+    ONE double division of two exact DECIMAL(38,0) products. Gates:
+    n_train >= 10 and a nonzero denominator (constant training series
+    have no naive-1 scale). Same single-shuffle shape as
+    conformal_forecast_intervals.
+    """
+    from ..operators.cleaning import clean_sales
+    from ..operators.resample import weekly_dense_resample
+    from .flagship import KEYS
+
+    dense = weekly_dense_resample(
+        clean_sales(load_table(spark, sf_dir, "lineitem")),
+        KEYS,
+        "invoice_date",
+        "units_sold",
+    )
+    w_ord = Window.partitionBy(*KEYS).orderBy("week")
+    u = F.bround(F.col("units_sold"), 0).cast("long")
+    rows = dense.select(
+        *KEYS,
+        u.alias("u"),
+        F.sum(u).over(w_ord.rowsBetween(-4, -1)).alias("sum4"),
+        F.lag(u, 1).over(w_ord).alias("prev"),
+        F.row_number().over(w_ord).alias("idx"),
+        F.count(F.lit(1)).over(Window.partitionBy(*KEYS)).alias("nw"),
+    )
+    is_test = F.col("idx") > F.col("nw") - _CONF_TEST_WEEKS
+    is_train = (F.col("idx") >= 2) & ~is_test
+    g = (
+        rows.groupBy(*KEYS)
+        .agg(
+            F.sum(F.when(is_train, F.abs(F.col("u") - F.col("prev")))).alias(
+                "den"
+            ),
+            F.count(F.when(is_train, F.lit(1))).alias("n_train"),
+            F.sum(
+                F.when(is_test, F.abs(F.lit(4) * F.col("u") - F.col("sum4")))
+            ).alias("num"),
+            F.count(F.when(is_test, F.lit(1))).alias("n_test"),
+        )
+        .where((F.col("n_train") >= 10) & (F.col("den") > 0))
+    )
+    mase = (
+        (F.col("num").cast("decimal(38,0)") * F.col("n_train")).cast("double")
+    ) / (
+        (
+            F.lit(4).cast("decimal(38,0)")
+            * F.col("den")
+            * F.col("n_test")
+        ).cast("double")
+    )
+    return g.select(
+        *KEYS,
+        F.col("n_train").cast("long").alias("n_train"),
+        F.col("n_test").cast("long").alias("n_test"),
+        F.bround(mase, 6).alias("mase"),
+    ).orderBy(*KEYS)
+
+
+def _mase_sql() -> str:
+    from . import oracle_fragments as _OF
+
+    return f"""
+WITH {_OF.CLEAN_SALES_CTE.strip()},
+{_OF.WEEKLY_CTE.strip()},
+{_OF.DENSE_CTE.strip()},
+seq AS (
+  SELECT product_id, store_id,
+         CAST(round_even(units_sold, 0) AS BIGINT) AS u,
+         sum(CAST(round_even(units_sold, 0) AS BIGINT)) OVER (
+           w ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING) AS sum4,
+         lag(CAST(round_even(units_sold, 0) AS BIGINT), 1) OVER w AS prev,
+         row_number() OVER w AS idx,
+         count(*) OVER (PARTITION BY product_id, store_id) AS nw
+  FROM dense
+  WINDOW w AS (PARTITION BY product_id, store_id ORDER BY week)
+),
+g AS (
+  SELECT product_id, store_id,
+         sum(CASE WHEN idx >= 2 AND idx <= nw - {_CONF_TEST_WEEKS}
+                  THEN abs(u - prev) END) AS den,
+         count(CASE WHEN idx >= 2 AND idx <= nw - {_CONF_TEST_WEEKS}
+                    THEN 1 END) AS n_train,
+         sum(CASE WHEN idx > nw - {_CONF_TEST_WEEKS}
+                  THEN abs(4 * u - sum4) END) AS num,
+         count(CASE WHEN idx > nw - {_CONF_TEST_WEEKS} THEN 1 END) AS n_test
+  FROM seq GROUP BY 1, 2
+)
+SELECT product_id, store_id,
+       CAST(n_train AS BIGINT) AS n_train,
+       CAST(n_test AS BIGINT) AS n_test,
+       round_even(CAST(CAST(num AS HUGEINT) * n_train AS DOUBLE)
+                  / CAST(4 * CAST(den AS HUGEINT) * n_test AS DOUBLE), 6)
+         + 0.0 AS mase
+FROM g
+WHERE n_train >= 10 AND den > 0
+ORDER BY product_id, store_id
+"""
+
+
+register("backtest_mase", q_backtest_mase, _mase_sql())
+
+
+# -- simplified silhouette over labeled embeddings ---------------------------
+def q_silhouette_lite_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroid-based simplified silhouette per embedding label — the
+    clustering-quality readout: a2 = squared distance to the own-label
+    centroid, b2 = min squared distance to any other label's centroid,
+    s = (b2 - a2) / max(a2, b2) (squared-distance variant, documented;
+    monotone-equivalent diagnostic).
+
+    Exactness recipe = kmeans_lite_clusters': elements snap to
+    6dp-scaled BIGINTs, centroids are exact integer FLOOR-division
+    means, distances are integer sums of squared diffs. Each
+    per-vector s is snapped to a BIGINT (round_even(1e9 * diff/max) —
+    diff and max are < 2^53 so the doubles are exact), making the
+    per-label mean an associative integer sum. Scale shape: one
+    (n x 64) long-format scan, broadcast join against the k x 64
+    centroid table, two bounded group-bys.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", "label"
+    )
+    el = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("d", "val"),
+    ).select(
+        "vec_id",
+        "label",
+        "d",
+        F.round(F.bround(F.col("val").cast("double"), 6) * 1e6, 0)
+        .cast("long")
+        .alias("ei"),
+    )
+    cents = el.groupBy(F.col("label").alias("label_c"), "d").agg(
+        (
+            (F.sum("ei") - F.pmod(F.sum("ei"), F.count(F.lit(1))))
+            / F.count(F.lit(1))
+        )
+        .cast("long")
+        .alias("ce")
+    )
+    dist = (
+        el.join(F.broadcast(cents), "d")
+        .groupBy("vec_id", "label", "label_c")
+        .agg(
+            F.sum(
+                (F.col("ei") - F.col("ce")) * (F.col("ei") - F.col("ce"))
+            ).alias("dist")
+        )
+    )
+    per_vec = dist.groupBy("vec_id", "label").agg(
+        F.min(F.when(F.col("label_c") == F.col("label"), F.col("dist"))).alias(
+            "a2"
+        ),
+        F.min(F.when(F.col("label_c") != F.col("label"), F.col("dist"))).alias(
+            "b2"
+        ),
+    )
+    smax = F.greatest(F.col("a2"), F.col("b2"))
+    s_scaled = F.when(smax == 0, F.lit(0)).otherwise(
+        F.bround(
+            (F.col("b2") - F.col("a2")).cast("double")
+            / smax.cast("double")
+            * 1e9,
+            0,
+        )
+    ).cast("long")
+    return (
+        per_vec.select("label", s_scaled.alias("s"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.bround(F.sum("s").cast("double") / F.count(F.lit(1)) / 1e9, 6).alias(
+                "mean_silhouette"
+            ),
+            F.sum((F.col("s") < 0).cast("long")).alias("n_negative"),
+        )
+        .orderBy("label")
+    )
+
+
+register(
+    "silhouette_lite_labels",
+    q_silhouette_lite_labels,
+    """
+WITH el AS (
+  SELECT vec_id, label, d,
+         CAST(round_even(CAST(embedding AS DOUBLE[])[d + 1], 6) * 1e6 AS BIGINT)
+           AS ei
+  FROM embeddings CROSS JOIN (SELECT unnest(range(0, 64)) AS d) dims
+),
+cents AS (
+  SELECT label AS label_c, d,
+         CAST((sum(ei) - ((sum(ei) % count(*)) + count(*)) % count(*))
+              / count(*) AS BIGINT) AS ce
+  FROM el GROUP BY 1, 2
+),
+dist AS (
+  SELECT e.vec_id, e.label, c.label_c,
+         sum((e.ei - c.ce) * (e.ei - c.ce)) AS dist
+  FROM el e JOIN cents c ON e.d = c.d
+  GROUP BY 1, 2, 3
+),
+per_vec AS (
+  SELECT vec_id, label,
+         min(CASE WHEN label_c = label THEN dist END) AS a2,
+         min(CASE WHEN label_c != label THEN dist END) AS b2
+  FROM dist GROUP BY 1, 2
+),
+s AS (
+  SELECT label,
+         CASE WHEN greatest(a2, b2) = 0 THEN 0
+              ELSE CAST(round_even(CAST(b2 - a2 AS DOUBLE)
+                                   / CAST(greatest(a2, b2) AS DOUBLE) * 1e9, 0)
+                        AS BIGINT) END AS s
+  FROM per_vec
+)
+SELECT label,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       round_even(CAST(sum(s) AS DOUBLE) / count(*) / 1e9, 6) + 0.0
+         AS mean_silhouette,
+       CAST(sum(CASE WHEN s < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_negative
+FROM s GROUP BY label
+ORDER BY label
+""",
+)
+
+
 # -- Gini concentration via distributed rank --------------------------------
 def q_gini_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-nation Gini coefficient of customer revenue (customers with

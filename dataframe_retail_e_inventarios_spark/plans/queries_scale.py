@@ -1500,6 +1500,65 @@ FROM trans
 )
 
 
+# -- event trigram paths (second-order sequence mining) ---------------------
+def q_event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user consecutive event-type TRIGRAMS — the second-order
+    extension of event_transition_matrix (which journeys, not just
+    which hops): every (e1 > e2 > e3) path with its occurrence count
+    and share of all trigrams. The path domain is bounded (|event
+    types|^3), so the aggregate output is constant-size at any volume;
+    one user-keyed window pass (two leads ride the same sort), one
+    bounded group-by, share via a broadcast 1-row normalizer."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tri = (
+        ev.select(
+            F.col("event_type").alias("e1"),
+            F.lead("event_type", 1).over(w).alias("e2"),
+            F.lead("event_type", 2).over(w).alias("e3"),
+        )
+        .filter(F.col("e3").isNotNull())
+        .groupBy("e1", "e2", "e3")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = tri.agg(F.sum("n").alias("n_total"))
+    return (
+        tri.crossJoin(F.broadcast(total))
+        .select(
+            F.concat_ws(" > ", "e1", "e2", "e3").alias("path"),
+            "n",
+            (
+                F.bround(F.col("n") / F.col("n_total") * 1e6, 0) / 1e6
+            ).alias("share"),
+        )
+        .orderBy("path")
+    )
+
+
+register(
+    "event_path_trigrams",
+    q_event_path_trigrams,
+    """
+WITH seq AS (
+  SELECT event_type AS e1,
+         lead(event_type, 1) OVER w AS e2,
+         lead(event_type, 2) OVER w AS e3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+tri AS (
+  SELECT e1, e2, e3, count(*) AS n FROM seq WHERE e3 IS NOT NULL GROUP BY 1, 2, 3
+),
+tot AS (SELECT sum(n) AS n_total FROM tri)
+SELECT e1 || ' > ' || e2 || ' > ' || e3 AS path,
+       CAST(n AS BIGINT) AS n,
+       round_even(n / n_total * 1e6, 0) / 1e6 AS share
+FROM tri CROSS JOIN tot
+ORDER BY path
+""",
+)
+
+
 # -- supplier lead-time distribution ---------------------------------------
 def q_supplier_lead_times(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-to-ship lead time per supplier: mean / p50 / p95 of

@@ -43,6 +43,9 @@ _PRIORITY = [
     # (rfm's single-pass ntile rewrite, the stride/bucket/rounding
     # parity fixes) — a green row re-certifies each after the change.
     "conformal_forecast_intervals",
+    "backtest_mase",
+    "silhouette_lite_labels",
+    "event_path_trigrams",
     "phrase_search_positional",
     "time_decay_attribution",
     "roc_auc_langid",

@@ -315,3 +315,83 @@ def test_conformal_properties_and_manual_series(spark):
     assert rows[0].n_cal == len(cal)
     assert abs(rows[0].q_hat - q_hat / 4.0) < 1e-9
     assert rows[0].n_covered == sum(x <= q_hat for x in test)
+
+
+def test_mase_manual_series(spark):
+    from dataframe_retail_e_inventarios_spark.operators.cleaning import clean_sales
+    from dataframe_retail_e_inventarios_spark.operators.resample import (
+        weekly_dense_resample,
+    )
+    from dataframe_retail_e_inventarios_spark.plans.flagship import KEYS
+    from dataframe_retail_e_inventarios_spark.plans.queries_eval import (
+        q_backtest_mase,
+    )
+
+    rows = q_backtest_mase(spark, SF_SMOKE).collect()
+    assert rows
+    r0 = rows[0]
+    assert all(r.n_test == 4 and r.n_train >= 10 and r.mase >= 0.0 for r in rows)
+    dense = (
+        weekly_dense_resample(
+            clean_sales(load_table(spark, SF_SMOKE, "lineitem")),
+            KEYS,
+            "invoice_date",
+            "units_sold",
+        )
+        .where((F.col(KEYS[0]) == r0[KEYS[0]]) & (F.col(KEYS[1]) == r0[KEYS[1]]))
+        .orderBy("week")
+        .toPandas()
+    )
+    u = np.round(dense["units_sold"].to_numpy()).astype(np.int64)
+    nw = len(u)
+    test_idx = range(nw - 4, nw)
+    train_idx = range(1, nw - 4)
+    num = sum(abs(4 * u[t] - u[t - 4 : t].sum()) for t in test_idx)
+    den = sum(abs(int(u[t]) - int(u[t - 1])) for t in train_idx)
+    mase = (num * len(train_idx)) / (4 * den * 4)
+    assert r0.n_train == len(train_idx)
+    assert abs(r0.mase - mase) < 5e-7
+
+
+def test_silhouette_matches_numpy_and_bounds(spark):
+    from dataframe_retail_e_inventarios_spark.plans.queries_eval import (
+        q_silhouette_lite_labels,
+    )
+
+    out = {r.label: r for r in q_silhouette_lite_labels(spark, SF_SMOKE).collect()}
+    emb = load_table(spark, SF_SMOKE, "embeddings").toPandas()
+    # independent reimplementation on snapped integers
+    M = np.array(
+        [np.round(np.round(np.asarray(v, dtype=np.float64), 6) * 1e6) for v in emb["embedding"]],
+        dtype=np.int64,
+    )
+    labels = emb["label"].to_numpy()
+    cents = {}
+    for lb in np.unique(labels):
+        s = M[labels == lb].sum(axis=0)
+        n = (labels == lb).sum()
+        cents[lb] = (s - np.mod(s, n)) // n  # exact floor-div mean
+    sil_sum: dict = {}
+    for i in range(len(M)):
+        d2 = {lb: int(((M[i] - c) ** 2).sum()) for lb, c in cents.items()}
+        a2 = d2[labels[i]]
+        b2 = min(v for lb, v in d2.items() if lb != labels[i])
+        mx = max(a2, b2)
+        s = 0 if mx == 0 else np.round((b2 - a2) / mx * 1e9)
+        sil_sum.setdefault(labels[i], []).append(int(s))
+    for lb, ss in sil_sum.items():
+        r = out[lb]
+        assert r.n_vecs == len(ss)
+        assert abs(r.mean_silhouette - sum(ss) / len(ss) / 1e9) < 5e-7, lb
+        assert -1.0 <= r.mean_silhouette <= 1.0
+        assert r.n_negative == sum(s < 0 for s in ss)
+
+
+def test_event_trigrams_bounded_and_normalized(spark):
+    from dataframe_retail_e_inventarios_spark.registry import queries
+
+    rows = queries()["event_path_trigrams"](spark, SF_SMOKE).collect()
+    assert 0 < len(rows) <= 125  # |event types|^3 bound
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-3
+    assert all(r.n >= 1 for r in rows)
+    assert [r.path for r in rows] == sorted(r.path for r in rows)
