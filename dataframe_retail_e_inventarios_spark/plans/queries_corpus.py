@@ -1338,3 +1338,119 @@ register(
     q_phrase_search_positional,
     _phrase_sql(),
 )
+
+
+# -- Jensen-Shannon divergence matrix between sources ------------------------
+def q_source_jsd_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between every two sources'
+    unigram distributions — the symmetric, bounded (<= ln 2) companion
+    to source_kl_divergence, the standard "how different are these two
+    corpora" readout for mixture design.
+
+    Shape: the SAME (source, term-hash) count frame as the KL query
+    (one tokenize scan), densified over the vocab spine so one-sided
+    terms contribute their half of the divergence; each per-term
+    contribution 0.5*(p*ln(p/m) + q*ln(q/m)) is snapped to a scaled
+    BIGINT before the per-pair sum (order-independent on both
+    engines). The pair frame is vocab x C(sources,2) — bounded by
+    vocabulary and source count, never corpus volume."""
+    docs = load_table(spark, sf_dir, "documents")
+    st = (
+        docs.select(
+            "source",
+            F.explode(F.filter(tokens("text"), lambda x: x != "")).alias("term"),
+        )
+        .select("source", shingle_hash32("term").alias("h"))
+        .groupBy("source", "h")
+        .agg(F.count("*").alias("c_sw"))
+        .localCheckpoint(eager=True)
+    )
+    spine = st.select("h").distinct().crossJoin(
+        F.broadcast(st.select("source").distinct())
+    )
+    dense = spine.join(st, ["source", "h"], "left").fillna(0, subset=["c_sw"])
+    s_tot = st.groupBy("source").agg(F.sum("c_sw").alias("c_s"))
+    d = dense.join(F.broadcast(s_tot), "source")
+    a = d.select(
+        F.col("source").alias("source_a"),
+        "h",
+        F.col("c_sw").alias("c_a"),
+        F.col("c_s").alias("n_a"),
+    )
+    b = d.select(
+        F.col("source").alias("source_b"),
+        F.col("h").alias("h_b"),
+        F.col("c_sw").alias("c_b"),
+        F.col("c_s").alias("n_b"),
+    )
+    j = a.join(
+        b,
+        (F.col("source_a") < F.col("source_b")) & (F.col("h") == F.col("h_b")),
+    )
+    p = F.col("c_a") / F.col("n_a")
+    q = F.col("c_b") / F.col("n_b")
+    m = (p + q) / F.lit(2.0)
+    term = F.lit(0.5) * (
+        F.when(F.col("c_a") > 0, p * F.log(p / m)).otherwise(F.lit(0.0))
+        + F.when(F.col("c_b") > 0, q * F.log(q / m)).otherwise(F.lit(0.0))
+    )
+    contrib = F.round(term * 1e9, 0).cast("long")
+    return (
+        j.select("source_a", "source_b", contrib.alias("t"))
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.round(F.sum("t") / 1e9, 6).alias("jsd_nats"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+register(
+    "source_jsd_matrix",
+    q_source_jsd_matrix,
+    f"""
+WITH st AS (
+  SELECT source, CAST(('0x' || substr(md5(term), 1, 8)) AS BIGINT) AS h,
+         count(*) AS c_sw
+  FROM (
+    SELECT source, unnest(list_filter({_TOKS_SQL}, x -> x != '')) AS term
+    FROM documents
+  )
+  GROUP BY 1, 2
+),
+spine AS (
+  SELECT source, h FROM (SELECT DISTINCT source FROM st)
+  CROSS JOIN (SELECT DISTINCT h FROM st)
+),
+dense AS (
+  SELECT s.source, s.h, coalesce(t.c_sw, 0) AS c_sw
+  FROM spine s LEFT JOIN st t ON s.source = t.source AND s.h = t.h
+),
+s_tot AS (SELECT source, sum(c_sw) AS c_s FROM st GROUP BY source),
+d AS (SELECT dense.*, c_s FROM dense JOIN s_tot USING (source)),
+j AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         a.c_sw AS c_a, a.c_s AS n_a, b.c_sw AS c_b, b.c_s AS n_b
+  FROM d a JOIN d b ON a.source < b.source AND a.h = b.h
+),
+terms AS (
+  SELECT source_a, source_b,
+         CAST(round(0.5 * (
+           CASE WHEN c_a > 0
+                THEN (c_a / n_a) * ln((c_a / n_a)
+                       / (((c_a / n_a) + (c_b / n_b)) / 2.0))
+                ELSE 0e0 END
+           + CASE WHEN c_b > 0
+                  THEN (c_b / n_b) * ln((c_b / n_b)
+                         / (((c_a / n_a) + (c_b / n_b)) / 2.0))
+                  ELSE 0e0 END) * 1e9, 0) AS BIGINT) AS t
+  FROM j
+)
+SELECT source_a, source_b,
+       CAST(count(*) AS BIGINT) AS n_terms,
+       round(sum(t) / 1e9, 6) AS jsd_nats
+FROM terms GROUP BY 1, 2
+ORDER BY source_a, source_b
+""",
+)

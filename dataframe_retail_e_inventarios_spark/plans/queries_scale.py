@@ -1500,6 +1500,77 @@ FROM trans
 )
 
 
+# -- Apriori 3-itemsets with lossless frequent-item pruning ------------------
+_TRIPLE_MIN_SUP = 2
+
+
+def q_apriori_triple_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent 3-itemsets (support >= 2) over order baskets — the
+    next market-basket level above basket_pair_lift, built the Apriori
+    way: items below the support threshold are projected OUT before
+    baskets are formed (a triple's support can never exceed any member
+    item's support, so the pruning is LOSSLESS — and the oracle proves
+    it: the DuckDB side is the UNPRUNED direct triple self-join).
+
+    Scale shape: one distinct scan -> item-support filter (the Apriori
+    candidate bound) -> per-order basket arrays (basket size is
+    bounded by order width, so the in-row triple expansion is
+    C(b,3)-bounded per row, never a join) -> one bounded group-by.
+    No triple self-join ever runs on the engine side.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    freq_items = (
+        op.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= _TRIPLE_MIN_SUP)
+        .select("l_partkey")
+    )
+    baskets = (
+        op.join(freq_items, "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("items"))
+        .where(F.size("items") >= 3)
+    )
+    triples = baskets.select(
+        F.explode(
+            F.expr(
+                """
+                flatten(transform(sequence(0, size(items) - 3), i ->
+                  flatten(transform(sequence(i + 1, size(items) - 2), j ->
+                    transform(sequence(j + 1, size(items) - 1), k ->
+                      struct(items[i] AS p1, items[j] AS p2, items[k] AS p3))))))
+                """
+            )
+        ).alias("t")
+    ).select("t.p1", "t.p2", "t.p3")
+    return (
+        triples.groupBy("p1", "p2", "p3")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .where(F.col("support") >= _TRIPLE_MIN_SUP)
+        .orderBy("p1", "p2", "p3")
+    )
+
+
+register(
+    "apriori_triple_itemsets",
+    q_apriori_triple_itemsets,
+    f"""
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+tri AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2, c.l_partkey AS p3
+  FROM op a
+  JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  JOIN op c ON b.l_orderkey = c.l_orderkey AND b.l_partkey < c.l_partkey
+)
+SELECT p1, p2, p3, CAST(count(*) AS BIGINT) AS support
+FROM tri GROUP BY 1, 2, 3
+HAVING count(*) >= {_TRIPLE_MIN_SUP}
+ORDER BY p1, p2, p3
+""",
+)
+
+
 # -- event trigram paths (second-order sequence mining) ---------------------
 def q_event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user consecutive event-type TRIGRAMS — the second-order

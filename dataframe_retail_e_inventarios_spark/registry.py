@@ -42,6 +42,8 @@ _PRIORITY = [
     # possible hash row), and the queries materially CHANGED in r6
     # (rfm's single-pass ntile rewrite, the stride/bucket/rounding
     # parity fixes) — a green row re-certifies each after the change.
+    "apriori_triple_itemsets",
+    "source_jsd_matrix",
     "conformal_forecast_intervals",
     "backtest_mase",
     "silhouette_lite_labels",

@@ -395,3 +395,48 @@ def test_event_trigrams_bounded_and_normalized(spark):
     assert abs(sum(r.share for r in rows) - 1.0) < 1e-3
     assert all(r.n >= 1 for r in rows)
     assert [r.path for r in rows] == sorted(r.path for r in rows)
+
+
+def test_apriori_pruning_is_lossless_vs_bruteforce(spark):
+    """The engine's frequent-item-projected path must equal the direct
+    unpruned triple enumeration (itertools on collected baskets)."""
+    from itertools import combinations
+
+    from dataframe_retail_e_inventarios_spark.plans.queries_scale import (
+        _TRIPLE_MIN_SUP,
+        q_apriori_triple_itemsets,
+    )
+
+    out = {
+        (r.p1, r.p2, r.p3): r.support
+        for r in q_apriori_triple_itemsets(spark, SF_SMOKE).collect()
+    }
+    op = (
+        load_table(spark, SF_SMOKE, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .toPandas()
+    )
+    counts: dict = {}
+    for _, basket in op.groupby("l_orderkey")["l_partkey"]:
+        for t in combinations(sorted(basket), 3):
+            counts[t] = counts.get(t, 0) + 1
+    manual = {t: c for t, c in counts.items() if c >= _TRIPLE_MIN_SUP}
+    assert out == manual
+    assert out  # non-trivial at the smoke scale
+
+
+def test_jsd_matrix_properties(spark):
+    import math as _math
+
+    from dataframe_retail_e_inventarios_spark.plans.queries_corpus import (
+        q_source_jsd_matrix,
+    )
+
+    rows = q_source_jsd_matrix(spark, SF_SMOKE).collect()
+    assert len(rows) == 190  # C(20, 2) source pairs
+    for r in rows:
+        assert r.source_a < r.source_b
+        # JSD is bounded by ln 2 and non-negative (tiny tolerance for
+        # the 1e-9 per-term snap)
+        assert -1e-6 <= r.jsd_nats <= _math.log(2) + 1e-6
