@@ -411,14 +411,16 @@ def test_apriori_pruning_is_lossless_vs_bruteforce(spark):
         (r.p1, r.p2, r.p3): r.support
         for r in q_apriori_triple_itemsets(spark, SF_SMOKE).collect()
     }
+    li = load_table(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_partkey")
+    part = load_table(spark, SF_SMOKE, "part").select("p_partkey", "p_brand")
     op = (
-        load_table(spark, SF_SMOKE, "lineitem")
-        .select("l_orderkey", "l_partkey")
+        li.join(part, li.l_partkey == part.p_partkey)
+        .select("l_orderkey", F.col("p_brand").alias("item"))
         .distinct()
         .toPandas()
     )
     counts: dict = {}
-    for _, basket in op.groupby("l_orderkey")["l_partkey"]:
+    for _, basket in op.groupby("l_orderkey")["item"]:
         for t in combinations(sorted(basket), 3):
             counts[t] = counts.get(t, 0) + 1
     manual = {t: c for t, c in counts.items() if c >= _TRIPLE_MIN_SUP}
