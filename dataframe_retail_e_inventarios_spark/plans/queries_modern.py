@@ -551,3 +551,52 @@ FROM lineitem WHERE l_quantity > 0
 GROUP BY l_returnflag
 """,
 )
+
+
+# -- SQL pipe syntax (Spark 4 |> operators) ----------------------------------
+def q_sql_pipe_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pricing-summary shape written in Spark 4's SQL pipe syntax
+    (FROM ... |> WHERE ... |> AGGREGATE ... |> ORDER BY): each |> stage
+    is parsed into the SAME logical operators as the classic form, so
+    Catalyst's pushdown/pruning/whole-stage-codegen apply unchanged —
+    the oracle is the classic-syntax equivalent, proving the sugar is
+    plan-neutral. Money stays on the exact-cents discipline
+    (scaled-BIGINT sums, one double division in the projection)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("_li_pipe")
+    return spark.sql(
+        """
+        FROM _li_pipe
+        |> WHERE l_shipdate <= DATE'1998-09-02'
+        |> AGGREGATE
+             count(*) AS n_rows,
+             sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
+             sum(CAST(bround(l_extendedprice * 100, 0) AS BIGINT)) AS _base_cents,
+             sum(CAST(bround(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT))
+               AS _disc_tenths
+           GROUP BY l_returnflag, l_linestatus
+        |> SELECT l_returnflag, l_linestatus, n_rows, sum_qty,
+                  _base_cents / 1e2 AS sum_base_price,
+                  _disc_tenths / 1e4 AS sum_disc_price
+        |> ORDER BY l_returnflag, l_linestatus
+        """
+    )
+
+
+register(
+    "sql_pipe_pricing_summary",
+    q_sql_pipe_pricing,
+    """
+SELECT l_returnflag, l_linestatus,
+       count(*) AS n_rows,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       sum(CAST(round_even(l_extendedprice * 100, 0) AS BIGINT)) / 1e2
+         AS sum_base_price,
+       sum(CAST(round_even(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)) / 1e4
+         AS sum_disc_price
+FROM lineitem
+WHERE l_shipdate <= DATE'1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+)

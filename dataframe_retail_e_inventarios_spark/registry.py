@@ -42,6 +42,7 @@ _PRIORITY = [
     # possible hash row), and the queries materially CHANGED in r6
     # (rfm's single-pass ntile rewrite, the stride/bucket/rounding
     # parity fixes) — a green row re-certifies each after the change.
+    "sql_pipe_pricing_summary",
     "apriori_triple_itemsets",
     "source_jsd_matrix",
     "conformal_forecast_intervals",

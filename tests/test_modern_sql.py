@@ -115,3 +115,36 @@ def test_range_frame_weights_dates_not_rows(spark, tmp_path):
         key=lambda r: r.epoch_day,
     )
     assert [r.units_28d for r in out] == [10, 7]
+
+
+def test_sql_pipe_is_plan_neutral(spark):
+    """The |> pipe form must produce the same physical plan shape (and
+    rows) as the classic form — the sugar parses into identical logical
+    operators."""
+    from dataframe_retail_e_inventarios_spark.plans.queries_modern import (
+        q_sql_pipe_pricing,
+    )
+    from dataframe_retail_e_inventarios_spark.sources.readers import load_table
+    from conftest import SF_SMOKE
+
+    piped = q_sql_pipe_pricing(spark, SF_SMOKE)
+    load_table(spark, SF_SMOKE, "lineitem").createOrReplaceTempView("_li_pipe")
+    classic = spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+               sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
+               sum(CAST(bround(l_extendedprice * 100, 0) AS BIGINT)) / 1e2
+                 AS sum_base_price,
+               sum(CAST(bround(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)) / 1e4
+                 AS sum_disc_price
+        FROM _li_pipe
+        WHERE l_shipdate <= DATE'1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+        """
+    )
+    assert piped.collect() == classic.collect()
+    p1 = piped._jdf.queryExecution().executedPlan().toString()
+    p2 = classic._jdf.queryExecution().executedPlan().toString()
+    for op in ("HashAggregate", "Exchange", "Sort"):
+        assert p1.count(op) == p2.count(op), op
