@@ -26,6 +26,13 @@ INVARIANT_QUERIES = [
     "psi_order_price_drift",        # scaled PSI terms
     "chi_square_segment_nation",    # scaled cell terms
     "embedding_norm_outliers",      # scaled norms + rounded medians
+    # r6 continuation: the eval family's scaled/exact recipes
+    "roc_auc_langid",               # DECIMAL U2 rank-sum
+    "welch_ttest_price_segments",   # DECIMAL moments -> double closed form
+    "spearman_qty_discount",        # integer doubled ranks + DECIMAL moments
+    "silhouette_lite_labels",       # per-vector BIGINT snap -> integer mean
+    "source_jsd_matrix",            # scaled per-term JSD snaps
+    "time_decay_attribution",       # BIGINT decay weights + window normalizer
 ]
 
 

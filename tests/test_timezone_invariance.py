@@ -37,6 +37,10 @@ TZ_SENSITIVE = [
     "survival_km_signup_purchase",     # epoch-derived day durations
     "rolling_origin_backtest",         # date casts + fold cutoff arithmetic
     "psi_order_price_drift",           # orderdate midpoint split
+    # r6 continuation: new date/epoch-deriving queries
+    "conformal_forecast_intervals",    # weekly resample + last-4-week split
+    "backtest_mase",                   # weekly resample + naive-1 lags
+    "time_decay_attribution",          # epoch-second lead arithmetic
 ]
 
 
