@@ -185,6 +185,25 @@ HEADLINE = [
     "welch_ttest_price_segments",
     "semantic_dedup_signature",
     "dataset_stats_manifest",
+    # round 6, part 3 (continuation): the model-evaluation family,
+    # forecast-interval/MASE readouts, IR phrase search, attribution
+    # completion, Apriori itemsets, JSD matrix, SQL pipe syntax
+    "roc_auc_langid",
+    "calibration_bins_brier",
+    "spearman_qty_discount",
+    "ks_price_segments",
+    "reciprocal_rank_fusion",
+    "gini_revenue_by_nation",
+    "conformal_forecast_intervals",
+    "backtest_mase",
+    "silhouette_lite_labels",
+    "event_path_trigrams",
+    "phrase_search_positional",
+    "time_decay_attribution",
+    "apriori_triple_itemsets",
+    "source_jsd_matrix",
+    "sql_pipe_pricing_summary",
+    "content_fingerprint_by_month",
 ]
 
 # Capability demos: registered + oracle-checked, but benched apart from

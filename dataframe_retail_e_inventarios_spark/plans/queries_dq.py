@@ -407,3 +407,82 @@ register(
     q_dataset_stats_manifest,
     f"SELECT * FROM ({_MANIFEST_SQL}) ORDER BY table_name",
 )
+
+
+# -- order-insensitive content fingerprint per month-partition ---------------
+_FP_MOD = 4611686018427387904  # 2^62 — keeps the modded sum in BIGINT
+
+
+def q_content_fingerprint_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive content checksum of the lineitem fact per
+    ship-month — the replication/migration validation primitive:
+    re-compute after a copy, a compaction, or an engine swap and
+    compare constant-size rows instead of data. Each row is rendered
+    to a CANONICAL string (keys/quantity as integers, money as exact
+    cents, dates as ISO strings — every piece renders identically on
+    any engine), hashed to a 32-bit md5 prefix, and the per-month SUM
+    of hashes (exact DECIMAL(38,0), then mod 2^62 back into BIGINT) is
+    the fingerprint: associative and commutative, so any partitioning,
+    file order, or shuffle layout yields the identical value.
+    """
+    from ..operators.dedup import shingle_hash32
+
+    li = load_table(spark, sf_dir, "lineitem")
+    canon = F.concat_ws(
+        "|",
+        F.col("l_orderkey").cast("long"),
+        F.col("l_partkey").cast("long"),
+        F.col("l_suppkey").cast("long"),
+        F.col("l_linenumber").cast("long"),
+        F.bround(F.col("l_quantity"), 0).cast("long"),
+        F.bround(F.col("l_extendedprice") * 100, 0).cast("long"),
+        F.bround(F.col("l_discount") * 100, 0).cast("long"),
+        F.bround(F.col("l_tax") * 100, 0).cast("long"),
+        F.col("l_returnflag"),
+        F.col("l_linestatus"),
+        F.date_format("l_shipdate", "yyyy-MM-dd"),
+    )
+    return (
+        li.select(
+            F.date_format("l_shipdate", "yyyy-MM").alias("month"),
+            shingle_hash32(canon).alias("h"),
+        )
+        .groupBy("month")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.pmod(F.sum(F.col("h").cast("decimal(38,0)")), F.lit(_FP_MOD))
+            .cast("long")
+            .alias("content_fp"),
+        )
+        .orderBy("month")
+    )
+
+
+register(
+    "content_fingerprint_by_month",
+    q_content_fingerprint_by_month,
+    f"""
+WITH rows_h AS (
+  SELECT strftime(l_shipdate, '%Y-%m') AS month,
+         CAST(('0x' || substr(md5(
+           CAST(l_orderkey AS BIGINT) || '|' ||
+           CAST(l_partkey AS BIGINT) || '|' ||
+           CAST(l_suppkey AS BIGINT) || '|' ||
+           CAST(l_linenumber AS BIGINT) || '|' ||
+           CAST(round_even(l_quantity, 0) AS BIGINT) || '|' ||
+           CAST(round_even(l_extendedprice * 100, 0) AS BIGINT) || '|' ||
+           CAST(round_even(l_discount * 100, 0) AS BIGINT) || '|' ||
+           CAST(round_even(l_tax * 100, 0) AS BIGINT) || '|' ||
+           l_returnflag || '|' || l_linestatus || '|' ||
+           strftime(l_shipdate, '%Y-%m-%d')
+         ), 1, 8)) AS BIGINT) AS h
+  FROM lineitem
+)
+SELECT month,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(((sum(CAST(h AS HUGEINT)) % {_FP_MOD}) + {_FP_MOD}) % {_FP_MOD}
+            AS BIGINT) AS content_fp
+FROM rows_h GROUP BY month
+ORDER BY month
+""",
+)

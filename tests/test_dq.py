@@ -166,3 +166,59 @@ def test_k_anonymity_audit_consistency(spark):
     assert 0 <= r["rows_below_k"] <= r["n_rows"]
     assert abs(r["share_below_k"] - r["rows_below_k"] / r["n_rows"]) < 1e-6
     assert r["classes_below_k"] <= r["n_classes"]
+
+
+def test_content_fingerprint_detects_single_cell_change(spark):
+    """The month fingerprint must move when ONE cell in that month
+    changes, stay identical under re-partitioning, and match between a
+    frame and its row-shuffled copy."""
+    import pyspark.sql.functions as F
+
+    from dataframe_retail_e_inventarios_spark.plans.queries_dq import (
+        q_content_fingerprint_by_month,
+    )
+    from conftest import SF_SMOKE
+
+    base = {
+        r.month: (r.n_rows, r.content_fp)
+        for r in q_content_fingerprint_by_month(spark, SF_SMOKE).collect()
+    }
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        alt = {
+            r.month: (r.n_rows, r.content_fp)
+            for r in q_content_fingerprint_by_month(spark, SF_SMOKE).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert base == alt
+    # single-cell mutation: bump one row's quantity via a patched view
+    from dataframe_retail_e_inventarios_spark.sources.readers import load_table
+
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    first = li.orderBy("l_orderkey", "l_linenumber").limit(1).collect()[0]
+    patched = li.withColumn(
+        "l_quantity",
+        F.when(
+            (F.col("l_orderkey") == first.l_orderkey)
+            & (F.col("l_linenumber") == first.l_linenumber),
+            F.col("l_quantity") + 1,
+        ).otherwise(F.col("l_quantity")),
+    )
+    import dataframe_retail_e_inventarios_spark.plans.queries_dq as qdq
+    import dataframe_retail_e_inventarios_spark.sources.readers as readers
+
+    orig = readers.load_table
+    try:
+        readers_patch = lambda sp, sf, t: patched if t == "lineitem" else orig(sp, sf, t)  # noqa: E731
+        qdq.load_table = readers_patch
+        mutated = {
+            r.month: (r.n_rows, r.content_fp)
+            for r in qdq.q_content_fingerprint_by_month(spark, SF_SMOKE).collect()
+        }
+    finally:
+        qdq.load_table = orig
+    month = first.l_shipdate.strftime("%Y-%m")
+    assert mutated[month] != base[month]
+    assert all(mutated[m] == base[m] for m in base if m != month)
