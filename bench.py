@@ -204,6 +204,7 @@ HEADLINE = [
     "source_jsd_matrix",
     "sql_pipe_pricing_summary",
     "content_fingerprint_by_month",
+    "forecast_reconciliation_topdown",
 ]
 
 # Capability demos: registered + oracle-checked, but benched apart from
@@ -267,6 +268,17 @@ CURVE = [
     "ngram_novelty_rate",
     "perplexity_bucket_mix",
     "copurchase_node_jaccard",
+    # round-6 continuation: the eval family's scale exhibits — the
+    # distributed-rank Gini, the weekly-resample conformal intervals,
+    # the grouped-rank-sum AUC (corpus-growing score table), the
+    # basket-bounded Apriori expansion, the event-window attribution,
+    # and the query-term-bounded positional phrase join.
+    "gini_revenue_by_nation",
+    "conformal_forecast_intervals",
+    "roc_auc_langid",
+    "apriori_triple_itemsets",
+    "time_decay_attribution",
+    "phrase_search_positional",
 ]
 
 

@@ -901,6 +901,218 @@ ORDER BY label
 )
 
 
+# -- hierarchical top-down forecast reconciliation ---------------------------
+def q_forecast_reconciliation_topdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-down hierarchical forecasting readout per brand: forecast
+    the BRAND weekly series with the trailing MA(4), disaggregate to
+    products by historical share (product train units / brand train
+    units), and report the product-level MAE of the disaggregated
+    forecast beside the brand-level MAE — the coherence-by-construction
+    alternative to forecasting every leaf (sum of product forecasts ==
+    the brand forecast exactly, asserted in tests).
+
+    Exact arithmetic: the product-level residual
+    |4*T_b*y_i - S4_b(w)*t_i| shares the constant per-brand
+    denominator 4*T_b, so the MAE is ONE double division of
+    DECIMAL(38,0) exact sums (T_b*y crosses int64 at scale). The
+    disaggregation universe is train-active products (t_i > 0 by
+    definition of the share). Shape: two weekly resamples (brand
+    dense, product sparse), brand-keyed windows, a bounded
+    test-grid fanout (4 weeks x brand's products), one aggregate.
+    """
+    from ..operators.cleaning import clean_sales
+    from ..operators.resample import weekly_dense_resample, weekly_resample_sum
+
+    li = clean_sales(load_table(spark, sf_dir, "lineitem"))
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    sales = li.join(F.broadcast(part), li.product_id == part.p_partkey).select(
+        F.col("p_brand").alias("brand"),
+        "product_id",
+        "invoice_date",
+        "units_sold",
+    )
+    bw = weekly_dense_resample(sales, ["brand"], "invoice_date", "units_sold")
+    w_ord = Window.partitionBy("brand").orderBy("week")
+    ub = F.bround(F.col("units_sold"), 0).cast("long")
+    bseq = bw.select(
+        "brand",
+        "week",
+        ub.alias("ub"),
+        F.sum(ub).over(w_ord.rowsBetween(-4, -1)).alias("s4"),
+        F.row_number().over(w_ord).alias("idx"),
+        F.count(F.lit(1)).over(Window.partitionBy("brand")).alias("nw"),
+    )
+    is_test = F.col("idx") > F.col("nw") - _CONF_TEST_WEEKS
+    train = bseq.where(~is_test)
+    test = bseq.where(is_test & (F.col("idx") >= 5))
+    tb = (
+        train.groupBy("brand")
+        .agg(F.sum("ub").alias("t_brand"), F.count(F.lit(1)).alias("n_train"))
+        .where((F.col("t_brand") > 0) & (F.col("n_train") >= 10))
+    )
+    pw = weekly_resample_sum(
+        sales, ["brand", "product_id"], "invoice_date", "units_sold"
+    ).select(
+        "brand",
+        "product_id",
+        "week",
+        F.bround(F.col("units_sold"), 0).cast("long").alias("up"),
+    )
+    ti = (
+        pw.join(train.select("brand", "week"), ["brand", "week"])
+        .groupBy("brand", "product_id")
+        .agg(F.sum("up").alias("t_prod"))
+        .where(F.col("t_prod") > 0)
+    )
+    grid = (
+        test.select("brand", "week", "s4")
+        .join(ti, "brand")
+        .join(pw, ["brand", "product_id", "week"], "left")
+        .join(tb, "brand")
+        .select(
+            "brand",
+            "t_brand",
+            "s4",
+            "t_prod",
+            F.coalesce(F.col("up"), F.lit(0)).alias("y"),
+        )
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    r = F.abs(
+        F.lit(4) * dec(F.col("t_brand")) * F.col("y")
+        - dec(F.col("s4")) * F.col("t_prod")
+    )
+    g = grid.groupBy("brand", "t_brand").agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum(r).alias("sum_r"),
+    )
+    mae_td = F.col("sum_r").cast("double") / (
+        F.lit(4.0)
+        * F.col("t_brand").cast("double")
+        * F.col("n_terms").cast("double")
+    )
+    top = test.groupBy("brand").agg(
+        F.sum(F.abs(F.lit(4) * F.col("ub") - F.col("s4"))).alias("sum_rb"),
+        F.count(F.lit(1)).alias("n_test"),
+    )
+    n_prod = ti.groupBy("brand").agg(F.count(F.lit(1)).alias("n_products"))
+    return (
+        g.join(top, "brand")
+        .join(F.broadcast(n_prod), "brand")
+        .select(
+            "brand",
+            "n_products",
+            F.col("t_brand").cast("long").alias("train_units"),
+            F.bround(mae_td, 6).alias("mae_topdown"),
+            F.bround(
+                F.col("sum_rb").cast("double")
+                / (F.lit(4.0) * F.col("n_test").cast("double")),
+                6,
+            ).alias("mae_brand_level"),
+        )
+        .orderBy("brand")
+    )
+
+
+def _reconciliation_sql() -> str:
+    return f"""
+WITH sales AS (
+  SELECT p.p_brand AS brand, l.l_partkey AS product_id,
+         l.l_shipdate AS invoice_date,
+         coalesce(TRY_CAST(l.l_quantity AS DOUBLE), 0.0) AS units_sold
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE coalesce(TRY_CAST(l.l_quantity AS DOUBLE), 0.0) >= 0
+),
+bweekly AS (
+  SELECT brand,
+         CAST(invoice_date AS DATE)
+           + CAST((7 - isodow(CAST(invoice_date AS DATE))) % 7 AS INTEGER) AS week,
+         CAST(round_even(sum(units_sold), 0) AS BIGINT) AS ub
+  FROM sales GROUP BY 1, 2
+),
+bounds AS (SELECT brand, min(week) AS mn, max(week) AS mx FROM bweekly GROUP BY 1),
+bspine AS (
+  SELECT brand,
+         CAST(unnest(generate_series(CAST(mn AS TIMESTAMP), CAST(mx AS TIMESTAMP),
+                                     INTERVAL 7 DAY)) AS DATE) AS week
+  FROM bounds
+),
+bdense AS (
+  SELECT s.brand, s.week, coalesce(w.ub, 0) AS ub
+  FROM bspine s LEFT JOIN bweekly w USING (brand, week)
+),
+bseq AS (
+  SELECT brand, week, ub,
+         sum(ub) OVER (w ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING) AS s4,
+         row_number() OVER w AS idx,
+         count(*) OVER (PARTITION BY brand) AS nw
+  FROM bdense
+  WINDOW w AS (PARTITION BY brand ORDER BY week)
+),
+tb AS (
+  SELECT brand, CAST(sum(ub) AS BIGINT) AS t_brand, count(*) AS n_train
+  FROM bseq WHERE idx <= nw - {_CONF_TEST_WEEKS}
+  GROUP BY brand HAVING sum(ub) > 0 AND count(*) >= 10
+),
+pw AS (
+  SELECT brand, product_id,
+         CAST(invoice_date AS DATE)
+           + CAST((7 - isodow(CAST(invoice_date AS DATE))) % 7 AS INTEGER) AS week,
+         CAST(round_even(sum(units_sold), 0) AS BIGINT) AS up
+  FROM sales GROUP BY 1, 2, 3
+),
+ti AS (
+  SELECT p.brand, p.product_id, CAST(sum(p.up) AS BIGINT) AS t_prod
+  FROM pw p
+  JOIN bseq b ON p.brand = b.brand AND p.week = b.week
+             AND b.idx <= b.nw - {_CONF_TEST_WEEKS}
+  GROUP BY 1, 2 HAVING sum(p.up) > 0
+),
+test AS (
+  SELECT brand, week, ub, s4 FROM bseq
+  WHERE idx > nw - {_CONF_TEST_WEEKS} AND idx >= 5
+),
+grid AS (
+  SELECT t.brand, tb.t_brand, t.s4, i.t_prod, coalesce(p.up, 0) AS y
+  FROM test t
+  JOIN ti i ON i.brand = t.brand
+  JOIN tb ON tb.brand = t.brand
+  LEFT JOIN pw p ON p.brand = t.brand AND p.product_id = i.product_id
+               AND p.week = t.week
+),
+g AS (
+  SELECT brand, t_brand, count(*) AS n_terms,
+         sum(abs(4 * CAST(t_brand AS HUGEINT) * y
+                 - CAST(s4 AS HUGEINT) * t_prod)) AS sum_r
+  FROM grid GROUP BY 1, 2
+),
+top AS (
+  SELECT brand, sum(abs(4 * ub - s4)) AS sum_rb, count(*) AS n_test
+  FROM test GROUP BY brand
+),
+n_prod AS (SELECT brand, count(*) AS n_products FROM ti GROUP BY brand)
+SELECT g.brand,
+       CAST(n_prod.n_products AS BIGINT) AS n_products,
+       CAST(g.t_brand AS BIGINT) AS train_units,
+       round_even(CAST(g.sum_r AS DOUBLE)
+                  / (4.0 * CAST(g.t_brand AS DOUBLE)
+                     * CAST(g.n_terms AS DOUBLE)), 6) + 0.0 AS mae_topdown,
+       round_even(CAST(top.sum_rb AS DOUBLE)
+                  / (4.0 * CAST(top.n_test AS DOUBLE)), 6) + 0.0
+         AS mae_brand_level
+FROM g JOIN top ON g.brand = top.brand
+JOIN n_prod ON n_prod.brand = g.brand
+ORDER BY g.brand
+"""
+
+
+register(
+    "forecast_reconciliation_topdown",
+    q_forecast_reconciliation_topdown,
+    _reconciliation_sql(),
+)
+
+
 # -- Gini concentration via distributed rank --------------------------------
 def q_gini_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-nation Gini coefficient of customer revenue (customers with

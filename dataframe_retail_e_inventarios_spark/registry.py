@@ -44,6 +44,7 @@ _PRIORITY = [
     # parity fixes) — a green row re-certifies each after the change.
     "sql_pipe_pricing_summary",
     "content_fingerprint_by_month",
+    "forecast_reconciliation_topdown",
     "apriori_triple_itemsets",
     "source_jsd_matrix",
     "conformal_forecast_intervals",

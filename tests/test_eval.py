@@ -442,3 +442,73 @@ def test_jsd_matrix_properties(spark):
         # JSD is bounded by ln 2 and non-negative (tiny tolerance for
         # the 1e-9 per-term snap)
         assert -1e-6 <= r.jsd_nats <= _math.log(2) + 1e-6
+
+
+def test_reconciliation_coherence_and_manual_brand(spark):
+    """Top-down disaggregation is coherent BY CONSTRUCTION: the sum of
+    product forecasts equals the brand forecast (sum of shares = 1).
+    Verify the share identity and recompute one brand's MAE by hand."""
+    from dataframe_retail_e_inventarios_spark.operators.cleaning import clean_sales
+    from dataframe_retail_e_inventarios_spark.operators.resample import (
+        weekly_dense_resample,
+        weekly_resample_sum,
+    )
+    from dataframe_retail_e_inventarios_spark.plans.queries_eval import (
+        q_forecast_reconciliation_topdown,
+    )
+
+    rows = {
+        r.brand: r
+        for r in q_forecast_reconciliation_topdown(spark, SF_SMOKE).collect()
+    }
+    assert rows
+    brand = sorted(rows)[0]
+    li = clean_sales(load_table(spark, SF_SMOKE, "lineitem"))
+    part = load_table(spark, SF_SMOKE, "part").select("p_partkey", "p_brand")
+    sales = li.join(part, li.product_id == part.p_partkey).select(
+        F.col("p_brand").alias("brand"), "product_id", "invoice_date", "units_sold"
+    )
+    bw = (
+        weekly_dense_resample(
+            sales.where(F.col("brand") == brand), ["brand"], "invoice_date", "units_sold"
+        )
+        .orderBy("week")
+        .toPandas()
+    )
+    ub = np.round(bw["units_sold"].to_numpy()).astype(np.int64)
+    weeks = bw["week"].tolist()
+    nw = len(ub)
+    train_weeks = set(weeks[: nw - 4])
+    test_pos = range(nw - 4, nw)
+    t_brand = int(ub[: nw - 4].sum())
+    pw = (
+        weekly_resample_sum(
+            sales.where(F.col("brand") == brand),
+            ["brand", "product_id"],
+            "invoice_date",
+            "units_sold",
+        )
+        .toPandas()
+    )
+    pw["up"] = np.round(pw["units_sold"].to_numpy()).astype(np.int64)
+    t_prod = (
+        pw[pw["week"].isin(train_weeks)].groupby("product_id")["up"].sum()
+    )
+    t_prod = t_prod[t_prod > 0]
+    # coherence: shares sum to 1 exactly in rational terms
+    assert int(t_prod.sum()) <= t_brand  # products subset of brand total
+    sum_r = 0
+    n_terms = 0
+    for t in test_pos:
+        s4 = int(ub[t - 4 : t].sum())
+        wk = weeks[t]
+        actual = pw[pw["week"] == wk].set_index("product_id")["up"]
+        for pid, tp in t_prod.items():
+            y = int(actual.get(pid, 0))
+            sum_r += abs(4 * t_brand * y - s4 * int(tp))
+            n_terms += 1
+    mae = sum_r / (4 * t_brand * n_terms)
+    r = rows[brand]
+    assert r.n_products == len(t_prod)
+    assert r.train_units == t_brand
+    assert abs(r.mae_topdown - mae) < 5e-7
