@@ -1136,12 +1136,17 @@ def q_gini_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("c_nationkey").alias("nationkey"), "c_custkey")
         .agg(F.sum(cents).alias("rev"))
     )
+    # materialize=True checkpoints the range-partitioned frame: the
+    # offsets aggregate, the nation-count aggregate and the final join
+    # all read the cut instead of each replanning the orders scan +
+    # revenue aggregate (4 scans measured without it).
     ranked = with_global_rank(
         rev,
         [F.col("nationkey").asc(), F.col("rev").asc(), F.col("c_custkey").asc()],
         rank_col="grank",
+        materialize=True,
     )
-    nation_counts = rev.groupBy("nationkey").agg(F.count(F.lit(1)).alias("cnt"))
+    nation_counts = ranked.groupBy("nationkey").agg(F.count(F.lit(1)).alias("cnt"))
     offsets = exclusive_prefix_offsets(nation_counts, "nationkey", "cnt", "off")
     g = (
         ranked.join(F.broadcast(offsets), "nationkey")
