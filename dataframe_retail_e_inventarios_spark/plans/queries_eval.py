@@ -934,6 +934,9 @@ def q_forecast_reconciliation_topdown(spark: SparkSession, sf_dir: str) -> DataF
     bw = weekly_dense_resample(sales, ["brand"], "invoice_date", "units_sold")
     w_ord = Window.partitionBy("brand").orderBy("week")
     ub = F.bround(F.col("units_sold"), 0).cast("long")
+    # bseq feeds four consumers (train totals, test grid, product-share
+    # window, brand-level MAE) and pw feeds two — checkpoint both so
+    # the lineitem scan + resample run ONCE, not once per consumer.
     bseq = bw.select(
         "brand",
         "week",
@@ -941,7 +944,7 @@ def q_forecast_reconciliation_topdown(spark: SparkSession, sf_dir: str) -> DataF
         F.sum(ub).over(w_ord.rowsBetween(-4, -1)).alias("s4"),
         F.row_number().over(w_ord).alias("idx"),
         F.count(F.lit(1)).over(Window.partitionBy("brand")).alias("nw"),
-    )
+    ).localCheckpoint(eager=True)
     is_test = F.col("idx") > F.col("nw") - _CONF_TEST_WEEKS
     train = bseq.where(~is_test)
     test = bseq.where(is_test & (F.col("idx") >= 5))
@@ -950,13 +953,17 @@ def q_forecast_reconciliation_topdown(spark: SparkSession, sf_dir: str) -> DataF
         .agg(F.sum("ub").alias("t_brand"), F.count(F.lit(1)).alias("n_train"))
         .where((F.col("t_brand") > 0) & (F.col("n_train") >= 10))
     )
-    pw = weekly_resample_sum(
-        sales, ["brand", "product_id"], "invoice_date", "units_sold"
-    ).select(
-        "brand",
-        "product_id",
-        "week",
-        F.bround(F.col("units_sold"), 0).cast("long").alias("up"),
+    pw = (
+        weekly_resample_sum(
+            sales, ["brand", "product_id"], "invoice_date", "units_sold"
+        )
+        .select(
+            "brand",
+            "product_id",
+            "week",
+            F.bround(F.col("units_sold"), 0).cast("long").alias("up"),
+        )
+        .localCheckpoint(eager=True)
     )
     ti = (
         pw.join(train.select("brand", "week"), ["brand", "week"])

@@ -1525,10 +1525,13 @@ def q_apriori_triple_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    # op feeds the support filter AND the basket build — checkpoint so
+    # the scan + distinct shuffle run once, not per consumer
     op = (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .select("l_orderkey", F.col("p_brand").alias("item"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     freq_items = (
         op.groupBy("item")
