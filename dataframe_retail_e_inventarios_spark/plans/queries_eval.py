@@ -77,6 +77,10 @@ def q_roc_auc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("y").alias("n_pos"),
             (F.count(F.lit(1)) - F.sum("y")).alias("n_neg"),
         )
+        # bounded (one row per distinct score); three consumers (prefix
+        # key frame, prefix counts, the join) would otherwise each
+        # replan the corpus tokenize scan
+        .localCheckpoint(eager=True)
     )
     cum = exclusive_prefix_offsets(per_score, "s", "n_neg", "cum_neg_below")
     j = per_score.join(F.broadcast(cum), "s")
@@ -226,7 +230,14 @@ def q_spearman_qty_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_quantity").cast("long").alias("q"),
         F.bround(F.col("l_discount") * 100, 0).cast("long").alias("d"),
     )
-    joint = base.groupBy("brand", "q", "d").agg(F.count(F.lit(1)).alias("n_qd"))
+    # bounded (<=550 cells per brand); the two rank passes and the
+    # moment fold all consume it — checkpoint so the lineitem join +
+    # aggregate run once
+    joint = (
+        base.groupBy("brand", "q", "d")
+        .agg(F.count(F.lit(1)).alias("n_qd"))
+        .localCheckpoint(eager=True)
+    )
 
     def _ranks(dim: str) -> DataFrame:
         marg = joint.groupBy("brand", dim).agg(F.sum("n_qd").alias("cnt"))
@@ -337,6 +348,10 @@ def q_ks_price_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("seg", "bin")
         .agg(F.count(F.lit(1)).alias("cnt"))
+        # bounded (segs x price bins); four consumers (bin spine, seg
+        # spine, the dense join, totals) would otherwise each replan
+        # the orders join + aggregate
+        .localCheckpoint(eager=True)
     )
     spine = binned.select("bin").distinct().crossJoin(
         F.broadcast(binned.select("seg").distinct())
@@ -805,7 +820,7 @@ def q_silhouette_lite_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.bround(F.col("val").cast("double"), 6) * 1e6, 0)
         .cast("long")
         .alias("ei"),
-    )
+    ).localCheckpoint(eager=True)  # two consumers: centroids + distances
     cents = el.groupBy(F.col("label").alias("label_c"), "d").agg(
         (
             (F.sum("ei") - F.pmod(F.sum("ei"), F.count(F.lit(1))))
