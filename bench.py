@@ -205,6 +205,7 @@ HEADLINE = [
     "sql_pipe_pricing_summary",
     "content_fingerprint_by_month",
     "forecast_reconciliation_topdown",
+    "entity_clusters_fuzzy",
 ]
 
 # Capability demos: registered + oracle-checked, but benched apart from

@@ -1076,6 +1076,78 @@ WHERE levenshtein(a.name, b.name) <= 1
 )
 
 
+# -- entity resolution: fuzzy pairs -> entity clusters -----------------------
+def q_entity_clusters_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MDM-style entity formation: the fuzzy match pairs (blocking +
+    edit-distance verify) are only half of entity resolution — this
+    closes the loop by clustering matched records into entities via
+    connected components (operators/graph.py min-label propagation,
+    run to FIXPOINT) and electing the min-key record as the entity's
+    canonical row. Output: one row per matched record with its entity
+    id, the canonical name, and the entity size.
+
+    Oracle = a recursive CTE computing true reachability over the same
+    edges, so the iterative Spark fixpoint is certified against the
+    declarative definition of connected components. Scale: iterations
+    run over the EDGE LIST (sparse after blocking), never the record
+    corpus; per-round one shuffle.
+    """
+    from ..operators.entity import blocked_levenshtein_pairs
+    from ..operators.graph import connected_components
+
+    part = load_table(spark, sf_dir, "part")
+    pairs = blocked_levenshtein_pairs(part, "p_partkey", "p_name", max_dist=1)
+    cc = connected_components(pairs, src="id_a", dst="id_b")
+    names = part.select(
+        F.col("p_partkey").alias("entity_id"),
+        F.col("p_name").alias("canonical_name"),
+    )
+    sizes = cc.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n_members"))
+    return (
+        cc.select(F.col("node").alias("record_id"), F.col("cluster_id").alias("entity_id"))
+        .join(F.broadcast(sizes.withColumnRenamed("cluster_id", "entity_id")), "entity_id")
+        .join(F.broadcast(names), "entity_id")
+        .select("record_id", "entity_id", "canonical_name", "n_members")
+        .orderBy("record_id")
+    )
+
+
+register(
+    "entity_clusters_fuzzy",
+    q_entity_clusters_fuzzy,
+    """
+WITH RECURSIVE t AS (
+  SELECT p_partkey AS eid, p_name AS name, string_split(p_name, ' ')[1] AS blk
+  FROM part
+),
+pairs AS (
+  SELECT a.eid AS id_a, b.eid AS id_b
+  FROM t a JOIN t b ON a.blk = b.blk AND a.eid < b.eid
+  WHERE levenshtein(a.name, b.name) <= 1
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+),
+reach(node, r) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.node
+),
+comp AS (SELECT node, CAST(min(r) AS BIGINT) AS entity_id FROM reach GROUP BY 1),
+sizes AS (SELECT entity_id, count(*) AS n_members FROM comp GROUP BY 1)
+SELECT comp.node AS record_id, comp.entity_id,
+       p.p_name AS canonical_name,
+       CAST(sizes.n_members AS BIGINT) AS n_members
+FROM comp
+JOIN sizes USING (entity_id)
+JOIN part p ON p.p_partkey = comp.entity_id
+ORDER BY record_id
+""",
+)
+
+
 # -- PQ-ADC ANN (compressed-domain shortlist + exact re-rank) --------------
 def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN: 8×16 codebooks (32× compression),

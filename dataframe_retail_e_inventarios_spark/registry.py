@@ -43,6 +43,7 @@ _PRIORITY = [
     # (rfm's single-pass ntile rewrite, the stride/bucket/rounding
     # parity fixes) — a green row re-certifies each after the change.
     "sql_pipe_pricing_summary",
+    "entity_clusters_fuzzy",
     "content_fingerprint_by_month",
     "forecast_reconciliation_topdown",
     "apriori_triple_itemsets",

@@ -54,3 +54,52 @@ def test_no_allpairs_join_in_plan(spark):
         .toString()
     )
     assert "CartesianProduct" not in plan
+
+
+def test_entity_clusters_match_union_find(spark):
+    """The iterative min-label fixpoint must equal a driver-side
+    union-find over the same pairs (independent algorithm)."""
+    from dataframe_retail_e_inventarios_spark.operators.entity import (
+        blocked_levenshtein_pairs,
+    )
+    from dataframe_retail_e_inventarios_spark.plans.queries_scale import (
+        q_entity_clusters_fuzzy,
+    )
+    from dataframe_retail_e_inventarios_spark.sources.readers import load_table
+    from conftest import SF_SMOKE
+
+    out = {
+        r.record_id: (r.entity_id, r.n_members)
+        for r in q_entity_clusters_fuzzy(spark, SF_SMOKE).collect()
+    }
+    part = load_table(spark, SF_SMOKE, "part")
+    pairs = [
+        (r.id_a, r.id_b)
+        for r in blocked_levenshtein_pairs(
+            part, "p_partkey", "p_name", max_dist=1
+        ).collect()
+    ]
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    clusters: dict = {}
+    for n in parent:
+        clusters.setdefault(find(n), []).append(n)
+    manual = {
+        n: (root, len(members))
+        for root, members in clusters.items()
+        for n in members
+    }
+    assert out == manual
+    assert out  # non-trivial
+    # canonical record is the min member by construction
+    assert all(eid <= rid for rid, (eid, _) in out.items())
