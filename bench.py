@@ -206,6 +206,7 @@ HEADLINE = [
     "content_fingerprint_by_month",
     "forecast_reconciliation_topdown",
     "entity_clusters_fuzzy",
+    "ols_two_factor_demand",
 ]
 
 # Capability demos: registered + oracle-checked, but benched apart from

@@ -1233,3 +1233,167 @@ FROM g JOIN nation n ON g.nationkey = n.n_nationkey
 ORDER BY nation
 """,
 )
+
+
+# -- two-factor OLS: trend + holiday dummy ------------------------------------
+def q_ols_two_factor_demand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple regression per brand: weekly demand ~ intercept +
+    week-index trend + holiday dummy (Nov-Dec), solved in closed form
+    from the 3x3 normal equations via Cramer's rule — the next step up
+    from the single-regressor ols_demand_trend, giving a
+    seasonally-adjusted trend and a holiday effect in the same fit.
+
+    Exactness: y (integral weekly units), x1 (week index) and x2 (0/1
+    dummy) make every moment an exact integer (DECIMAL(38,0) where
+    y-squared terms cross int64); the determinant/solution/R^2
+    expression tree on doubles cast from those integers is mirrored
+    token-for-token in the oracle. One dense weekly resample, one
+    group-by; gated on >=20 weeks and a non-degenerate dummy column.
+    """
+    from ..operators.cleaning import clean_sales
+    from ..operators.resample import weekly_dense_resample
+
+    li = clean_sales(load_table(spark, sf_dir, "lineitem"))
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    sales = li.join(F.broadcast(part), li.product_id == part.p_partkey).select(
+        F.col("p_brand").alias("brand"), "invoice_date", "units_sold"
+    )
+    bw = weekly_dense_resample(sales, ["brand"], "invoice_date", "units_sold")
+    w_ord = Window.partitionBy("brand").orderBy("week")
+    y = F.bround(F.col("units_sold"), 0).cast("long")
+    rows = bw.select(
+        "brand",
+        y.alias("y"),
+        F.row_number().over(w_ord).alias("x1"),
+        F.month("week").isin(11, 12).cast("long").alias("x2"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    m = rows.groupBy("brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x1").alias("s1"),
+        F.sum("x2").alias("s2"),
+        F.sum(F.col("x1") * F.col("x1")).alias("s11"),
+        F.sum(F.col("x1") * F.col("x2")).alias("s12"),
+        F.sum(dec(F.col("y"))).alias("sy"),
+        F.sum(dec(F.col("x1") * F.col("y"))).alias("s1y"),
+        F.sum(dec(F.col("x2") * F.col("y"))).alias("s2y"),
+        F.sum(dec(F.col("y")) * dec(F.col("y"))).alias("syy"),
+    ).where((F.col("n") >= 20) & (F.col("s2") > 0) & (F.col("s2") < F.col("n")))
+    n = F.col("n").cast("double")
+    s1, s2 = F.col("s1").cast("double"), F.col("s2").cast("double")
+    s11, s12 = F.col("s11").cast("double"), F.col("s12").cast("double")
+    s22 = s2  # x2 is 0/1 so sum(x2^2) == sum(x2)
+    sy, s1y = F.col("sy").cast("double"), F.col("s1y").cast("double")
+    s2y, syy = F.col("s2y").cast("double"), F.col("syy").cast("double")
+    det = (
+        n * (s11 * s22 - s12 * s12)
+        - s1 * (s1 * s22 - s12 * s2)
+        + s2 * (s1 * s12 - s11 * s2)
+    )
+    b0 = (
+        sy * (s11 * s22 - s12 * s12)
+        - s1 * (s1y * s22 - s12 * s2y)
+        + s2 * (s1y * s12 - s11 * s2y)
+    ) / det
+    b1 = (
+        n * (s1y * s22 - s12 * s2y)
+        - sy * (s1 * s22 - s12 * s2)
+        + s2 * (s1 * s2y - s1y * s2)
+    ) / det
+    b2 = (
+        n * (s11 * s2y - s1y * s12)
+        - s1 * (s1 * s2y - s1y * s2)
+        + sy * (s1 * s12 - s11 * s2)
+    ) / det
+    sse = syy - b0 * sy - b1 * s1y - b2 * s2y
+    sst = syy - sy * sy / n
+    r2 = F.lit(1.0) - sse / sst
+    return m.select(
+        "brand",
+        F.col("n").cast("long").alias("n_weeks"),
+        F.bround(b1, 6).alias("beta_trend"),
+        F.bround(b2, 6).alias("beta_holiday"),
+        F.bround(r2, 6).alias("r_squared"),
+    ).orderBy("brand")
+
+
+def _ols2_sql() -> str:
+    return f"""
+WITH sales AS (
+  SELECT p.p_brand AS brand, l.l_shipdate AS invoice_date,
+         coalesce(TRY_CAST(l.l_quantity AS DOUBLE), 0.0) AS units_sold
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE coalesce(TRY_CAST(l.l_quantity AS DOUBLE), 0.0) >= 0
+),
+bweekly AS (
+  SELECT brand,
+         CAST(invoice_date AS DATE)
+           + CAST((7 - isodow(CAST(invoice_date AS DATE))) % 7 AS INTEGER) AS week,
+         CAST(round_even(sum(units_sold), 0) AS BIGINT) AS y
+  FROM sales GROUP BY 1, 2
+),
+bounds AS (SELECT brand, min(week) AS mn, max(week) AS mx FROM bweekly GROUP BY 1),
+bspine AS (
+  SELECT brand,
+         CAST(unnest(generate_series(CAST(mn AS TIMESTAMP), CAST(mx AS TIMESTAMP),
+                                     INTERVAL 7 DAY)) AS DATE) AS week
+  FROM bounds
+),
+bdense AS (
+  SELECT s.brand, s.week, coalesce(w.y, 0) AS y,
+         row_number() OVER (PARTITION BY s.brand ORDER BY s.week) AS x1,
+         CASE WHEN month(s.week) IN (11, 12) THEN 1 ELSE 0 END AS x2
+  FROM bspine s LEFT JOIN bweekly w ON s.brand = w.brand AND s.week = w.week
+),
+m AS (
+  SELECT brand,
+         count(*) AS n,
+         CAST(sum(x1) AS BIGINT) AS s1,
+         CAST(sum(x2) AS BIGINT) AS s2,
+         CAST(sum(x1 * x1) AS BIGINT) AS s11,
+         CAST(sum(x1 * x2) AS BIGINT) AS s12,
+         sum(CAST(y AS HUGEINT)) AS sy,
+         sum(CAST(x1 AS HUGEINT) * y) AS s1y,
+         sum(CAST(x2 AS HUGEINT) * y) AS s2y,
+         sum(CAST(y AS HUGEINT) * y) AS syy
+  FROM bdense GROUP BY brand
+  HAVING count(*) >= 20 AND sum(x2) > 0 AND sum(x2) < count(*)
+),
+d AS (
+  SELECT brand, n,
+         CAST(n AS DOUBLE) AS nd, CAST(s1 AS DOUBLE) AS s1d,
+         CAST(s2 AS DOUBLE) AS s2d, CAST(s11 AS DOUBLE) AS s11d,
+         CAST(s12 AS DOUBLE) AS s12d, CAST(sy AS DOUBLE) AS syd,
+         CAST(s1y AS DOUBLE) AS s1yd, CAST(s2y AS DOUBLE) AS s2yd,
+         CAST(syy AS DOUBLE) AS syyd
+  FROM m
+),
+f AS (
+  SELECT brand, n, syd, s1yd, s2yd, syyd, nd,
+         (nd * (s11d * s2d - s12d * s12d)
+          - s1d * (s1d * s2d - s12d * s2d)
+          + s2d * (s1d * s12d - s11d * s2d)) AS det,
+         (syd * (s11d * s2d - s12d * s12d)
+          - s1d * (s1yd * s2d - s12d * s2yd)
+          + s2d * (s1yd * s12d - s11d * s2yd)) AS num0,
+         (nd * (s1yd * s2d - s12d * s2yd)
+          - syd * (s1d * s2d - s12d * s2d)
+          + s2d * (s1d * s2yd - s1yd * s2d)) AS num1,
+         (nd * (s11d * s2yd - s1yd * s12d)
+          - s1d * (s1d * s2yd - s1yd * s2d)
+          + syd * (s1d * s12d - s11d * s2d)) AS num2
+  FROM d
+)
+SELECT brand,
+       CAST(n AS BIGINT) AS n_weeks,
+       round_even(num1 / det, 6) + 0.0 AS beta_trend,
+       round_even(num2 / det, 6) + 0.0 AS beta_holiday,
+       round_even(1.0 - (syyd - (num0 / det) * syd - (num1 / det) * s1yd
+                         - (num2 / det) * s2yd)
+                  / (syyd - syd * syd / nd), 6) + 0.0 AS r_squared
+FROM f
+ORDER BY brand
+"""
+
+
+register("ols_two_factor_demand", q_ols_two_factor_demand, _ols2_sql())

@@ -44,6 +44,7 @@ _PRIORITY = [
     # parity fixes) — a green row re-certifies each after the change.
     "sql_pipe_pricing_summary",
     "entity_clusters_fuzzy",
+    "ols_two_factor_demand",
     "content_fingerprint_by_month",
     "forecast_reconciliation_topdown",
     "apriori_triple_itemsets",

@@ -512,3 +512,44 @@ def test_reconciliation_coherence_and_manual_brand(spark):
     assert r.n_products == len(t_prod)
     assert r.train_units == t_brand
     assert abs(r.mae_topdown - mae) < 5e-7
+
+
+def test_ols_two_factor_matches_numpy_lstsq(spark):
+    from dataframe_retail_e_inventarios_spark.operators.cleaning import clean_sales
+    from dataframe_retail_e_inventarios_spark.operators.resample import (
+        weekly_dense_resample,
+    )
+    from dataframe_retail_e_inventarios_spark.plans.queries_eval import (
+        q_ols_two_factor_demand,
+    )
+
+    out = {r.brand: r for r in q_ols_two_factor_demand(spark, SF_SMOKE).collect()}
+    assert out
+    li = clean_sales(load_table(spark, SF_SMOKE, "lineitem"))
+    part = load_table(spark, SF_SMOKE, "part").select("p_partkey", "p_brand")
+    sales = li.join(part, li.product_id == part.p_partkey).select(
+        F.col("p_brand").alias("brand"), "invoice_date", "units_sold"
+    )
+    for brand in list(out)[:3]:
+        bw = (
+            weekly_dense_resample(
+                sales.where(F.col("brand") == brand),
+                ["brand"],
+                "invoice_date",
+                "units_sold",
+            )
+            .orderBy("week")
+            .toPandas()
+        )
+        y = np.round(bw["units_sold"].to_numpy())
+        x1 = np.arange(1, len(y) + 1, dtype=np.float64)
+        x2 = (pd.to_datetime(bw["week"]).dt.month.isin([11, 12])).to_numpy(float)
+        X = np.column_stack([np.ones_like(x1), x1, x2])
+        beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+        resid = y - X @ beta
+        r2 = 1 - (resid**2).sum() / ((y - y.mean()) ** 2).sum()
+        r = out[brand]
+        assert abs(r.beta_trend - beta[1]) < 1e-4, brand
+        assert abs(r.beta_holiday - beta[2]) < 1e-3, brand
+        assert abs(r.r_squared - r2) < 1e-4, brand
+        assert r.n_weeks == len(y)
