@@ -207,6 +207,7 @@ HEADLINE = [
     "forecast_reconciliation_topdown",
     "entity_clusters_fuzzy",
     "ols_two_factor_demand",
+    "association_rules",
 ]
 
 # Capability demos: registered + oracle-checked, but benched apart from

@@ -2068,3 +2068,92 @@ def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("approx_quantiles_events", q_approx_quantiles, None)  # sketch: rows-only
+
+
+# -- association rules from frequent pairs ------------------------------------
+def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed association rules A -> B from the frequent co-purchase
+    pairs (support >= 2), with confidence = supp(A,B)/supp(A) and the
+    shared lift — the actionable readout layer above basket_pair_lift
+    (each undirected pair yields BOTH directions; confidence is
+    asymmetric). Exact rationals scaled once; one distinct scan, one
+    pair join, broadcast item supports."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = (
+        li.select("l_orderkey", "l_partkey")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_ord = op.select("l_orderkey").distinct().count()
+    item_cnt = op.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
+    a, b = op.alias("a"), op.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("x"), F.col("b.l_partkey").alias("y")
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+        .where(F.col("support") >= 2)
+    )
+    both = pairs.select("x", "y", "support").union(
+        pairs.select(F.col("y").alias("x"), F.col("x").alias("y"), "support")
+    )
+    ca = item_cnt.select(F.col("l_partkey").alias("x"), F.col("cnt").alias("cnt_x"))
+    cb = item_cnt.select(F.col("l_partkey").alias("y"), F.col("cnt").alias("cnt_y"))
+    return (
+        both.join(F.broadcast(ca), "x")
+        .join(F.broadcast(cb), "y")
+        .select(
+            F.col("x").alias("antecedent"),
+            F.col("y").alias("consequent"),
+            "support",
+            (
+                F.bround(F.col("support") / F.col("cnt_x") * 10000.0, 0) / 10000.0
+            ).alias("confidence"),
+            (
+                F.bround(
+                    F.col("support")
+                    * F.lit(n_ord)
+                    / (F.col("cnt_x") * F.col("cnt_y"))
+                    * 10000.0,
+                    0,
+                )
+                / 10000.0
+            ).alias("lift"),
+        )
+        .orderBy("antecedent", "consequent")
+    )
+
+
+register(
+    "association_rules",
+    q_association_rules,
+    """
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n_ord AS (SELECT count(DISTINCT l_orderkey) AS n FROM op),
+item_cnt AS (SELECT l_partkey, count(*) AS cnt FROM op GROUP BY 1),
+pairs AS (
+  SELECT a.l_partkey AS x, b.l_partkey AS y, count(*) AS support
+  FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+dirrules AS (
+  SELECT x, y, support FROM pairs
+  UNION ALL
+  SELECT y AS x, x AS y, support FROM pairs
+)
+SELECT dirrules.x AS antecedent, dirrules.y AS consequent,
+       CAST(support AS BIGINT) AS support,
+       round_even(support / ca.cnt * 10000.0, 0) / 10000.0 AS confidence,
+       round_even(support * n_ord.n / (ca.cnt * cb.cnt) * 10000.0, 0) / 10000.0 AS lift
+FROM dirrules
+JOIN item_cnt ca ON ca.l_partkey = dirrules.x
+JOIN item_cnt cb ON cb.l_partkey = dirrules.y
+CROSS JOIN n_ord
+ORDER BY antecedent, consequent
+""",
+)

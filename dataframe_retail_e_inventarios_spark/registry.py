@@ -45,6 +45,7 @@ _PRIORITY = [
     "sql_pipe_pricing_summary",
     "entity_clusters_fuzzy",
     "ols_two_factor_demand",
+    "association_rules",
     "content_fingerprint_by_month",
     "forecast_reconciliation_topdown",
     "apriori_triple_itemsets",

@@ -553,3 +553,22 @@ def test_ols_two_factor_matches_numpy_lstsq(spark):
         assert abs(r.beta_holiday - beta[2]) < 1e-3, brand
         assert abs(r.r_squared - r2) < 1e-4, brand
         assert r.n_weeks == len(y)
+
+
+def test_association_rules_consistency(spark):
+    """Rules must be pairwise-consistent: both directions share support
+    and lift; confidence * supp(antecedent) == support (exact up to
+    4dp scaling)."""
+    from dataframe_retail_e_inventarios_spark.registry import queries
+
+    rows = queries()["association_rules"](spark, SF_SMOKE).collect()
+    assert rows
+    by_pair = {}
+    for r in rows:
+        assert 0.0 < r.confidence <= 1.0
+        key = tuple(sorted((r.antecedent, r.consequent)))
+        by_pair.setdefault(key, []).append(r)
+    for key, pair in by_pair.items():
+        assert len(pair) == 2, key  # both directions present
+        assert pair[0].support == pair[1].support
+        assert pair[0].lift == pair[1].lift
