@@ -45,12 +45,16 @@ def _zipf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("freq").desc(), "term")
         .limit(_TOP_N)
     )
-    w = Window.orderBy(F.col("freq").desc(), "term")
-    return top.select(
-        F.row_number().over(w).cast("long").alias("rank"),
-        "term",
-        "freq",
-    )
+    # rank via the distributed two-level machinery (range partition +
+    # metadata-scale offsets): bit-identical to row_number over the
+    # total order, with NO single-partition WindowExec — keeps the
+    # registry's zero-window-warning invariant absolute even on this
+    # bounded frame
+    from ..operators.distributed_rank import with_global_rank
+
+    return with_global_rank(
+        top, [F.col("freq").desc(), F.col("term").asc()], rank_col="rank"
+    ).select(F.col("rank").cast("long").alias("rank"), "term", "freq")
 
 
 def q_zipf_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1005,10 +1009,11 @@ def q_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     max_n = max(_COVERAGE_GRID)
     top = per_gram.orderBy(F.col("freq").desc(), "gh").limit(max_n)
-    w = Window.orderBy(F.col("freq").desc(), "gh")
-    ranked = top.select(
-        F.row_number().over(w).cast("long").alias("rank"), "freq"
-    )
+    from ..operators.distributed_rank import with_global_rank
+
+    ranked = with_global_rank(
+        top, [F.col("freq").desc(), F.col("gh").asc()], rank_col="rank"
+    ).select(F.col("rank").cast("long").alias("rank"), "freq")
     grid = spark.createDataFrame(
         [(n,) for n in _COVERAGE_GRID], "vocab_size long"
     )

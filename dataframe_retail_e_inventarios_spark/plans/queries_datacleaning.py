@@ -340,8 +340,11 @@ def q_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(digit.cast("int").alias("digit"))
         .agg(F.count("*").alias("n"))
     )
-    total = Window.partitionBy()
-    obs = F.col("n") / F.sum("n").over(total)
+    # broadcast 1-row normalizer (repo-standard crossJoin pattern) —
+    # no empty-partition WindowExec, even on this 9-row frame
+    total = counts.agg(F.sum("n").alias("_tot"))
+    counts = counts.crossJoin(F.broadcast(total))
+    obs = F.col("n") / F.col("_tot")
     exp = F.log10(1 + 1 / F.col("digit"))
     return counts.select(
         "digit",
