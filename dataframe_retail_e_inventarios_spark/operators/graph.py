@@ -33,10 +33,16 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iterations: int = 20,
+    stats: dict | None = None,
 ) -> DataFrame:
     """(node, cluster_id) with cluster_id = min node id reachable in the
     undirected graph given by ``pairs``. Nodes not in any pair are not
-    emitted (singletons are their own cluster by definition)."""
+    emitted (singletons are their own cluster by definition).
+
+    Raises ``RuntimeError`` if the fixpoint is not reached within
+    ``max_iterations`` — a silent cap exit would hand back wrong
+    cluster ids. Pass ``stats={}`` to observe ``stats["iterations"]``
+    (propagation rounds actually run ≈ graph min-label diameter)."""
     edges = (
         pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
@@ -47,7 +53,10 @@ def connected_components(
     labels = edges.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("label"))
     labels = labels.select(F.col("u").alias("node"), "label").localCheckpoint(eager=True)
 
+    converged = False
+    rounds = 0
     for _ in range(max_iterations):
+        rounds += 1
         # Propagate: candidate label for v = min over neighbors u of
         # label(u); new label = min(current, candidate).
         cand = (
@@ -69,7 +78,22 @@ def connected_components(
         changed = new_labels.filter(F.col("_changed")).limit(1)
         labels = new_labels.drop("_changed")
         if changed.isEmpty():
+            converged = True
             break
+    if stats is not None:
+        stats["iterations"] = rounds
+        stats["converged"] = converged
+    if not converged:
+        # A component whose min-label distance exceeds the cap would
+        # otherwise return silently-wrong cluster ids. Fail loudly: the
+        # caller either raises max_iterations (diameter is a data
+        # property) or switches to large-star/small-star contraction.
+        raise RuntimeError(
+            "connected_components: min-label propagation did not reach "
+            f"fixpoint within max_iterations={max_iterations}; graph "
+            "diameter exceeds the cap — raise max_iterations or use "
+            "star-contraction for long-chain graphs"
+        )
     return labels.select("node", F.col("label").alias("cluster_id"))
 
 

@@ -1400,11 +1400,14 @@ def q_source_jsd_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.when(F.col("c_b") > 0, q * F.log(q / m)).otherwise(F.lit(0.0))
     )
     contrib = F.round(term * 1e9, 0).cast("long")
+    # n_terms = terms ACTIVE for this pair (c_a > 0 OR c_b > 0), not the
+    # densified vocab-spine size (which is pair-invariant and misleading).
+    active = ((F.col("c_a") > 0) | (F.col("c_b") > 0)).cast("long")
     return (
-        j.select("source_a", "source_b", contrib.alias("t"))
+        j.select("source_a", "source_b", contrib.alias("t"), active.alias("act"))
         .groupBy("source_a", "source_b")
         .agg(
-            F.count(F.lit(1)).alias("n_terms"),
+            F.sum("act").alias("n_terms"),
             F.round(F.sum("t") / 1e9, 6).alias("jsd_nats"),
         )
         .orderBy("source_a", "source_b")
@@ -1449,11 +1452,12 @@ terms AS (
            + CASE WHEN c_b > 0
                   THEN (c_b / n_b) * ln((c_b / n_b)
                          / (((c_a / n_a) + (c_b / n_b)) / 2.0))
-                  ELSE 0e0 END) * 1e9, 0) AS BIGINT) AS t
+                  ELSE 0e0 END) * 1e9, 0) AS BIGINT) AS t,
+         CASE WHEN c_a > 0 OR c_b > 0 THEN 1 ELSE 0 END AS act
   FROM j
 )
 SELECT source_a, source_b,
-       CAST(count(*) AS BIGINT) AS n_terms,
+       CAST(sum(act) AS BIGINT) AS n_terms,
        round(sum(t) / 1e9, 6) AS jsd_nats
 FROM terms GROUP BY 1, 2
 ORDER BY source_a, source_b

@@ -420,13 +420,13 @@ def q_content_fingerprint_by_month(spark: SparkSession, sf_dir: str) -> DataFram
     compare constant-size rows instead of data. Each row is rendered
     to a CANONICAL string (keys/quantity as integers, money as exact
     cents, dates as ISO strings — every piece renders identically on
-    any engine), hashed to a 32-bit md5 prefix, and the per-month SUM
-    of hashes (exact DECIMAL(38,0), then mod 2^62 back into BIGINT) is
-    the fingerprint: associative and commutative, so any partitioning,
+    any engine), hashed to a 64-BIT md5 prefix (single corrupted-row
+    escape probability ~2^-64; the 32-bit prefix was too weak for a
+    migration-validation primitive), and the per-month SUM of hashes
+    (exact DECIMAL(38,0), then mod 2^62 back into BIGINT) is the
+    fingerprint: associative and commutative, so any partitioning,
     file order, or shuffle layout yields the identical value.
     """
-    from ..operators.dedup import shingle_hash32
-
     li = load_table(spark, sf_dir, "lineitem")
     canon = F.concat_ws(
         "|",
@@ -442,17 +442,18 @@ def q_content_fingerprint_by_month(spark: SparkSession, sf_dir: str) -> DataFram
         F.col("l_linestatus"),
         F.date_format("l_shipdate", "yyyy-MM-dd"),
     )
+    # 16 hex chars = full unsigned 64-bit value; conv() handles it and
+    # the DECIMAL(38,0) accumulator absorbs ~2^126 before overflow.
+    h64 = F.conv(F.substring(F.md5(canon), 1, 16), 16, 10).cast("decimal(38,0)")
     return (
         li.select(
             F.date_format("l_shipdate", "yyyy-MM").alias("month"),
-            shingle_hash32(canon).alias("h"),
+            h64.alias("h"),
         )
         .groupBy("month")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
-            F.pmod(F.sum(F.col("h").cast("decimal(38,0)")), F.lit(_FP_MOD))
-            .cast("long")
-            .alias("content_fp"),
+            F.pmod(F.sum("h"), F.lit(_FP_MOD)).cast("long").alias("content_fp"),
         )
         .orderBy("month")
     )
@@ -475,7 +476,7 @@ WITH rows_h AS (
            CAST(round_even(l_tax * 100, 0) AS BIGINT) || '|' ||
            l_returnflag || '|' || l_linestatus || '|' ||
            strftime(l_shipdate, '%Y-%m-%d')
-         ), 1, 8)) AS BIGINT) AS h
+         ), 1, 16)) AS UBIGINT) AS h
   FROM lineitem
 )
 SELECT month,

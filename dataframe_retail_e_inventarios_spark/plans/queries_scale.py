@@ -2084,7 +2084,9 @@ def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True)
     )
-    n_ord = op.select("l_orderkey").distinct().count()
+    # Broadcast 1-row normalizer (no eager driver-side count at plan
+    # construction — same pattern as event_path_trigrams / benford).
+    n_ord = op.agg(F.countDistinct("l_orderkey").alias("n_ord"))
     item_cnt = op.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
     a, b = op.alias("a"), op.alias("b")
     pairs = (
@@ -2107,6 +2109,7 @@ def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         both.join(F.broadcast(ca), "x")
         .join(F.broadcast(cb), "y")
+        .crossJoin(F.broadcast(n_ord))
         .select(
             F.col("x").alias("antecedent"),
             F.col("y").alias("consequent"),
@@ -2117,7 +2120,7 @@ def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             (
                 F.bround(
                     F.col("support")
-                    * F.lit(n_ord)
+                    * F.col("n_ord")
                     / (F.col("cnt_x") * F.col("cnt_y"))
                     * 10000.0,
                     0,
