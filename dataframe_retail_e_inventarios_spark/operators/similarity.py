@@ -542,6 +542,39 @@ def lsh_bucketed_topk(
     )
 
 
+def _snap_int6(val: Column) -> Column:
+    """6dp-scaled BIGINT element snap, the engine-portable integer
+    embedding grid shared with the Rademacher LSH family. DuckDB twin:
+    ``CAST(round(round_even(v[d+1], 6) * 1e6, 0) AS BIGINT)`` (the
+    scaled value sits within float error of an integer, so half-up vs
+    half-even at the final round is moot)."""
+    return F.round(F.bround(val.cast("double"), 6) * F.lit(1e6), 0).cast("long")
+
+
+def _dot_dec(a: Column, b: Column) -> Column:
+    """Exact integer inner product of two BIGINT arrays, accumulated in
+    DECIMAL(38,0) — order-independent, overflow-proof (|x| ≤ 1e6-grid
+    elements x trillion-member centroid sums stay far below 1e38), and
+    reproduced exactly by DuckDB's SUM over HUGEINT products."""
+    prods = F.zip_with(
+        a, b, lambda x, y: (x.cast("decimal(38,0)") * y.cast("decimal(38,0)"))
+    )
+    return F.aggregate(
+        prods,
+        F.lit(0).cast("decimal(38,0)"),
+        lambda acc, x: (acc + x).cast("decimal(38,0)"),
+    )
+
+
+def _int_cosine(dot_dec: Column, n2_a: Column, n2_b: Column) -> Column:
+    """Cosine from exact integer dot/norm² aggregates: ONE conversion
+    of each exact integer to double, then IEEE sqrt/mult/divide — the
+    identical double on any engine (no cross-engine float
+    accumulation; the only inexact steps are deterministic)."""
+    denom = F.sqrt(n2_a.cast("double")) * F.sqrt(n2_b.cast("double"))
+    return F.when(denom != 0, dot_dec.cast("double") / denom).otherwise(F.lit(0.0))
+
+
 def ivf_index(
     embeddings: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
     label_col: str = "label",
@@ -552,29 +585,45 @@ def ivf_index(
     is identical), plus the inverted-list assignment of every vector
     to its nearest centroid.
 
-    Returns (centroids: label/centroid, assignments: id/cell).
-    """
-    import pyspark.sql.functions as F
+    DETERMINISTIC, engine-portable construction (r6 verdict #2, the
+    ``ann_lsh_bucketed_topk`` precedent): elements snap to the 6dp
+    BIGINT grid, the centroid is the EXACT integer element-wise sum of
+    its label members (cosine is scale-invariant, so ranking against
+    the sum IS ranking against the mean — no division, no float
+    accumulation), and every vector↔centroid similarity is an exact
+    DECIMAL(38,0) dot over those integers with one final
+    double-conversion. DuckDB rebuilds the identical integers and
+    therefore the identical cell assignment, so the probe output sits
+    under the full value-hash oracle gate despite IVF being
+    approximate-by-construction as ANN.
 
-    # centroid[d] = avg of element d within the label group
-    pos = embeddings.select(
-        label_col, F.posexplode(vec_col).alias("pos", "val")
+    Returns (centroids: label/centroid(double[], = integer sums)/
+    csv(bigint[])/cn2(decimal norm²), assignments: id/cell).
+    """
+    el = embeddings.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(label_col),
+        F.posexplode(vec_col).alias("pos", "val"),
+    ).select(
+        "cand_id", label_col, "pos", _snap_int6(F.col("val")).alias("ei")
     )
-    cent = (
-        pos.groupBy(label_col, "pos")
-        .agg(F.avg(F.col("val").cast("double")).alias("c"))
-        .groupBy(label_col)
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
-            ).alias("centroid")
-        )
+    csum = el.groupBy(label_col, "pos").agg(F.sum("ei").alias("cs"))
+    cent = csum.groupBy(label_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "cs"))),
+            lambda s: s["cs"].cast("double"),
+        ).alias("centroid"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "cs"))), lambda s: s["cs"]
+        ).alias("csv"),
     )
+    cent = cent.withColumn("cn2", _dot_dec(F.col("csv"), F.col("csv")))
     vecs = embeddings.select(
-        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cvec")
-    )
+        F.col(id_col).alias("cand_id"),
+        F.transform(vec_col, _snap_int6).alias("vi"),
+    ).withColumn("vn2", _dot_dec(F.col("vi"), F.col("vi")))
     scored = vecs.crossJoin(F.broadcast(cent)).withColumn(
-        "sim", cosine(F.col("cvec"), F.col("centroid"))
+        "sim", _int_cosine(_dot_dec(F.col("vi"), F.col("csv")), F.col("vn2"), F.col("cn2"))
     )
     from pyspark.sql import Window
 
@@ -649,12 +698,54 @@ def ivf_topk(
     """IVF probe over label-derived centroids (deterministic stand-in
     quantizer — the probe machinery is identical to the k-means
     variant below). At 100 TB the probed lists are a small fraction of
-    the corpus — the scan cost drops by ~n_cells/nprobe. Approximate
-    by construction -> rows-only check; recall vs the brute-force
-    baseline is asserted in tests."""
+    the corpus — the scan cost drops by ~n_cells/nprobe.
+
+    Approximate as an ANN ALGORITHM, but fully DETERMINISTIC in
+    output: index build, cell assignment and query-cell ranking all
+    run in exact snapped-integer arithmetic (see ``ivf_index``), and
+    the final re-rank is the same left-fold double cosine DuckDB's
+    ``list_inner_product`` reproduces bitwise — so the query carries a
+    full value-hash DuckDB oracle (r6 verdict #2), plus recall tests
+    vs the brute-force baseline."""
+    from pyspark.sql import Window
+
     cent, assign = ivf_index(embeddings, id_col, vec_col, label_col)
-    return _ivf_probe(
-        embeddings, cent, assign, query_filter, k, nprobe, id_col, vec_col, label_col
+    q = embeddings.filter(query_filter).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.transform(vec_col, _snap_int6).alias("qi"),
+    ).withColumn("qn2", _dot_dec(F.col("qi"), F.col("qi")))
+    qcells = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn(
+            "sim",
+            _int_cosine(_dot_dec(F.col("qi"), F.col("csv")), F.col("qn2"), F.col("cn2")),
+        )
+        .withColumn(
+            "crk",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("sim").desc(), F.col(label_col)
+                )
+            ),
+        )
+        .filter(F.col("crk") <= nprobe)
+        .select("query_id", "qvec", F.col(label_col).alias("cell"))
+    )
+    cands = embeddings.select(
+        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cvec")
+    ).join(assign, "cand_id")
+    scored = (
+        cands.join(F.broadcast(qcells), "cell")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .withColumn("cos", cosine(F.col("qvec"), F.col("cvec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "cand_id", F.round("cos", 6).alias("cos"),
+                F.col("rk").cast("long").alias("rk"))
     )
 
 

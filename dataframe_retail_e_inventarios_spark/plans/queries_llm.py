@@ -627,15 +627,86 @@ FROM t
 )
 
 
-# -- N3 scale path: IVF-probed ANN (approximate -> rows-only) --------------
+# -- N3 scale path: IVF-probed ANN (deterministic -> full oracle) ----------
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN under the FULL value-hash oracle gate (r6 verdict #2):
+    the label-derived coarse quantizer runs in exact snapped-integer
+    arithmetic (6dp BIGINT grid, centroids = exact integer element
+    sums — cosine is scale-invariant so ranking against the sum IS
+    ranking against the mean, DECIMAL(38,0) dots, ONE double
+    conversion at the end), so DuckDB rebuilds the identical index,
+    cell assignment, nprobe shortlist and exact re-rank."""
     from ..operators.similarity import ivf_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
     return ivf_topk(emb, F.col("vec_id") < 5, k=10, nprobe=2)
 
 
-register("ann_ivf_topk", q_ivf_topk, None)  # approximate: rows-only
+# DuckDB twin of the integer-exact ivf_index + probe at nprobe=2, k=10:
+# same 6dp BIGINT element snap, same exact HUGEINT dot/norm² sums with
+# one final double conversion (identical IEEE sqrt/divide), same
+# (sim DESC, label) tie-break, then the left-fold double cosine re-rank
+# of ann_cosine_topk restricted to the probed inverted lists.
+register(
+    "ann_ivf_topk",
+    q_ivf_topk,
+    """
+WITH dims AS (SELECT unnest(range(0, 64)) AS d),
+e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+el AS (
+  SELECT vec_id, label, dims.d AS d,
+         CAST(round(round_even(v[dims.d + 1], 6) * 1e6, 0) AS BIGINT) AS ei
+  FROM e CROSS JOIN dims
+),
+csum AS (SELECT label, d, CAST(sum(ei) AS BIGINT) AS cs FROM el GROUP BY 1, 2),
+cn AS (SELECT label, sum(CAST(cs AS HUGEINT) * CAST(cs AS HUGEINT)) AS cn2 FROM csum GROUP BY 1),
+vn AS (SELECT vec_id, sum(CAST(ei AS HUGEINT) * CAST(ei AS HUGEINT)) AS vn2 FROM el GROUP BY 1),
+vdot AS (
+  SELECT el.vec_id, csum.label,
+         sum(CAST(el.ei AS HUGEINT) * CAST(csum.cs AS HUGEINT)) AS dt
+  FROM el JOIN csum ON el.d = csum.d
+  GROUP BY 1, 2
+),
+sim AS (
+  SELECT vec_id, label,
+         CASE WHEN sqrt(CAST(vn2 AS DOUBLE)) * sqrt(CAST(cn2 AS DOUBLE)) != 0
+              THEN CAST(dt AS DOUBLE)
+                   / (sqrt(CAST(vn2 AS DOUBLE)) * sqrt(CAST(cn2 AS DOUBLE)))
+              ELSE 0.0 END AS s
+  FROM vdot JOIN vn USING (vec_id) JOIN cn USING (label)
+),
+ranked AS (
+  SELECT vec_id, label,
+         row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, label) AS rk
+  FROM sim
+),
+assign AS (SELECT vec_id AS cand_id, label AS cell FROM ranked WHERE rk = 1),
+qcells AS (
+  SELECT vec_id AS query_id, label AS cell FROM ranked
+  WHERE vec_id < 5 AND rk <= 2
+),
+cands AS (
+  SELECT q.query_id, a.cand_id
+  FROM qcells q JOIN assign a ON a.cell = q.cell
+  WHERE a.cand_id != q.query_id
+),
+scored AS (
+  SELECT query_id, cand_id,
+    CASE WHEN sqrt(list_inner_product(qe.v, qe.v)) * sqrt(list_inner_product(ce.v, ce.v)) != 0
+         THEN list_inner_product(qe.v, ce.v)
+              / (sqrt(list_inner_product(qe.v, qe.v)) * sqrt(list_inner_product(ce.v, ce.v)))
+         ELSE 0.0 END AS cos
+  FROM cands
+  JOIN e qe ON qe.vec_id = query_id
+  JOIN e ce ON ce.vec_id = cand_id
+)
+SELECT query_id, cand_id, round(cos, 6) AS cos, rk FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, cand_id) AS rk
+  FROM scored
+) WHERE rk <= 10
+""",
+)
 
 
 def q_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
