@@ -44,6 +44,13 @@ def _zipf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         _term_counts(spark, sf_dir)
         .orderBy(F.col("freq").desc(), "term")
         .limit(_TOP_N)
+        # Cut lineage BEFORE the rank machinery: with_global_rank's
+        # repartitionByRange samples its child and fans out to two
+        # consumers (counts + final join), each of which would replan
+        # the WHOLE corpus tokenize+aggregate — measured 1.8x wall at
+        # sf0.1 (the r6 zipf regression). Checkpointing the ≤_TOP_N-row
+        # result runs the corpus scan exactly once.
+        .localCheckpoint(eager=True)
     )
     # rank via the distributed two-level machinery (range partition +
     # metadata-scale offsets): bit-identical to row_number over the

@@ -37,155 +37,116 @@ def register(name: str, fn: QueryFn, oracle: str | None) -> None:
 # order, and tools/selfcheck.py --json covers the full registry every
 # round regardless (SELFCHECK_full.json).
 _PRIORITY = [
-    # r6 front-load: queries NEW in r6 (never driver-sampled), the
-    # newly oracle-backed LSH ANN (rows-only through r5 — its first
-    # possible hash row), and the queries materially CHANGED in r6
-    # (rfm's single-pass ntile rewrite, the stride/bucket/rounding
-    # parity fixes) — a green row re-certifies each after the change.
-    "sql_pipe_pricing_summary",
+    # r7 front-load (r6 verdict #7 rotation): first the queries NEW
+    # or materially CHANGED in r7 (ann_ivf_topk is newly oracle-
+    # backed — its first possible hash row; the advisor-fix and
+    # zipf-rewrite queries need re-certification), then the 43
+    # stalest greens — every query whose most recent driver hash row
+    # is r1/r2/r3 vintage, oldest first — so the 50-row sample
+    # budget re-certifies the oldest certificates in the registry.
+    "ann_ivf_topk",
     "entity_clusters_fuzzy",
-    "ols_two_factor_demand",
     "association_rules",
-    "content_fingerprint_by_month",
-    "forecast_reconciliation_topdown",
-    "apriori_triple_itemsets",
     "source_jsd_matrix",
-    "conformal_forecast_intervals",
-    "backtest_mase",
-    "silhouette_lite_labels",
-    "event_path_trigrams",
-    "phrase_search_positional",
-    "time_decay_attribution",
-    "roc_auc_langid",
-    "calibration_bins_brier",
-    "spearman_qty_discount",
-    "ks_price_segments",
-    "reciprocal_rank_fusion",
-    "gini_revenue_by_nation",
-    "dataset_stats_manifest",
-    "kmeans_lite_clusters",
-    "cross_source_ngram_leakage",
-    "perplexity_bucket_mix",
-    "copurchase_node_jaccard",
-    "ngram_novelty_rate",
-    "vocab_coverage_curve",
-    "welch_ttest_price_segments",
-    "semantic_dedup_signature",
-    "length_bucketed_padding",
-    "token_cooccurrence_pmi",
-    "char_entropy_scores",
-    "cusum_change_points",
-    "bootstrap_ci_weekly_demand",
-    "streaming_late_data_watermark",
-    "bitemporal_snapshot_revenue",
-    "tokenizer_fertility",
-    "fk_containment_discovery",
-    "ann_lsh_bucketed_topk",
-    "rfm_segmentation",
-    "video_frame_schedule",
-    "dedup_jaccard_threshold_sweep",
-    "ann_gemm_topk",
-    "hard_negative_mining",
-    "rollup_backfill_empty_restatement",
-    # r5 front-load (r4 verdict directive #1): the 16 oracle-backed
-    # queries NO driver round has ever sampled (r1-r4 collectively
-    # covered every other oracle-backed query at least once). A green
-    # row for each closes the last judge-verified-vs-driver-verified
-    # gap — after this round every oracle-backed query has >=1 driver
-    # hash row and only the 10 rows-only-by-design queries remain
-    # driver-unseen.
-    "fuzzy_part_name_pairs",
-    "class_balanced_cap",
-    "doc_vector_hashing",
-    "sparse_cosine_topk",
-    "rolling_median_demand",
-    "basket_pair_lift",
-    "event_transition_matrix",
-    "supplier_lead_times",
-    "revenue_concentration_hhi",
-    "quality_weighted_sample",
-    "service_level_coverage",
-    "dataset_snapshot_diff",
-    "doc_length_histogram",
-    "gopher_quality_flags",
-    "skew_salted_brand_revenue",
-    # queries NEW or materially changed in r5 — the driver row is the
-    # first hard evidence for each. (Names appended as built.)
-    "dedup_minhash_lsh_incremental",
-    "corpus_shuffle_batches",
-    "bpe_pair_counts",
-    "mixture_temperature_weights",
-    "asof_join_tolerance",
-    "dedup_setsim_prefix",
-    "triangle_count_copurchase",
-    "position_based_attribution",
-    "dedup_containment_pairs",
-    "streaming_static_enrichment",
-    "embedding_norm_outliers",
-    "tokenizer_oov_rate",
-    "window_funnel_levels",
-    "price_elasticity_by_brand",
-    "rolling_origin_backtest",
-    "k_anonymity_audit",
-    "join_cardinality_probe",
-    "target_encoding_brand",
-    "woe_information_value",
-    "survival_km_signup_purchase",
-    "chi_square_segment_nation",
-    "psi_order_price_drift",
-    # then the queries whose only driver evidence is from r1/r2 —
-    # oldest green rows, most code drift since; re-certify them with
-    # the remaining budget. Everything NOT listed still follows in
-    # registration order, and tools/selfcheck.py --json covers the
-    # full registry every round regardless (SELFCHECK_full.json).
-    "weekly_resample_sparse",
-    "series_admission_gates",
-    "clean_project_filter",
-    "conjunctive_filter",
-    "daily_lag_features",
-    "backtest_metrics",
-    "star_join_revenue",
-    "left_join_null_fill",
-    "semi_join_open_orders",
-    "anti_join_no_orders",
-    "union_two_periods",
-    "intersect_repeat_customers",
-    "except_all_part_demand",
-    "window_rank_family",
-    "topk_parts_per_supplier",
-    "last_sale_per_series",
-    "trailing_moving_average",
-    "winsorize_bounds",
-    "demand_sigma_pop",
-    "ensemble_median",
-    "report_global_summary",
-    "parse_forecast_edge_cases",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_signatures",
-    "dedup_simhash_pairs",
-    "text_quality_scores",
-    "lang_id_heuristic",
-    "ann_cosine_topk",
-    "embedding_cosine_neardup",
-    "embedding_cosine_neardup_bucketed",
-    "token_counts",
-    "multimodal_features",
-    "multimodal_features_udf",
-    "events_hourly_counts",
-    "events_view_purchase_join",
-    "events_cohort_retention",
-    "events_session_funnel",
-    "events_sessionization",
-    "rollup_sales_summary",
-    "distinct_counts_per_supplier",
-    "log_transform_weekly",
+    "content_fingerprint_by_month",
+    "zipf_vocab_topk",
+    "zipf_slope",
+    "asof_join_latest_order",
+    "cube_sales_summary",
     "events_props_json",
     "grouping_sets_summary",
-    "asof_join_latest_order",
     "pivot_qty_by_returnflag",
-    "cube_sales_summary",
     "range_join_holiday_seasons",
+    "ann_cosine_topk",
+    "anti_join_no_orders",
+    "dedup_exact",
+    "dedup_minhash_signatures",
+    "dedup_ngram_jaccard",
+    "dedup_simhash_pairs",
+    "demand_sigma_pop",
+    "distinct_counts_per_supplier",
+    "embedding_cosine_neardup",
+    "embedding_cosine_neardup_bucketed",
+    "ensemble_median",
+    "events_cohort_retention",
+    "events_hourly_counts",
+    "events_session_funnel",
+    "events_sessionization",
+    "events_view_purchase_join",
+    "except_all_part_demand",
+    "intersect_repeat_customers",
+    "lang_id_heuristic",
+    "last_sale_per_series",
+    "left_join_null_fill",
+    "log_transform_weekly",
+    "multimodal_features",
+    "multimodal_features_udf",
+    "parse_forecast_edge_cases",
+    "report_global_summary",
+    "rollup_sales_summary",
+    "semi_join_open_orders",
+    "text_quality_scores",
+    "token_counts",
+    "topk_parts_per_supplier",
+    "trailing_moving_average",
+    "union_two_periods",
+    "window_rank_family",
+    "winsorize_bounds",
+    "bigram_logprob_scores",
+    "conversion_lag_quantiles",
+    # next-stalest tier (r3 vintage) — sampled if the budget grows;
+    # everything NOT listed follows in registration order, and
+    # tools/selfcheck.py --json covers the full registry regardless.
+    "croston_forecast",
+    "dedup_minhash_lsh",
+    "demand_anomalies_mad",
+    "domain_mixture_weights",
+    "duplicate_ngram_fraction",
+    "embedding_int8_quantization",
+    "events_session_window_builtin",
+    "ewma_weekly_demand",
+    "first_touch_attribution",
+    "flagship_inventory",
+    "flagship_inventory_partitioned",
+    "forecast_model_selection",
+    "geomean_demand_grouped_udf",
+    "group_holdout_split",
+    "holt_linear_forecast",
+    "incremental_monthly_rollup",
+    "inventory_projection_folded",
+    "inventory_projection_recursive",
+    "langid_confusion",
+    "last_touch_attribution",
+    "lateral_topk_per_brand",
+    "minhash_estimator_error",
+    "pagerank_event_graph",
+    "passage_dedup_stats",
+    "pit_join_purchase_state",
+    "rolling_active_users",
+    "scd2_user_event_history",
+    "skew_hot_key_revenue_plain",
+    "skew_hot_key_revenue_salted",
+    "source_kl_divergence",
+    "streaming_cdc_upsert",
+    "streaming_dedup_replay",
+    "streaming_rollup_maintenance",
+    "streaming_session_windows",
+    "streaming_view_purchase_join",
+    "theta_forecast",
+    "weekly_resample_dense",
+    "abc_classification",
+    "benford_first_digit",
+    "bm25_top_terms",
+    "cdc_latest_state",
+    "curation_funnel",
+    "dataset_split_counts",
+    "decontamination_bloom",
+    "decontamination_overlap",
+    "dedup_cluster_assignment",
+    "dedup_cluster_histogram",
+    "dedup_survivors",
+    "demand_anomalies",
+    "demand_autocorrelation",
 ]
 
 

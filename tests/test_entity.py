@@ -103,3 +103,27 @@ def test_entity_clusters_match_union_find(spark):
     assert out  # non-trivial
     # canonical record is the min member by construction
     assert all(eid <= rid for rid, (eid, _) in out.items())
+
+
+def test_entity_label_prop_round_count(spark):
+    """Pin the fixpoint's iteration anatomy on the real fuzzy-pair
+    graph (r6 verdict #6): near-dup name clusters are dense blobs, so
+    the min-label fixpoint must converge in a handful of rounds. A
+    future change that silently lengthens the propagation chain (and
+    with it the entity_clusters_fuzzy wall, each round being one
+    shuffle + probe) fails here, not in the bench."""
+    from dataframe_retail_e_inventarios_spark.operators.entity import (
+        blocked_levenshtein_pairs,
+    )
+    from dataframe_retail_e_inventarios_spark.operators.graph import (
+        connected_components,
+    )
+    from dataframe_retail_e_inventarios_spark.sources.readers import load_table
+    from conftest import SF_SMOKE
+
+    part = load_table(spark, SF_SMOKE, "part")
+    pairs = blocked_levenshtein_pairs(part, "p_partkey", "p_name", max_dist=1)
+    stats = {}
+    connected_components(pairs, src="id_a", dst="id_b", stats=stats)
+    assert stats["converged"]
+    assert stats["iterations"] <= 6, stats

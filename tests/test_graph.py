@@ -29,12 +29,30 @@ def test_components_chain_and_triangle(spark):
     assert got == expect
 
 
-def test_components_iteration_cap_is_safe(spark):
-    """With max_iterations=1 the labels are not converged but the
-    operator still returns a row per node (no crash, no loss)."""
+def test_components_iteration_cap_raises(spark):
+    """A cap exit without convergence must RAISE (advisor r6): silent
+    exit handed back wrong cluster ids for any component whose
+    min-label distance exceeds the cap."""
+    import pytest
+
     edges = [(i, i + 1) for i in range(1, 8)]
-    out = connected_components(_pairs(spark, edges), max_iterations=1).collect()
-    assert {r.node for r in out} == set(range(1, 9))
+    with pytest.raises(RuntimeError, match="did not reach"):
+        connected_components(_pairs(spark, edges), max_iterations=1)
+
+
+def test_components_round_count_tracks_diameter(spark):
+    """stats['iterations'] reports propagation rounds ≈ min-label
+    diameter (+1 convergence-probe round): a 6-node chain needs a
+    handful, a triangle converges immediately."""
+    stats = {}
+    connected_components(
+        _pairs(spark, [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6)]), stats=stats
+    )
+    assert stats["converged"] and 2 <= stats["iterations"] <= 6
+
+    tri = {}
+    connected_components(_pairs(spark, [(10, 11), (11, 12), (10, 12)]), stats=tri)
+    assert tri["converged"] and tri["iterations"] == 1
 
 
 def test_dedup_keep_first(spark):
