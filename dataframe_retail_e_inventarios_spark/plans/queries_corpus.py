@@ -44,24 +44,20 @@ def _zipf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         _term_counts(spark, sf_dir)
         .orderBy(F.col("freq").desc(), "term")
         .limit(_TOP_N)
-        # Cut lineage BEFORE the rank machinery: with_global_rank's
-        # repartitionByRange samples its child and fans out to two
-        # consumers (counts + final join), each of which would replan
-        # the WHOLE corpus tokenize+aggregate — measured 1.8x wall at
-        # sf0.1 (the r6 zipf regression). Checkpointing the ≤_TOP_N-row
-        # result runs the corpus scan exactly once.
-        .localCheckpoint(eager=True)
     )
-    # rank via the distributed two-level machinery (range partition +
-    # metadata-scale offsets): bit-identical to row_number over the
-    # total order, with NO single-partition WindowExec — keeps the
-    # registry's zero-window-warning invariant absolute even on this
-    # bounded frame
-    from ..operators.distributed_rank import with_global_rank
+    # rank over the LIMIT-bounded survivors via the constant-key
+    # bounded window (non-empty partition spec — no WindowExec
+    # warning; one ≤_TOP_N-row task). The r6 with_global_rank rewrite
+    # here was machinery misapplied to a bounded frame: its four-job
+    # range-partition chain has ~0.6 s fixed scheduler overhead that
+    # DOUBLED this query's wall (0.34→0.61 s, the r6 bench's only
+    # >1.25× regression) while ranking rows the TakeOrderedAndProject
+    # had already bounded to a constant.
+    from ..operators.distributed_rank import bounded_rank
 
-    return with_global_rank(
+    return bounded_rank(
         top, [F.col("freq").desc(), F.col("term").asc()], rank_col="rank"
-    ).select(F.col("rank").cast("long").alias("rank"), "term", "freq")
+    ).select("rank", "term", "freq")
 
 
 def q_zipf_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1016,11 +1012,13 @@ def q_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     max_n = max(_COVERAGE_GRID)
     top = per_gram.orderBy(F.col("freq").desc(), "gh").limit(max_n)
-    from ..operators.distributed_rank import with_global_rank
+    # LIMIT-bounded survivors -> constant-key bounded window, not the
+    # range-partition machinery (see bounded_rank / the r6 zipf note).
+    from ..operators.distributed_rank import bounded_rank
 
-    ranked = with_global_rank(
+    ranked = bounded_rank(
         top, [F.col("freq").desc(), F.col("gh").asc()], rank_col="rank"
-    ).select(F.col("rank").cast("long").alias("rank"), "freq")
+    ).select("rank", "freq")
     grid = spark.createDataFrame(
         [(n,) for n in _COVERAGE_GRID], "vocab_size long"
     )

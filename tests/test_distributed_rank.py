@@ -142,3 +142,33 @@ def test_ntile_multi_plan_no_single_partition_data_exchange(spark):
     assert len([r for r in ranged if r["cnt"] > 0]) > 1  # truly spread
     for prev, cur in zip(ranged, ranged[1:]):
         assert (prev["hi"]["a"], prev["hi"]["id"]) <= (cur["lo"]["a"], cur["lo"]["id"])
+
+
+def test_bounded_rank_matches_row_number_and_keeps_partition_spec(spark):
+    """bounded_rank = row_number() over the total order, and its
+    constant partition key must SURVIVE into the executed plan's
+    windowspecdefinition — Catalyst folds a bare lit(0) (and even
+    hash(col)*0) away, silently recreating the unpartitioned window
+    this helper exists to avoid."""
+    import pyspark.sql.functions as F
+
+    from dataframe_retail_e_inventarios_spark.operators.distributed_rank import (
+        bounded_rank,
+    )
+
+    df = spark.createDataFrame(
+        [(i, (i * 37) % 11) for i in range(50)], "k long, v long"
+    )
+    out = bounded_rank(df, [F.col("v").desc(), F.col("k").asc()], rank_col="r")
+    rows = sorted((r.r, r.k) for r in out.collect())
+    expect = sorted(
+        (i + 1, k)
+        for i, (v, k) in enumerate(
+            sorted(((r.v, r.k) for r in df.collect()), key=lambda t: (-t[0], t[1]))
+        )
+    )
+    assert rows == expect
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    specs = [l for l in plan.splitlines() if "windowspecdefinition" in l]
+    assert specs and "_w0" in specs[0], specs
