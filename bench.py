@@ -207,6 +207,11 @@ HEADLINE = [
     "forecast_reconciliation_topdown",
     "ols_two_factor_demand",
     "association_rules",
+    # round 7: DSIR importance-weighted selection (hashed-bigram
+    # log-ratio model, broadcast buckets) and per-source token-budget
+    # curation (exact-integer quality order + running token sum)
+    "dsir_importance_selection",
+    "token_budget_selection",
 ]
 
 # Capability demos: registered + oracle-checked, but benched apart from

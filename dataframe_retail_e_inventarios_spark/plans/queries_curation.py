@@ -408,3 +408,225 @@ SELECT doc_id, shuffle_key, position,
 FROM pos
 """,
 )
+
+
+# -- DSIR-style importance-weighted data selection --------------------------
+_DSIR_BUCKETS = 4096
+_DSIR_KEEP = 500
+
+
+def q_dsir_importance_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al. 2023,
+    arXiv:2302.03169) over hashed word-bigram features: score every
+    document by how much more likely its n-grams are under the TARGET
+    distribution (here: the lang='en' slice — "select raw data that
+    looks like the target") than under the raw corpus, then keep the
+    top-K. score(doc) = Σ_grams [ln p_t(b) − ln p_r(b)] with hashed
+    bigram buckets b and Laplace smoothing — the standard
+    importance-weight estimator with hashed features.
+
+    Engine-exact construction: bigrams reduce to the 31-bit Horner mix
+    of per-token md5 hashes (queries_corpus._gram_mix) mod 4096
+    buckets; each bucket's log-ratio is computed ONCE from exact
+    integer counts and snapped to a 1e-9-scaled BIGINT, so the per-doc
+    score is an exact integer SUM (order-independent, no cross-engine
+    float accumulation) and the top-K cut ranks on that exact integer
+    (ties → doc_id). Selection rank runs on the distributed
+    range-partition machinery — the frame is corpus-sized.
+
+    Scale posture: one tokenize scan (checkpointed gram frame feeds
+    bucket counts, totals, and the score join), a ≤4096-row broadcast
+    bucket table, and 8-byte shuffle keys throughout — the 100 TB
+    shape of DSIR is exactly this: tiny hashed-feature model,
+    broadcast, one pass."""
+    from ..operators.distributed_rank import with_global_rank
+    from .queries_corpus import _gram_mix, _token_hashes
+
+    docs = load_table(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    hs = docs.repartition(par, "doc_id").select(
+        "doc_id",
+        (F.col("lang") == "en").alias("is_t"),
+        _token_hashes(tokens("text")).alias("hs"),
+    )
+    hcol = F.col("hs")
+    idx = F.sequence(F.lit(1), F.size(hcol) - 1)
+    grams = F.when(
+        F.size(hcol) >= 2, F.transform(idx, lambda i: _gram_mix(hcol, i, 2))
+    ).otherwise(F.array().cast("array<bigint>"))
+    g = (
+        hs.select("doc_id", "is_t", F.explode(grams).alias("gh"))
+        .select("doc_id", "is_t", (F.col("gh") % _DSIR_BUCKETS).alias("b"))
+        .localCheckpoint(eager=True)
+    )
+    bc = g.groupBy("b").agg(
+        F.count(F.lit(1)).alias("cr"),
+        F.sum(F.col("is_t").cast("long")).alias("ct"),
+    )
+    tot = g.agg(
+        F.count(F.lit(1)).alias("nr"),
+        F.sum(F.col("is_t").cast("long")).alias("nt"),
+    )
+    lr = (
+        F.log(F.col("ct") + 1)
+        - F.log(F.col("nt") + _DSIR_BUCKETS)
+        - F.log(F.col("cr") + 1)
+        + F.log(F.col("nr") + _DSIR_BUCKETS)
+    )
+    buckets = (
+        bc.crossJoin(F.broadcast(tot))
+        .select("b", F.round(lr * 1e9, 0).cast("long").alias("lri"))
+    )
+    scored = (
+        g.join(F.broadcast(buckets), "b")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_grams"), F.sum("lri").alias("s"))
+    )
+    ranked = with_global_rank(
+        scored,
+        [F.col("s").desc(), F.col("doc_id").asc()],
+        rank_col="_rk",
+        materialize=True,
+    )
+    return ranked.select(
+        "doc_id",
+        "n_grams",
+        F.round(F.col("s") / 1e9, 6).alias("dsir_score"),
+        (F.col("_rk") <= _DSIR_KEEP).alias("selected"),
+    ).orderBy("doc_id")
+
+
+def _dsir_sql() -> str:
+    from .queries_corpus import _gram_mix_sql
+
+    return f"""
+WITH hs AS (
+  SELECT doc_id, (lang = 'en') AS is_t,
+         list_transform({_TOKS_SQL},
+                        x -> CAST(('0x' || substr(md5(x), 1, 8)) AS BIGINT)) AS hs
+  FROM documents
+),
+g AS (
+  SELECT doc_id, is_t, u.gh % {_DSIR_BUCKETS} AS b
+  FROM hs, LATERAL unnest(
+    list_transform(range(1, len(hs)), i -> {_gram_mix_sql('hs', 'i', 2)})
+  ) AS u(gh)
+  WHERE len(hs) >= 2
+),
+bc AS (
+  SELECT b, count(*) AS cr,
+         CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS ct
+  FROM g GROUP BY b
+),
+tot AS (
+  SELECT count(*) AS nr,
+         CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS nt
+  FROM g
+),
+lr AS (
+  SELECT b, CAST(round((ln(ct + 1) - ln(nt + {_DSIR_BUCKETS})
+                        - ln(cr + 1) + ln(nr + {_DSIR_BUCKETS})) * 1e9, 0)
+                 AS BIGINT) AS lri
+  FROM bc CROSS JOIN tot
+),
+sc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(sum(lri) AS BIGINT) AS s
+  FROM g JOIN lr USING (b) GROUP BY doc_id
+)
+SELECT doc_id, n_grams, round(s / 1e9, 6) AS dsir_score,
+       (row_number() OVER (ORDER BY s DESC, doc_id) <= {_DSIR_KEEP}) AS selected
+FROM sc
+ORDER BY doc_id
+"""
+
+
+register("dsir_importance_selection", q_dsir_importance_selection, _dsir_sql())
+
+
+# -- token-budget selection (quality-ordered running sum) -------------------
+_TOKEN_BUDGET = 4000
+
+
+def q_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-budget curation: order each source's documents
+    by quality and keep documents until the source's TOKEN budget is
+    exhausted — the "fill the mixture to N tokens per source" step of
+    training-data assembly (class_balanced_cap's sibling: that caps by
+    DOC count, this by token mass, which is what the training budget
+    is actually denominated in).
+
+    The quality key is exact-integer (stopword occurrences per million
+    tokens via BIGINT integer division — natural text ranks high), so
+    ordering is bit-identical on any engine; the running token sum is
+    a per-source ROWS window over the (quality desc, doc_id) total
+    order. One scan, one partitioned window shuffle — no global sort,
+    no driver participation, source-parallel at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    n_tok = F.size(toks).cast("long")
+    n_stop = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))).cast("long")
+    # integer counts first, then the exact-integer quality key (the
+    # `div` expression needs the counts as named columns)
+    base = docs.select(
+        "source",
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        n_stop.alias("n_stop"),
+    ).select(
+        "source",
+        "doc_id",
+        "n_tokens",
+        F.when(
+            F.col("n_tokens") > 0,
+            F.expr("(n_stop * 1000000) div n_tokens"),
+        )
+        .otherwise(F.lit(0).cast("long"))
+        .alias("qi"),
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("qi").desc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return (
+        base.withColumn("cum_tokens", cum.cast("long"))
+        .filter(F.col("cum_tokens") <= _TOKEN_BUDGET)
+        .select("source", "doc_id", "n_tokens", "qi", "cum_tokens")
+        .orderBy("source", "doc_id")
+    )
+
+
+register(
+    "token_budget_selection",
+    q_token_budget_selection,
+    f"""
+WITH t AS (
+  SELECT source, doc_id,
+         CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens,
+         CAST(len(list_filter({_TOKS_SQL},
+                              x -> x IN ({{stop_in}}))) AS BIGINT) AS n_stop
+  FROM documents
+),
+q AS (
+  SELECT source, doc_id, n_tokens,
+         CASE WHEN n_tokens > 0 THEN (n_stop * 1000000) // n_tokens
+              ELSE 0 END AS qi
+  FROM t
+),
+c AS (
+  SELECT source, doc_id, n_tokens, CAST(qi AS BIGINT) AS qi,
+         CAST(sum(n_tokens) OVER (
+           PARTITION BY source ORDER BY qi DESC, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS cum_tokens
+  FROM q
+)
+SELECT source, doc_id, n_tokens, qi, cum_tokens
+FROM c WHERE cum_tokens <= {_TOKEN_BUDGET}
+ORDER BY source, doc_id
+""".replace("{stop_in}", ", ".join(f"'{s}'" for s in STOPWORDS)),
+)

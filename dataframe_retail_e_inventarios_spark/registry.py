@@ -51,6 +51,8 @@ _PRIORITY = [
     "content_fingerprint_by_month",
     "zipf_vocab_topk",
     "zipf_slope",
+    "dsir_importance_selection",
+    "token_budget_selection",
     "asof_join_latest_order",
     "cube_sales_summary",
     "events_props_json",

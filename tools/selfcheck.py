@@ -28,13 +28,24 @@ def main() -> int:
     if argv and argv[0] == "--json":
         json_out = argv[1]
         argv = argv[2:]
+    headline_only = False
+    if argv and argv[0] == "--headline":
+        headline_only = True
+        argv = argv[1:]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
     filters = argv[1:]
+    headline = None
+    if headline_only:
+        from bench import HEADLINE
+
+        headline = set(HEADLINE)
     spark = get_spark("selfcheck")
     qs, oracles = queries(), oracle_sql()
     report: dict[str, dict] = {}
     failed = 0
     for name, fn in qs.items():
+        if headline is not None and name not in headline:
+            continue
         if filters and not any(f in name for f in filters):
             continue
         t0 = time.time()
