@@ -292,6 +292,18 @@ CURVE = [
     "apriori_triple_itemsets",
     "time_decay_attribution",
     "phrase_search_positional",
+    # round 7 (r6 verdict #5): the remaining r6 newcomers — top-down
+    # reconciliation (broadcast dim + checkpointed shared scans), the
+    # basket-pair association rules, the two-factor OLS (exact moment
+    # sums), and the entity-formation fixpoint (iteration count vs
+    # corpus growth is the open question — see SCALE.md) — plus the
+    # r7 selection family (hashed-feature DSIR, token-budget window).
+    "forecast_reconciliation_topdown",
+    "association_rules",
+    "ols_two_factor_demand",
+    "entity_clusters_fuzzy",
+    "dsir_importance_selection",
+    "token_budget_selection",
 ]
 
 
