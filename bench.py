@@ -212,6 +212,15 @@ HEADLINE = [
     # curation (exact-integer quality order + running token sum)
     "dsir_importance_selection",
     "token_budget_selection",
+    # round 7, part 2: cross-doc exact-substring spans (Lee et al.
+    # positional-gram islands), the LSH banding S-curve audit, the
+    # mergeable histogram quantile sketch, the TPC-H Q2-shaped
+    # correlated min, and the PR/F1 threshold sweep.
+    "exact_substring_overlap",
+    "lsh_band_recall_audit",
+    "histogram_quantile_sketch",
+    "min_cost_supplier_per_part",
+    "pr_curve_quality",
 ]
 
 # Capability demos: registered + oracle-checked, but benched apart from

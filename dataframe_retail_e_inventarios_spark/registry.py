@@ -44,6 +44,12 @@ _PRIORITY = [
     # stalest greens — every query whose most recent driver hash row
     # is r1/r2/r3 vintage, oldest first — so the 50-row sample
     # budget re-certifies the oldest certificates in the registry.
+    # r7 NEW queries first (their first possible hash rows):
+    "exact_substring_overlap",
+    "lsh_band_recall_audit",
+    "histogram_quantile_sketch",
+    "min_cost_supplier_per_part",
+    "pr_curve_quality",
     "ann_ivf_topk",
     "entity_clusters_fuzzy",
     "association_rules",
@@ -197,6 +203,7 @@ def _load_all() -> None:
         "queries_corpus",
         "queries_dq",
         "queries_eval",
+        "queries_mining",
     ):
         qualname = f"{__package__}.plans.{mod}"
         try:

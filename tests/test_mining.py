@@ -1,0 +1,267 @@
+"""Differential and planted-case tests for the round-7 mining queries:
+exact-substring overlap (positional-gram islands), the LSH banding
+S-curve audit, the histogram quantile sketch, the TPC-H Q2-shaped
+correlated min, and the PR/F1 threshold sweep."""
+
+import hashlib
+import re
+from collections import defaultdict
+
+import numpy as np
+import pandas as pd
+
+from conftest import SF_SMOKE
+
+from dataframe_retail_e_inventarios_spark.plans.queries_mining import (
+    _HQ_BINS,
+    _HQ_QS,
+    _PR_BINS,
+    _PR_MARKERS,
+    _SUB_MAX_DF,
+    _SUB_MIN_RUN,
+    _SUB_N,
+    q_histogram_quantile_sketch,
+    q_lsh_band_recall_audit,
+    q_min_cost_supplier,
+    q_pr_curve_quality,
+    substring_overlap_pairs,
+)
+
+_MIX_K = 1_000_003
+_MIX_M = 2_147_483_647
+
+
+def _toks(text):
+    return re.split(r"\s+", text.strip().lower())
+
+
+def _h32(s):
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+def _gram_hashes(text, n):
+    hs = [_h32(t) for t in _toks(text)]
+    out = []
+    for i in range(len(hs) - n + 1):
+        acc = hs[i]
+        for j in range(1, n):
+            acc = (acc % _MIX_M * _MIX_K + hs[i + j]) % _MIX_M
+        out.append(acc)
+    return out
+
+
+def _brute_overlap(docs: pd.DataFrame, n, max_df, min_run):
+    """Pure-python replay of substring_overlap_pairs."""
+    grams = []  # (doc, pos, gh)
+    for r in docs.itertuples():
+        for pos, gh in enumerate(_gram_hashes(r.text, n)):
+            grams.append((r.doc_id, pos, gh))
+    by_gh = defaultdict(list)
+    for d, p, gh in grams:
+        by_gh[gh].append((d, p))
+    out = defaultdict(set)  # (a, b) -> set of pos_a
+    for gh, occ in by_gh.items():
+        docs_in = {d for d, _ in occ}
+        if not (2 <= len(docs_in) <= max_df):
+            continue
+        for da, pa in occ:
+            for db, _pb in occ:
+                if da < db:
+                    out[(da, db)].add(pa)
+    rows = []
+    for (a, b), poss in out.items():
+        ps = sorted(poss)
+        runs, cur = [], 1
+        for i in range(1, len(ps)):
+            if ps[i] == ps[i - 1] + 1:
+                cur += 1
+            else:
+                runs.append(cur)
+                cur = 1
+        runs.append(cur)
+        longest = max(runs) + n - 1
+        if longest >= min_run + n - 1:
+            rows.append((a, b, len(ps), longest))
+    return pd.DataFrame(
+        rows, columns=["id_a", "id_b", "shared_grams", "longest_run_tokens"]
+    ).sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def test_substring_overlap_matches_brute_force(spark):
+    docs_pd = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    expect = _brute_overlap(docs_pd, _SUB_N, _SUB_MAX_DF, _SUB_MIN_RUN)
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    got = (
+        substring_overlap_pairs(docs)
+        .toPandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    assert got.astype("int64").equals(expect.astype("int64")), (
+        f"\ngot:\n{got}\nexpect:\n{expect}"
+    )
+
+
+def test_substring_overlap_planted_run(spark):
+    """Two docs share exactly one 12-token passage -> one pair whose
+    longest run is 12 tokens (5 grams of width 8); a third doc with
+    no 8-token overlap stays out."""
+    passage = "alpha bravo charlie delta echo foxtrot golf hotel india juliett kilo lima"
+    filler_a = "one two three four five six seven"
+    filler_b = "red green blue cyan magenta yellow black"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{filler_a} {passage} {filler_b}"),
+            (2, f"{filler_b} {passage} {filler_a}"),
+            (3, f"{filler_a} {filler_b}"),
+        ],
+        "doc_id long, text string",
+    )
+    got = substring_overlap_pairs(docs).toPandas()
+    assert len(got) == 1
+    row = got.iloc[0]
+    assert (row.id_a, row.id_b) == (1, 2)
+    assert row.longest_run_tokens == 12
+    assert row.shared_grams == 5
+
+
+def test_substring_overlap_df_cap_drops_boilerplate(spark):
+    """A passage shared by MORE than max_df docs is boilerplate: its
+    grams are df-capped out, so no pairs are emitted for it."""
+    passage = " ".join(f"w{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [(i, f"pad{i} {passage} tail{i}") for i in range(5)],
+        "doc_id long, text string",
+    )
+    got = substring_overlap_pairs(docs, max_df=3).toPandas()
+    assert len(got) == 0
+
+
+def test_lsh_band_recall_audit_properties(spark):
+    out = (
+        q_lsh_band_recall_audit(spark, SF_SMOKE)
+        .toPandas()
+        .sort_values("j_bin")
+        .reset_index(drop=True)
+    )
+    assert len(out) >= 1
+    assert (out.n_detected <= out.n_pairs).all()
+    assert out.empirical_rate.between(0, 1).all()
+    assert out.analytic_p.between(0, 1).all()
+    # the analytic S-curve is monotone in the bin midpoint
+    assert (out.analytic_p.diff().dropna() >= 0).all()
+    # analytic values replay exactly: p = 1-(1-s^4)^4 at s = midpoint
+    for r in out.itertuples():
+        s = (r.j_bin + 0.5) / 10.0
+        j4 = s * s * s * s
+        m = 1.0 - j4
+        assert abs(r.analytic_p - round(1.0 - m * m * m * m, 6)) < 1e-12
+
+
+def test_histogram_quantile_sketch_matches_numpy(spark):
+    li = pd.read_parquet(f"{SF_SMOKE}/lineitem.parquet")
+    v = li.l_extendedprice.to_numpy()
+    mn, mx, n = v.min(), v.max(), len(v)
+    width = (mx - mn) / float(_HQ_BINS)
+    bins = np.minimum(_HQ_BINS - 1, np.floor((v - mn) / width)).astype(int)
+    cnt = np.bincount(bins, minlength=_HQ_BINS)
+    cum = cnt.cumsum()
+    out = q_histogram_quantile_sketch(spark, SF_SMOKE).toPandas()
+    assert len(out) == len(_HQ_QS)
+    for q in _HQ_QS:
+        target = q * n
+        k = int(np.searchsorted(cum, target))
+        cum_prev = cum[k] - cnt[k]
+        est = mn + width * (k + (target - cum_prev) / cnt[k])
+        row = out[out.q == q].iloc[0]
+        assert row.bin_id == k
+        assert abs(row.est_value - round(est, 4)) < 1e-9
+        # estimate is within one bin width of the true quantile
+        true_q = np.quantile(v, q)
+        assert abs(row.est_value - true_q) <= width + 1e-9
+    # monotone: P50 <= P90 <= P99
+    ordered = out.sort_values("q").est_value.to_numpy()
+    assert (np.diff(ordered) >= 0).all()
+
+
+def test_min_cost_supplier_matches_pandas(spark):
+    li = pd.read_parquet(f"{SF_SMOKE}/lineitem.parquet")
+    sup = pd.read_parquet(f"{SF_SMOKE}/supplier.parquet")
+    nat = pd.read_parquet(f"{SF_SMOKE}/nation.parquet")
+    li = li.assign(
+        cents=(li.l_extendedprice * 100).round().astype("int64"),
+        qty=li.l_quantity.astype("int64"),
+    )
+    per = (
+        li.groupby(["l_partkey", "l_suppkey"])
+        .agg(cents=("cents", "sum"), qty=("qty", "sum"), n_lines=("qty", "size"))
+        .reset_index()
+    )
+    # exact integer half-even rounding to 4dp, as the query does
+    num = per.cents * 100
+    q0 = num // per.qty
+    rem = num % per.qty
+    tie_up = (q0 % 2 != 0).astype("int64")
+    adj = np.where(rem * 2 > per.qty, 1, np.where(rem * 2 < per.qty, 0, tie_up))
+    per["unit_cost"] = (q0 + adj) / 10000.0
+    per["n_suppliers"] = per.groupby("l_partkey").l_suppkey.transform("size")
+    best = (
+        per.sort_values(["l_partkey", "unit_cost", "l_suppkey"])
+        .groupby("l_partkey")
+        .head(1)
+    )
+    best = best.merge(
+        sup[["s_suppkey", "s_name", "s_nationkey"]],
+        left_on="l_suppkey",
+        right_on="s_suppkey",
+    ).merge(nat[["n_nationkey", "n_name"]], left_on="s_nationkey", right_on="n_nationkey")
+    got = (
+        q_min_cost_supplier(spark, SF_SMOKE)
+        .toPandas()
+        .sort_values("partkey")
+        .reset_index(drop=True)
+    )
+    expect = best.sort_values("l_partkey").reset_index(drop=True)
+    assert got.partkey.equals(expect.l_partkey.astype("int64").rename("partkey"))
+    assert got.best_suppkey.equals(
+        expect.l_suppkey.astype("int64").rename("best_suppkey")
+    )
+    assert got.supplier_nation.equals(expect.n_name.rename("supplier_nation"))
+    assert np.array_equal(got.unit_cost.to_numpy(), expect.unit_cost.to_numpy())
+    assert got.n_suppliers.equals(
+        expect.n_suppliers.astype("int64").rename("n_suppliers")
+    )
+
+
+def test_pr_curve_matches_pandas(spark):
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    rows = []
+    for r in docs.itertuples():
+        toks = _toks(r.text)
+        score = (
+            sum(1 for t in toks if t in _PR_MARKERS) / len(toks) if toks else 0.0
+        )
+        rows.append((min(_PR_BINS, int(np.floor(score * _PR_BINS))), r.lang == "en"))
+    sc = pd.DataFrame(rows, columns=["bin", "pos"])
+    total_pos = int(sc.pos.sum())
+    got = (
+        q_pr_curve_quality(spark, SF_SMOKE)
+        .toPandas()
+        .sort_values("thr")
+        .reset_index(drop=True)
+    )
+    assert len(got) == _PR_BINS + 1
+    for b in range(_PR_BINS + 1):
+        sel = sc[sc.bin >= b]
+        tp = int(sel.pos.sum())
+        fp = int((~sel.pos).sum())
+        row = got.iloc[b]
+        assert row.tp == tp and row.fp == fp and row.fn == total_pos - tp
+        p = tp / (tp + fp) if tp + fp else 0.0
+        r_ = tp / total_pos if total_pos else 0.0
+        f1 = 2 * p * r_ / (p + r_) if p + r_ > 0 else 0.0
+        assert abs(row.precision - round(p, 4)) <= 1e-9
+        assert abs(row.recall - round(r_, 4)) <= 1e-9
+        assert abs(row.f1 - round(f1, 4)) <= 2e-4
+    # recall is monotone non-increasing in the threshold
+    assert (got.recall.diff().dropna() <= 1e-12).all()
