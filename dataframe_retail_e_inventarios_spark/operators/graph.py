@@ -34,6 +34,7 @@ def connected_components(
     dst: str = "id_b",
     max_iterations: int = 20,
     stats: dict | None = None,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """(node, cluster_id) with cluster_id = min node id reachable in the
     undirected graph given by ``pairs``. Nodes not in any pair are not
@@ -42,13 +43,21 @@ def connected_components(
     Raises ``RuntimeError`` if the fixpoint is not reached within
     ``max_iterations`` — a silent cap exit would hand back wrong
     cluster ids. Pass ``stats={}`` to observe ``stats["iterations"]``
-    (propagation rounds actually run ≈ graph min-label diameter)."""
-    edges = (
-        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .union(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
-        .distinct()
-        .localCheckpoint(eager=True)
+    (propagation rounds actually run ≈ graph min-label diameter).
+
+    ``assume_distinct=True`` skips the edge-dedup shuffle: correct for
+    any caller whose pair generator emits each undirected pair once
+    (blocked levenshtein: one block per record; LSH first-match-band:
+    one band per pair) — min-aggregation is idempotent under
+    duplicate edges, so even a violated promise costs join volume,
+    never correctness. On a 3M-edge graph the skipped distinct() is a
+    full 2x-edge-list shuffle (measured on entity_clusters_fuzzy)."""
+    edges = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v")).union(
+        pairs.select(F.col(dst).alias("u"), F.col(src).alias("v"))
     )
+    if not assume_distinct:
+        edges = edges.distinct()
+    edges = edges.localCheckpoint(eager=True)
     # label(v) starts at min(v, min neighbor) and contracts monotonically.
     labels = edges.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("label"))
     labels = labels.select(F.col("u").alias("node"), "label").localCheckpoint(eager=True)

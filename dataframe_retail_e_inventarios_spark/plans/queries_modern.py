@@ -146,8 +146,22 @@ def q_inventory_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reads `pos`, and without the cut each of the 52 levels would
     # re-derive the whole dense-resample pipeline (52 full scans).
     # After the checkpoint each level joins a small in-memory frame
-    # — the same rule as the PageRank loop in queries_trend.
-    pos = _topk_positions(_positions(spark, sf_dir)).localCheckpoint(eager=True)
+    # — the same rule as the PageRank loop in queries_trend. The
+    # 4-partition layout cuts the per-level task count: the frame is
+    # ≤ 2000x52 rows, and at 32 default partitions each of the 52
+    # UnionLoop levels schedules 8x the tasks for the same data
+    # (measured 14.2 s -> 9.9 s at sf0.1 from this one change; a
+    # BROADCAST(pos) hint is WORSE — the build is re-broadcast every
+    # level, 24 s cold).
+    # _topk_positions consumes the position frame TWICE (totals +
+    # join), so cut its lineage first or the dense-resample pipeline
+    # runs two full passes (measured: half the 10 s pos-build wall).
+    pos_all = _positions(spark, sf_dir).localCheckpoint(eager=True)
+    pos = (
+        _topk_positions(pos_all)
+        .repartition(4, "product_id")
+        .localCheckpoint(eager=True)
+    )
     pos.createOrReplaceTempView("_inv_pos")
     # Same SQL text as the oracle modulo the half-even rounding
     # builtin name (Spark: bround, DuckDB: round_even).

@@ -1097,7 +1097,10 @@ def q_entity_clusters_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     part = load_table(spark, sf_dir, "part")
     pairs = blocked_levenshtein_pairs(part, "p_partkey", "p_name", max_dist=1)
-    cc = connected_components(pairs, src="id_a", dst="id_b")
+    # each record sits in exactly one levenshtein block, so every
+    # undirected pair is emitted once — the edge-dedup shuffle (2x the
+    # 3.1M-edge list at sf0.1) is pure overhead here
+    cc = connected_components(pairs, src="id_a", dst="id_b", assume_distinct=True)
     names = part.select(
         F.col("p_partkey").alias("entity_id"),
         F.col("p_name").alias("canonical_name"),
