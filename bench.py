@@ -221,6 +221,12 @@ HEADLINE = [
     "histogram_quantile_sketch",
     "min_cost_supplier_per_part",
     "pr_curve_quality",
+    # round 7, part 3: TPC-H Q13 custdist, chance-corrected langid
+    # agreement (integer-exact kappa), SemDeDup-shaped per-vector
+    # keep/drop over the deterministic sign-LSH buckets.
+    "custdist_order_counts",
+    "cohens_kappa_langid",
+    "semdedup_keep_decision",
 ]
 
 # Capability demos: registered + oracle-checked, but benched apart from

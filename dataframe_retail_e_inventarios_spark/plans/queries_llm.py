@@ -398,7 +398,10 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lang_sql() -> str:
+def _lang_pred_sql() -> str:
+    """DuckDB expression for the marker-argmax predicted language over
+    a ``toks`` column — shared by the lang-ID oracle and the Cohen's
+    kappa oracle (queries_mining)."""
     score = {
         lang: f"len(list_filter(toks, x -> x IN ({', '.join(repr(m) for m in marks)})))"
         for lang, marks in _LANG_MARKERS.items()
@@ -407,6 +410,11 @@ def _lang_sql() -> str:
     for lang in ("en", "es", "de", "fr"):
         pred = f"CASE WHEN {score[lang]} > {best} THEN '{lang}' ELSE {pred} END"
         best = f"CASE WHEN {score[lang]} > {best} THEN {score[lang]} ELSE {best} END"
+    return pred
+
+
+def _lang_sql() -> str:
+    pred = _lang_pred_sql()
     return f"""
 WITH t AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents)
 SELECT doc_id, lang AS labeled_lang,

@@ -622,3 +622,219 @@ SELECT bin / {float(_PR_BINS)} AS thr, tp, fp,
 FROM cum_t
 """,
 )
+
+
+# -- TPC-H Q13: customer order-count distribution ---------------------------
+def q_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: every customer (including the order-less ones)
+    gets an order count via LEFT join, then the distribution of those
+    counts. Spark-first: orders PRE-AGGREGATE to one row per custkey
+    before the join (map-side combine shrinks the shuffle to customer
+    grain), the left join fills absent customers with 0, and the
+    second aggregation runs on the tiny (c_count) domain."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    counts = cust.join(per_cust, "c_custkey", "left").select(
+        F.coalesce("n_orders", F.lit(0)).cast("long").alias("c_count")
+    )
+    return counts.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+register(
+    "custdist_order_counts",
+    q_custdist,
+    """
+WITH per_cust AS (
+  SELECT o_custkey AS c_custkey, count(*) AS n_orders FROM orders GROUP BY 1
+),
+counts AS (
+  SELECT CAST(coalesce(p.n_orders, 0) AS BIGINT) AS c_count
+  FROM customer c LEFT JOIN per_cust p USING (c_custkey)
+)
+SELECT c_count, count(*) AS custdist FROM counts GROUP BY 1
+""",
+)
+
+
+# -- Cohen's kappa for the language-ID heuristic ----------------------------
+def q_cohens_kappa_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chance-corrected agreement between the marker-argmax language
+    prediction and the labeled language: kappa = (po - pe) / (1 - pe),
+    computed ENTIRELY on exact integers — po and pe share the n^2
+    denominator, so kappa = (n*agree - SUM_c n_label(c)*n_pred(c)) /
+    (n^2 - SUM_c ...) is one integer ratio with a single double
+    division; po and pe are emitted alongside, each its own single
+    division. Extends langid_confusion (the matrix) with the one-number
+    QA readout a labeling pipeline alerts on."""
+    from .queries_llm import q_lang_id
+
+    p = q_lang_id(spark, sf_dir).select("labeled_lang", "pred_lang", "agree")
+    lab = p.groupBy(F.col("labeled_lang").alias("cls")).agg(
+        F.count(F.lit(1)).alias("n_lab")
+    )
+    prd = p.groupBy(F.col("pred_lang").alias("cls")).agg(
+        F.count(F.lit(1)).alias("n_prd")
+    )
+    pe_num = lab.join(prd, "cls").agg(
+        F.sum(F.col("n_lab") * F.col("n_prd")).cast("long").alias("pe_num")
+    )
+    tot = p.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("agree").cast("long")).cast("long").alias("n_agree"),
+    )
+    joined = tot.crossJoin(F.broadcast(pe_num))
+    n = F.col("n")
+    return joined.select(
+        n.cast("long").alias("n"),
+        "n_agree",
+        "pe_num",
+        F.round(F.col("n_agree") / n, 6).alias("po"),
+        F.round(F.col("pe_num") / (n * n), 6).alias("pe"),
+        F.round(
+            (n * F.col("n_agree") - F.col("pe_num"))
+            / (n * n - F.col("pe_num")),
+            6,
+        ).alias("kappa"),
+    )
+
+
+def _kappa_sql() -> str:
+    from .queries_llm import _lang_pred_sql
+
+    pred = _lang_pred_sql()
+    return f"""
+WITH t AS (SELECT lang, {_TOKS_SQL} AS toks FROM documents),
+p AS (
+  SELECT lang AS labeled_lang, {pred} AS pred_lang,
+         ({pred}) = lang AS agree
+  FROM t
+),
+lab AS (SELECT labeled_lang AS cls, count(*) AS n_lab FROM p GROUP BY 1),
+prd AS (SELECT pred_lang AS cls, count(*) AS n_prd FROM p GROUP BY 1),
+pe AS (SELECT CAST(sum(n_lab * n_prd) AS BIGINT) AS pe_num
+       FROM lab JOIN prd USING (cls)),
+tot AS (SELECT count(*) AS n,
+               CAST(sum(CASE WHEN agree THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+        FROM p)
+SELECT CAST(n AS BIGINT) AS n, n_agree, pe_num,
+       round(n_agree / CAST(n AS DOUBLE), 6) AS po,
+       round(pe_num / CAST(n * n AS DOUBLE), 6) AS pe,
+       round((n * n_agree - pe_num) / CAST(n * n - pe_num AS DOUBLE), 6)
+         AS kappa
+FROM tot CROSS JOIN pe
+"""
+
+
+register("cohens_kappa_langid", q_cohens_kappa_langid, _kappa_sql())
+
+
+# -- SemDeDup-style embedding keep/drop decision ----------------------------
+_SEM_TAU = 0.35
+
+
+def q_semdedup_keep_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shaped semantic dedup over the embedding corpus: the
+    keep/drop decision per VECTOR, not just the pair list. A vector is
+    dropped when a SMALLER-id vector with cosine >= tau shares one of
+    its 12 sign-LSH band buckets (the deterministic integer-Rademacher
+    plane family — operators/similarity.with_sign_band_keys with
+    int_exact=True, the same md5-seeded matrix the DuckDB oracle
+    rebuilds bit-for-bit). Never all-pairs: candidates come from the
+    banded bucket join; the exact cosine runs on candidates only.
+
+    Output: one row per embedding with kept flag and the number of
+    smaller-id qualifying duplicates — the frame a curation pipeline
+    anti-joins against the corpus (the embedding-side analogue of
+    dedup_survivors)."""
+    from ..operators.similarity import cosine, with_sign_band_keys
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    keyed = with_sign_band_keys(
+        emb.select("vec_id", "embedding"), "embedding", 24, 12, int_exact=True
+    )
+    melted = keyed.select(
+        "vec_id",
+        "embedding",
+        F.explode_outer(F.array(*[f"bk{b}" for b in range(12)])).alias("band_key"),
+    ).filter(F.col("band_key").isNotNull())
+    a, b = melted.alias("a"), melted.alias("b")
+    pairs = (
+        a.hint("merge")
+        .join(
+            b,
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.col("a.embedding").alias("va"),
+            F.col("b.embedding").alias("vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    dups = (
+        pairs.withColumn("cos", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cos") >= _SEM_TAU)
+        .groupBy(F.col("id_b").alias("vec_id"))
+        .agg(F.count(F.lit(1)).alias("n_dup_smaller"))
+    )
+    return emb.select("vec_id").join(dups, "vec_id", "left").select(
+        "vec_id",
+        F.col("n_dup_smaller").isNull().alias("kept"),
+        F.coalesce("n_dup_smaller", F.lit(0)).cast("long").alias("n_dup_smaller"),
+    )
+
+
+register(
+    "semdedup_keep_decision",
+    q_semdedup_keep_decision,
+    f"""
+WITH dims AS (SELECT unnest(range(0, 64)) AS d),
+planes AS (SELECT unnest(range(0, 24)) AS p),
+w AS (
+  SELECT p, d,
+         CASE WHEN CAST(('0x' || substr(md5('lshw:' || p || ':' || d), 1, 8))
+                   AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END AS wt
+  FROM planes CROSS JOIN dims
+),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+el AS (
+  SELECT vec_id, dims.d AS d,
+         CAST(round_even(v[dims.d + 1], 6) * 1e6 AS BIGINT) AS ei
+  FROM e CROSS JOIN dims
+),
+proj AS (
+  SELECT vec_id, p, sum(ei * wt) AS s
+  FROM el JOIN w USING (d) GROUP BY 1, 2
+),
+keys AS (
+  SELECT vec_id,
+         concat(CAST(floor(p / 2) AS BIGINT), '|',
+                string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, ''
+                           ORDER BY p)) AS band_key
+  FROM proj GROUP BY vec_id, floor(p / 2)
+),
+cands AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM keys a JOIN keys b ON a.band_key = b.band_key AND a.vec_id < b.vec_id
+),
+dups AS (
+  SELECT id_b AS vec_id, count(*) AS n_dup_smaller
+  FROM cands
+  JOIN e ea ON ea.vec_id = id_a
+  JOIN e eb ON eb.vec_id = id_b
+  WHERE list_inner_product(ea.v, eb.v)
+        / (sqrt(list_inner_product(ea.v, ea.v)) * sqrt(list_inner_product(eb.v, eb.v)))
+        >= {_SEM_TAU}
+  GROUP BY 1
+)
+SELECT e.vec_id,
+       d.n_dup_smaller IS NULL AS kept,
+       CAST(coalesce(d.n_dup_smaller, 0) AS BIGINT) AS n_dup_smaller
+FROM e LEFT JOIN dups d USING (vec_id)
+""",
+)

@@ -50,6 +50,9 @@ _PRIORITY = [
     "histogram_quantile_sketch",
     "min_cost_supplier_per_part",
     "pr_curve_quality",
+    "custdist_order_counts",
+    "cohens_kappa_langid",
+    "semdedup_keep_decision",
     "ann_ivf_topk",
     "entity_clusters_fuzzy",
     "association_rules",

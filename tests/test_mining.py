@@ -265,3 +265,88 @@ def test_pr_curve_matches_pandas(spark):
         assert abs(row.f1 - round(f1, 4)) <= 2e-4
     # recall is monotone non-increasing in the threshold
     assert (got.recall.diff().dropna() <= 1e-12).all()
+
+
+def test_custdist_matches_pandas(spark):
+    from dataframe_retail_e_inventarios_spark.plans.queries_mining import (
+        q_custdist,
+    )
+
+    cust = pd.read_parquet(f"{SF_SMOKE}/customer.parquet")
+    orders = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")
+    per = orders.groupby("o_custkey").size()
+    counts = cust.c_custkey.map(per).fillna(0).astype("int64")
+    expect = (
+        counts.value_counts().rename_axis("c_count").rename("custdist")
+        .reset_index().sort_values("c_count").reset_index(drop=True)
+    )
+    got = (
+        q_custdist(spark, SF_SMOKE).toPandas()
+        .sort_values("c_count").reset_index(drop=True)
+    )
+    assert got.c_count.astype("int64").equals(expect.c_count.astype("int64"))
+    assert got.custdist.astype("int64").equals(expect.custdist.astype("int64"))
+    # every customer is represented exactly once
+    assert got.custdist.sum() == len(cust)
+
+
+def test_cohens_kappa_matches_sklearn_formula(spark):
+    from dataframe_retail_e_inventarios_spark.plans.queries_mining import (
+        q_cohens_kappa_langid,
+    )
+    from dataframe_retail_e_inventarios_spark.plans.queries_llm import (
+        _LANG_MARKERS,
+    )
+
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    preds = []
+    for r in docs.itertuples():
+        toks = _toks(r.text)
+        pred, best = "unknown", 0
+        for lang in ("en", "es", "de", "fr"):
+            s = sum(1 for t in toks if t in _LANG_MARKERS[lang])
+            if s > best:
+                pred, best = lang, s
+        preds.append((r.lang, pred))
+    df = pd.DataFrame(preds, columns=["lab", "prd"])
+    n = len(df)
+    n_agree = int((df.lab == df.prd).sum())
+    pe_num = int(
+        sum(
+            (df.lab == c).sum() * (df.prd == c).sum()
+            for c in set(df.lab) | set(df.prd)
+        )
+    )
+    got = q_cohens_kappa_langid(spark, SF_SMOKE).toPandas().iloc[0]
+    assert got.n == n and got.n_agree == n_agree and got.pe_num == pe_num
+    kappa = (n * n_agree - pe_num) / (n * n - pe_num)
+    assert abs(got.kappa - round(kappa, 6)) < 1e-12
+    # kappa <= po always; agreement above chance here
+    assert got.kappa <= got.po + 1e-12
+
+
+def test_semdedup_keep_decision_properties(spark):
+    from dataframe_retail_e_inventarios_spark.plans.queries_mining import (
+        _SEM_TAU,
+        q_semdedup_keep_decision,
+    )
+
+    got = q_semdedup_keep_decision(spark, SF_SMOKE).toPandas()
+    emb = pd.read_parquet(f"{SF_SMOKE}/embeddings.parquet")
+    # one decision per vector
+    assert len(got) == len(emb)
+    assert got.vec_id.is_unique
+    # the minimum id can never be dropped (no smaller-id neighbor)
+    assert bool(got[got.vec_id == got.vec_id.min()].kept.iloc[0])
+    assert ((got.n_dup_smaller > 0) == ~got.kept).all()
+    # dropped vectors really do have a smaller-id neighbor >= tau
+    # (exact numpy verify on the dropped set)
+    V = np.stack(emb.sort_values("vec_id").embedding.to_numpy())
+    ids = emb.sort_values("vec_id").vec_id.to_numpy()
+    norms = np.linalg.norm(V, axis=1)
+    pos = {v: i for i, v in enumerate(ids)}
+    dropped = got[~got.kept].vec_id.to_numpy()
+    for v in dropped[:50]:
+        i = pos[v]
+        sims = (V[:i] @ V[i]) / (norms[:i] * norms[i])
+        assert sims.size and sims.max() >= _SEM_TAU - 1e-9
