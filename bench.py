@@ -227,6 +227,12 @@ HEADLINE = [
     "custdist_order_counts",
     "cohens_kappa_langid",
     "semdedup_keep_decision",
+    # round 7, part 4: TPC-H Q7/Q10/Q22 silhouettes (bilateral volume,
+    # exact-ordered returned-revenue top-k, integer-exact above-average
+    # anti-join).
+    "volume_shipping_nation_pairs",
+    "returned_item_losses",
+    "global_sales_opportunity",
 ]
 
 # Capability demos: registered + oracle-checked, but benched apart from

@@ -558,3 +558,187 @@ SELECT product_id, store_id, week, round(units_sold, 2) AS units,
 FROM dense
 """,
 )
+
+
+# -- Round 7, part 4: classic warehouse join shapes -------------------------
+# TPC-H Q7/Q10/Q22 silhouettes over the star schema [SURVEY §2.3 join
+# family widening]. Each keeps money exact-integer inside the plan
+# (functions/exact.py) and broadcasts every dimension so the fact table
+# shuffles at most once.
+
+
+def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral shipping volume between supplier and
+    customer nations by ship year. The fact scans once with the year
+    filter pushed to parquet; supplier, customer, and BOTH nation
+    aliases broadcast (two tiny hash joins, no fact shuffle until the
+    final group-by); revenue is the exact scaled-integer sum."""
+    from ..functions.exact import exact_decimal_sum
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.year("l_shipdate").between(1996, 1997)
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation")
+    n_s = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n_c = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n_s), supp.s_nationkey == F.col("sn_key"))
+        .join(F.broadcast(n_c), cust.c_nationkey == F.col("cn_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year"))
+        .agg(
+            F.round(
+                exact_decimal_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                2,
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+register(
+    "volume_shipping_nation_pairs",
+    q_volume_shipping,
+    """
+SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       round(sum(CAST(round_even(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)) / 10000.0, 2) AS revenue,
+       count(*) AS n_lines
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ns ON s_nationkey = ns.n_nationkey
+JOIN nation nc ON c_nationkey = nc.n_nationkey
+WHERE year(l_shipdate) BETWEEN 1996 AND 1997
+  AND ns.n_name <> nc.n_name
+GROUP BY 1, 2, 3
+""",
+)
+
+
+def q_returned_item_losses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by revenue lost to returned
+    items ('R' lines on 1996 orders). Ordering runs on the EXACT
+    scaled-integer revenue (ties broken by c_custkey) so the top-k set
+    is deterministic and engine-independent; the rounded double is
+    derived after the cut. orderBy().limit(20) compiles to
+    TakeOrderedAndProject — per-partition heaps, no global sort."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.year("o_orderdate") == 1996
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    rev_i = F.sum(
+        F.bround(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0).cast(
+            "long"
+        )
+    ).alias("rev_i")
+    top = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(rev_i, F.count(F.lit(1)).alias("n_lines"))
+        .orderBy(F.col("rev_i").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+    return top.select(
+        "c_custkey",
+        "c_name",
+        "n_name",
+        F.round(F.col("rev_i") / 1e4, 2).alias("lost_revenue"),
+        "n_lines",
+    )
+
+
+register(
+    "returned_item_losses",
+    q_returned_item_losses,
+    """
+WITH agg AS (
+  SELECT c_custkey, c_name, n_name,
+         CAST(sum(CAST(round_even(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)) AS BIGINT) AS rev_i,
+         count(*) AS n_lines
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  WHERE l_returnflag = 'R' AND year(o_orderdate) = 1996
+  GROUP BY 1, 2, 3
+)
+SELECT c_custkey, c_name, n_name,
+       round(rev_i / 1e4, 2) AS lost_revenue, n_lines
+FROM agg
+ORDER BY rev_i DESC, c_custkey
+LIMIT 20
+""",
+)
+
+
+def q_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: customers with above-average positive account
+    balance who have never ordered, rolled up by market segment. The
+    above-average test stays integer-exact — cents * n_pos >
+    total_cents avoids a double average entirely — the global scalar
+    arrives via a broadcast 1-row cross join (no driver action, no
+    collect), and "never ordered" is a left-anti join (Spark's
+    null-safe NOT EXISTS)."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.bround(F.col("c_acctbal") * 100, 0).cast("long").alias("cents"),
+    )
+    stats = cust.filter(F.col("cents") > 0).agg(
+        F.sum("cents").cast("long").alias("total_cents"),
+        F.count(F.lit(1)).alias("n_pos"),
+    )
+    elig = cust.crossJoin(F.broadcast(stats)).filter(
+        F.col("cents") * F.col("n_pos") > F.col("total_cents")
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    never = elig.join(orders, elig.c_custkey == orders.o_custkey, "left_anti")
+    return never.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_cust"),
+        F.round(F.sum("cents") / 1e2, 2).alias("total_acctbal"),
+    )
+
+
+register(
+    "global_sales_opportunity",
+    q_global_sales_opportunity,
+    """
+WITH c AS (
+  SELECT c_custkey, c_mktsegment,
+         CAST(round_even(c_acctbal * 100, 0) AS BIGINT) AS cents
+  FROM customer
+),
+stats AS (
+  SELECT CAST(sum(cents) AS BIGINT) AS total_cents,
+         CAST(count(*) AS BIGINT) AS n_pos
+  FROM c WHERE cents > 0
+),
+elig AS (
+  SELECT c.* FROM c CROSS JOIN stats s
+  WHERE c.cents * s.n_pos > s.total_cents
+),
+never AS (
+  SELECT * FROM elig e
+  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = e.c_custkey)
+)
+SELECT c_mktsegment, count(*) AS n_cust,
+       round(CAST(sum(cents) AS BIGINT) / 1e2, 2) AS total_acctbal
+FROM never GROUP BY 1
+""",
+)

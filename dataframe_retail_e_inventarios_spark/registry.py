@@ -53,6 +53,9 @@ _PRIORITY = [
     "custdist_order_counts",
     "cohens_kappa_langid",
     "semdedup_keep_decision",
+    "volume_shipping_nation_pairs",
+    "returned_item_losses",
+    "global_sales_opportunity",
     "ann_ivf_topk",
     "entity_clusters_fuzzy",
     "association_rules",
