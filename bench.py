@@ -325,6 +325,13 @@ CURVE = [
     "entity_clusters_fuzzy",
     "dsir_importance_selection",
     "token_budget_selection",
+    # round 7, parts 3-4: the banded SemDeDup keep/drop (candidate-pair
+    # volume grows with bucket occupancy — the scale-sensitive one),
+    # the exact-substring span join, and the Q7-shaped bilateral
+    # volume (fact-sized: one orders join + small group domain).
+    "semdedup_keep_decision",
+    "exact_substring_overlap",
+    "volume_shipping_nation_pairs",
 ]
 
 
