@@ -28,3 +28,27 @@ def exact_decimal_sum_sql(expr: str, decimals: int = 4) -> str:
     return (
         f"sum(CAST(round_even(({expr}) * {scale}, 0) AS BIGINT)) / {float(scale)}"
     )
+
+
+def exact_money_sum(expr: Column, decimals: int = 4) -> Column:
+    """Boundary-safe twin of ``F.round(exact_decimal_sum(e, d), 2)``.
+
+    Rounding AFTER the double division is engine-divergent at the half
+    boundary: when the exact sum ends in ...50 at the 10^d scale the
+    true quotient sits exactly on x.xx5 — Spark's round() HALF_UPs the
+    shortest decimal repr while DuckDB rounds the binary double, and
+    the two can land one cent apart (seen live: 285207.035 -> .04 vs
+    .03). Here the d-digit -> cents rounding happens where the half is
+    EXACTLY representable (BIGINT/1e(d-2) is a true binary .5 whenever
+    it matters, for sums < 2^52), so both engines half-even to the same
+    cents BIGINT; the final /100.0 is never re-rounded."""
+    scale = 10**decimals
+    down = float(10 ** (decimals - 2))
+    scaled = F.bround(expr * scale, 0).cast("long")
+    cents = F.bround(F.sum(scaled) / F.lit(down), 0).cast("long")
+    return cents / F.lit(100.0)
+
+
+def exact_money_sum_sql(expr: str, decimals: int = 4) -> str:
+    inner = f"CAST(sum(CAST(round_even(({expr}) * {10**decimals}, 0) AS BIGINT)) AS BIGINT)"
+    return f"CAST(round_even({inner} / 1e{decimals - 2}, 0) AS BIGINT) / 1e2"

@@ -117,13 +117,12 @@ def _hot_key_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _brand_revenue(joined: DataFrame) -> DataFrame:
-    from ..functions.exact import exact_decimal_sum
+    from ..functions.exact import exact_money_sum
 
     return joined.groupBy("p_brand").agg(
-        F.round(
-            exact_decimal_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4),
-            2,
-        ).alias("revenue"),
+        exact_money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
+            "revenue"
+        ),
         F.count("*").alias("n_lines"),
     )
 
@@ -169,7 +168,7 @@ def q_skew_hot_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _skew_oracle() -> str:
-    from ..functions.exact import exact_decimal_sum_sql
+    from ..functions.exact import exact_money_sum_sql
 
     return f"""
 WITH f AS (
@@ -178,7 +177,7 @@ WITH f AS (
   FROM lineitem
 )
 SELECT p_brand,
-       round({exact_decimal_sum_sql('l_extendedprice * (1 - l_discount)', 4)}, 2) AS revenue,
+       {exact_money_sum_sql('l_extendedprice * (1 - l_discount)', 4)} AS revenue,
        count(*) AS n_lines
 FROM f JOIN part ON hk = p_partkey
 GROUP BY 1

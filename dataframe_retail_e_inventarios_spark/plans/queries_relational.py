@@ -197,7 +197,7 @@ GROUP BY event_type
 def q_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inner equi-joins with broadcast dims: revenue per region/nation.
     The fact (lineitem) never shuffles for dimension joins."""
-    from ..functions.exact import exact_decimal_sum
+    from ..functions.exact import exact_money_sum
 
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
@@ -211,9 +211,8 @@ def q_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name", "n_name")
         .agg(
-            F.round(
-                exact_decimal_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
-                2,
+            exact_money_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
             ).alias("revenue"),
             F.count("*").alias("n_lines"),
         )
@@ -226,7 +225,7 @@ register(
     q_star_join_revenue,
     """
 SELECT r_name, n_name,
-       round(sum(CAST(round_even(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)) / 10000.0, 2) AS revenue,
+       CAST(round_even(CAST(sum(CAST(round_even(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)) AS BIGINT) / 1e2, 0) AS BIGINT) / 1e2 AS revenue,
        count(*) AS n_lines
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
@@ -573,7 +572,7 @@ def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter pushed to parquet; supplier, customer, and BOTH nation
     aliases broadcast (two tiny hash joins, no fact shuffle until the
     final group-by); revenue is the exact scaled-integer sum."""
-    from ..functions.exact import exact_decimal_sum
+    from ..functions.exact import exact_money_sum
 
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.year("l_shipdate").between(1996, 1997)
@@ -597,9 +596,8 @@ def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("supp_nation") != F.col("cust_nation"))
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year"))
         .agg(
-            F.round(
-                exact_decimal_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
-                2,
+            exact_money_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
             ).alias("revenue"),
             F.count(F.lit(1)).alias("n_lines"),
         )
@@ -612,7 +610,7 @@ register(
     """
 SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
        CAST(year(l_shipdate) AS BIGINT) AS l_year,
-       round(sum(CAST(round_even(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)) / 10000.0, 2) AS revenue,
+       CAST(round_even(CAST(sum(CAST(round_even(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)) AS BIGINT) / 1e2, 0) AS BIGINT) / 1e2 AS revenue,
        count(*) AS n_lines
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
@@ -658,7 +656,9 @@ def q_returned_item_losses(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey",
         "c_name",
         "n_name",
-        F.round(F.col("rev_i") / 1e4, 2).alias("lost_revenue"),
+        (F.bround(F.col("rev_i") / F.lit(100.0), 0).cast("long") / F.lit(100.0)).alias(
+            "lost_revenue"
+        ),
         "n_lines",
     )
 
@@ -679,7 +679,7 @@ WITH agg AS (
   GROUP BY 1, 2, 3
 )
 SELECT c_custkey, c_name, n_name,
-       round(rev_i / 1e4, 2) AS lost_revenue, n_lines
+       CAST(round_even(rev_i / 1e2, 0) AS BIGINT) / 1e2 AS lost_revenue, n_lines
 FROM agg
 ORDER BY rev_i DESC, c_custkey
 LIMIT 20

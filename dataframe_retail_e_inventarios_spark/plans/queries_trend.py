@@ -40,7 +40,12 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from . import oracle_fragments as _OF
-from ..functions.exact import exact_decimal_sum, exact_decimal_sum_sql
+from ..functions.exact import (
+    exact_decimal_sum,
+    exact_decimal_sum_sql,
+    exact_money_sum,
+    exact_money_sum_sql,
+)
 from ..registry import register
 from ..sources.readers import load_table
 
@@ -85,8 +90,8 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(exact_decimal_sum(F.col("l_extendedprice"), 2), 2).alias(
                 "sum_base_price"
             ),
-            F.round(exact_decimal_sum(disc_price, 4), 2).alias("sum_disc_price"),
-            F.round(exact_decimal_sum(charge, 6), 2).alias("sum_charge"),
+            exact_money_sum(disc_price, 4).alias("sum_disc_price"),
+            exact_money_sum(charge, 6).alias("sum_charge"),
             F.count("*").alias("count_order"),
             _r4(
                 F.sum(F.bround(F.col("l_quantity"), 0).cast("long")) / F.count("*")
@@ -114,8 +119,8 @@ register(
 SELECT l_returnflag, l_linestatus,
        {_QTY_SUM} AS sum_qty,
        round({exact_decimal_sum_sql('l_extendedprice', 2)}, 2) AS sum_base_price,
-       round({exact_decimal_sum_sql('l_extendedprice * (1 - l_discount)', 4)}, 2) AS sum_disc_price,
-       round({exact_decimal_sum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 6)}, 2) AS sum_charge,
+       {exact_money_sum_sql('l_extendedprice * (1 - l_discount)', 4)} AS sum_disc_price,
+       {exact_money_sum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 6)} AS sum_charge,
        count(*) AS count_order,
        {_R4_SQL.format(x=f'{_QTY_SUM} / count(*)')} AS avg_qty,
        {_R4_SQL.format(x=exact_decimal_sum_sql('l_extendedprice', 2) + ' / count(*)')} AS avg_price,
@@ -683,10 +688,9 @@ def q_salted_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = salted_join(li, part, "l_partkey", salt_buckets=8)
     return joined.groupBy("p_brand").agg(
-        F.round(
-            exact_decimal_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4),
-            2,
-        ).alias("revenue"),
+        exact_money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
+            "revenue"
+        ),
         F.count("*").alias("n_lines"),
     )
 
@@ -696,7 +700,7 @@ register(
     q_salted_brand_revenue,
     f"""
 SELECT p_brand,
-       round({exact_decimal_sum_sql('l_extendedprice * (1 - l_discount)', 4)}, 2) AS revenue,
+       {exact_money_sum_sql('l_extendedprice * (1 - l_discount)', 4)} AS revenue,
        count(*) AS n_lines
 FROM lineitem JOIN part ON l_partkey = p_partkey
 GROUP BY 1

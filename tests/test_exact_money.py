@@ -1,0 +1,72 @@
+"""Boundary test for functions/exact.exact_money_sum: when the exact
+4dp sum ends in ...50, round(sum/1e4, 2) is engine-divergent (Spark
+HALF_UPs the shortest decimal repr "x.xx5" while DuckDB rounds the
+binary double sitting just below it) — the 1-cent mismatch that broke
+volume_shipping_nation_pairs at sf0.01. exact_money_sum reronds to
+cents where the half is exactly representable, so both engines agree
+bit-for-bit."""
+
+import duckdb
+import pandas as pd
+import pyspark.sql.functions as F
+
+from dataframe_retail_e_inventarios_spark.functions.exact import (
+    exact_money_sum,
+    exact_money_sum_sql,
+)
+
+
+# 285207.0350 reproduced: rows of 4dp values whose sum lands exactly on
+# a .xx50 boundary, plus assorted off-boundary sums.
+_CASES = [
+    [285207.035],                      # the live failure value
+    [0.005],                           # tiny half
+    [0.015],                           # half that rounds UP under half-even
+    [1.0001, 2.0049],                  # sum 3.0050
+    [10.3333, 0.0017],                 # sum 10.3350
+    [7.1239],                          # off-boundary
+    [123456.785, 0.25],                # sum ...%R off boundary
+]
+
+
+def test_exact_money_sum_matches_duckdb_at_boundaries(spark):
+    rows = [(i, v) for i, vals in enumerate(_CASES) for v in vals]
+    pdf = pd.DataFrame(rows, columns=["g", "v"])
+    sdf = spark.createDataFrame(pdf)
+    got = (
+        sdf.groupBy("g")
+        .agg(exact_money_sum(F.col("v"), 4).alias("s"))
+        .toPandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", pdf)
+    sql = exact_money_sum_sql("v", 4)
+    exp = con.execute(
+        f"SELECT g, {sql} AS s FROM t GROUP BY g ORDER BY g"
+    ).fetchdf()
+    # bitwise float equality — the driver comparator's standard
+    assert got.s.to_numpy().tobytes() == exp.s.to_numpy().tobytes()
+    # and the values are what half-even-to-cents says they should be
+    assert got.s.tolist() == [285207.04, 0.0, 0.02, 3.0, 10.34, 7.12, 123457.04]
+
+
+def test_naive_round_after_division_is_divergent():
+    """Pin WHY exact_money_sum exists: the naive formulation really
+    does differ between the engines on the live failure value."""
+    s4 = 2852070350  # 285207.0350 scaled to 4dp integer
+    con = duckdb.connect()
+    duck = con.execute(f"SELECT round({s4} / 10000.0, 2)").fetchone()[0]
+    # DuckDB rounds the binary double (285207.03499999997...) down;
+    # Spark's round() HALF_UPs the shortest repr "285207.035" up.
+    assert duck == 285207.03
+    import decimal
+
+    spark_style = float(
+        decimal.Decimal(repr(s4 / 10000.0)).quantize(
+            decimal.Decimal("0.01"), rounding=decimal.ROUND_HALF_UP
+        )
+    )
+    assert spark_style == 285207.04
+    assert duck != spark_style

@@ -33,7 +33,9 @@ def main() -> int:
         headline_only = True
         argv = argv[1:]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
-    filters = argv[1:]
+    # split commas too: a comma-joined list would otherwise be ONE
+    # filter that matches nothing -> vacuous "ALL OK" (bitten once).
+    filters = [p for a in argv[1:] for p in a.split(",") if p]
     headline = None
     if headline_only:
         from bench import HEADLINE
@@ -93,6 +95,9 @@ def main() -> int:
         with open(json_out, "w") as f:
             json.dump({"sf_dir": sf_dir, "results": report}, f, indent=1)
         print(f"wrote {json_out} ({len(report)} queries)")
+    if not report:
+        print("\nNO QUERIES MATCHED — check the filter")
+        return 2
     print(f"\n{'ALL OK' if not failed else f'{failed} FAILED'}")
     return 1 if failed else 0
 
