@@ -350,3 +350,21 @@ def test_semdedup_keep_decision_properties(spark):
         i = pos[v]
         sims = (V[:i] @ V[i]) / (norms[:i] * norms[i])
         assert sims.size and sims.max() >= _SEM_TAU - 1e-9
+
+
+def test_semdedup_plan_is_banded_not_allpairs(spark):
+    """The SemDeDup candidate stage must be an equi-join on band_key —
+    a regression to a cartesian/all-pairs plan would still pass the
+    value oracle at test scale while being unrunnable at 100 TB."""
+    from dataframe_retail_e_inventarios_spark.plans.queries_mining import (
+        q_semdedup_keep_decision,
+    )
+
+    plan = (
+        q_semdedup_keep_decision(spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
