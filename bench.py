@@ -348,7 +348,11 @@ def scale_curve(out_path: str = "BENCH_scale_r05.json") -> None:
     points = [("0.01", "/root/testdata/sf0.01", 2), ("0.1", "/root/testdata/sf0.1", 2)]
     synth = scale_dir("/root/testdata/sf0.1", 10)
     if os.path.exists(synth):
-        points.append(("1.0-synth", synth, 1))
+        # min-of-2 here too: the 10x leg runs LAST in a JVM that has
+        # already executed ~200 plans, and a single run eats GC/plan
+        # -cache spikes as if they were data cost (r7: +4s flat on a
+        # dozen unrelated queries, reproduced at 1-2s when isolated).
+        points.append(("1.0-synth", synth, 2))
     spark = get_spark("bench-curve")
     qs = queries()
     qs["flagship_inventory"](spark, "/root/testdata/sf0.001").count()  # warm

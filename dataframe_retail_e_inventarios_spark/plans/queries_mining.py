@@ -327,8 +327,12 @@ def q_histogram_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist = binned.groupBy("bin_id", "mn", "mx", "n").agg(
         F.count(F.lit(1)).alias("cnt")
     )
+    # constant-but-unfoldable key (a bare lit is constant-folded out of
+    # the spec, silently recreating the unpartitioned window — see
+    # operators/distributed_rank.bounded_rank); the frame is bounded at
+    # _HQ_BINS rows by construction.
     w = (
-        Window.partitionBy(F.lit("k"))
+        Window.partitionBy(F.pmod(F.hash(F.col("bin_id")), F.lit(1)))
         .orderBy("bin_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
@@ -532,12 +536,15 @@ def q_pr_curve_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_pos", F.lit(0)).alias("n_pos"),
         F.coalesce("n_neg", F.lit(0)).alias("n_neg"),
     )
+    # constant-but-unfoldable key on the 41-row spine (bare lits fold
+    # out of the partition spec — bounded_rank's pmod(hash, 1) trick).
+    key = F.pmod(F.hash(F.col("bin")), F.lit(1))
     w = (
-        Window.partitionBy(F.lit("k"))
+        Window.partitionBy(key)
         .orderBy(F.col("bin").desc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    wt = Window.partitionBy(F.lit("k"))
+    wt = Window.partitionBy(key)
     cum = dense.select(
         "bin",
         F.sum("n_pos").over(w).cast("long").alias("tp"),
