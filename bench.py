@@ -233,6 +233,14 @@ HEADLINE = [
     "volume_shipping_nation_pairs",
     "returned_item_losses",
     "global_sales_opportunity",
+    # round 7, part 5: predicate/aggregate silhouettes (Q6 pushdown-only
+    # scan, Q14 conditional agg, Q17 per-part-average self-join, Q18
+    # HAVING-gated semi-join, Q19 disjunctive band predicate).
+    "forecasted_discount_revenue",
+    "promo_revenue_share",
+    "small_quantity_avg_yearly",
+    "large_volume_customers",
+    "brand_size_band_revenue",
 ]
 
 # Capability demos: registered + oracle-checked, but benched apart from
@@ -332,6 +340,10 @@ CURVE = [
     "semdedup_keep_decision",
     "exact_substring_overlap",
     "volume_shipping_nation_pairs",
+    # round 7, part 5: the per-part-average self-join — both join sides
+    # are fact-sized, the one new query whose scale behavior isn't
+    # obvious from an existing curve entry.
+    "small_quantity_avg_yearly",
 ]
 
 

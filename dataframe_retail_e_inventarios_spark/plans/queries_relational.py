@@ -742,3 +742,242 @@ SELECT c_mktsegment, count(*) AS n_cust,
 FROM never GROUP BY 1
 """,
 )
+
+
+# -- Round 7, part 5: predicate/aggregate silhouettes (Q6/Q14/Q17/Q18/Q19)
+# Each exercises a distinct plan feature: pure scan pushdown, join-side
+# conditional aggregation, self-join against a per-group average,
+# HAVING-gated semi-join, and a disjunctive multi-table predicate.
+
+
+def q_forecasted_discount_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: the what-if revenue effect of eliminating a
+    discount band. NO join, no group-by — the whole query is a
+    conjunctive range predicate that must reach the parquet scan
+    (PushedFilters on quantity + discount) feeding one exact 4dp sum;
+    the emitted double is the unrounded single division."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.year("l_shipdate") == 1997)
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    rev_i = F.sum(
+        F.bround(F.col("l_extendedprice") * F.col("l_discount") * 10000, 0).cast("long")
+    )
+    return li.agg(
+        (rev_i / F.lit(1e4)).alias("revenue_effect"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+register(
+    "forecasted_discount_revenue",
+    q_forecasted_discount_revenue,
+    """
+SELECT CAST(sum(CAST(round_even(l_extendedprice * l_discount * 10000, 0) AS BIGINT)) AS BIGINT) / 1e4 AS revenue_effect,
+       count(*) AS n_lines
+FROM lineitem
+WHERE year(l_shipdate) = 1997
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+""",
+)
+
+
+def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: PROMO parts' share of summer-1997 revenue.
+    Conditional aggregation AFTER a broadcast part join — one scan, two
+    exact integer sums, share = one double expression over the two
+    BIGINTs (no intermediate rounding)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.year("l_shipdate") == 1997) & (F.month("l_shipdate").isin(6, 7, 8))
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    disc_i = F.bround(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0
+    ).cast("long")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    agg = j.agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", disc_i).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("promo_i"),
+        F.sum(disc_i).cast("long").alias("total_i"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+    return agg.select(
+        (F.col("promo_i") / F.lit(1e4)).alias("promo_revenue"),
+        (F.col("total_i") / F.lit(1e4)).alias("total_revenue"),
+        ((F.lit(100.0) * F.col("promo_i")) / F.col("total_i")).alias("promo_share_pct"),
+        "n_lines",
+    )
+
+
+register(
+    "promo_revenue_share",
+    q_promo_revenue_share,
+    """
+WITH agg AS (
+  SELECT CAST(sum(CASE WHEN p_type = 'PROMO'
+                       THEN CAST(round_even(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS promo_i,
+         CAST(sum(CAST(round_even(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)) AS BIGINT) AS total_i,
+         count(*) AS n_lines
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE year(l_shipdate) = 1997 AND month(l_shipdate) IN (6, 7, 8)
+)
+SELECT promo_i / 1e4 AS promo_revenue,
+       total_i / 1e4 AS total_revenue,
+       (1e2 * promo_i) / total_i AS promo_share_pct,
+       n_lines
+FROM agg
+""",
+)
+
+
+def q_small_quantity_avg_yearly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: yearly revenue lost if orders below 20% of a
+    part's average quantity were not taken. The per-part average join
+    is the interesting plan: lineitem aggregates to part grain, joins
+    BACK to lineitem on l_partkey (shuffle join — at 100 TB both sides
+    are fact-sized and co-partition on the key; no broadcast), and the
+    below-average test stays integer-exact: 5*qty_i*n < sumq_i avoids
+    the double average entirely."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.bround(F.col("l_quantity") * 100, 0).cast("long").alias("qty_i"),
+        F.bround(F.col("l_extendedprice") * 100, 0).cast("long").alias("price_i"),
+    )
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum("qty_i").cast("long").alias("sumq_i"),
+        F.count(F.lit(1)).alias("n_li"),
+    )
+    small = li.join(per_part, "l_partkey").filter(
+        F.lit(5) * F.col("qty_i") * F.col("n_li") < F.col("sumq_i")
+    )
+    return small.agg(
+        (F.sum("price_i").cast("long") / F.lit(7e2)).alias("avg_yearly"),
+        F.count(F.lit(1)).alias("n_small_lines"),
+    )
+
+
+register(
+    "small_quantity_avg_yearly",
+    q_small_quantity_avg_yearly,
+    """
+WITH li AS (
+  SELECT l_partkey,
+         CAST(round_even(l_quantity * 100, 0) AS BIGINT) AS qty_i,
+         CAST(round_even(l_extendedprice * 100, 0) AS BIGINT) AS price_i
+  FROM lineitem
+),
+per_part AS (
+  SELECT l_partkey, CAST(sum(qty_i) AS BIGINT) AS sumq_i,
+         CAST(count(*) AS BIGINT) AS n_li
+  FROM li GROUP BY 1
+)
+SELECT CAST(sum(price_i) AS BIGINT) / 7e2 AS avg_yearly,
+       count(*) AS n_small_lines
+FROM li JOIN per_part USING (l_partkey)
+WHERE 5 * qty_i * n_li < sumq_i
+""",
+)
+
+
+def q_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: customers whose single order exceeds 150 units
+    total. The HAVING gate runs on the lineitem aggregate BEFORE any
+    join (the shrunken order list then drives semi-join-sized probes
+    into orders and a broadcast customer enrichment)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.bround(F.col("l_quantity") * 100, 0).cast("long")).alias("qty_i"))
+        .filter(F.col("qty_i") > 150 * 100)
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("l_orderkey").alias("o_orderkey"),
+            "o_totalprice",
+            (F.col("qty_i") / F.lit(1e2)).alias("total_qty"),
+        )
+    )
+
+
+register(
+    "large_volume_customers",
+    q_large_volume_customers,
+    """
+WITH big AS (
+  SELECT l_orderkey,
+         CAST(sum(CAST(round_even(l_quantity * 100, 0) AS BIGINT)) AS BIGINT) AS qty_i
+  FROM lineitem GROUP BY 1
+  HAVING qty_i > 15000
+)
+SELECT c_custkey, c_name, o_orderkey, o_totalprice,
+       qty_i / 1e2 AS total_qty
+FROM big
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+""",
+)
+
+
+def q_brand_size_band_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (adapted to this schema's columns): revenue from
+    three disjunctive brand/size/quantity bands. The OR-of-ANDs mixes
+    columns from both tables, so only the union envelope
+    (l_quantity <= 35) can push to the scan; the band predicate
+    evaluates post-join inside codegen."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") <= 35)
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    band = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 15)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 25)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 35)
+        )
+    )
+    rev_i = F.sum(
+        F.bround(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0).cast(
+            "long"
+        )
+    )
+    return j.filter(band).agg(
+        (rev_i / F.lit(1e4)).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+register(
+    "brand_size_band_revenue",
+    q_brand_size_band_revenue,
+    """
+SELECT CAST(sum(CAST(round_even(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)) AS BIGINT) / 1e4 AS revenue,
+       count(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_quantity <= 35
+  AND ((p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 15)
+    OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 25)
+    OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 35))
+""",
+)

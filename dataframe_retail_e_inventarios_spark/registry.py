@@ -56,6 +56,11 @@ _PRIORITY = [
     "volume_shipping_nation_pairs",
     "returned_item_losses",
     "global_sales_opportunity",
+    "forecasted_discount_revenue",
+    "promo_revenue_share",
+    "small_quantity_avg_yearly",
+    "large_volume_customers",
+    "brand_size_band_revenue",
     "ann_ivf_topk",
     "entity_clusters_fuzzy",
     "association_rules",

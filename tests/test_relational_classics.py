@@ -142,3 +142,105 @@ def test_global_sales_opportunity_matches_pandas(spark):
     )
     # every reported customer is strictly above the positive-balance mean
     assert (never.cents * n_pos > total).all()
+
+
+def test_q6_pushdown_reaches_scan(spark):
+    df = queries()["forecasted_discount_revenue"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan
+    # the range predicates must be in the parquet pushdown, not a
+    # post-scan Filter only
+    pushed = plan.split("PushedFilters")[1][:400]
+    assert "l_quantity" in pushed and "l_discount" in pushed
+
+
+def test_q6_matches_pandas(spark):
+    li = pd.read_parquet(f"{SF_SMOKE}/lineitem.parquet")
+    m = (
+        (li.l_shipdate.dt.year == 1997)
+        & (li.l_discount >= 0.05)
+        & (li.l_discount <= 0.07)
+        & (li.l_quantity < 24)
+    )
+    sel = li[m]
+    rev_i = _round_even(sel.l_extendedprice * sel.l_discount * 10000).astype("int64").sum()
+    got = queries()["forecasted_discount_revenue"](spark, SF_SMOKE).toPandas().iloc[0]
+    assert got.n_lines == int(m.sum())
+    assert got.revenue_effect == rev_i / 1e4
+
+
+def test_promo_share_matches_pandas(spark):
+    li = pd.read_parquet(f"{SF_SMOKE}/lineitem.parquet")
+    part = pd.read_parquet(f"{SF_SMOKE}/part.parquet")
+    li = li[(li.l_shipdate.dt.year == 1997) & li.l_shipdate.dt.month.isin([6, 7, 8])]
+    j = li.merge(part, left_on="l_partkey", right_on="p_partkey")
+    di = _round_even(j.l_extendedprice * (1 - j.l_discount) * 10000).astype("int64")
+    promo = int(di[j.p_type == "PROMO"].sum())
+    total = int(di.sum())
+    got = queries()["promo_revenue_share"](spark, SF_SMOKE).toPandas().iloc[0]
+    assert got.n_lines == len(j)
+    assert got.promo_revenue == promo / 1e4
+    assert got.total_revenue == total / 1e4
+    assert got.promo_share_pct == (100.0 * promo) / total
+    assert 0.0 <= got.promo_share_pct <= 100.0
+
+
+def test_q17_matches_pandas(spark):
+    li = pd.read_parquet(f"{SF_SMOKE}/lineitem.parquet")
+    qty_i = _round_even(li.l_quantity * 100).astype("int64")
+    price_i = _round_even(li.l_extendedprice * 100).astype("int64")
+    g = pd.DataFrame({"k": li.l_partkey, "q": qty_i, "p": price_i})
+    per = g.groupby("k").agg(sumq=("q", "sum"), n=("q", "size"))
+    jj = g.join(per, on="k")
+    small = jj[5 * jj.q * jj.n < jj.sumq]
+    got = queries()["small_quantity_avg_yearly"](spark, SF_SMOKE).toPandas().iloc[0]
+    assert got.n_small_lines == len(small)
+    assert got.avg_yearly == int(small.p.sum()) / 7e2
+
+
+def test_q18_having_gate_runs_before_joins(spark):
+    df = queries()["large_volume_customers"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the qty_i > 15000 filter must sit on the aggregate, upstream of
+    # both joins (plan order: scan -> agg -> filter -> joins)
+    assert "qty_i" in plan
+    agg_pos = plan.rfind("HashAggregate")
+    join_pos = plan.find("Join")
+    assert join_pos != -1 and agg_pos > join_pos  # aggregate deeper than joins
+
+
+def test_q18_matches_pandas(spark):
+    li = pd.read_parquet(f"{SF_SMOKE}/lineitem.parquet")
+    orders = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")
+    qty_i = _round_even(li.l_quantity * 100).astype("int64")
+    per = pd.DataFrame({"k": li.l_orderkey, "q": qty_i}).groupby("k").q.sum()
+    big = per[per > 15000]
+    got = (
+        queries()["large_volume_customers"](spark, SF_SMOKE)
+        .toPandas()
+        .sort_values("o_orderkey")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(big)
+    assert set(got.o_orderkey) == set(big.index)
+    m = got.set_index("o_orderkey").total_qty
+    assert all(m[k] == v / 1e2 for k, v in big.items())
+    # every reported order belongs to the reported customer
+    om = orders.set_index("o_orderkey").o_custkey
+    assert (got.set_index("o_orderkey").c_custkey == om[got.o_orderkey].values).all()
+
+
+def test_q19_matches_pandas(spark):
+    li = pd.read_parquet(f"{SF_SMOKE}/lineitem.parquet")
+    part = pd.read_parquet(f"{SF_SMOKE}/part.parquet")
+    j = li.merge(part, left_on="l_partkey", right_on="p_partkey")
+    band = (
+        ((j.p_brand == "Brand#12") & j.p_size.between(1, 15) & j.l_quantity.between(1, 15))
+        | ((j.p_brand == "Brand#23") & j.p_size.between(1, 25) & j.l_quantity.between(10, 25))
+        | ((j.p_brand == "Brand#34") & j.p_size.between(1, 35) & j.l_quantity.between(20, 35))
+    )
+    sel = j[band]
+    rev_i = _round_even(sel.l_extendedprice * (1 - sel.l_discount) * 10000).astype("int64").sum()
+    got = queries()["brand_size_band_revenue"](spark, SF_SMOKE).toPandas().iloc[0]
+    assert got.n_lines == len(sel)
+    assert got.revenue == rev_i / 1e4
