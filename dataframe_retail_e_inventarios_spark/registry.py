@@ -61,6 +61,12 @@ _PRIORITY = [
     "small_quantity_avg_yearly",
     "large_volume_customers",
     "brand_size_band_revenue",
+    # changed by the r7 exact_money_sum cent-rounding fix — recertify
+    "tpch_pricing_summary",
+    "star_join_revenue",
+    "skew_salted_brand_revenue",
+    "skew_hot_key_revenue_plain",
+    "skew_hot_key_revenue_salted",
     "ann_ivf_topk",
     "entity_clusters_fuzzy",
     "association_rules",
@@ -143,8 +149,6 @@ _PRIORITY = [
     "pit_join_purchase_state",
     "rolling_active_users",
     "scd2_user_event_history",
-    "skew_hot_key_revenue_plain",
-    "skew_hot_key_revenue_salted",
     "source_kl_divergence",
     "streaming_cdc_upsert",
     "streaming_dedup_replay",
