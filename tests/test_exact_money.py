@@ -70,3 +70,38 @@ def test_naive_round_after_division_is_divergent():
     )
     assert spark_style == 285207.04
     assert duck != spark_style
+
+
+def test_exact_money_sum_6dp_and_random_boundary_sweep(spark):
+    """decimals=6 (the Q1 sum_charge path) plus a deterministic sweep
+    of 200 groups whose exact sums are seeded to land on/near the
+    half-cent boundary — all compared to DuckDB in one roundtrip."""
+    import hashlib
+
+    rows = []
+    for g in range(200):
+        h = int(hashlib.md5(f"money:{g}".encode()).hexdigest()[:12], 16)
+        base = (h % 10**9) / 1e6            # 6dp value
+        rows.append((g, round(base, 6)))
+        # force ~half the groups onto an exact ...x5 boundary at the
+        # 3rd decimal of the SUM by adding a complement element
+        if g % 2 == 0:
+            target = (int(base * 1e3) * 10 + 5) / 1e4  # ...5 at 4th 6dp pos
+            rows.append((g, round(target - round(base, 6), 6)))
+    pdf = pd.DataFrame(rows, columns=["g", "v"])
+    sdf = spark.createDataFrame(pdf)
+    got = (
+        sdf.groupBy("g")
+        .agg(exact_money_sum(F.col("v"), 6).alias("s"))
+        .toPandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", pdf)
+    exp = con.execute(
+        f"SELECT g, {exact_money_sum_sql('v', 6)} AS s FROM t GROUP BY g ORDER BY g"
+    ).fetchdf()
+    assert got.s.to_numpy().tobytes() == exp.s.to_numpy().tobytes()
+    # and every result is an exact 2dp value
+    assert all(abs(x * 100 - round(x * 100)) < 1e-9 for x in got.s)
