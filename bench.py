@@ -241,6 +241,9 @@ HEADLINE = [
     "small_quantity_avg_yearly",
     "large_volume_customers",
     "brand_size_band_revenue",
+    # round 7, part 6: winnowed (MOSS) fingerprint overlap — the
+    # shuffle-free per-doc winnow + df-capped fingerprint join.
+    "winnow_fingerprint_pairs",
 ]
 
 # Capability demos: registered + oracle-checked, but benched apart from

@@ -845,3 +845,123 @@ SELECT e.vec_id,
 FROM e LEFT JOIN dups d USING (vec_id)
 """,
 )
+
+
+# -- Winnowing document fingerprints (Schleimer et al. 2003, MOSS) ----------
+_WIN_K = 5    # gram width in tokens
+_WIN_W = 4    # winnowing window (consecutive gram hashes)
+_WIN_MAX_DF = 50
+
+
+def q_winnow_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-doc overlap via WINNOWED fingerprints: each document keeps
+    only the minimum gram hash of every w-gram window (the classic
+    guarantee: any shared run of w+k-1 tokens shares >=1 fingerprint),
+    shrinking the join input ~w-fold versus the full gram index.
+
+    Spark-first: the winnow itself is a PURE array expression
+    (transform over positions + array_min over a slice) — per-document
+    local work inside codegen, zero shuffle until the fingerprint
+    equi-join; the df-cap then drops unique and boilerplate prints
+    before the pair join, same posture as exact_substring_overlap.
+    The pair Jaccard divides two exact BIGINTs once, unrounded."""
+    docs = load_table(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    hashed = docs.repartition(par, "doc_id").select(
+        "doc_id", _token_hashes(tokens("text")).alias("hs")
+    )
+    hcol = F.col("hs")
+    n_grams = F.size(hcol) - (_WIN_K - 1)
+    grams_arr = F.transform(
+        F.sequence(F.lit(1), n_grams), lambda i: _gram_mix(hcol, i, _WIN_K)
+    )
+    fps_arr = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n_grams - (_WIN_W - 1)),
+            lambda p: F.array_min(F.slice(grams_arr, p, _WIN_W)),
+        )
+    )
+    fp = (
+        hashed.filter(n_grams >= _WIN_W)
+        .select("doc_id", F.explode_outer(fps_arr).alias("fp"))
+        .filter(F.col("fp").isNotNull())
+    )
+    per_doc = fp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
+    df_ok = (
+        fp.groupBy("fp")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= _WIN_MAX_DF))
+        .select("fp")
+    )
+    g = fp.join(df_ok, "fp")
+    a, b = g.alias("a"), g.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared_fp"))
+        .filter(F.col("shared_fp") >= 2)
+    )
+    na = per_doc.select(F.col("doc_id").alias("id_a"), F.col("n_fp").alias("n_fp_a"))
+    nb = per_doc.select(F.col("doc_id").alias("id_b"), F.col("n_fp").alias("n_fp_b"))
+    return (
+        pairs.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.col("shared_fp").cast("long").alias("shared_fp"),
+            F.col("n_fp_a").cast("long").alias("n_fp_a"),
+            F.col("n_fp_b").cast("long").alias("n_fp_b"),
+            (
+                F.col("shared_fp")
+                / (F.col("n_fp_a") + F.col("n_fp_b") - F.col("shared_fp"))
+            ).alias("fp_jaccard"),
+        )
+    )
+
+
+register(
+    "winnow_fingerprint_pairs",
+    q_winnow_fingerprint_pairs,
+    f"""
+WITH h AS (SELECT doc_id, {_SUB_HS_SQL} AS hs FROM documents),
+ga AS (
+  SELECT doc_id,
+         list_transform(range(1, len(hs) - {_WIN_K - 2}),
+                        i -> {_gram_mix_sql('hs', 'i', _WIN_K)}) AS grams
+  FROM h WHERE len(hs) - {_WIN_K - 1} >= {_WIN_W}
+),
+fp AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_distinct(list_transform(
+             range(1, len(grams) - {_WIN_W - 2}),
+             p -> list_min(list_slice(grams, p, p + {_WIN_W - 1}))))) AS fp
+  FROM ga
+),
+per_doc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp FROM fp GROUP BY 1),
+df_ok AS (
+  SELECT fp FROM fp GROUP BY fp
+  HAVING count(DISTINCT doc_id) BETWEEN 2 AND {_WIN_MAX_DF}
+),
+g AS (SELECT fp.* FROM fp JOIN df_ok USING (fp)),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(count(*) AS BIGINT) AS shared_fp
+  FROM g a JOIN g b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+  HAVING count(*) >= 2
+)
+SELECT id_a, id_b, shared_fp,
+       na.n_fp AS n_fp_a, nb.n_fp AS n_fp_b,
+       shared_fp / CAST(na.n_fp + nb.n_fp - shared_fp AS DOUBLE) AS fp_jaccard
+FROM pairs
+JOIN per_doc na ON na.doc_id = id_a
+JOIN per_doc nb ON nb.doc_id = id_b
+""",
+)

@@ -61,6 +61,7 @@ _PRIORITY = [
     "small_quantity_avg_yearly",
     "large_volume_customers",
     "brand_size_band_revenue",
+    "winnow_fingerprint_pairs",
     # changed by the r7 exact_money_sum cent-rounding fix — recertify
     "tpch_pricing_summary",
     "star_join_revenue",

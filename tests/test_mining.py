@@ -368,3 +368,61 @@ def test_semdedup_plan_is_banded_not_allpairs(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def _winnow_fps(text, k=5, w=4):
+    import hashlib
+
+    toks = _toks(text)
+    hs = [int(hashlib.md5(t.encode()).hexdigest()[:8], 16) for t in toks]
+    M, K = 2_147_483_647, 1_000_003
+    grams = []
+    for i in range(len(hs) - k + 1):
+        acc = hs[i]
+        for j in range(1, k):
+            acc = (acc % M * K + hs[i + j]) % M
+        grams.append(acc)
+    if len(grams) < w:
+        return set()
+    return {min(grams[p : p + w]) for p in range(len(grams) - w + 1)}
+
+
+def test_winnow_pairs_match_bruteforce(spark):
+    from dataframe_retail_e_inventarios_spark.plans.queries_mining import (
+        _WIN_MAX_DF,
+        q_winnow_fingerprint_pairs,
+    )
+
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    fps = {r.doc_id: _winnow_fps(r.text) for r in docs.itertuples()}
+    # df-cap as the query applies it
+    from collections import Counter
+
+    df_count = Counter(f for s in fps.values() for f in s)
+    ok = {f for f, c in df_count.items() if 2 <= c <= _WIN_MAX_DF}
+    capped = {d: s & ok for d, s in fps.items()}
+    ids = sorted(capped)
+    expect = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            shared = len(capped[a] & capped[b])
+            if shared >= 2:
+                expect[(a, b)] = shared
+    got = q_winnow_fingerprint_pairs(spark, SF_SMOKE).toPandas()
+    got_pairs = {
+        (r.id_a, r.id_b): r.shared_fp for r in got.itertuples()
+    }
+    assert got_pairs == expect
+    for r in got.itertuples():
+        assert r.n_fp_a == len(fps[r.id_a])
+        assert r.n_fp_b == len(fps[r.id_b])
+        assert r.fp_jaccard == r.shared_fp / (r.n_fp_a + r.n_fp_b - r.shared_fp)
+
+
+def test_winnow_guarantee_on_planted_duplicates(spark):
+    """Winnowing's contract: two docs sharing a contiguous run of
+    >= w + k - 1 tokens share at least one fingerprint."""
+    a = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    b = "one two " + a + " three four"
+    fa, fb = _winnow_fps(a), _winnow_fps(b)
+    assert fa & fb
