@@ -45,7 +45,23 @@ def exact_money_sum(expr: Column, decimals: int = 4) -> Column:
     scale = 10**decimals
     down = float(10 ** (decimals - 2))
     scaled = F.bround(expr * scale, 0).cast("long")
-    cents = F.bround(F.sum(scaled) / F.lit(down), 0).cast("long")
+    total = F.sum(scaled)
+    # Runtime guard for the exactness precondition above: past 2^52 the
+    # BIGINT/1e(d-2) quotient is no longer exactly representable and
+    # the half-even argument silently breaks (e.g. a decimals=6 group
+    # sum over ~10^9 rows). Fail loudly instead of drifting by a cent.
+    # assert_true yields NULL when the bound holds, so the coalesce
+    # term adds exactly 0 and the value/plan semantics are unchanged.
+    guard = F.assert_true(
+        F.abs(total) < F.lit(2**52),
+        F.lit(
+            f"exact_money_sum: |sum of {scale}-scaled values| >= 2^52; "
+            "cent rounding would no longer be exact — lower `decimals` "
+            "or split the aggregation"
+        ),
+    )
+    total = total + F.coalesce(guard.cast("long"), F.lit(0).cast("long"))
+    cents = F.bround(total / F.lit(down), 0).cast("long")
     return cents / F.lit(100.0)
 
 

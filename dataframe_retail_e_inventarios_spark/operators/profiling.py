@@ -53,6 +53,45 @@ def column_profile(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     ).select("col_name", "n_rows", "n_nulls", "n_distinct", "min_s", "max_s")
 
 
+def column_profile_approx(
+    df: DataFrame, cols: Sequence[str], rsd: float = 0.05
+) -> DataFrame:
+    """The 100 TB default profile: identical shape to
+    ``column_profile`` but distinct counts come from
+    ``approx_count_distinct`` (HyperLogLog++, relative sd ``rsd``).
+
+    Exact multi-column count-distinct rewrites through Catalyst's
+    Expand — the scanned row volume is multiplied by the number of
+    distinct aggregates (r7 verdict: 8.8 s on a 5-column sf0.1
+    profile, and linear in both corpus and column count). HLL
+    sketches are single-pass, mergeable, fixed-size per column, so
+    this variant profiles any width at one true scan with map-side
+    partials. Use ``column_profile`` (exact, oracle-gated) when the
+    profile feeds a decision that needs exact cardinalities; the
+    estimates here are within ``rsd`` with high probability
+    (property-tested against the exact twin)."""
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+            F.approx_count_distinct(F.col(c), rsd).alias(f"{c}__distinct"),
+            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+        ]
+    one = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__nulls, {c}__distinct, {c}__min, {c}__max" for c in cols
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) AS (col_name, n_nulls, n_distinct_approx, min_s, max_s)"
+        ),
+        F.col("_n").alias("n_rows"),
+    ).select(
+        "col_name", "n_rows", "n_nulls", "n_distinct_approx", "min_s", "max_s"
+    )
+
+
 def fixed_width_histogram(
     df: DataFrame, value_col: str, lo: float, hi: float, n_bins: int
 ) -> DataFrame:

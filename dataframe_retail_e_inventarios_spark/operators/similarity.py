@@ -559,11 +559,25 @@ def _dot_dec(a: Column, b: Column) -> Column:
     prods = F.zip_with(
         a, b, lambda x, y: (x.cast("decimal(38,0)") * y.cast("decimal(38,0)"))
     )
-    return F.aggregate(
+    res = F.aggregate(
         prods,
         F.lit(0).cast("decimal(38,0)"),
         lambda acc, x: (acc + x).cast("decimal(38,0)"),
     )
+    # With ANSI off, DECIMAL overflow returns NULL instead of erroring;
+    # a NULL dot would silently rank as "no similarity" (wrong cell
+    # assignments) rather than failing. Guard: non-null inputs must
+    # yield a non-null dot. assert_true is NULL when the invariant
+    # holds, so the coalesce term adds exactly 0.
+    guard = F.assert_true(
+        res.isNotNull() | a.isNull() | b.isNull(),
+        F.lit(
+            "_dot_dec: DECIMAL(38,0) overflow (NULL dot from non-null "
+            "arrays) — element magnitudes exceed the documented 1e6-grid "
+            "bound; rescale before the dot product"
+        ),
+    )
+    return res + F.coalesce(guard.cast("decimal(38,0)"), F.lit(0).cast("decimal(38,0)"))
 
 
 def _int_cosine(dot_dec: Column, n2_a: Column, n2_b: Column) -> Column:

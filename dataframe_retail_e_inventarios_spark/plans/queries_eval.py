@@ -877,7 +877,7 @@ WITH el AS (
   SELECT vec_id, label, d,
          CAST(round_even(CAST(embedding AS DOUBLE[])[d + 1], 6) * 1e6 AS BIGINT)
            AS ei
-  FROM embeddings CROSS JOIN (SELECT unnest(range(0, 64)) AS d) dims
+  FROM embeddings CROSS JOIN (SELECT unnest(range(0, (SELECT len(CAST(embedding AS DOUBLE[])) FROM embeddings LIMIT 1))) AS d) dims
 ),
 cents AS (
   SELECT label AS label_c, d,

@@ -552,7 +552,7 @@ register(
     "ann_lsh_bucketed_topk",
     q_lsh_topk,
     """
-WITH dims AS (SELECT unnest(range(0, 64)) AS d),
+WITH dims AS (SELECT unnest(range(0, (SELECT len(CAST(embedding AS DOUBLE[])) FROM embeddings LIMIT 1))) AS d),
 planes AS (SELECT unnest(range(0, 24)) AS p),
 w AS (
   SELECT p, d,
@@ -659,7 +659,7 @@ register(
     "ann_ivf_topk",
     q_ivf_topk,
     """
-WITH dims AS (SELECT unnest(range(0, 64)) AS d),
+WITH dims AS (SELECT unnest(range(0, (SELECT len(CAST(embedding AS DOUBLE[])) FROM embeddings LIMIT 1))) AS d),
 e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 el AS (
   SELECT vec_id, label, dims.d AS d,
@@ -1326,7 +1326,7 @@ register(
     "semantic_dedup_signature",
     q_semantic_dedup_signature,
     """
-WITH dims AS (SELECT unnest(range(0, 64)) AS d),
+WITH dims AS (SELECT unnest(range(0, (SELECT len(CAST(embedding AS DOUBLE[])) FROM embeddings LIMIT 1))) AS d),
 planes AS (SELECT unnest(range(0, 10)) AS p),
 w AS (
   SELECT p, d,
@@ -1451,7 +1451,7 @@ el AS (
   SELECT vec_id, d,
          CAST(round_even(CAST(embedding AS DOUBLE[])[d + 1], 6) * 1e6 AS BIGINT)
            AS ei
-  FROM embeddings CROSS JOIN (SELECT unnest(range(0, 64)) AS d) dims
+  FROM embeddings CROSS JOIN (SELECT unnest(range(0, (SELECT len(CAST(embedding AS DOUBLE[])) FROM embeddings LIMIT 1))) AS d) dims
 )
 """
 

@@ -409,7 +409,8 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum(F.bround(F.col("l_extendedprice") * 100, 0).cast("long"))
             .cast("long").alias("cents"),
-            F.sum(F.col("l_quantity").cast("long")).cast("long").alias("qty"),
+            F.sum(F.bround(F.col("l_quantity"), 0).cast("long"))
+            .cast("long").alias("qty"),
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
@@ -462,7 +463,7 @@ WITH per AS (
   SELECT l_partkey, l_suppkey,
          CAST(sum(CAST(round_even(l_extendedprice * 100, 0) AS BIGINT))
               AS BIGINT) AS cents,
-         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+         CAST(sum(CAST(round_even(l_quantity, 0) AS BIGINT)) AS BIGINT) AS qty,
          count(*) AS n_lines
   FROM lineitem GROUP BY 1, 2
 ),
@@ -800,7 +801,7 @@ register(
     "semdedup_keep_decision",
     q_semdedup_keep_decision,
     f"""
-WITH dims AS (SELECT unnest(range(0, 64)) AS d),
+WITH dims AS (SELECT unnest(range(0, (SELECT len(CAST(embedding AS DOUBLE[])) FROM embeddings LIMIT 1))) AS d),
 planes AS (SELECT unnest(range(0, 24)) AS p),
 w AS (
   SELECT p, d,

@@ -932,6 +932,22 @@ FROM lineitem"""
 register("profile_lineitem_columns", q_profile_lineitem, _profile_oracle())
 
 
+def q_profile_lineitem_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production-default profile (r7 verdict #3): same one-scan
+    shape but HLL++ ``approx_count_distinct`` instead of exact
+    multi-distinct — no Expand, row volume scanned once regardless of
+    column count. Rows-only in the driver (HLL estimates are
+    implementation-specific); `tests/test_profiling.py` bounds every
+    estimate against the exact twin at 3x the configured rsd, and the
+    exact variant keeps the full value-hash oracle."""
+    from ..operators.profiling import column_profile_approx
+
+    return column_profile_approx(load_table(spark, sf_dir, "lineitem"), PROFILE_COLS)
+
+
+register("profile_lineitem_columns_approx", q_profile_lineitem_approx, None)
+
+
 def q_events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-width drift-watch histogram of events.value: 20 bins over
     [0, 100), out-of-range clamped into edge bins. Pure projection +

@@ -3,6 +3,7 @@ clamping (operators/profiling.py)."""
 
 from dataframe_retail_e_inventarios_spark.operators.profiling import (
     column_profile,
+    column_profile_approx,
     fixed_width_histogram,
 )
 
@@ -31,6 +32,41 @@ def test_column_profile_single_scan(spark):
         .toString()
     )
     assert plan.count("LocalTableScan") + plan.count("Scan ") <= 1
+
+
+def test_column_profile_approx_bounds_vs_exact(spark):
+    """The HLL profile's estimates sit within 3x the configured rsd of
+    the exact twin on every column (nulls/min/max/rows are exact — only
+    the cardinality is sketched)."""
+    rows = [(i, f"s{i % 137}", float(i % 59) if i % 11 else None) for i in range(4000)]
+    df = spark.createDataFrame(rows, "id long, s string, v double")
+    rsd = 0.05
+    exact = {r["col_name"]: r for r in column_profile(df, ("id", "s", "v")).collect()}
+    approx = {
+        r["col_name"]: r
+        for r in column_profile_approx(df, ("id", "s", "v"), rsd=rsd).collect()
+    }
+    for c in ("id", "s", "v"):
+        e, a = exact[c], approx[c]
+        assert a["n_rows"] == e["n_rows"]
+        assert a["n_nulls"] == e["n_nulls"]
+        assert a["min_s"] == e["min_s"] and a["max_s"] == e["max_s"]
+        assert abs(a["n_distinct_approx"] - e["n_distinct"]) <= max(
+            3 * rsd * e["n_distinct"], 2
+        )
+
+
+def test_column_profile_approx_no_expand(spark):
+    """The point of the approx variant: no Catalyst multi-distinct
+    Expand — the scan feeds a plain partial/final aggregate."""
+    df = spark.createDataFrame([(1, "a", 2.0)], "id long, s string, v double")
+    plan = (
+        column_profile_approx(df, ("id", "s", "v"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Expand" not in plan
 
 
 def test_histogram_bins_and_clamping(spark):

@@ -25,13 +25,29 @@ from dataframe_retail_e_inventarios_spark.testing import compare_query
 def main() -> int:
     argv = list(sys.argv[1:])
     json_out = None
-    if argv and argv[0] == "--json":
-        json_out = argv[1]
-        argv = argv[2:]
     headline_only = False
-    if argv and argv[0] == "--headline":
-        headline_only = True
-        argv = argv[1:]
+    # Flags accepted in any order (an order-sensitive parse once made
+    # `--headline --json out.json` treat '--json' as the sf_dir).
+    rest: list[str] = []
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a == "--json":
+            if i + 1 >= len(argv):
+                print("--json requires an output path", file=sys.stderr)
+                return 2
+            json_out = argv[i + 1]
+            i += 2
+        elif a == "--headline":
+            headline_only = True
+            i += 1
+        elif a.startswith("--"):
+            print(f"unknown flag {a!r}", file=sys.stderr)
+            return 2
+        else:
+            rest.append(a)
+            i += 1
+    argv = rest
     sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
     # split commas too: a comma-joined list would otherwise be ONE
     # filter that matches nothing -> vacuous "ALL OK" (bitten once).
