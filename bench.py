@@ -244,6 +244,10 @@ HEADLINE = [
     # round 7, part 6: winnowed (MOSS) fingerprint overlap — the
     # shuffle-free per-doc winnow + df-capped fingerprint join.
     "winnow_fingerprint_pairs",
+    # round 8: the N-family flagship — the full curation chain
+    # (quality -> lang -> dedup keeper -> decontaminate -> pack) as one
+    # checkpointed-feature dataflow over a single documents scan.
+    "llm_curation_pipeline",
 ]
 
 # Capability demos: registered + oracle-checked, but benched apart from
@@ -371,6 +375,9 @@ CURVE = [
     "streaming_session_windows",
     "streaming_dedup_replay",
     "streaming_view_purchase_join",
+    # round 8: the end-to-end curation chain — corpus-linear feature
+    # pass + broadcast decontamination + block-window packing.
+    "llm_curation_pipeline",
 ]
 
 

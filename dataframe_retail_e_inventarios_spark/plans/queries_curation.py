@@ -630,3 +630,157 @@ FROM c WHERE cum_tokens <= {_TOKEN_BUDGET}
 ORDER BY source, doc_id
 """.replace("{stop_in}", ", ".join(f"'{s}'" for s in STOPWORDS)),
 )
+
+
+# -- End-to-end LLM curation pipeline (r7 verdict #7) ------------------------
+# The N-family flagship: every pre-training curation stage chained as
+# one dataflow over ONE documents scan — quality floor -> target
+# language -> exact-dedup keeper -> eval decontamination -> token
+# packing — returning the packed training stream (doc_id, n_tokens,
+# batch_id) a loader would consume.
+_PIPE_BUDGET = 2048       # packing token budget (= token_pack_batches)
+_PIPE_EVAL_MOD = 97       # doc_id % 97 == 0 plays the eval benchmark
+_PIPE_MIN_SHARED = 2      # shared distinct 3-shingles => contaminated
+_PIPE_Q_FLOOR = 0.5
+
+
+def _curation_feature_frame(docs: DataFrame) -> DataFrame:
+    """ONE pass over documents computing every per-doc feature the
+    pipeline stages need — quality score, language, normalized-text
+    fingerprint, BPE-ish token count, hashed distinct 3-gram shingle
+    set — then localCheckpoint so the eval-index branch, the keeper
+    window and the packing stage all read the materialized features
+    instead of each re-expanding the scan (the repo's standard
+    multi-consumer cut; measured 4x scans without it). At 100 TB the
+    checkpoint becomes a persisted feature table written once per
+    corpus snapshot — the dataflow downstream is identical."""
+    from ..operators.dedup import shingle_hash32
+    from ..operators.textops import word_shingles
+    from ..operators.tokenize import bpe_ish_tokens
+
+    toked = docs.select("doc_id", "lang", "text", tokens("text").alias("toks"))
+    return toked.select(
+        "doc_id",
+        "lang",
+        quality_score("text", F.col("toks")).alias("q"),
+        fingerprint("text").alias("fp"),
+        F.size(bpe_ish_tokens("text")).cast("long").alias("n_tokens"),
+        # distinct STRING shingles hashed after dedup, so a 32-bit
+        # collision merges the same pair in both engines
+        F.transform(word_shingles(F.col("toks")), shingle_hash32).alias("hs"),
+    ).localCheckpoint(eager=True)
+
+
+def q_llm_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """quality -> lang -> dedup-keeper -> decontaminate -> pack, one
+    registered query under the full value-hash oracle.
+
+    Stage order mirrors a production corpus build: (1) docs with
+    doc_id % 97 == 0 are withheld as the eval benchmark; (2) the train
+    side keeps q >= 0.5 AND lang = 'en'; (3) exact dedup keeps the
+    lowest doc_id per normalized fingerprint AMONG survivors (a
+    filtered-out doc can't claim keeper-ship); (4) any survivor
+    sharing >= 2 distinct word-3-gram shingles with ANY eval doc is
+    decontaminated away (GPT-3 appendix C rule; the eval shingle index
+    is benchmark-sized, so it BROADCASTS and the corpus never shuffles
+    by shingle); (5) the clean stream packs into 2048-token batches
+    via the distributed prefix-sum packer (block windows + broadcast
+    block offsets — no single-partition window).
+
+    Scale posture: one documents scan (plan-asserted in
+    tests/test_curation_pipeline.py), one fingerprint shuffle, one
+    broadcast join, one block-window pass; every stage is the
+    production operator, not a demo twin."""
+    from pyspark.sql import Window
+
+    from ..operators.packing import pack_into_batches
+
+    docs = load_table(spark, sf_dir, "documents")
+    feat = _curation_feature_frame(docs)
+    ev_idx = (
+        feat.filter(F.col("doc_id") % _PIPE_EVAL_MOD == 0)
+        .select(
+            F.col("doc_id").alias("eval_id"),
+            F.explode_outer("hs").alias("shingle"),
+        )
+        .filter(F.col("shingle").isNotNull())
+    )
+    train = feat.filter(F.col("doc_id") % _PIPE_EVAL_MOD != 0)
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    surv = (
+        train.filter((F.col("q") >= _PIPE_Q_FLOOR) & (F.col("lang") == "en"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "n_tokens", "hs")
+        .localCheckpoint(eager=True)  # 2 consumers: decontam + pack
+    )
+    tr_sh = surv.select(
+        "doc_id", F.explode_outer("hs").alias("shingle")
+    ).filter(F.col("shingle").isNotNull())
+    contaminated = (
+        tr_sh.join(F.broadcast(ev_idx), "shingle")
+        .groupBy("doc_id", "eval_id")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= _PIPE_MIN_SHARED)
+        .select("doc_id")
+        .distinct()
+    )
+    clean = surv.join(contaminated, "doc_id", "left_anti")
+    return pack_into_batches(clean, F.col("n_tokens"), budget=_PIPE_BUDGET)
+
+
+register(
+    "llm_curation_pipeline",
+    q_llm_curation_pipeline,
+    f"""
+WITH t AS (
+  SELECT doc_id, lang, text, {_TOKS_SQL} AS toks FROM documents
+),
+feat AS (
+  SELECT doc_id, lang,
+    0.4 * least(1.0, CAST(len(toks) AS BIGINT) / 100.0)
+    + 0.3 * (1 - CASE WHEN len(toks) > 0
+                      THEN len(list_filter(toks, x -> x IN ({_STOP_IN}))) / len(toks)
+                      ELSE 0.0 END)
+    + 0.3 * (1 - CASE WHEN length(text) > 0
+                      THEN (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) / length(text)
+                      ELSE 0.0 END) AS q,
+    {_FP_SQL} AS fp,
+    CAST(len(regexp_extract_all(text, '{{bpe}}')) AS BIGINT) AS n_tokens,
+    list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+  FROM t
+),
+ev AS (
+  SELECT doc_id AS eval_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS hs
+  FROM (SELECT doc_id, unnest(shingles) AS s FROM feat
+        WHERE doc_id % {_PIPE_EVAL_MOD} = 0)
+),
+surv AS (
+  SELECT doc_id, n_tokens, shingles FROM (
+    SELECT doc_id, n_tokens, shingles,
+           row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+    FROM feat
+    WHERE doc_id % {_PIPE_EVAL_MOD} != 0 AND q >= {_PIPE_Q_FLOOR} AND lang = 'en'
+  ) WHERE rn = 1
+),
+tr AS (
+  SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS hs
+  FROM (SELECT doc_id, unnest(shingles) AS s FROM surv)
+),
+contaminated AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT tr.doc_id FROM tr JOIN ev USING (hs)
+    GROUP BY tr.doc_id, ev.eval_id HAVING count(*) >= {_PIPE_MIN_SHARED}
+  )
+),
+clean AS (
+  SELECT doc_id, n_tokens FROM surv
+  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+)
+SELECT doc_id, n_tokens,
+       CAST(floor((sum(n_tokens) OVER (ORDER BY doc_id) - n_tokens)
+                  / {_PIPE_BUDGET}) AS BIGINT) AS batch_id
+FROM clean
+""".replace("{bpe}", _BPE2),
+)

@@ -1628,25 +1628,54 @@ def q_streaming_late_data_watermark(spark: SparkSession, sf_dir: str) -> DataFra
         os.makedirs(src)
         base_mtime = 1_600_000_000
 
-        def land(df, k: int) -> None:
-            tmp = os.path.join(work, f"tmp{k}")
-            df.coalesce(1).write.parquet(tmp)
-            part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        def place(path: str, k: int) -> None:
             dst = os.path.join(src, f"chunk{k}.parquet")
-            shutil.move(os.path.join(tmp, part), dst)
+            shutil.move(path, dst)
             os.utime(dst, (base_mtime + 10 * k, base_mtime + 10 * k))
 
+        # All real chunks land in ONE pass: hash-repartition by chunk
+        # (a chunk never splits across tasks -> exactly one part file
+        # per partition dir) + partitionBy, instead of _WM_CHUNKS
+        # sequential coalesce(1) scans of the full events table — the
+        # r7 wall anatomy was 3 single-task scans (2.3 s) plus three
+        # ~5 s coalesce(1) 1-row sentinel writes, not the drain.
+        chunked = os.path.join(work, "chunked")
+        (
+            ev.withColumn(
+                "_chunk", (F.col("event_id") % _WM_CHUNKS).cast("int")
+            )
+            .repartition(_WM_CHUNKS, "_chunk")
+            .write.partitionBy("_chunk")
+            .parquet(chunked)
+        )
         for k in range(_WM_CHUNKS):
-            land(ev.filter(F.col("event_id") % _WM_CHUNKS == k), k)
+            d = os.path.join(chunked, f"_chunk={k}")
+            part = [f for f in os.listdir(d) if f.endswith(".parquet")][0]
+            place(os.path.join(d, part), k)
         far = ev.agg(
             F.max(F.col("ts").cast("long")).alias("mx")
         ).collect()[0][0] + 400 * 86400
         sentinel = spark.createDataFrame(
             [(10**12, "sentinel", far)], "event_id long, event_type string, es long"
         ).select("event_id", "event_type", F.timestamp_seconds(F.col("es")).alias("ts"))
-        land(sentinel, _WM_CHUNKS)
-        land(sentinel.withColumn("event_id", F.lit(10**12 + 1)), _WM_CHUNKS + 1)
-        land(sentinel.withColumn("event_id", F.lit(10**12 + 2)), _WM_CHUNKS + 2)
+
+        def land_one_row(df, k: int) -> None:
+            tmp = os.path.join(work, f"tmp{k}")
+            # repartition(1), NOT coalesce(1): coalescing a parallelized
+            # 1-row local relation schedules a 4-5 s one-task union of
+            # every empty slice (measured); the 1-row shuffle is ~0.5 s
+            # and guarantees exactly one part file.
+            df.repartition(1).write.parquet(tmp)
+            part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+            place(os.path.join(tmp, part), k)
+
+        land_one_row(sentinel, _WM_CHUNKS)
+        land_one_row(
+            sentinel.withColumn("event_id", F.lit(10**12 + 1)), _WM_CHUNKS + 1
+        )
+        land_one_row(
+            sentinel.withColumn("event_id", F.lit(10**12 + 2)), _WM_CHUNKS + 2
+        )
 
         stream = (
             spark.readStream.schema(ev.schema)

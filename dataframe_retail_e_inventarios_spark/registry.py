@@ -37,65 +37,18 @@ def register(name: str, fn: QueryFn, oracle: str | None) -> None:
 # order, and tools/selfcheck.py --json covers the full registry every
 # round regardless (SELFCHECK_full.json).
 _PRIORITY = [
-    # r7 front-load (r6 verdict #7 rotation): first the queries NEW
-    # or materially CHANGED in r7 (ann_ivf_topk is newly oracle-
-    # backed — its first possible hash row; the advisor-fix and
-    # zipf-rewrite queries need re-certification), then the 43
-    # stalest greens — every query whose most recent driver hash row
-    # is r1/r2/r3 vintage, oldest first — so the 50-row sample
-    # budget re-certifies the oldest certificates in the registry.
-    # r7 NEW queries first (their first possible hash rows):
-    "exact_substring_overlap",
-    "lsh_band_recall_audit",
-    "histogram_quantile_sketch",
+    # r8 front-load (r7 verdict #5 rotation): first the queries NEW or
+    # materially CHANGED in r8 (llm_curation_pipeline's first possible
+    # hash row; dedup_setsim_prefix gained the PPJoin+ length +
+    # positional filters; min_cost_supplier_per_part's quantity sum is
+    # now half-even in both engines), then the stalest greens — all 22
+    # r2-vintage certificates followed by the oldest r3-vintage ones,
+    # oldest-first alphabetical — so the driver's 50-row budget
+    # re-certifies the oldest certificates in the registry.
+    "llm_curation_pipeline",
+    "dedup_setsim_prefix",
     "min_cost_supplier_per_part",
-    "pr_curve_quality",
-    "custdist_order_counts",
-    "cohens_kappa_langid",
-    "semdedup_keep_decision",
-    "volume_shipping_nation_pairs",
-    "returned_item_losses",
-    "global_sales_opportunity",
-    "forecasted_discount_revenue",
-    "promo_revenue_share",
-    "small_quantity_avg_yearly",
-    "large_volume_customers",
-    "brand_size_band_revenue",
-    "winnow_fingerprint_pairs",
-    # changed by the r7 exact_money_sum cent-rounding fix — recertify
-    "tpch_pricing_summary",
-    "star_join_revenue",
-    "skew_salted_brand_revenue",
-    "skew_hot_key_revenue_plain",
-    "skew_hot_key_revenue_salted",
-    "ann_ivf_topk",
-    "entity_clusters_fuzzy",
-    "association_rules",
-    "source_jsd_matrix",
-    "content_fingerprint_by_month",
-    "zipf_vocab_topk",
-    "zipf_slope",
-    "dsir_importance_selection",
-    "token_budget_selection",
-    "asof_join_latest_order",
-    "cube_sales_summary",
-    "events_props_json",
-    "grouping_sets_summary",
-    "pivot_qty_by_returnflag",
-    "range_join_holiday_seasons",
-    "ann_cosine_topk",
-    "anti_join_no_orders",
-    "dedup_exact",
-    "dedup_minhash_signatures",
-    "dedup_ngram_jaccard",
-    "dedup_simhash_pairs",
-    "demand_sigma_pop",
-    "distinct_counts_per_supplier",
-    "embedding_cosine_neardup",
-    "embedding_cosine_neardup_bucketed",
-    "ensemble_median",
-    "events_cohort_retention",
-    "events_hourly_counts",
+    # r2-vintage greens (last driver hash row: round 2):
     "events_session_funnel",
     "events_sessionization",
     "events_view_purchase_join",
@@ -118,11 +71,10 @@ _PRIORITY = [
     "union_two_periods",
     "window_rank_family",
     "winsorize_bounds",
+    # r3-vintage greens (last driver hash row: round 3), oldest tier
+    # that fits the remaining budget:
     "bigram_logprob_scores",
     "conversion_lag_quantiles",
-    # next-stalest tier (r3 vintage) — sampled if the budget grows;
-    # everything NOT listed follows in registration order, and
-    # tools/selfcheck.py --json covers the full registry regardless.
     "croston_forecast",
     "dedup_minhash_lsh",
     "demand_anomalies_mad",
@@ -146,6 +98,9 @@ _PRIORITY = [
     "lateral_topk_per_brand",
     "minhash_estimator_error",
     "pagerank_event_graph",
+    # remaining r3 vintage (sampled if the budget grows; everything
+    # NOT listed follows in registration order, and selfcheck --json
+    # covers the full registry regardless):
     "passage_dedup_stats",
     "pit_join_purchase_state",
     "rolling_active_users",
@@ -154,23 +109,6 @@ _PRIORITY = [
     "streaming_cdc_upsert",
     "streaming_dedup_replay",
     "streaming_rollup_maintenance",
-    "streaming_session_windows",
-    "streaming_view_purchase_join",
-    "theta_forecast",
-    "weekly_resample_dense",
-    "abc_classification",
-    "benford_first_digit",
-    "bm25_top_terms",
-    "cdc_latest_state",
-    "curation_funnel",
-    "dataset_split_counts",
-    "decontamination_bloom",
-    "decontamination_overlap",
-    "dedup_cluster_assignment",
-    "dedup_cluster_histogram",
-    "dedup_survivors",
-    "demand_anomalies",
-    "demand_autocorrelation",
 ]
 
 
