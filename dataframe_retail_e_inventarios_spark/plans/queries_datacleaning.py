@@ -433,3 +433,30 @@ def q_frequent_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("frequent_parts_sketch", q_frequent_parts, None)  # sketch: rows-only
+
+
+APPROX_TOPK_K = 20
+
+
+def q_approx_top_k_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters WITH estimated counts via Spark 4's
+    ``approx_top_k`` aggregate (count-min/space-saving family) — the
+    companion to freqItems (which returns items only): one pass, fixed
+    sketch memory, mergeable across partitions. Approximate by
+    construction -> rows-only check; tests assert the exact top-k keys
+    all surface with exact counts at default sketch capacity."""
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("_li_topk")
+    return spark.sql(
+        f"""
+        SELECT t.item AS part_key, t.count AS est_count
+        FROM (
+          SELECT explode(approx_top_k(l_partkey, {APPROX_TOPK_K})) AS t
+          FROM _li_topk
+        )
+        ORDER BY est_count DESC, part_key
+        """
+    )
+
+
+register("approx_top_k_parts", q_approx_top_k_parts, None)  # sketch: rows-only

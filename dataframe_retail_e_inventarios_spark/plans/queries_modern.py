@@ -322,6 +322,60 @@ GROUP BY 1, 2
 )
 
 
+# -- VARIANT construction + shredding round-trip ----------------------------
+def q_events_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The write side of the VARIANT story (r7 verdict #8):
+    ``to_variant_object`` packs each event's typed columns AND its
+    schema-on-read JSON payload into ONE variant, then typed paths are
+    shredded back out with ``variant_get`` and aggregated. The oracle
+    computes the same aggregate from the raw columns, so a hash match
+    proves the build->shred round-trip is lossless for every row —
+    the guarantee a lakehouse needs before storing telemetry as
+    VARIANT instead of N typed columns. (events_props_variant is the
+    read-side twin over raw JSON strings.)"""
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("_ev_shred")
+    return spark.sql(
+        """
+        SELECT event_type,
+               count(*) AS n,
+               sum(CAST(k AS BIGINT)) AS k_sum,
+               CAST(sum(CAST(bround(val * 10000, 0) AS BIGINT))
+                    AS BIGINT) AS val_e4_sum
+        FROM (
+          SELECT variant_get(v, '$.type', 'string') AS event_type,
+                 variant_get(v, '$.val', 'double') AS val,
+                 variant_get(v, '$.payload.k', 'int') AS k
+          FROM (
+            SELECT to_variant_object(named_struct(
+                     'type', event_type,
+                     'val', value,
+                     'payload', try_parse_json(props))) AS v
+            FROM _ev_shred
+          )
+        )
+        WHERE k IS NOT NULL
+        GROUP BY 1
+        """
+    )
+
+
+register(
+    "events_variant_shred",
+    q_events_variant_shred,
+    """
+SELECT event_type,
+       count(*) AS n,
+       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+       CAST(sum(CAST(round_even(value * 10000, 0) AS BIGINT)) AS BIGINT)
+         AS val_e4_sum
+FROM events
+WHERE CAST(json_extract(props, '$.k') AS INTEGER) IS NOT NULL
+GROUP BY 1
+""",
+)
+
+
 # -- SQL-defined scalar function (CREATE FUNCTION) -------------------------
 def q_sql_udf_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reusable banding logic as a SQL UDF (Spark 4 CREATE FUNCTION):

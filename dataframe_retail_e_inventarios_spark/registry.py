@@ -46,6 +46,7 @@ _PRIORITY = [
     # oldest-first alphabetical — so the driver's 50-row budget
     # re-certifies the oldest certificates in the registry.
     "llm_curation_pipeline",
+    "events_variant_shred",
     "dedup_setsim_prefix",
     "min_cost_supplier_per_part",
     # r2-vintage greens (last driver hash row: round 2):
@@ -108,7 +109,6 @@ _PRIORITY = [
     "source_kl_divergence",
     "streaming_cdc_upsert",
     "streaming_dedup_replay",
-    "streaming_rollup_maintenance",
 ]
 
 

@@ -194,3 +194,29 @@ def test_hll_sketch_rollup_merge_is_lossless_and_calibrated(spark):
             "daily-sketch union diverged from the one-shot sketch"
         )
         assert abs(r.users_oneshot - r.users_exact) <= max(2, 0.08 * r.users_exact)
+
+
+def test_approx_top_k_covers_exact_topk(spark):
+    """approx_top_k's returned keys must include the exact top-k keys,
+    and at the smoke corpus (cardinality far under the default sketch
+    capacity of maxItemsTracked) the estimated counts are exact."""
+    from dataframe_retail_e_inventarios_spark.plans.queries_datacleaning import (
+        APPROX_TOPK_K,
+        q_approx_top_k_parts,
+    )
+
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    exact = {
+        r.l_partkey: r.c
+        for r in li.groupBy("l_partkey").agg(F.count("*").alias("c")).collect()
+    }
+    # exact top-k cutoff count (ties may swap membership at the edge,
+    # so assert coverage of everything STRICTLY above the k-th count)
+    counts = sorted(exact.values(), reverse=True)
+    cutoff = counts[APPROX_TOPK_K - 1] if len(counts) >= APPROX_TOPK_K else 0
+    must_have = {k for k, c in exact.items() if c > cutoff}
+    got = {r.part_key: r.est_count for r in q_approx_top_k_parts(spark, SF_SMOKE).collect()}
+    assert len(got) == min(APPROX_TOPK_K, len(exact))
+    assert must_have <= set(got)
+    for k, c in got.items():
+        assert exact[k] == c, f"estimated count drifted for {k}"
