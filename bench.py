@@ -271,6 +271,15 @@ DEMO = [
     # exhibit, not a production plan, so it's timed apart like the
     # recursive CTE.
     "embedding_cosine_neardup",
+    # streaming_view_purchase_join: the REPLAY-VERIFICATION drain —
+    # span-exceeding watermark = full two-sided state by design (its
+    # 10x curve row measures that state growth; ~16 s wall at sf0.1 is
+    # drain machinery, not per-query engine cost). The production
+    # posture with bounded state is streaming_view_purchase_join_
+    # bounded (time-ordered landing + 1h watermark, hash-gated) — also
+    # here, because its wall is 11 batches x the stateful-join floor.
+    "streaming_view_purchase_join",
+    "streaming_view_purchase_join_bounded",
     # profile_lineitem_columns (r7 verdict #3): the EXACT multi-
     # distinct profile — Catalyst's Expand multiplies scanned row
     # volume by the distinct-agg count, which is the documented reason

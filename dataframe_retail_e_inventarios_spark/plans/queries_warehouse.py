@@ -1259,6 +1259,137 @@ JOIN (SELECT * FROM events WHERE event_type = 'view') v
 )
 
 
+_VPJ_BUCKETS = 10
+
+
+def q_streaming_view_purchase_join_bounded(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The PRODUCTION posture of the stream-stream join (r7 verdict
+    #4): BOUNDED state under the same value-hash gate. The span-
+    exceeding-watermark variant above is replay-correct but keeps full
+    two-sided state (state grows with the corpus — its 10x curve row
+    measures exactly that); a live deployment instead relies on
+    arrival order ~ event-time order and a tight watermark, so state
+    evicts continuously. This query makes that deployment shape
+    REPLAYABLE and exact: events land range-bucketed by event time
+    into {b} files with strictly increasing mtimes (the
+    late_data_watermark landing machinery), so batch k's earliest row
+    is never older than batch k-1's latest and NO row is ever late
+    under any delay >= 0. The 1h watermark then only sizes the state
+    store: views older than watermark minus the 30 min join bound are
+    evicted every batch — measured at sf0.1: peak state 4 149 rows vs
+    40 025 buffered by the 90-day replay drain (the ~10x = bucket
+    count, exactly the continuous-eviction story). State partitions
+    are scoped down to 8 for the drain (per batch, EVERY state
+    partition pays open/evict/commit on 4 join state stores; 32
+    partitions = 128 commits per 11 batches of machinery — the
+    production lever is sizing state partitions to the stream volume,
+    which on a cluster is spark.sql.shuffle.partitions at stream
+    start). Wall is batch-count x stateful-join floor, so it's timed
+    in the DEMO group; the hash gate still runs at sf0.01."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..functions.timewall import wall_epoch_micros
+    from ..streaming.events import view_purchase_join_stream
+
+    ev = load_table(spark, sf_dir, "events")
+    ev = ev.withColumn("ts", F.timestamp_micros(wall_epoch_micros("ts")))
+    work = tempfile.mkdtemp(prefix="spark_graft_stream_vpjb_")
+    try:
+        lo, hi = ev.agg(
+            F.min(F.col("ts").cast("long")), F.max(F.col("ts").cast("long"))
+        ).collect()[0]
+        width = max(1, (hi - lo) // _VPJ_BUCKETS + 1)
+        chunked = os.path.join(work, "chunked")
+        (
+            ev.withColumn(
+                "_bucket",
+                ((F.col("ts").cast("long") - lo) / width).cast("int"),
+            )
+            .repartition(_VPJ_BUCKETS, "_bucket")
+            .write.partitionBy("_bucket")
+            .parquet(chunked)
+        )
+        src = os.path.join(work, "src")
+        os.makedirs(src)
+        base_mtime = 1_600_000_000
+        for k in range(_VPJ_BUCKETS):
+            d = os.path.join(chunked, f"_bucket={k}")
+            if not os.path.isdir(d):
+                continue
+            part = [f for f in os.listdir(d) if f.endswith(".parquet")][0]
+            dst = os.path.join(src, f"chunk{k}.parquet")
+            shutil.move(os.path.join(d, part), dst)
+            os.utime(dst, (base_mtime + 10 * k, base_mtime + 10 * k))
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        views = stream.filter(F.col("event_type") == "view")
+        purchases = stream.filter(F.col("event_type") == "purchase")
+        joined = view_purchase_join_stream(
+            views, purchases, window_min=30, watermark="1 hour"
+        )
+        name = f"vpjb_{uuid.uuid4().hex[:8]}"
+        # State-partition sizing (see docstring): the partition count
+        # is fixed at stream start from the runtime conf; scope it to
+        # the drain and restore. Queries run sequentially in bench/
+        # selfcheck/driver, so the temporary setting can't leak into a
+        # concurrent plan.
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            q = (
+                joined.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        out = spark.table(name).select(
+            "user_id",
+            "view_id",
+            F.col("purchase_id"),
+            F.floor(
+                F.timestamp_diff("MICROSECOND", F.col("view_ts"), F.col("purchase_ts"))
+                / 1_000_000
+            )
+            .cast("long")
+            .alias("gap_s"),
+            "value",
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+q_streaming_view_purchase_join_bounded.__doc__ = (
+    q_streaming_view_purchase_join_bounded.__doc__.format(b=_VPJ_BUCKETS)
+)
+
+register(
+    "streaming_view_purchase_join_bounded",
+    q_streaming_view_purchase_join_bounded,
+    """
+SELECT p.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+       CAST(floor((epoch_us(p.ts) - epoch_us(v.ts)) / 1000000) AS BIGINT) AS gap_s,
+       p.value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON p.user_id = v.user_id
+ AND p.ts >= v.ts
+ AND epoch_us(p.ts) - epoch_us(v.ts) <= 1800000000
+""",
+)
+
+
 def q_streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Replay-dedup under the gate: the source lands TWICE (a full
     replay of every file — the at-least-once delivery a real ingest
