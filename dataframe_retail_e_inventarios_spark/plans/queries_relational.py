@@ -981,3 +981,285 @@ WHERE l_quantity <= 35
     OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 35))
 """,
 )
+
+
+# -- round-8 classic-join silhouettes: Q3 / Q5 / Q8 / Q15 --------------------
+# Same discipline as the Q7/Q10/Q22 family above: money exact-integer
+# inside the plan, every dimension broadcast, the fact shuffles at most
+# once, top-k via TakeOrderedAndProject. Q4/Q9/Q11/Q12/Q16/Q20/Q21 need
+# columns the testdata schema does not carry (commitdate/receiptdate/
+# shipmode/partsupp) and are intentionally out of scope.
+_Q3_CUTOFF = "1998-07-01"
+
+
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: top-10 unshipped orders by revenue for one
+    market segment — orders placed before the cutoff with lines still
+    shipping after it. The segment filter prunes the broadcast
+    customer side; both date predicates push to the parquet scans;
+    the per-order aggregate groups on the already-co-keyed
+    (l_orderkey, o_orderdate, o_orderpriority) so the fact shuffles
+    once; the cut is TakeOrderedAndProject on the EXACT integer
+    revenue with the order key as tiebreak."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.to_date("l_shipdate") > F.lit(_Q3_CUTOFF)
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.to_date("o_orderdate") < F.lit(_Q3_CUTOFF)
+    )
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    rev_i = F.sum(
+        F.bround(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0)
+        .cast("long")
+    ).alias("rev_i")
+    top = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", F.to_date("o_orderdate").alias("order_date"), "o_orderpriority")
+        .agg(rev_i, F.count(F.lit(1)).alias("n_lines"))
+        .orderBy(F.col("rev_i").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+    return top.select(
+        F.col("l_orderkey").alias("orderkey"),
+        (F.bround(F.col("rev_i") / F.lit(100.0), 0).cast("long") / F.lit(100.0))
+        .alias("revenue"),
+        "order_date",
+        "o_orderpriority",
+        "n_lines",
+    )
+
+
+register(
+    "shipping_priority_topk",
+    q_shipping_priority,
+    f"""
+WITH agg AS (
+  SELECT l_orderkey AS orderkey,
+         CAST(sum(CAST(round_even(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)) AS BIGINT) AS rev_i,
+         CAST(o_orderdate AS DATE) AS order_date,
+         o_orderpriority,
+         count(*) AS n_lines
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  WHERE c_mktsegment = 'BUILDING'
+    AND CAST(o_orderdate AS DATE) < DATE '{_Q3_CUTOFF}'
+    AND CAST(l_shipdate AS DATE) > DATE '{_Q3_CUTOFF}'
+  GROUP BY 1, 3, 4
+)
+SELECT orderkey,
+       CAST(round_even(rev_i / 1e2, 0) AS BIGINT) / 1e2 AS revenue,
+       order_date, o_orderpriority, n_lines
+FROM agg
+ORDER BY rev_i DESC, orderkey
+LIMIT 10
+""",
+)
+
+
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue per nation from orders where customer
+    and supplier share the nation, one region, one year. The
+    region->nation chain collapses into ONE broadcast dim (5 rows);
+    customer and supplier broadcast; the c_nationkey = s_nationkey
+    equality is applied at the supplier join so mismatched rows never
+    reach the aggregate; one fact shuffle for the final group-by."""
+    from ..functions.exact import exact_money_sum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.year("o_orderdate") == 1996
+    ).select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nations = (
+        load_table(spark, sf_dir, "nation")
+        .join(
+            load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA"),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nations), supp.s_nationkey == nations.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            exact_money_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+register(
+    "local_supplier_volume",
+    q_local_supplier_volume,
+    """
+SELECT n_name,
+       CAST(round_even(CAST(sum(CAST(round_even(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)) AS BIGINT) / 1e2, 0) AS BIGINT) / 1e2 AS revenue,
+       count(*) AS n_lines
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA' AND year(o_orderdate) = 1996
+GROUP BY 1
+""",
+)
+
+
+def q_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one supplier nation's share of a region's
+    revenue in one part type, per order year. Numerator and
+    denominator are BOTH exact scaled-integer sums inside one
+    conditional aggregate (one fact pass, no self-join); the share is
+    a single BIGINT/BIGINT division — bit-identical IEEE on any
+    engine, never re-rounded."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.year("o_orderdate").between(1996, 1997)
+    ).select("o_orderkey", "o_custkey", F.year("o_orderdate").cast("long").alias("o_year"))
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == "ECONOMY"
+    ).select("p_partkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n_c = (
+        load_table(spark, sf_dir, "nation")
+        .join(
+            load_table(spark, sf_dir, "region").filter(
+                F.col("r_name") == "AMERICA"
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select(F.col("n_nationkey").alias("cn_key"))
+    )
+    n_s = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    rev_cents = F.bround(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0
+    ).cast("long")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n_c), cust.c_nationkey == F.col("cn_key"))
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n_s), supp.s_nationkey == F.col("sn_key"))
+        .groupBy("o_year")
+        .agg(
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_3", rev_cents).otherwise(
+                    F.lit(0)
+                )
+            ).cast("long").alias("nation_rev_i"),
+            F.sum(rev_cents).cast("long").alias("total_rev_i"),
+        )
+        .select(
+            "o_year",
+            (F.col("nation_rev_i") / F.col("total_rev_i")).alias("mkt_share"),
+            (F.bround(F.col("total_rev_i") / F.lit(100.0), 0).cast("long")
+             / F.lit(100.0)).alias("total_revenue"),
+        )
+    )
+
+
+register(
+    "nation_market_share",
+    q_nation_market_share,
+    """
+WITH agg AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         CAST(sum(CASE WHEN ns.n_name = 'NATION_3'
+                       THEN CAST(round_even(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS nation_rev_i,
+         CAST(sum(CAST(round_even(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)) AS BIGINT) AS total_rev_i
+  FROM lineitem
+  JOIN part     ON l_partkey = p_partkey
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation nc ON c_nationkey = nc.n_nationkey
+  JOIN region   ON nc.n_regionkey = r_regionkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ns ON s_nationkey = ns.n_nationkey
+  WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+    AND year(o_orderdate) BETWEEN 1996 AND 1997
+  GROUP BY 1
+)
+SELECT o_year,
+       nation_rev_i / total_rev_i AS mkt_share,
+       CAST(round_even(total_rev_i / 1e2, 0) AS BIGINT) / 1e2 AS total_revenue
+FROM agg
+""",
+)
+
+
+def q_top_supplier_quarter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) with maximum revenue over one
+    quarter — the classic view + correlated max. The per-supplier
+    aggregate runs once and is reused for both the 1-row global max
+    (broadcast) and the equality filter, via localCheckpoint (the
+    repo's standard multi-consumer cut); ties on the EXACT integer
+    revenue all surface, deterministically."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.to_date("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.to_date("l_shipdate") < F.lit("1996-04-01"))
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    per = (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                F.bround(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0
+                ).cast("long")
+            ).cast("long").alias("rev_i")
+        )
+        .localCheckpoint(eager=True)
+    )
+    mx = per.agg(F.max("rev_i").alias("mx"))
+    return (
+        per.join(F.broadcast(mx), per.rev_i == F.col("mx"))
+        .join(F.broadcast(supp), per.l_suppkey == supp.s_suppkey)
+        .select(
+            F.col("l_suppkey").alias("suppkey"),
+            "s_name",
+            (F.bround(F.col("rev_i") / F.lit(100.0), 0).cast("long")
+             / F.lit(100.0)).alias("total_revenue"),
+        )
+    )
+
+
+register(
+    "top_supplier_quarter",
+    q_top_supplier_quarter,
+    """
+WITH per AS (
+  SELECT l_suppkey,
+         CAST(sum(CAST(round_even(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)) AS BIGINT) AS rev_i
+  FROM lineitem
+  WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+    AND CAST(l_shipdate AS DATE) < DATE '1996-04-01'
+  GROUP BY 1
+)
+SELECT l_suppkey AS suppkey, s_name,
+       CAST(round_even(rev_i / 1e2, 0) AS BIGINT) / 1e2 AS total_revenue
+FROM per
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE rev_i = (SELECT max(rev_i) FROM per)
+""",
+)

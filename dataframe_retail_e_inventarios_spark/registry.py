@@ -47,6 +47,11 @@ _PRIORITY = [
     # re-certifies the oldest certificates in the registry.
     "llm_curation_pipeline",
     "events_variant_shred",
+    "shipping_priority_topk",
+    "local_supplier_volume",
+    "nation_market_share",
+    "top_supplier_quarter",
+    "streaming_view_purchase_join_bounded",
     "dedup_setsim_prefix",
     "min_cost_supplier_per_part",
     # r2-vintage greens (last driver hash row: round 2):

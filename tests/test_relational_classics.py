@@ -244,3 +244,165 @@ def test_q19_matches_pandas(spark):
     got = queries()["brand_size_band_revenue"](spark, SF_SMOKE).toPandas().iloc[0]
     assert got.n_lines == len(sel)
     assert got.revenue == rev_i / 1e4
+
+
+def test_shipping_priority_matches_pandas(spark):
+    """Q3 silhouette: pandas replay of the segment + two-sided date
+    filter + per-order revenue top-10."""
+    li = pd.read_parquet(f"{SF_SMOKE}/lineitem.parquet")
+    orders = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")
+    cust = pd.read_parquet(f"{SF_SMOKE}/customer.parquet")
+    cutoff = pd.Timestamp("1998-07-01")
+    li = li[li.l_shipdate.dt.normalize() > cutoff]
+    orders = orders[orders.o_orderdate.dt.normalize() < cutoff]
+    cust = cust[cust.c_mktsegment == "BUILDING"]
+    j = li.merge(orders, left_on="l_orderkey", right_on="o_orderkey").merge(
+        cust, left_on="o_custkey", right_on="c_custkey"
+    )
+    j["rev_i"] = _round_even(
+        j.l_extendedprice * (1 - j.l_discount) * 10000
+    ).astype("int64")
+    agg = (
+        j.groupby(["l_orderkey", "o_orderdate", "o_orderpriority"])
+        .agg(rev_i=("rev_i", "sum"), n_lines=("rev_i", "size"))
+        .reset_index()
+        .sort_values(["rev_i", "l_orderkey"], ascending=[False, True])
+        .head(10)
+    )
+    got = queries()["shipping_priority_topk"](spark, SF_SMOKE).toPandas()
+    assert list(got.orderkey) == list(agg.l_orderkey)
+    assert np.allclose(
+        got.revenue.to_numpy(),
+        _round_even(agg.rev_i / 1e2) / 1e2,
+        atol=1e-9,
+    )
+    assert (got.n_lines.to_numpy() == agg.n_lines.to_numpy()).all()
+
+
+def test_shipping_priority_plan_is_topk_with_broadcasts(spark):
+    plan = (
+        queries()["shipping_priority_topk"](spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan or "TakeOrderedAndProject" in plan
+
+
+def test_local_supplier_volume_matches_pandas(spark):
+    """Q5 silhouette: same-nation customer/supplier revenue, one
+    region, one year."""
+    li = pd.read_parquet(f"{SF_SMOKE}/lineitem.parquet")
+    orders = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")
+    cust = pd.read_parquet(f"{SF_SMOKE}/customer.parquet")
+    supp = pd.read_parquet(f"{SF_SMOKE}/supplier.parquet")
+    nation = pd.read_parquet(f"{SF_SMOKE}/nation.parquet")
+    region = pd.read_parquet(f"{SF_SMOKE}/region.parquet")
+    orders = orders[orders.o_orderdate.dt.year == 1996]
+    j = (
+        li.merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+        .merge(cust, left_on="o_custkey", right_on="c_custkey")
+        .merge(supp, left_on="l_suppkey", right_on="s_suppkey")
+    )
+    j = j[j.c_nationkey == j.s_nationkey]
+    nr = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")
+    nr = nr[nr.r_name == "ASIA"]
+    j = j.merge(nr[["n_nationkey", "n_name"]], left_on="s_nationkey", right_on="n_nationkey")
+    j["rev_i"] = _round_even(
+        j.l_extendedprice * (1 - j.l_discount) * 10000
+    ).astype("int64")
+    expect = (
+        j.groupby("n_name")
+        .agg(rev_i=("rev_i", "sum"), n_lines=("rev_i", "size"))
+        .reset_index()
+        .sort_values("n_name")
+    )
+    got = (
+        queries()["local_supplier_volume"](spark, SF_SMOKE)
+        .toPandas()
+        .sort_values("n_name")
+        .reset_index(drop=True)
+    )
+    assert list(got.n_name) == list(expect.n_name)
+    assert (got.n_lines.to_numpy() == expect.n_lines.to_numpy()).all()
+    assert np.allclose(
+        got.revenue.to_numpy(),
+        _round_even(expect.rev_i / 1e2) / 1e2,
+        atol=1e-9,
+    )
+
+
+def test_nation_market_share_matches_pandas(spark):
+    """Q8 silhouette: conditional/total exact sums, one BIGINT/BIGINT
+    division for the share."""
+    li = pd.read_parquet(f"{SF_SMOKE}/lineitem.parquet")
+    orders = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")
+    part = pd.read_parquet(f"{SF_SMOKE}/part.parquet")
+    cust = pd.read_parquet(f"{SF_SMOKE}/customer.parquet")
+    supp = pd.read_parquet(f"{SF_SMOKE}/supplier.parquet")
+    nation = pd.read_parquet(f"{SF_SMOKE}/nation.parquet")
+    region = pd.read_parquet(f"{SF_SMOKE}/region.parquet")
+    orders = orders[orders.o_orderdate.dt.year.between(1996, 1997)].copy()
+    orders["o_year"] = orders.o_orderdate.dt.year.astype("int64")
+    part = part[part.p_type == "ECONOMY"]
+    nr = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")
+    am = nr[nr.r_name == "AMERICA"][["n_nationkey"]]
+    j = (
+        li.merge(part[["p_partkey"]], left_on="l_partkey", right_on="p_partkey")
+        .merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+        .merge(cust, left_on="o_custkey", right_on="c_custkey")
+        .merge(am, left_on="c_nationkey", right_on="n_nationkey")
+        .merge(supp, left_on="l_suppkey", right_on="s_suppkey")
+        .merge(
+            nation.rename(columns={"n_name": "supp_nation"})[
+                ["n_nationkey", "supp_nation"]
+            ],
+            left_on="s_nationkey",
+            right_on="n_nationkey",
+        )
+    )
+    j["rev_i"] = _round_even(
+        j.l_extendedprice * (1 - j.l_discount) * 10000
+    ).astype("int64")
+    j["nat_i"] = np.where(j.supp_nation == "NATION_3", j.rev_i, 0)
+    expect = (
+        j.groupby("o_year")
+        .agg(nat=("nat_i", "sum"), tot=("rev_i", "sum"))
+        .reset_index()
+        .sort_values("o_year")
+    )
+    got = (
+        queries()["nation_market_share"](spark, SF_SMOKE)
+        .toPandas()
+        .sort_values("o_year")
+        .reset_index(drop=True)
+    )
+    assert list(got.o_year) == list(expect.o_year)
+    assert np.allclose(
+        got.mkt_share.to_numpy(), (expect.nat / expect.tot).to_numpy(), atol=0
+    )
+
+
+def test_top_supplier_quarter_matches_pandas(spark):
+    """Q15 silhouette: max-revenue supplier(s) with exact-integer tie
+    semantics."""
+    li = pd.read_parquet(f"{SF_SMOKE}/lineitem.parquet")
+    supp = pd.read_parquet(f"{SF_SMOKE}/supplier.parquet")
+    d = li.l_shipdate.dt.normalize()
+    li = li[(d >= pd.Timestamp("1996-01-01")) & (d < pd.Timestamp("1996-04-01"))].copy()
+    li["rev_i"] = _round_even(
+        li.l_extendedprice * (1 - li.l_discount) * 10000
+    ).astype("int64")
+    per = li.groupby("l_suppkey").rev_i.sum()
+    winners = set(per[per == per.max()].index)
+    got = queries()["top_supplier_quarter"](spark, SF_SMOKE).toPandas()
+    assert set(got.suppkey) == winners
+    assert np.allclose(
+        got.total_revenue.to_numpy(),
+        np.full(len(got), _round_even(per.max() / 1e2) / 1e2),
+        atol=1e-9,
+    )
+    names = supp.set_index("s_suppkey").s_name
+    assert all(names[k] == n for k, n in zip(got.suppkey, got.s_name))
