@@ -46,6 +46,14 @@ def get_spark(
             "spark.sql.session.timeZone",
             os.environ.get("SPARK_GRAFT_SESSION_TZ", "UTC"),
         )
+        # SPARK_GRAFT_ANSI=true runs the whole registry under ANSI SQL
+        # semantics (errors instead of NULLs on overflow/bad casts) —
+        # the driver builds its own session, so surviving ANSI-on is a
+        # portability requirement, not a tuning choice.
+        .config(
+            "spark.sql.ansi.enabled",
+            os.environ.get("SPARK_GRAFT_ANSI", "false"),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .getOrCreate()
