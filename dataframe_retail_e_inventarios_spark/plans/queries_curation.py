@@ -784,3 +784,82 @@ SELECT doc_id, n_tokens,
 FROM clean
 """.replace("{bpe}", _BPE2),
 )
+
+
+# -- Cross-source quality-score calibration ----------------------------------
+# RefinedWeb/DCLM-style source calibration: a raw quality score is not
+# comparable across sources (each source's score distribution differs),
+# so curation thresholds are set per source in QUANTILE space. This
+# operator computes each source's decile edges and the calibrated
+# per-(source, decile) histogram — the table a mixing policy reads to
+# take "the top 30% of every source" instead of "score >= 0.6"
+# (which over-selects easy sources).
+_CAL_QS = [i / 10.0 for i in range(1, 10)]  # inner decile edges
+
+
+def q_source_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, decile, n_docs, lo_qi, hi_qi): per-source decile
+    assignment of the quality score WITHOUT any data-sized window —
+    scores quantize to a BIGINT 1e6 grid (the repo's exact-sum trick,
+    so both engines interpolate from identical integers), the 9 inner
+    decile edges per source come from ONE exact-percentile aggregate
+    (bounded output: 9 doubles x n_sources), broadcast back, and each
+    doc's decile = count of edges strictly below its score — a pure
+    array expression inside codegen. At 100 TB: one corpus pass for
+    the edges (percentile is a partial-aggregating sketch-free exact
+    here; swap approx_percentile at extreme scale), one pass for the
+    histogram, zero windows, zero skew (the broadcast is
+    sources x 9 doubles)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    qi = F.bround(quality_score("text", toks) * 1e6, 0).cast("long")
+    scored = docs.select("source", qi.alias("qi"))
+    qs_lit = ", ".join(str(q) for q in _CAL_QS)
+    edges = scored.groupBy("source").agg(
+        F.expr(f"percentile(qi, array({qs_lit}))").alias("edges")
+    )
+    bucket = F.size(F.filter(F.col("edges"), lambda e: e < F.col("qi")))
+    return (
+        scored.join(F.broadcast(edges), "source")
+        .select("source", "qi", bucket.alias("decile"))
+        .groupBy("source", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("qi").alias("lo_qi"),
+            F.max("qi").alias("hi_qi"),
+        )
+    )
+
+
+register(
+    "source_score_calibration",
+    q_source_score_calibration,
+    f"""
+WITH t AS (
+  SELECT source, {_TOKS_SQL} AS toks, text FROM documents
+),
+scored AS (
+  SELECT source,
+         CAST(round_even((
+    0.4 * least(1.0, CAST(len(toks) AS BIGINT) / 100.0)
+    + 0.3 * (1 - CASE WHEN len(toks) > 0
+                      THEN len(list_filter(toks, x -> x IN ({_STOP_IN}))) / len(toks)
+                      ELSE 0.0 END)
+    + 0.3 * (1 - CASE WHEN length(text) > 0
+                      THEN (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) / length(text)
+                      ELSE 0.0 END)) * 1e6, 0) AS BIGINT) AS qi
+  FROM t
+),
+edges AS (
+  SELECT source, quantile_cont(qi, [{", ".join(str(q) for q in _CAL_QS)}]) AS edges
+  FROM scored GROUP BY 1
+)
+SELECT s.source,
+       CAST(len(list_filter(e.edges, x -> x < s.qi)) AS INTEGER) AS decile,
+       count(*) AS n_docs,
+       CAST(min(s.qi) AS BIGINT) AS lo_qi,
+       CAST(max(s.qi) AS BIGINT) AS hi_qi
+FROM scored s JOIN edges e USING (source)
+GROUP BY 1, 2
+""",
+)

@@ -51,6 +51,7 @@ _PRIORITY = [
     "local_supplier_volume",
     "nation_market_share",
     "top_supplier_quarter",
+    "source_score_calibration",
     "streaming_view_purchase_join_bounded",
     "dedup_setsim_prefix",
     "min_cost_supplier_per_part",

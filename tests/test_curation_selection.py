@@ -107,3 +107,25 @@ def test_token_budget_greedy_replay_and_invariants(spark):
     # budget invariant: per-source selected token mass never exceeds it
     per_src = got.groupby("source").n_tokens.sum()
     assert (per_src <= _TOKEN_BUDGET).all()
+
+
+def test_source_score_calibration_deciles(spark):
+    """Every source lands ~10 deciles covering all its docs; decile
+    edges are monotone (lo/hi ranges don't overlap across deciles
+    within a source)."""
+    import pyspark.sql.functions as F
+
+    from dataframe_retail_e_inventarios_spark.registry import queries
+    from tests.conftest import SF_SMOKE
+
+    rows = queries()["source_score_calibration"](spark, SF_SMOKE).collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    assert len(by_src) == 20
+    for src, rs in by_src.items():
+        rs = sorted(rs, key=lambda r: r.decile)
+        assert sum(r.n_docs for r in rs) == 25
+        assert rs[0].decile == 0 and rs[-1].decile <= 9
+        for a, b in zip(rs, rs[1:]):
+            assert a.hi_qi <= b.lo_qi, f"decile ranges overlap in {src}"
