@@ -1324,8 +1324,16 @@ def q_streaming_view_purchase_join_bounded(
             dst = os.path.join(src, f"chunk{k}.parquet")
             shutil.move(os.path.join(d, part), dst)
             os.utime(dst, (base_mtime + 10 * k, base_mtime + 10 * k))
+        # State-partition sizing (see docstring): the count is fixed at
+        # stream start from the runtime conf. A cloned session
+        # (newSession: own SQLConf, shared SparkContext/executors)
+        # scopes the setting to this drain without mutating the
+        # caller's conf — safe even if the caller ever runs queries
+        # concurrently.
+        ns = spark.newSession()
+        ns.conf.set("spark.sql.shuffle.partitions", "8")
         stream = (
-            spark.readStream.schema(ev.schema)
+            ns.readStream.schema(ev.schema)
             .option("maxFilesPerTrigger", 1)
             .parquet(src)
         )
@@ -1335,25 +1343,15 @@ def q_streaming_view_purchase_join_bounded(
             views, purchases, window_min=30, watermark="1 hour"
         )
         name = f"vpjb_{uuid.uuid4().hex[:8]}"
-        # State-partition sizing (see docstring): the partition count
-        # is fixed at stream start from the runtime conf; scope it to
-        # the drain and restore. Queries run sequentially in bench/
-        # selfcheck/driver, so the temporary setting can't leak into a
-        # concurrent plan.
-        prev = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
-        try:
-            q = (
-                joined.writeStream.format("memory")
-                .queryName(name)
-                .outputMode("append")
-                .trigger(availableNow=True)
-                .start()
-            )
-            q.awaitTermination(300)
-        finally:
-            spark.conf.set("spark.sql.shuffle.partitions", prev)
-        out = spark.table(name).select(
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        out = ns.table(name).select(
             "user_id",
             "view_id",
             F.col("purchase_id"),
