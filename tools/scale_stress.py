@@ -64,6 +64,16 @@ STRESS_QUERIES = [
     ("zipf_vocab_topk", "documents"),
     ("embedding_int8_quantization", "embeddings"),
     ("embedding_pca_projection", "embeddings"),
+    # round-8 additions: the curation chain (key-cardinality axis =
+    # more docs AND more sources), the PPJoin+ prefix join, the HLL
+    # profile default, and the new classic-join silhouettes.
+    ("llm_curation_pipeline", "documents"),
+    ("dedup_setsim_prefix", "documents"),
+    ("source_score_calibration", "documents"),
+    ("profile_lineitem_columns_approx", "lineitem"),
+    ("shipping_priority_topk", "lineitem"),
+    ("local_supplier_volume", "lineitem"),
+    ("nation_market_share", "lineitem"),
 ]
 
 # Tables any stress query touches (flagship etc. may read dims).
