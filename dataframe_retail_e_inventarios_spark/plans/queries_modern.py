@@ -668,3 +668,69 @@ GROUP BY l_returnflag, l_linestatus
 ORDER BY l_returnflag, l_linestatus
 """,
 )
+
+
+# -- ordered string aggregation (LISTAGG, Spark 4.0+) ------------------------
+def q_priority_order_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LISTAGG WITHIN GROUP (Spark 4.0's ANSI ordered string
+    aggregation): per (priority, status) bucket, a deterministic
+    comma-joined manifest of the 5 highest-value order keys plus the
+    bucket stats — the human-readable rollup shape (top examples per
+    cell) every ops report needs. The top-5 cut is a bounded
+    per-bucket window (25 buckets x rows, partition-parallel, never
+    global); the LISTAGG orders by the EXACT integer price so the
+    string is engine-independent. DuckDB twin: string_agg(...ORDER
+    BY...) over the same window cut."""
+    orders = load_table(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    cents = F.bround(F.col("o_totalprice") * 100, 0).cast("long")
+    w = Window.partitionBy("o_orderpriority", "o_orderstatus").orderBy(
+        F.col("price_i").desc(), F.col("o_orderkey")
+    )
+    top = (
+        orders.select(
+            "o_orderpriority",
+            "o_orderstatus",
+            "o_orderkey",
+            cents.alias("price_i"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+    )
+    top.createOrReplaceTempView("_manifest_top")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, o_orderstatus,
+               count(*) AS n_top,
+               listagg(CAST(o_orderkey AS STRING), ',')
+                 WITHIN GROUP (ORDER BY price_i DESC, o_orderkey) AS top_orders,
+               CAST(max(price_i) AS BIGINT) / 1e2 AS max_price
+        FROM _manifest_top
+        GROUP BY 1, 2
+        """
+    )
+
+
+register(
+    "priority_order_manifest",
+    q_priority_order_manifest,
+    """
+WITH top AS (
+  SELECT o_orderpriority, o_orderstatus, o_orderkey,
+         CAST(round_even(o_totalprice * 100, 0) AS BIGINT) AS price_i,
+         row_number() OVER (PARTITION BY o_orderpriority, o_orderstatus
+                            ORDER BY CAST(round_even(o_totalprice * 100, 0) AS BIGINT) DESC,
+                                     o_orderkey) AS rn
+  FROM orders
+)
+SELECT o_orderpriority, o_orderstatus,
+       count(*) AS n_top,
+       string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY price_i DESC, o_orderkey)
+         AS top_orders,
+       CAST(max(price_i) AS BIGINT) / 1e2 AS max_price
+FROM top
+WHERE rn <= 5
+GROUP BY 1, 2
+""",
+)

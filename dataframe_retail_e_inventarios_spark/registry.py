@@ -52,6 +52,7 @@ _PRIORITY = [
     "nation_market_share",
     "top_supplier_quarter",
     "source_score_calibration",
+    "priority_order_manifest",
     "streaming_view_purchase_join_bounded",
     "dedup_setsim_prefix",
     "min_cost_supplier_per_part",

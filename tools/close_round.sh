@@ -26,6 +26,10 @@ SPARK_GRAFT_CPUS=3 \
 echo "== sf0.1 headline selfcheck =="
 python tools/selfcheck.py --headline --json SELFCHECK_sf01.json /root/testdata/sf0.1
 
+echo "== ANSI-mode selfcheck (spark.sql.ansi.enabled) =="
+SPARK_GRAFT_ANSI=true \
+  python tools/selfcheck.py --json SELFCHECK_ansi.json /root/testdata/sf0.01
+
 echo "== bench (BENCH_full.json) =="
 python bench.py
 
@@ -37,7 +41,8 @@ echo "== plan dump =="
 python tools/explain_plans.py
 
 git add SELFCHECK_full.json SELFCHECK_tz.json SELFCHECK_part.json \
-        SELFCHECK_sf01.json BENCH_full.json "BENCH_scale_${TAG}.json" PLANS.md
+        SELFCHECK_sf01.json SELFCHECK_ansi.json BENCH_full.json \
+        "BENCH_scale_${TAG}.json" PLANS.md
 git add -f BENCH_r*.json CORRECTNESS_r*.json 2>/dev/null || true
 git status --short
 echo "close_round: artifacts staged — commit them now."
