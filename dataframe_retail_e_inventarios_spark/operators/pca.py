@@ -39,8 +39,15 @@ _SCALE = 1_000_000  # 1e6 quantization of embedding coordinates
 
 
 def _quantized(vec_col: str):
+    # Explicit double cast: under non-ANSI coercion float * int stays
+    # FLOAT, where x*1e6 can land exactly on .5 (float32 spacing at
+    # ~7.9e4 is 0.0078) and HALF_UP diverges from the float64
+    # reference by one quantization unit. Casting first makes the
+    # quantization ANSI-mode-independent and bit-identical to
+    # numpy's float64 round.
     return F.transform(
-        F.col(vec_col), lambda x: F.round(x * _SCALE, 0).cast("long")
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") * _SCALE, 0).cast("long"),
     )
 
 

@@ -46,13 +46,17 @@ def get_spark(
             "spark.sql.session.timeZone",
             os.environ.get("SPARK_GRAFT_SESSION_TZ", "UTC"),
         )
-        # SPARK_GRAFT_ANSI=true runs the whole registry under ANSI SQL
-        # semantics (errors instead of NULLs on overflow/bad casts) —
-        # the driver builds its own session, so surviving ANSI-on is a
-        # portability requirement, not a tuning choice.
+        # ANSI mode: Spark 4's DEFAULT is true, and the driver's
+        # vanilla session inherits it — so true is the default here
+        # too (defaulting this knob to false once silently flipped
+        # float*int coercion from double to float and moved ~150
+        # embedding quantizations by one ulp-at-.5; see
+        # operators/pca._quantized). SPARK_GRAFT_ANSI=false is the
+        # HOSTILE sweep direction: the registry must also hash-green
+        # under legacy NULL-on-error semantics (SELFCHECK_ansi.json).
         .config(
             "spark.sql.ansi.enabled",
-            os.environ.get("SPARK_GRAFT_ANSI", "false"),
+            os.environ.get("SPARK_GRAFT_ANSI", "true"),
         )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")

@@ -26,8 +26,8 @@ SPARK_GRAFT_CPUS=3 \
 echo "== sf0.1 headline selfcheck =="
 python tools/selfcheck.py --headline --json SELFCHECK_sf01.json /root/testdata/sf0.1
 
-echo "== ANSI-mode selfcheck (spark.sql.ansi.enabled) =="
-SPARK_GRAFT_ANSI=true \
+echo "== legacy-mode selfcheck (spark.sql.ansi.enabled=false — Spark 4 defaults to TRUE) =="
+SPARK_GRAFT_ANSI=false \
   python tools/selfcheck.py --json SELFCHECK_ansi.json /root/testdata/sf0.01
 
 echo "== bench (BENCH_full.json) =="
