@@ -1263,3 +1263,52 @@ JOIN supplier ON l_suppkey = s_suppkey
 WHERE rev_i = (SELECT max(rev_i) FROM per)
 """,
 )
+
+
+def q_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12's core semantics on this schema (no shipmode column):
+    per order priority, how many lines shipped LATE (more than 90 days
+    after the order date) vs on time, and the late share. One
+    fact-fact join on the co-keyed order key, integer day-diff
+    predicate in codegen, conditional counts in a single aggregate —
+    the share is one BIGINT/BIGINT division, never re-rounded."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority", "o_orderdate"
+    )
+    late = F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate")) > 90
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(late.cast("long")).cast("long").alias("n_late"),
+        )
+        .select(
+            "o_orderpriority",
+            "n_lines",
+            "n_late",
+            (F.col("n_late") / F.col("n_lines")).alias("late_share"),
+        )
+    )
+
+
+register(
+    "late_shipment_priority",
+    q_late_shipment_priority,
+    """
+WITH agg AS (
+  SELECT o_orderpriority,
+         count(*) AS n_lines,
+         CAST(sum(CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),
+                                      CAST(l_shipdate AS DATE)) > 90
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_late
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1
+)
+SELECT o_orderpriority, n_lines, n_late,
+       n_late / n_lines AS late_share
+FROM agg
+""",
+)

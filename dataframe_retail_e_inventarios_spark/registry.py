@@ -53,6 +53,7 @@ _PRIORITY = [
     "top_supplier_quarter",
     "source_score_calibration",
     "priority_order_manifest",
+    "late_shipment_priority",
     "streaming_view_purchase_join_bounded",
     "dedup_setsim_prefix",
     "min_cost_supplier_per_part",
