@@ -52,8 +52,11 @@ def exact_money_sum(expr: Column, decimals: int = 4) -> Column:
     # sum over ~10^9 rows). Fail loudly instead of drifting by a cent.
     # assert_true yields NULL when the bound holds, so the coalesce
     # term adds exactly 0 and the value/plan semantics are unchanged.
+    # NULL sums (empty relation under a global aggregate, all-NULL
+    # group) must pass through as NULL — assert_true raises on a NULL
+    # condition, so the bound check only applies to non-null totals.
     guard = F.assert_true(
-        F.abs(total) < F.lit(2**52),
+        total.isNull() | (F.abs(total) < F.lit(2**52)),
         F.lit(
             f"exact_money_sum: |sum of {scale}-scaled values| >= 2^52; "
             "cent rounding would no longer be exact — lower `decimals` "

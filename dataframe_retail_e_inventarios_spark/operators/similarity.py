@@ -569,12 +569,20 @@ def _dot_dec(a: Column, b: Column) -> Column:
     # assignments) rather than failing. Guard: non-null inputs must
     # yield a non-null dot. assert_true is NULL when the invariant
     # holds, so the coalesce term adds exactly 0.
+    # A NULL *element* inside a non-null array also nulls the
+    # aggregate; that is a sparse-input contract violation, not an
+    # overflow — except it from the overflow assert so the message
+    # never misleads (NULL dot then propagates as NULL similarity).
     guard = F.assert_true(
-        res.isNotNull() | a.isNull() | b.isNull(),
+        res.isNotNull()
+        | a.isNull()
+        | b.isNull()
+        | F.exists(a, lambda x: x.isNull())
+        | F.exists(b, lambda y: y.isNull()),
         F.lit(
-            "_dot_dec: DECIMAL(38,0) overflow (NULL dot from non-null "
-            "arrays) — element magnitudes exceed the documented 1e6-grid "
-            "bound; rescale before the dot product"
+            "_dot_dec: DECIMAL(38,0) overflow (NULL dot from non-null, "
+            "dense arrays) — element magnitudes exceed the documented "
+            "1e6-grid bound; rescale before the dot product"
         ),
     )
     return res + F.coalesce(guard.cast("decimal(38,0)"), F.lit(0).cast("decimal(38,0)"))

@@ -30,6 +30,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..functions.timewall import wall_epoch_seconds
+from ..streaming.events import await_bounded
 from ..operators.tokenize import bpe_ish_tokens
 from ..registry import register
 from ..sources.readers import load_table
@@ -936,7 +937,7 @@ def q_streaming_rollup_maintenance(spark: SparkSession, sf_dir: str) -> DataFram
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        await_bounded(q, 300)
         # materialize before the workdir disappears
         return finalize_rollup(spark.read.parquet(state_dir)).localCheckpoint(
             eager=True
@@ -1011,7 +1012,7 @@ def q_streaming_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        await_bounded(q, 300)
         final = (
             spark.read.parquet(state_dir)
             .filter(~tomb)
@@ -1161,7 +1162,7 @@ def q_streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        await_bounded(q, 300)
         # LTZ -> epoch via long cast: absolute-instant arithmetic,
         # timezone-free by construction.
         out = spark.table(name).select(
@@ -1225,7 +1226,7 @@ def q_streaming_view_purchase_join(spark: SparkSession, sf_dir: str) -> DataFram
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        await_bounded(q, 300)
         out = spark.table(name).select(
             "user_id",
             "view_id",
@@ -1350,7 +1351,7 @@ def q_streaming_view_purchase_join_bounded(
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        await_bounded(q, 300)
         out = ns.table(name).select(
             "user_id",
             "view_id",
@@ -1426,7 +1427,7 @@ def q_streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        await_bounded(q, 300)
         out = spark.table(name).select(
             "event_id",
             "user_id",
@@ -1824,7 +1825,7 @@ def q_streaming_late_data_watermark(spark: SparkSession, sf_dir: str) -> DataFra
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        await_bounded(q, 300)
         out = (
             spark.table(name)
             .filter(F.col("event_type") != "sentinel")

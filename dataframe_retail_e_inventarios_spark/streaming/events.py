@@ -205,6 +205,22 @@ def running_user_totals_tws(events: DataFrame) -> DataFrame:
     )
 
 
+def await_bounded(q, timeout: float) -> None:
+    """Await a bounded (availableNow) stream, raising on timeout.
+
+    ``awaitTermination(t)`` returns False when t elapses with the
+    stream STILL RUNNING; ignoring that boolean means a slow drain's
+    partial memory table would be read as the result while cleanup
+    code deletes the source directory under the live stream. Fail
+    loudly instead: stop the query and raise."""
+    if not q.awaitTermination(timeout):
+        q.stop()
+        raise TimeoutError(
+            f"bounded stream {q.name or q.id} did not terminate within "
+            f"{timeout}s — partial results would be wrong; aborting"
+        )
+
+
 def run_stream_to_memory(
     spark: SparkSession, stream_df: DataFrame, query_name: str
 ) -> None:
@@ -216,7 +232,7 @@ def run_stream_to_memory(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    await_bounded(q, 120)
 
 
 def running_user_totals_stream(events: DataFrame) -> DataFrame:

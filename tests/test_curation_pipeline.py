@@ -4,6 +4,7 @@ differential of the full stage chain."""
 
 import hashlib
 import re
+from collections import Counter
 
 import pyspark.sql.functions as F
 
@@ -83,7 +84,11 @@ def test_pipeline_differential_vs_pandas(spark):
                 if s not in seen:
                     seen.add(s)
                     sh.append(s)
-        hs = {int(hashlib.md5(s.encode()).hexdigest()[:8], 16) for s in sh}
+        # Multiset, not set: the engines explode per-doc DISTINCT
+        # shingles to 32-bit hashes and count rows, so two distinct
+        # shingles colliding to one hash contribute multiplicity 2.
+        # A set here would merge them and diverge from both engines.
+        hs = Counter(int(hashlib.md5(s.encode()).hexdigest()[:8], 16) for s in sh)
         feats[r.doc_id] = (r.lang, q, fp, n_tokens, hs)
 
     ev_ids = [d for d in feats if d % _PIPE_EVAL_MOD == 0]
@@ -97,12 +102,18 @@ def test_pipeline_differential_vs_pandas(spark):
             continue
         seen_fp.add(fp)
         surv.append(d)
-    # decontamination: >= MIN_SHARED shared shingles with ANY ONE eval doc
+    # decontamination: >= MIN_SHARED shared shingle-hashes with ANY ONE
+    # eval doc. Both engines join exploded hashes and count(*), so a
+    # hash carried by a colliding shingles in the train doc and b in
+    # the eval doc contributes a*b joined rows — mirror that product.
+    def _n_shared(tr: Counter, ev: Counter) -> int:
+        return sum(c * ev[h] for h, c in tr.items() if h in ev)
+
     clean = []
     for d in surv:
         hs = feats[d][4]
         contaminated = any(
-            len(hs & feats[e][4]) >= _PIPE_MIN_SHARED for e in ev_ids
+            _n_shared(hs, feats[e][4]) >= _PIPE_MIN_SHARED for e in ev_ids
         )
         if not contaminated:
             clean.append(d)

@@ -105,3 +105,24 @@ def test_exact_money_sum_6dp_and_random_boundary_sweep(spark):
     assert got.s.to_numpy().tobytes() == exp.s.to_numpy().tobytes()
     # and every result is an exact 2dp value
     assert all(abs(x * 100 - round(x * 100)) < 1e-9 for x in got.s)
+
+
+def test_exact_money_sum_null_contract(spark):
+    """r8 ADVICE: the 2^52 overflow guard must not fire on NULL sums.
+    An empty relation under a global aggregate and an all-NULL group
+    both yield sum=NULL; assert_true raises on a NULL condition, so the
+    guard has to except NULL totals explicitly — the function's
+    contract is to return NULL there, exactly like SUM itself."""
+    # empty relation, global aggregate
+    empty = spark.createDataFrame([], "v double")
+    row = empty.agg(exact_money_sum(F.col("v"), 4).alias("s")).collect()[0]
+    assert row.s is None
+    # all-NULL group alongside a real group
+    pdf = pd.DataFrame({"g": [1, 1, 2], "v": [None, None, 3.0050]})
+    sdf = spark.createDataFrame(pdf)
+    got = {
+        r.g: r.s
+        for r in sdf.groupBy("g").agg(exact_money_sum(F.col("v"), 4).alias("s")).collect()
+    }
+    assert got[1] is None
+    assert got[2] == 3.0

@@ -252,3 +252,31 @@ def test_ivf_planted_neighbor_recall(spark):
         got.setdefault(r.query_id, set()).add(r.cand_id)
     recalls = [len(truth[q] & got.get(q, set())) / len(truth[q]) for q in truth]
     assert min(recalls) >= 0.9, recalls
+
+
+def test_dot_dec_null_element_not_misreported_as_overflow(spark):
+    """r8 ADVICE: a NULL *element* inside a non-null array nulls the
+    DECIMAL aggregate; that must propagate as a NULL dot (sparse-input
+    contract violation for the caller to handle), NOT trip the
+    overflow assert with a misleading DECIMAL-overflow message."""
+    from dataframe_retail_e_inventarios_spark.operators.similarity import _dot_dec
+
+    df = spark.createDataFrame(
+        [
+            ([1, 2, 3], [4, 5, 6], "dense"),
+            ([1, None, 3], [4, 5, 6], "null_elem_left"),
+            ([1, 2, 3], [4, None, 6], "null_elem_right"),
+            (None, [4, 5, 6], "null_array"),
+        ],
+        "a array<bigint>, b array<bigint>, tag string",
+    )
+    rows = {
+        r.tag: r.d
+        for r in df.select(
+            "tag", _dot_dec(F.col("a"), F.col("b")).alias("d")
+        ).collect()
+    }
+    assert int(rows["dense"]) == 32
+    assert rows["null_elem_left"] is None
+    assert rows["null_elem_right"] is None
+    assert rows["null_array"] is None

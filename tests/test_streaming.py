@@ -13,6 +13,7 @@ from dataframe_retail_e_inventarios_spark.streaming.events import (
     run_stream_to_memory,
 )
 from tests.conftest import SF_SMOKE
+from dataframe_retail_e_inventarios_spark.streaming.events import await_bounded
 
 
 @pytest.fixture()
@@ -121,7 +122,7 @@ def test_stream_stream_join_matches_batch_twin(spark, events_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    await_bounded(q, 120)
     got = spark.table("conversion_join_test").select("view_id", "purchase_id")
     batch = q_view_purchase_join(spark, SF_SMOKE).select("view_id", "purchase_id")
     assert got.count() == batch.count() > 0
@@ -148,7 +149,7 @@ def test_streaming_dedup_drops_replays(spark, events_dir, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    await_bounded(q, 120)
     got = spark.table("dedup_stream_test")
     n_distinct = ev.select("event_id").distinct().count()
     assert got.count() == n_distinct
@@ -174,7 +175,7 @@ def test_transformwithstate_matches_batch(spark, events_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    await_bounded(q, 120)
     got = (
         spark.table("user_totals_tws_test")
         .groupBy("user_id")
@@ -209,7 +210,7 @@ def test_stateful_running_totals(spark, events_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    await_bounded(q, 120)
     got = (
         spark.table("user_totals_test")
         .groupBy("user_id")

@@ -13,6 +13,7 @@ from dataframe_retail_e_inventarios_spark.streaming.events import (
     EVENTS_STREAM_SCHEMA,
 )
 from tests.conftest import SF_SMOKE
+from dataframe_retail_e_inventarios_spark.streaming.events import await_bounded
 
 KEYS = ("user_id", "event_type")
 SEQ = ("ts", "event_id")
@@ -60,7 +61,7 @@ def test_foreachbatch_upsert_matches_one_shot_compaction(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    await_bounded(q, 180)
 
     got = (
         spark.read.parquet(state_dir)

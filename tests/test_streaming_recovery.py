@@ -15,6 +15,7 @@ from dataframe_retail_e_inventarios_spark.streaming.events import (
     EVENTS_STREAM_SCHEMA,
 )
 from tests.conftest import SF_SMOKE
+from dataframe_retail_e_inventarios_spark.streaming.events import await_bounded
 
 
 @pytest.fixture()
@@ -40,7 +41,7 @@ def _drain(spark, src, out, chk):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    await_bounded(q, 120)
 
 
 def test_file_sink_exactly_once_across_restart(spark, tmp_path, split_source):

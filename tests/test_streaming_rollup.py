@@ -15,6 +15,7 @@ from dataframe_retail_e_inventarios_spark.operators.incremental import (
 )
 from dataframe_retail_e_inventarios_spark.sources.readers import load_table
 from tests.conftest import SF_SMOKE
+from dataframe_retail_e_inventarios_spark.streaming.events import await_bounded
 
 KEYS = ("l_partkey", "ship_month")
 
@@ -55,7 +56,7 @@ def test_streamed_fold_matches_one_shot(spark, tmp_path):
     q = stream.writeStream.foreachBatch(fold_batch).trigger(
         availableNow=True
     ).start()
-    q.awaitTermination(120)
+    await_bounded(q, 120)
 
     got = sorted(
         tuple(r)
