@@ -248,6 +248,11 @@ HEADLINE = [
     # (quality -> lang -> dedup keeper -> decontaminate -> pack) as one
     # checkpointed-feature dataflow over a single documents scan.
     "llm_curation_pipeline",
+    # round 9: the last two hard TPC-H join shapes — Q21 (exists +
+    # not-exists collapsed to windows over one rollup exchange) and
+    # Q20 (correlated scalar threshold + left-semi qualification).
+    "waiting_supplier_count",
+    "dominant_supplier_parts",
 ]
 
 # Capability demos: registered + oracle-checked, but benched apart from
@@ -287,6 +292,12 @@ DEMO = [
     # the production default. The exact twin keeps its full value-hash
     # oracle and certifies the approx one via test bounds; timed here.
     "profile_lineitem_columns",
+    # streaming_late_data_watermark (r8 verdict #8): 9.1 s of LIGHT
+    # wall that is six mtime-ordered micro-batches of replay machinery
+    # — the lateness experiment IS the query — identical anatomy to
+    # the other drains above, so it is timed once here, not min-of-2
+    # in LIGHT.
+    "streaming_late_data_watermark",
 ]
 
 # Scale-curve subset: the heaviest headline queries (r02 timings),

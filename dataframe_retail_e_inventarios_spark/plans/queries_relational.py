@@ -1312,3 +1312,182 @@ SELECT o_orderpriority, n_lines, n_late,
 FROM agg
 """,
 )
+
+
+def q_waiting_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting) on this
+    schema: for finished ('F') orders with AT LEAST TWO suppliers,
+    count each supplier's late lines (shipped >90 days after the order
+    date) on orders where it was the ONLY late supplier — the
+    exists(other supplier) + not-exists(other LATE supplier) pair of
+    correlated subqueries.
+
+    Plan shape: the classic formulation self-joins lineitem twice
+    (exists + anti); here both correlated tests collapse into window
+    aggregates over ONE per-(order, supplier) rollup — after the
+    groupBy's hash shuffle on (l_orderkey, l_suppkey), the
+    Window.partitionBy(l_orderkey) is satisfied by the same exchange
+    (hash partitioning on a key subset), so the whole qualification
+    runs in a single shuffle instead of three fact-fact joins. At
+    100 TB: one lineitem⋈orders shuffle join on the co-keyed order
+    key, one agg exchange, broadcast supplier⋈nation enrichment,
+    TakeOrderedAndProject for the top-100."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    late = (
+        F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate")) > 90
+    ).cast("long")
+    pso = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.sum(late).cast("long").alias("n_late_lines"))
+    )
+    w = Window.partitionBy("l_orderkey")
+    qual = (
+        pso.withColumn("n_supps", F.count(F.lit(1)).over(w))
+        .withColumn(
+            "n_late_supps",
+            F.sum((F.col("n_late_lines") > 0).cast("long")).over(w),
+        )
+        .filter(
+            (F.col("n_late_lines") > 0)
+            & (F.col("n_supps") >= 2)
+            & (F.col("n_late_supps") == 1)
+        )
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        qual.groupBy("l_suppkey")
+        .agg(F.sum("n_late_lines").cast("long").alias("numwait"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .select("s_name", "n_name", "numwait")
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )
+
+
+register(
+    "waiting_supplier_count",
+    q_waiting_supplier_count,
+    """
+WITH l AS (
+  SELECT l.l_orderkey, l.l_suppkey,
+         CASE WHEN date_diff('day', CAST(o.o_orderdate AS DATE),
+                             CAST(l.l_shipdate AS DATE)) > 90
+              THEN 1 ELSE 0 END AS late
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderstatus = 'F'
+),
+pso AS (
+  SELECT l_orderkey, l_suppkey, CAST(sum(late) AS BIGINT) AS n_late_lines
+  FROM l GROUP BY 1, 2
+),
+qual AS (
+  SELECT l_suppkey, n_late_lines FROM pso p1
+  WHERE n_late_lines > 0
+    AND EXISTS (SELECT 1 FROM pso p2
+                WHERE p2.l_orderkey = p1.l_orderkey
+                  AND p2.l_suppkey <> p1.l_suppkey)
+    AND NOT EXISTS (SELECT 1 FROM pso p3
+                    WHERE p3.l_orderkey = p1.l_orderkey
+                      AND p3.l_suppkey <> p1.l_suppkey
+                      AND p3.n_late_lines > 0)
+)
+SELECT s_name, n_name, CAST(sum(n_late_lines) AS BIGINT) AS numwait
+FROM qual
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+GROUP BY 1, 2
+ORDER BY numwait DESC, s_name
+LIMIT 100
+""",
+)
+
+
+def q_dominant_supplier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (excess-availability suppliers) on this schema
+    (no partsupp table): suppliers holding a DOMINANT share of a
+    contested part's 1996 shipments — per (part, supplier) quantity
+    vs the correlated per-part total (the scalar subquery threshold:
+    share > 1/2), restricted to '%gear%' parts shipped by >= 4
+    distinct suppliers that year, then a SEMI join up to the supplier
+    dimension.
+
+    Plan shape: part-name filter is a broadcast join pushed below the
+    aggregation (prunes lineitem before the shuffle); the correlated
+    scalar collapses into a window SUM over the (part, supplier)
+    rollup (same single-exchange trick as waiting_supplier_count);
+    the supplier qualification is a left-semi broadcast join, so no
+    supplier row is duplicated and no de-dup shuffle is needed.
+    Integer cent-quantities keep the 2*q > tot gate exact on both
+    engines."""
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%gear%"))
+        .select("p_partkey")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.year("l_shipdate") == 1996)
+        .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+        .select(
+            "l_partkey",
+            "l_suppkey",
+            F.bround(F.col("l_quantity") * 100, 0).cast("long").alias("qty_i"),
+        )
+    )
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("qty_i").cast("long").alias("q_i")
+    )
+    w = Window.partitionBy("l_partkey")
+    dominant = (
+        ps.withColumn("tot_i", F.sum("q_i").over(w).cast("long"))
+        .withColumn("n_supps", F.count(F.lit(1)).over(w))
+        .filter((F.col("n_supps") >= 4) & (F.lit(2) * F.col("q_i") > F.col("tot_i")))
+        .select("l_suppkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_acctbal"
+    )
+    return (
+        supp.join(
+            F.broadcast(dominant), supp.s_suppkey == F.col("l_suppkey"), "left_semi"
+        )
+        .select("s_suppkey", "s_name", "s_acctbal")
+        .orderBy("s_suppkey")
+    )
+
+
+register(
+    "dominant_supplier_parts",
+    q_dominant_supplier_parts,
+    """
+WITH li AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(round_even(l_quantity * 100, 0) AS BIGINT) AS qty_i
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE year(l_shipdate) = 1996 AND p_name LIKE '%gear%'
+),
+ps AS (
+  SELECT l_partkey, l_suppkey, CAST(sum(qty_i) AS BIGINT) AS q_i
+  FROM li GROUP BY 1, 2
+)
+SELECT s_suppkey, s_name, s_acctbal
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM ps p1
+  WHERE (SELECT count(*) FROM ps p2 WHERE p2.l_partkey = p1.l_partkey) >= 4
+    AND 2 * p1.q_i > (SELECT CAST(sum(p3.q_i) AS BIGINT) FROM ps p3
+                      WHERE p3.l_partkey = p1.l_partkey)
+)
+ORDER BY s_suppkey
+""",
+)

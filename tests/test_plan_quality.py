@@ -331,3 +331,41 @@ def test_join_probe_never_joins_fact_rows(spark):
     # both join inputs are aggregates, not scans: HashAggregate must
     # appear on the build side string before any parquet scan does
     assert post.count("HashAggregate") >= 2
+
+
+def test_waiting_supplier_single_qualification_shuffle(spark):
+    """Q21 silhouette: the exists/not-exists pair must collapse into
+    window aggs over ONE per-(order,supplier) rollup — no fact-fact
+    self-joins, no cartesian, broadcast supplier/nation dims, and the
+    window must reuse the groupBy's exchange (hash partitioning on a
+    key subset satisfies the window's required distribution)."""
+    plan = plan_of(spark, "waiting_supplier_count")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2  # supplier + nation
+    # lineitem scans once: one join with orders, zero self-joins
+    assert plan.count("lineitem.parquet") == 1
+    # the top-100 is a distributed top-k, not a global sort
+    assert "TakeOrderedAndProject" in plan
+    # qualification pipeline = join exchange + (order,supp) agg
+    # exchange + final per-supplier agg exchange; the two Window ops
+    # must NOT add exchanges of their own.
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges <= 3, plan
+
+
+def test_dominant_supplier_semi_join_shape(spark):
+    """Q20 silhouette: part-name filter broadcast BELOW the rollup,
+    correlated scalar as a window over the rollup's own exchange,
+    supplier qualification as a LEFT SEMI broadcast join."""
+    plan = plan_of(spark, "dominant_supplier_parts")
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan
+    assert plan.count("BroadcastHashJoin") >= 2  # part prune + semi
+    # year filter reaches the lineitem scan
+    assert "PushedFilters" in plan
+    # one lineitem scan; the per-part total must come from a window,
+    # not a second aggregate-and-join pass
+    assert plan.count("lineitem.parquet") == 1
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges <= 2, plan
