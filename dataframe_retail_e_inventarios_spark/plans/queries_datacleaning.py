@@ -176,24 +176,56 @@ HAVING count(*) >= 2
 
 
 # -- parity-plus: HLL approximate distinct counting --------------------------
+# Tolerance band for the HLL++ estimate (rsd=0.02): 5 standard errors
+# of relative error plus an absolute floor of 2 for tiny groups. The
+# estimator is deterministic (fixed hash, mergeable registers), so the
+# in-band boolean is partition- and run-invariant.
+ADC_RSD = 0.02
+ADC_BAND = 5 * ADC_RSD
+
+
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) beside the exact count —
     the sketch a 100 TB pipeline uses for distinct-user/URL statistics
-    where an exact distinct would shuffle every key. Approximate by
-    construction -> rows-only check; the relative-error bound is
-    asserted in tests/test_datacleaning.py."""
+    where an exact distinct would shuffle every key. The sketch value
+    is approximate by construction, so the DRIVER-VISIBLE output is
+    the tolerance-banded contract (r8 verdict #7): the exact count
+    plus a boolean asserting the estimate sits within the documented
+    relative-error band — hash-comparable against a DuckDB oracle that
+    emits the exact count and literal TRUE. A drifting sketch now
+    fails the driver gate, not just the local test."""
     ev = load_table(spark, sf_dir, "events")
+    band = F.greatest(F.lit(2.0), F.lit(ADC_BAND) * F.col("exact_users"))
     return (
         ev.groupBy("event_type")
         .agg(
-            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.approx_count_distinct("user_id", rsd=ADC_RSD).alias("approx_users"),
             F.countDistinct("user_id").alias("exact_users"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users")).cast("double")
+                <= band
+            ).alias("approx_in_band"),
         )
         .orderBy("event_type")
     )
 
 
-register("approx_distinct_users", q_approx_distinct, None)  # sketch: rows-only
+register(
+    "approx_distinct_users",
+    q_approx_distinct,
+    """
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS approx_in_band
+FROM events
+GROUP BY 1
+ORDER BY 1
+""",
+)
 
 
 def q_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -203,12 +235,19 @@ def q_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     reaggregation pattern where raw events are scanned ONCE and every
     coarser rollup (week/month/quarter, any segment union) folds the
     stored kilobyte sketches instead of re-shuffling user ids.
-    Emits the merged-daily estimate beside the direct one-shot monthly
-    estimate and the exact count: merged == one-shot holds BITWISE
-    (HLL union is lossless over identical-k sketches — asserted in
-    tests/test_datacleaning.py), exact stays within the k=12 error
-    envelope. Sketch output is approximate by construction ->
-    rows-only registration."""
+    Driver-visible output is the tolerance-banded contract (r8
+    verdict #7): the exact count plus TWO booleans — the merged-daily
+    estimate and the one-shot estimate each inside the lgK=12 error
+    envelope (|est-exact| <= max(2, 8% exact); HLL rel-std-err at
+    2^12 registers is ~1.6%, so 5 sigma). Hash-compared against a
+    DuckDB oracle emitting the exact rollup and literal TRUEs — a
+    register-merge or calibration regression now fails the driver
+    gate, not just the local test. (Union == one-shot holds BITWISE
+    only while both sketches are in sparse exact mode — true at the
+    smoke corpus, asserted there in tests/test_datacleaning.py — but
+    at sf0.1 the one-shot promotes on a different schedule than the
+    daily unions, so the cross-scale contract is the envelope, not
+    equality.)"""
     from ..functions.timewall import wall_epoch_seconds
 
     ev = load_table(spark, sf_dir, "events")
@@ -231,17 +270,43 @@ def q_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.countDistinct("user_id").alias("users_exact"),
     )
+    band = F.greatest(F.lit(2.0), F.lit(0.08) * F.col("users_exact"))
     return merged.join(oneshot, ["event_type", "month30"]).select(
         "event_type",
         "month30",
         "n_days",
-        "users_merged_daily",
-        "users_oneshot",
         "users_exact",
+        (
+            F.abs(F.col("users_merged_daily") - F.col("users_exact")).cast("double")
+            <= band
+        ).alias("merged_in_band"),
+        (
+            F.abs(F.col("users_oneshot") - F.col("users_exact")).cast("double")
+            <= band
+        ).alias("oneshot_in_band"),
     )
 
 
-register("hll_sketch_rollup", q_hll_sketch_rollup, None)  # sketch: rows-only
+register(
+    "hll_sketch_rollup",
+    q_hll_sketch_rollup,
+    """
+WITH keyed AS (
+  SELECT event_type,
+         CAST(floor(floor(epoch_us(ts) / 1000000) / 86400) AS BIGINT) AS day,
+         CAST(floor(floor(floor(epoch_us(ts) / 1000000) / 86400) / 30) AS BIGINT) AS month30,
+         user_id
+  FROM events
+)
+SELECT event_type, month30,
+       CAST(count(DISTINCT day) AS BIGINT) AS n_days,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS users_exact,
+       TRUE AS merged_in_band,
+       TRUE AS oneshot_in_band
+FROM keyed
+GROUP BY 1, 2
+""",
+)
 
 
 # -- N2 extension: Bloom-filter decontamination ------------------------------
@@ -436,27 +501,76 @@ register("frequent_parts_sketch", q_frequent_parts, None)  # sketch: rows-only
 
 
 APPROX_TOPK_K = 20
+# maxItemsTracked: with distinct-key cardinality at or below this, the
+# space-saving sketch never evicts, so every estimate is the EXACT
+# count — the regime this query documents and the oracle gate relies
+# on. 64Ki covers the part dimension to sf~3 (2 000 keys at sf0.01).
+APPROX_TOPK_CAP = 65536
 
 
 def q_approx_top_k_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy hitters WITH estimated counts via Spark 4's
     ``approx_top_k`` aggregate (count-min/space-saving family) — the
     companion to freqItems (which returns items only): one pass, fixed
-    sketch memory, mergeable across partitions. Approximate by
-    construction -> rows-only check; tests assert the exact top-k keys
-    all surface with exact counts at default sketch capacity."""
+    sketch memory, mergeable across partitions.
+
+    Driver-visible contract (r8 verdict #7): within the documented
+    exact regime (distinct keys <= maxItemsTracked — no evictions, so
+    space-saving estimates equal true counts), the sketch's returned
+    keys restricted to counts STRICTLY above the exact k-th count must
+    be exactly the exact top-k set with exact counts. Keys tied AT the
+    cutoff may legitimately swap, so the gate filters to the
+    strictly-above set on both engines; a coverage miss drops a row
+    (rows mismatch), a drifted estimate changes a value (hash
+    mismatch)."""
     li = load_table(spark, sf_dir, "lineitem")
     li.createOrReplaceTempView("_li_topk")
-    return spark.sql(
+    sketched = spark.sql(
         f"""
         SELECT t.item AS part_key, t.count AS est_count
         FROM (
-          SELECT explode(approx_top_k(l_partkey, {APPROX_TOPK_K})) AS t
+          SELECT explode(approx_top_k(l_partkey, {APPROX_TOPK_K}, {APPROX_TOPK_CAP})) AS t
           FROM _li_topk
         )
-        ORDER BY est_count DESC, part_key
         """
+    )
+    # exact k-th count = the tie-aware cutoff; everything strictly
+    # above it is a MUST-APPEAR key with a MUST-BE-EXACT count.
+    exact = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    # k-th highest exact count via distributed top-k (TakeOrdered),
+    # not a single-partition window; min over exactly k rows = cutoff.
+    cutoff = (
+        exact.orderBy(F.desc("c"))
+        .limit(APPROX_TOPK_K)
+        .agg(
+            F.when(F.count(F.lit(1)) >= APPROX_TOPK_K, F.min("c"))
+            .otherwise(F.lit(None))
+            .alias("cut")
+        )
+    )
+    return (
+        sketched.join(F.broadcast(cutoff))
+        .filter(F.col("est_count") > F.col("cut"))
+        .select("part_key", "est_count")
+        .orderBy(F.desc("est_count"), "part_key")
     )
 
 
-register("approx_top_k_parts", q_approx_top_k_parts, None)  # sketch: rows-only
+register(
+    "approx_top_k_parts",
+    q_approx_top_k_parts,
+    f"""
+WITH exact AS (
+  SELECT l_partkey AS part_key, CAST(count(*) AS BIGINT) AS est_count
+  FROM lineitem GROUP BY 1
+),
+cut AS (
+  SELECT est_count AS cut FROM exact
+  ORDER BY est_count DESC LIMIT 1 OFFSET {APPROX_TOPK_K - 1}
+)
+SELECT part_key, est_count
+FROM exact, cut
+WHERE est_count > cut
+ORDER BY est_count DESC, part_key
+""",
+)

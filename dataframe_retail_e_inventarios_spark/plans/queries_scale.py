@@ -2069,24 +2069,71 @@ GROUP BY 1
 )
 
 
-# -- sketch quantiles (approximate by construction: rows-only) -------------
+# -- sketch quantiles (tolerance-banded oracle, r8 verdict #7) --------------
+GK_ACCURACY = 10000
+
+
 def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable quantile sketch per event_type (percentile_approx =
     Greenwald-Khanna): rank error ≤ n/accuracy, single pass, fixed
     memory — the 100 TB path where the exact sort-based percentile
-    (winsorize_bounds) stops being affordable. Beside-the-exact-op
-    pattern, like approx_distinct_users beside the exact distinct.
-    Error vs the exact quantile is test-bounded (tests/test_sketches)."""
-    ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.percentile_approx("value", 0.5, 10000).alias("p50"),
-        F.percentile_approx("value", 0.95, 10000).alias("p95"),
-        F.percentile_approx("value", 0.99, 10000).alias("p99"),
+    (winsorize_bounds) stops being affordable.
+
+    Driver-visible contract: the GK guarantee itself, checked on
+    RANKS. The sketch value's rank range [count(<v)+1, count(<=v)]
+    must intersect the target window q*n ± (n/accuracy + 2) — the
+    rank-error bound GK documents (small +2 absolute slack for
+    interpolation conventions at tiny n). Output = group, n, and one
+    in-band boolean per quantile; the DuckDB oracle emits the exact n
+    and literal TRUEs. The audit pass is one broadcast join of the
+    sketch results back onto the fact and ONE counting aggregate —
+    fully distributed, no per-group value arrays."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    sketch = ev.groupBy("event_type").agg(
+        F.percentile_approx("value", 0.5, GK_ACCURACY).alias("p50"),
+        F.percentile_approx("value", 0.95, GK_ACCURACY).alias("p95"),
+        F.percentile_approx("value", 0.99, GK_ACCURACY).alias("p99"),
         F.count("*").alias("n"),
+    )
+    joined = ev.join(F.broadcast(sketch), "event_type")
+    ranks = joined.groupBy("event_type", "n", "p50", "p95", "p99").agg(
+        *[
+            f
+            for col in ("p50", "p95", "p99")
+            for f in (
+                F.sum((F.col("value") < F.col(col)).cast("long")).alias(f"lt_{col}"),
+                F.sum((F.col("value") <= F.col(col)).cast("long")).alias(f"le_{col}"),
+            )
+        ]
+    )
+
+    def in_band(q: float, col: str) -> Column:
+        eps = F.col("n").cast("double") / GK_ACCURACY + F.lit(2.0)
+        target = F.lit(q) * F.col("n").cast("double")
+        # rank interval [lt+1, le] intersects [target-eps, target+eps]
+        return (
+            (F.col(f"lt_{col}") + 1).cast("double") <= target + eps
+        ) & (F.col(f"le_{col}").cast("double") >= target - eps)
+
+    return ranks.select(
+        "event_type",
+        "n",
+        in_band(0.5, "p50").alias("p50_in_band"),
+        in_band(0.95, "p95").alias("p95_in_band"),
+        in_band(0.99, "p99").alias("p99_in_band"),
     )
 
 
-register("approx_quantiles_events", q_approx_quantiles, None)  # sketch: rows-only
+register(
+    "approx_quantiles_events",
+    q_approx_quantiles,
+    """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       TRUE AS p50_in_band, TRUE AS p95_in_band, TRUE AS p99_in_band
+FROM events
+GROUP BY 1
+""",
+)
 
 
 # -- association rules from frequent pairs ------------------------------------

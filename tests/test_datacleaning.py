@@ -179,21 +179,47 @@ def test_freq_items_sketch_has_no_false_negatives(spark):
 
 
 def test_hll_sketch_rollup_merge_is_lossless_and_calibrated(spark):
-    """hll_union_agg over daily sketches must equal the one-shot
-    monthly sketch BITWISE (same k -> same registers, union is
-    lossless), and both stay inside the k=12 error envelope of the
-    exact count."""
+    """The query's driver contract (both estimates in the lgK=12
+    envelope) must hold, and at the SMOKE corpus — where every sketch
+    stays in sparse exact mode — the union must additionally equal the
+    one-shot estimate exactly (the raw sketches are re-derived here;
+    the registered output now carries in-band booleans, r8 verdict
+    #7). Cross-scale the equality is NOT guaranteed: at sf0.1 the
+    one-shot promotes to dense on a different schedule than the daily
+    unions."""
+    import pyspark.sql.functions as F
+
+    from dataframe_retail_e_inventarios_spark.functions.timewall import (
+        wall_epoch_seconds,
+    )
     from dataframe_retail_e_inventarios_spark.plans.queries_datacleaning import (
         q_hll_sketch_rollup,
     )
+    from dataframe_retail_e_inventarios_spark.sources.readers import load_table
 
     rows = q_hll_sketch_rollup(spark, SF_SMOKE).collect()
     assert len(rows) > 0
     for r in rows:
-        assert r.users_merged_daily == r.users_oneshot, (
-            "daily-sketch union diverged from the one-shot sketch"
-        )
-        assert abs(r.users_oneshot - r.users_exact) <= max(2, 0.08 * r.users_exact)
+        assert r.merged_in_band and r.oneshot_in_band, r
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    keyed = ev.select(
+        "event_type",
+        F.floor(wall_epoch_seconds("ts") / 86400).cast("long").alias("day"),
+        (F.floor(wall_epoch_seconds("ts") / 86400) / 30).cast("long").alias("month30"),
+        "user_id",
+    )
+    daily = keyed.groupBy("event_type", "month30", "day").agg(
+        F.hll_sketch_agg("user_id", F.lit(12)).alias("sketch")
+    )
+    merged = daily.groupBy("event_type", "month30").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("m")
+    )
+    oneshot = keyed.groupBy("event_type", "month30").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(12))).alias("o")
+    )
+    for r in merged.join(oneshot, ["event_type", "month30"]).collect():
+        assert r.m == r.o, "sparse-mode daily union diverged from one-shot"
 
 
 def test_approx_top_k_covers_exact_topk(spark):
@@ -210,13 +236,13 @@ def test_approx_top_k_covers_exact_topk(spark):
         r.l_partkey: r.c
         for r in li.groupBy("l_partkey").agg(F.count("*").alias("c")).collect()
     }
-    # exact top-k cutoff count (ties may swap membership at the edge,
-    # so assert coverage of everything STRICTLY above the k-th count)
+    # The registered output is now the strictly-above-cutoff slice
+    # (r8 verdict #7): exactly the exact top-k keys with counts above
+    # the k-th count, with exact estimates (sub-capacity regime).
     counts = sorted(exact.values(), reverse=True)
-    cutoff = counts[APPROX_TOPK_K - 1] if len(counts) >= APPROX_TOPK_K else 0
-    must_have = {k for k, c in exact.items() if c > cutoff}
+    cutoff = counts[APPROX_TOPK_K - 1] if len(counts) >= APPROX_TOPK_K else None
+    must_have = {k for k, c in exact.items() if cutoff is not None and c > cutoff}
     got = {r.part_key: r.est_count for r in q_approx_top_k_parts(spark, SF_SMOKE).collect()}
-    assert len(got) == min(APPROX_TOPK_K, len(exact))
-    assert must_have <= set(got)
+    assert set(got) == must_have
     for k, c in got.items():
         assert exact[k] == c, f"estimated count drifted for {k}"
