@@ -37,67 +37,28 @@ def register(name: str, fn: QueryFn, oracle: str | None) -> None:
 # order, and tools/selfcheck.py --json covers the full registry every
 # round regardless (SELFCHECK_full.json).
 _PRIORITY = [
-    # r8 front-load (r7 verdict #5 rotation): first the queries NEW or
-    # materially CHANGED in r8 (llm_curation_pipeline's first possible
-    # hash row; dedup_setsim_prefix gained the PPJoin+ length +
-    # positional filters; min_cost_supplier_per_part's quantity sum is
-    # now half-even in both engines), then the stalest greens — all 22
-    # r2-vintage certificates followed by the oldest r3-vintage ones,
-    # oldest-first alphabetical — so the driver's 50-row budget
-    # re-certifies the oldest certificates in the registry.
-    "llm_curation_pipeline",
-    "events_variant_shred",
-    "shipping_priority_topk",
-    "local_supplier_volume",
-    "nation_market_share",
-    "top_supplier_quarter",
-    "source_score_calibration",
-    "priority_order_manifest",
-    "late_shipment_priority",
-    "streaming_view_purchase_join_bounded",
-    "dedup_setsim_prefix",
-    "min_cost_supplier_per_part",
-    # r2-vintage greens (last driver hash row: round 2):
-    "events_session_funnel",
-    "events_sessionization",
-    "events_view_purchase_join",
-    "except_all_part_demand",
-    "intersect_repeat_customers",
-    "lang_id_heuristic",
-    "last_sale_per_series",
-    "left_join_null_fill",
-    "log_transform_weekly",
-    "multimodal_features",
-    "multimodal_features_udf",
-    "parse_forecast_edge_cases",
-    "report_global_summary",
-    "rollup_sales_summary",
-    "semi_join_open_orders",
-    "text_quality_scores",
-    "token_counts",
-    "topk_parts_per_supplier",
-    "trailing_moving_average",
-    "union_two_periods",
-    "window_rank_family",
-    "winsorize_bounds",
-    # r3-vintage greens (last driver hash row: round 3), oldest tier
-    # that fits the remaining budget:
-    "bigram_logprob_scores",
-    "conversion_lag_quantiles",
-    "croston_forecast",
-    "dedup_minhash_lsh",
-    "demand_anomalies_mad",
-    "domain_mixture_weights",
-    "duplicate_ngram_fraction",
-    "embedding_int8_quantization",
-    "events_session_window_builtin",
-    "ewma_weekly_demand",
-    "first_touch_attribution",
-    "flagship_inventory",
-    "flagship_inventory_partitioned",
-    "forecast_model_selection",
-    "geomean_demand_grouped_udf",
-    "group_holdout_split",
+    # r9 front-load (r8 verdict #6 + rotation): first every query the
+    # driver has NEVER sampled — the two new TPC-H Q21/Q20 silhouettes,
+    # the four sketches newly promoted to tolerance-banded oracles
+    # (their first possible hash rows), and the three remaining
+    # rows-only sketches (their first rows>0 certificates) — then the
+    # stalest greens, oldest vintage first, alphabetical within a
+    # vintage, so the 50-row budget re-certifies the oldest
+    # certificates in the registry.
+    "waiting_supplier_count",
+    "dominant_supplier_parts",
+    "approx_distinct_users",
+    "hll_sketch_rollup",
+    "approx_top_k_parts",
+    "approx_quantiles_events",
+    "ann_pq_topk",
+    "frequent_parts_sketch",
+    "profile_lineitem_columns_approx",
+    # r2-vintage (last driver row: round 2):
+    "ann_ivf_kmeans_topk",
+    "forecast_udf_ensemble",
+    # r3-vintage (last driver row: round 3):
+    "embedding_pca_projection",
     "holt_linear_forecast",
     "incremental_monthly_rollup",
     "inventory_projection_folded",
@@ -107,9 +68,6 @@ _PRIORITY = [
     "lateral_topk_per_brand",
     "minhash_estimator_error",
     "pagerank_event_graph",
-    # remaining r3 vintage (sampled if the budget grows; everything
-    # NOT listed follows in registration order, and selfcheck --json
-    # covers the full registry regardless):
     "passage_dedup_stats",
     "pit_join_purchase_state",
     "rolling_active_users",
@@ -117,6 +75,36 @@ _PRIORITY = [
     "source_kl_divergence",
     "streaming_cdc_upsert",
     "streaming_dedup_replay",
+    "streaming_rollup_maintenance",
+    "streaming_session_windows",
+    "streaming_view_purchase_join",
+    "theta_forecast",
+    "weekly_resample_dense",
+    # r4-vintage, oldest tier that fits the remaining budget
+    # (alphabetical; everything NOT listed follows in registration
+    # order, and selfcheck --json covers the full registry regardless):
+    "abc_classification",
+    "benford_first_digit",
+    "bm25_top_terms",
+    "cdc_latest_state",
+    "curation_funnel",
+    "dataset_split_counts",
+    "decontamination_bloom",
+    "decontamination_overlap",
+    "dedup_cluster_assignment",
+    "dedup_cluster_histogram",
+    "dedup_survivors",
+    "demand_anomalies",
+    "demand_autocorrelation",
+    "demand_intermittency",
+    "demand_mode",
+    "demand_quartiles",
+    "doc_chunks",
+    "dq_constraint_audit",
+    "eoq_order_quantity",
+    "events_props_variant",
+    "events_sliding_counts",
+    "events_value_histogram",
 ]
 
 
