@@ -17,22 +17,23 @@ def _c(c: Column | str) -> Column:
     return F.col(c) if isinstance(c, str) else c
 
 
-def mape_band(mape: Column | str) -> Column:
-    """MAPE < 10 -> alta precision; < 50 -> aceptable; else baja
-    [generador.py:126-136]."""
+def mape_band(mape: Column | str, lo: float = 10.0, hi: float = 50.0) -> Column:
+    """MAPE < lo -> alta precision; < hi -> aceptable; else baja
+    [generador.py:126-136; edges fuzz-injectable,
+    tools/fuzz_oracles.py]."""
     m = _c(mape)
     return (
-        F.when(m < 10.0, F.lit("alta precision"))
-        .when(m < 50.0, F.lit("aceptable"))
+        F.when(m < lo, F.lit("alta precision"))
+        .when(m < hi, F.lit("aceptable"))
         .otherwise(F.lit("baja precision"))
     )
 
 
-def mape_band_color(mape: Column | str) -> Column:
+def mape_band_color(mape: Column | str, lo: float = 10.0, hi: float = 50.0) -> Column:
     m = _c(mape)
     return (
-        F.when(m < 10.0, F.lit("green"))
-        .when(m < 50.0, F.lit("orange"))
+        F.when(m < lo, F.lit("green"))
+        .when(m < hi, F.lit("orange"))
         .otherwise(F.lit("red"))
     )
 

@@ -63,7 +63,14 @@ SELECT product_id, store_id, week, round(units_sold, 2) AS units FROM dense
 
 
 # -- A1+A4+A5: group-by with HAVING gates (PRACTICA3.py:97-99) -------------
-def q_series_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_series_gates(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    min_weeks: int = 12,
+    min_total: int = 10,
+) -> DataFrame:
+    """HAVING thresholds fuzz-injectable (tools/fuzz_oracles.py)."""
     dense = weekly_dense_resample(_sales(spark, sf_dir), KEYS, "invoice_date", "units_sold")
     return (
         dense.groupBy(*KEYS)
@@ -71,20 +78,20 @@ def q_series_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_weeks"),
             F.round(F.sum("units_sold"), 2).alias("total_units"),
         )
-        .filter((F.col("n_weeks") >= 12) & (F.col("total_units") >= 10))
+        .filter((F.col("n_weeks") >= min_weeks) & (F.col("total_units") >= min_total))
     )
 
 
-register(
-    "series_admission_gates",
-    q_series_gates,
-    f"""
+def series_admission_gates_sql(min_weeks: int = 12, min_total: int = 10) -> str:
+    return f"""
 WITH {OF.CLEAN_SALES_CTE.strip()},
 {OF.WEEKLY_CTE.strip()},
 {OF.DENSE_CTE.strip()}
 SELECT product_id, store_id, count(*) AS n_weeks,
        round(sum(units_sold), 2) AS total_units
 FROM dense GROUP BY 1, 2
-HAVING count(*) >= 12 AND round(sum(units_sold), 2) >= 10
-""",
-)
+HAVING count(*) >= {min_weeks} AND round(sum(units_sold), 2) >= {min_total}
+"""
+
+
+register("series_admission_gates", q_series_gates, series_admission_gates_sql())

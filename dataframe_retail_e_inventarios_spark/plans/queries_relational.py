@@ -275,23 +275,26 @@ LEFT JOIN (
 )
 
 
-def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Customers with at least one open ('O') order (left-semi)."""
+def q_semi_join(spark: SparkSession, sf_dir: str, *, status: str = "O") -> DataFrame:
+    """Customers with at least one open (status) order (left-semi).
+    Keyword constants are fuzz-injectable (tools/fuzz_oracles.py)."""
     cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == status
+    )
     return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi").select(
         "c_custkey", "c_name", "c_mktsegment"
     )
 
 
-register(
-    "semi_join_open_orders",
-    q_semi_join,
-    """
+def semi_join_open_orders_sql(status: str = "O") -> str:
+    return f"""
 SELECT c_custkey, c_name, c_mktsegment FROM customer
-WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
-""",
-)
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = '{status}')
+"""
+
+
+register("semi_join_open_orders", q_semi_join, semi_join_open_orders_sql())
 
 
 def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -449,9 +452,11 @@ WINDOW w AS (PARTITION BY l_suppkey ORDER BY rev DESC, l_partkey)
 
 
 # -- W4/O1-O2: top-k per group via row_number ------------------------------
-def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-3 parts per supplier by revenue — rank inside the group, no
-    global sort (SURVEY §2.5 parity-plus; the flagship's top-k pattern)."""
+def q_topk_per_group(spark: SparkSession, sf_dir: str, *, k: int = 3) -> DataFrame:
+    """Top-k parts per supplier by revenue — rank inside the group, no
+    global sort (SURVEY §2.5 parity-plus; the flagship's top-k
+    pattern). Keyword constants are fuzz-injectable
+    (tools/fuzz_oracles.py)."""
     li = load_table(spark, sf_dir, "lineitem")
     from ..functions.exact import exact_decimal_sum
 
@@ -461,7 +466,7 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("l_suppkey").orderBy(F.col("rev").desc(), F.col("l_partkey"))
     return (
         rev.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 3)
+        .filter(F.col("rk") <= k)
         .select(
             "l_suppkey",
             "l_partkey",
@@ -475,10 +480,8 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-register(
-    "topk_parts_per_supplier",
-    q_topk_per_group,
-    """
+def topk_parts_per_supplier_sql(k: int = 3) -> str:
+    return f"""
 SELECT l_suppkey, l_partkey, round_even(rev * 100.0, 0) / 100.0 AS rev, rk FROM (
   SELECT l_suppkey, l_partkey, rev,
          row_number() OVER (PARTITION BY l_suppkey
@@ -488,9 +491,11 @@ SELECT l_suppkey, l_partkey, round_even(rev * 100.0, 0) / 100.0 AS rev, rk FROM 
            sum(CAST(round_even(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)) / 10000.0 AS rev
     FROM lineitem GROUP BY 1, 2
   )
-) WHERE rk <= 3
-""",
-)
+) WHERE rk <= {k}
+"""
+
+
+register("topk_parts_per_supplier", q_topk_per_group, topk_parts_per_supplier_sql())
 
 
 # -- W5: deterministic last-value-per-group --------------------------------
@@ -523,8 +528,10 @@ SELECT l_partkey, l_suppkey, l_shipdate, l_quantity, l_orderkey FROM (
 
 
 # -- W3: trailing moving average (PRACTICA3.py:143-145) --------------------
-def q_trailing_ma(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """4-week trailing MA over each weekly series (frame rowsBetween(-3,0))."""
+def q_trailing_ma(spark: SparkSession, sf_dir: str, *, window: int = 4) -> DataFrame:
+    """window-week trailing MA over each weekly series (frame
+    rowsBetween(-(window-1), 0)). Keyword constants are
+    fuzz-injectable (tools/fuzz_oracles.py)."""
     from ..operators.cleaning import clean_sales
     from ..operators.resample import weekly_dense_resample
     from .flagship import KEYS
@@ -532,7 +539,7 @@ def q_trailing_ma(spark: SparkSession, sf_dir: str) -> DataFrame:
     dense = weekly_dense_resample(
         clean_sales(load_table(spark, sf_dir, "lineitem")), KEYS, "invoice_date", "units_sold"
     )
-    w = Window.partitionBy(*KEYS).orderBy("week").rowsBetween(-3, 0)
+    w = Window.partitionBy(*KEYS).orderBy("week").rowsBetween(-(window - 1), 0)
     return dense.select(
         *KEYS,
         "week",
@@ -543,20 +550,21 @@ def q_trailing_ma(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from . import oracle_fragments as _OF  # noqa: E402
 
-register(
-    "trailing_moving_average",
-    q_trailing_ma,
-    f"""
+
+def trailing_moving_average_sql(window: int = 4) -> str:
+    return f"""
 WITH {_OF.CLEAN_SALES_CTE.strip()},
 {_OF.WEEKLY_CTE.strip()},
 {_OF.DENSE_CTE.strip()}
 SELECT product_id, store_id, week, round(units_sold, 2) AS units,
        round(avg(units_sold) OVER (
          PARTITION BY product_id, store_id ORDER BY week
-         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS ma4
+         ROWS BETWEEN {window - 1} PRECEDING AND CURRENT ROW), 4) AS ma4
 FROM dense
-""",
-)
+"""
+
+
+register("trailing_moving_average", q_trailing_ma, trailing_moving_average_sql())
 
 
 # -- Round 7, part 4: classic warehouse join shapes -------------------------
@@ -566,16 +574,19 @@ FROM dense
 # shuffles at most once.
 
 
-def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_volume_shipping(
+    spark: SparkSession, sf_dir: str, *, y0: int = 1996, y1: int = 1997
+) -> DataFrame:
     """TPC-H Q7 shape: bilateral shipping volume between supplier and
     customer nations by ship year. The fact scans once with the year
     filter pushed to parquet; supplier, customer, and BOTH nation
     aliases broadcast (two tiny hash joins, no fact shuffle until the
-    final group-by); revenue is the exact scaled-integer sum."""
+    final group-by); revenue is the exact scaled-integer sum.
+    Keyword constants are fuzz-injectable (tools/fuzz_oracles.py)."""
     from ..functions.exact import exact_money_sum
 
     li = load_table(spark, sf_dir, "lineitem").filter(
-        F.year("l_shipdate").between(1996, 1997)
+        F.year("l_shipdate").between(y0, y1)
     )
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
@@ -604,10 +615,8 @@ def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-register(
-    "volume_shipping_nation_pairs",
-    q_volume_shipping,
-    """
+def volume_shipping_sql(y0: int = 1996, y1: int = 1997) -> str:
+    return f"""
 SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
        CAST(year(l_shipdate) AS BIGINT) AS l_year,
        CAST(round_even(CAST(sum(CAST(round_even(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)) AS BIGINT) / 1e2, 0) AS BIGINT) / 1e2 AS revenue,
@@ -618,23 +627,33 @@ JOIN customer ON o_custkey = c_custkey
 JOIN supplier ON l_suppkey = s_suppkey
 JOIN nation ns ON s_nationkey = ns.n_nationkey
 JOIN nation nc ON c_nationkey = nc.n_nationkey
-WHERE year(l_shipdate) BETWEEN 1996 AND 1997
+WHERE year(l_shipdate) BETWEEN {y0} AND {y1}
   AND ns.n_name <> nc.n_name
 GROUP BY 1, 2, 3
-""",
-)
+"""
 
 
-def q_returned_item_losses(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q10 shape: top-20 customers by revenue lost to returned
-    items ('R' lines on 1996 orders). Ordering runs on the EXACT
-    scaled-integer revenue (ties broken by c_custkey) so the top-k set
-    is deterministic and engine-independent; the rounded double is
-    derived after the cut. orderBy().limit(20) compiles to
-    TakeOrderedAndProject — per-partition heaps, no global sort."""
-    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+register("volume_shipping_nation_pairs", q_volume_shipping, volume_shipping_sql())
+
+
+def q_returned_item_losses(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    year: int = 1996,
+    flag: str = "R",
+    k: int = 20,
+) -> DataFrame:
+    """TPC-H Q10 shape: top-k customers by revenue lost to returned
+    items (flag lines on one year's orders). Ordering runs on the
+    EXACT scaled-integer revenue (ties broken by c_custkey) so the
+    top-k set is deterministic and engine-independent; the rounded
+    double is derived after the cut. orderBy().limit(k) compiles to
+    TakeOrderedAndProject — per-partition heaps, no global sort.
+    Keyword constants are fuzz-injectable (tools/fuzz_oracles.py)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == flag)
     orders = load_table(spark, sf_dir, "orders").filter(
-        F.year("o_orderdate") == 1996
+        F.year("o_orderdate") == year
     )
     cust = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
@@ -650,7 +669,7 @@ def q_returned_item_losses(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(rev_i, F.count(F.lit(1)).alias("n_lines"))
         .orderBy(F.col("rev_i").desc(), F.col("c_custkey"))
-        .limit(20)
+        .limit(k)
     )
     return top.select(
         "c_custkey",
@@ -663,10 +682,8 @@ def q_returned_item_losses(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-register(
-    "returned_item_losses",
-    q_returned_item_losses,
-    """
+def returned_item_losses_sql(year: int = 1996, flag: str = "R", k: int = 20) -> str:
+    return f"""
 WITH agg AS (
   SELECT c_custkey, c_name, n_name,
          CAST(sum(CAST(round_even(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)) AS BIGINT) AS rev_i,
@@ -675,16 +692,18 @@ WITH agg AS (
   JOIN orders   ON l_orderkey = o_orderkey
   JOIN customer ON o_custkey = c_custkey
   JOIN nation   ON c_nationkey = n_nationkey
-  WHERE l_returnflag = 'R' AND year(o_orderdate) = 1996
+  WHERE l_returnflag = '{flag}' AND year(o_orderdate) = {year}
   GROUP BY 1, 2, 3
 )
 SELECT c_custkey, c_name, n_name,
        CAST(round_even(rev_i / 1e2, 0) AS BIGINT) / 1e2 AS lost_revenue, n_lines
 FROM agg
 ORDER BY rev_i DESC, c_custkey
-LIMIT 20
-""",
-)
+LIMIT {k}
+"""
+
+
+register("returned_item_losses", q_returned_item_losses, returned_item_losses_sql())
 
 
 def q_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -750,17 +769,26 @@ FROM never GROUP BY 1
 # HAVING-gated semi-join, and a disjunctive multi-table predicate.
 
 
-def q_forecasted_discount_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_forecasted_discount_revenue(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    year: int = 1997,
+    d_lo: float = 0.05,
+    d_hi: float = 0.07,
+    qty_cap: int = 24,
+) -> DataFrame:
     """TPC-H Q6 shape: the what-if revenue effect of eliminating a
     discount band. NO join, no group-by — the whole query is a
     conjunctive range predicate that must reach the parquet scan
     (PushedFilters on quantity + discount) feeding one exact 4dp sum;
-    the emitted double is the unrounded single division."""
+    the emitted double is the unrounded single division.
+    Keyword constants are fuzz-injectable (tools/fuzz_oracles.py)."""
     li = load_table(spark, sf_dir, "lineitem").filter(
-        (F.year("l_shipdate") == 1997)
-        & (F.col("l_discount") >= 0.05)
-        & (F.col("l_discount") <= 0.07)
-        & (F.col("l_quantity") < 24)
+        (F.year("l_shipdate") == year)
+        & (F.col("l_discount") >= d_lo)
+        & (F.col("l_discount") <= d_hi)
+        & (F.col("l_quantity") < qty_cap)
     )
     rev_i = F.sum(
         F.bround(F.col("l_extendedprice") * F.col("l_discount") * 10000, 0).cast("long")
@@ -771,27 +799,41 @@ def q_forecasted_discount_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-register(
-    "forecasted_discount_revenue",
-    q_forecasted_discount_revenue,
-    """
+def forecasted_discount_revenue_sql(
+    year: int = 1997, d_lo: float = 0.05, d_hi: float = 0.07, qty_cap: int = 24
+) -> str:
+    return f"""
 SELECT CAST(sum(CAST(round_even(l_extendedprice * l_discount * 10000, 0) AS BIGINT)) AS BIGINT) / 1e4 AS revenue_effect,
        count(*) AS n_lines
 FROM lineitem
-WHERE year(l_shipdate) = 1997
-  AND l_discount >= 0.05 AND l_discount <= 0.07
-  AND l_quantity < 24
-""",
+WHERE year(l_shipdate) = {year}
+  AND l_discount >= {d_lo} AND l_discount <= {d_hi}
+  AND l_quantity < {qty_cap}
+"""
+
+
+register(
+    "forecasted_discount_revenue",
+    q_forecasted_discount_revenue,
+    forecasted_discount_revenue_sql(),
 )
 
 
-def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_promo_revenue_share(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    year: int = 1997,
+    months: tuple = (6, 7, 8),
+    ptype: str = "PROMO",
+) -> DataFrame:
     """TPC-H Q14 shape: PROMO parts' share of summer-1997 revenue.
     Conditional aggregation AFTER a broadcast part join — one scan, two
     exact integer sums, share = one double expression over the two
-    BIGINTs (no intermediate rounding)."""
+    BIGINTs (no intermediate rounding). Keyword constants are
+    fuzz-injectable (tools/fuzz_oracles.py)."""
     li = load_table(spark, sf_dir, "lineitem").filter(
-        (F.year("l_shipdate") == 1997) & (F.month("l_shipdate").isin(6, 7, 8))
+        (F.year("l_shipdate") == year) & (F.month("l_shipdate").isin(*months))
     )
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
     disc_i = F.bround(
@@ -799,7 +841,7 @@ def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("long")
     j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
     agg = j.agg(
-        F.sum(F.when(F.col("p_type") == "PROMO", disc_i).otherwise(F.lit(0)))
+        F.sum(F.when(F.col("p_type") == ptype, disc_i).otherwise(F.lit(0)))
         .cast("long")
         .alias("promo_i"),
         F.sum(disc_i).cast("long").alias("total_i"),
@@ -813,36 +855,42 @@ def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-register(
-    "promo_revenue_share",
-    q_promo_revenue_share,
-    """
+def promo_revenue_share_sql(
+    year: int = 1997, months: tuple = (6, 7, 8), ptype: str = "PROMO"
+) -> str:
+    mlist = ", ".join(str(m) for m in months)
+    return f"""
 WITH agg AS (
-  SELECT CAST(sum(CASE WHEN p_type = 'PROMO'
+  SELECT CAST(sum(CASE WHEN p_type = '{ptype}'
                        THEN CAST(round_even(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)
                        ELSE 0 END) AS BIGINT) AS promo_i,
          CAST(sum(CAST(round_even(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)) AS BIGINT) AS total_i,
          count(*) AS n_lines
   FROM lineitem JOIN part ON l_partkey = p_partkey
-  WHERE year(l_shipdate) = 1997 AND month(l_shipdate) IN (6, 7, 8)
+  WHERE year(l_shipdate) = {year} AND month(l_shipdate) IN ({mlist})
 )
 SELECT promo_i / 1e4 AS promo_revenue,
        total_i / 1e4 AS total_revenue,
        (1e2 * promo_i) / total_i AS promo_share_pct,
        n_lines
 FROM agg
-""",
-)
+"""
 
 
-def q_small_quantity_avg_yearly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q17 shape: yearly revenue lost if orders below 20% of a
-    part's average quantity were not taken. The per-part average join
-    is the interesting plan: lineitem aggregates to part grain, joins
-    BACK to lineitem on l_partkey (shuffle join — at 100 TB both sides
-    are fact-sized and co-partition on the key; no broadcast), and the
-    below-average test stays integer-exact: 5*qty_i*n < sumq_i avoids
-    the double average entirely."""
+register("promo_revenue_share", q_promo_revenue_share, promo_revenue_share_sql())
+
+
+def q_small_quantity_avg_yearly(
+    spark: SparkSession, sf_dir: str, *, inv_factor: int = 5
+) -> DataFrame:
+    """TPC-H Q17 shape: yearly revenue lost if orders below 1/inv_factor
+    of a part's average quantity were not taken. The per-part average
+    join is the interesting plan: lineitem aggregates to part grain,
+    joins BACK to lineitem on l_partkey (shuffle join — at 100 TB both
+    sides are fact-sized and co-partition on the key; no broadcast),
+    and the below-average test stays integer-exact:
+    inv_factor*qty_i*n < sumq_i avoids the double average entirely.
+    Keyword constants are fuzz-injectable (tools/fuzz_oracles.py)."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey",
         F.bround(F.col("l_quantity") * 100, 0).cast("long").alias("qty_i"),
@@ -853,7 +901,7 @@ def q_small_quantity_avg_yearly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_li"),
     )
     small = li.join(per_part, "l_partkey").filter(
-        F.lit(5) * F.col("qty_i") * F.col("n_li") < F.col("sumq_i")
+        F.lit(inv_factor) * F.col("qty_i") * F.col("n_li") < F.col("sumq_i")
     )
     return small.agg(
         (F.sum("price_i").cast("long") / F.lit(7e2)).alias("avg_yearly"),
@@ -861,10 +909,8 @@ def q_small_quantity_avg_yearly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-register(
-    "small_quantity_avg_yearly",
-    q_small_quantity_avg_yearly,
-    """
+def small_quantity_avg_yearly_sql(inv_factor: int = 5) -> str:
+    return f"""
 WITH li AS (
   SELECT l_partkey,
          CAST(round_even(l_quantity * 100, 0) AS BIGINT) AS qty_i,
@@ -879,21 +925,30 @@ per_part AS (
 SELECT CAST(sum(price_i) AS BIGINT) / 7e2 AS avg_yearly,
        count(*) AS n_small_lines
 FROM li JOIN per_part USING (l_partkey)
-WHERE 5 * qty_i * n_li < sumq_i
-""",
+WHERE {inv_factor} * qty_i * n_li < sumq_i
+"""
+
+
+register(
+    "small_quantity_avg_yearly",
+    q_small_quantity_avg_yearly,
+    small_quantity_avg_yearly_sql(),
 )
 
 
-def q_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q18 shape: customers whose single order exceeds 150 units
-    total. The HAVING gate runs on the lineitem aggregate BEFORE any
-    join (the shrunken order list then drives semi-join-sized probes
-    into orders and a broadcast customer enrichment)."""
+def q_large_volume_customers(
+    spark: SparkSession, sf_dir: str, *, qty_min: int = 150
+) -> DataFrame:
+    """TPC-H Q18 shape: customers whose single order exceeds qty_min
+    units total. The HAVING gate runs on the lineitem aggregate BEFORE
+    any join (the shrunken order list then drives semi-join-sized
+    probes into orders and a broadcast customer enrichment).
+    Keyword constants are fuzz-injectable (tools/fuzz_oracles.py)."""
     li = load_table(spark, sf_dir, "lineitem")
     big = (
         li.groupBy("l_orderkey")
         .agg(F.sum(F.bround(F.col("l_quantity") * 100, 0).cast("long")).alias("qty_i"))
-        .filter(F.col("qty_i") > 150 * 100)
+        .filter(F.col("qty_i") > qty_min * 100)
     )
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice"
@@ -912,51 +967,55 @@ def q_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-register(
-    "large_volume_customers",
-    q_large_volume_customers,
-    """
+def large_volume_customers_sql(qty_min: int = 150) -> str:
+    return f"""
 WITH big AS (
   SELECT l_orderkey,
          CAST(sum(CAST(round_even(l_quantity * 100, 0) AS BIGINT)) AS BIGINT) AS qty_i
   FROM lineitem GROUP BY 1
-  HAVING qty_i > 15000
+  HAVING qty_i > {qty_min * 100}
 )
 SELECT c_custkey, c_name, o_orderkey, o_totalprice,
        qty_i / 1e2 AS total_qty
 FROM big
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
-""",
+"""
+
+
+register("large_volume_customers", q_large_volume_customers, large_volume_customers_sql())
+
+
+# (brand, size_lo, size_hi, qty_lo, qty_hi) disjuncts; the scan
+# envelope is max(qty_hi) over the bands.
+_Q19_BANDS = (
+    ("Brand#12", 1, 15, 1, 15),
+    ("Brand#23", 1, 25, 10, 25),
+    ("Brand#34", 1, 35, 20, 35),
 )
 
 
-def q_brand_size_band_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_brand_size_band_revenue(
+    spark: SparkSession, sf_dir: str, *, bands: tuple = _Q19_BANDS
+) -> DataFrame:
     """TPC-H Q19 shape (adapted to this schema's columns): revenue from
-    three disjunctive brand/size/quantity bands. The OR-of-ANDs mixes
+    disjunctive brand/size/quantity bands. The OR-of-ANDs mixes
     columns from both tables, so only the union envelope
-    (l_quantity <= 35) can push to the scan; the band predicate
-    evaluates post-join inside codegen."""
-    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") <= 35)
+    (l_quantity <= max qty_hi) can push to the scan; the band
+    predicate evaluates post-join inside codegen. Keyword constants
+    are fuzz-injectable (tools/fuzz_oracles.py)."""
+    envelope = max(b[4] for b in bands)
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") <= envelope)
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
     j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-    band = (
-        (
-            (F.col("p_brand") == "Brand#12")
-            & F.col("p_size").between(1, 15)
-            & F.col("l_quantity").between(1, 15)
+    band = None
+    for brand, s_lo, s_hi, q_lo, q_hi in bands:
+        clause = (
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(s_lo, s_hi)
+            & F.col("l_quantity").between(q_lo, q_hi)
         )
-        | (
-            (F.col("p_brand") == "Brand#23")
-            & F.col("p_size").between(1, 25)
-            & F.col("l_quantity").between(10, 25)
-        )
-        | (
-            (F.col("p_brand") == "Brand#34")
-            & F.col("p_size").between(1, 35)
-            & F.col("l_quantity").between(20, 35)
-        )
-    )
+        band = clause if band is None else (band | clause)
     rev_i = F.sum(
         F.bround(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0).cast(
             "long"
@@ -968,18 +1027,26 @@ def q_brand_size_band_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-register(
-    "brand_size_band_revenue",
-    q_brand_size_band_revenue,
-    """
+def brand_size_band_revenue_sql(bands: tuple = _Q19_BANDS) -> str:
+    envelope = max(b[4] for b in bands)
+    disjuncts = "\n    OR ".join(
+        f"(p_brand = '{brand}' AND p_size BETWEEN {s_lo} AND {s_hi} "
+        f"AND l_quantity BETWEEN {q_lo} AND {q_hi})"
+        for brand, s_lo, s_hi, q_lo, q_hi in bands
+    )
+    return f"""
 SELECT CAST(sum(CAST(round_even(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)) AS BIGINT) / 1e4 AS revenue,
        count(*) AS n_lines
 FROM lineitem JOIN part ON l_partkey = p_partkey
-WHERE l_quantity <= 35
-  AND ((p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 15)
-    OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 25)
-    OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 35))
-""",
+WHERE l_quantity <= {envelope}
+  AND ({disjuncts})
+"""
+
+
+register(
+    "brand_size_band_revenue",
+    q_brand_size_band_revenue,
+    brand_size_band_revenue_sql(),
 )
 
 
@@ -992,23 +1059,31 @@ WHERE l_quantity <= 35
 _Q3_CUTOFF = "1998-07-01"
 
 
-def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3 shape: top-10 unshipped orders by revenue for one
+def q_shipping_priority(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    cutoff: str = _Q3_CUTOFF,
+    segment: str = "BUILDING",
+    k: int = 10,
+) -> DataFrame:
+    """TPC-H Q3 shape: top-k unshipped orders by revenue for one
     market segment — orders placed before the cutoff with lines still
     shipping after it. The segment filter prunes the broadcast
     customer side; both date predicates push to the parquet scans;
     the per-order aggregate groups on the already-co-keyed
     (l_orderkey, o_orderdate, o_orderpriority) so the fact shuffles
     once; the cut is TakeOrderedAndProject on the EXACT integer
-    revenue with the order key as tiebreak."""
+    revenue with the order key as tiebreak. Keyword constants are
+    fuzz-injectable (tools/fuzz_oracles.py)."""
     li = load_table(spark, sf_dir, "lineitem").filter(
-        F.to_date("l_shipdate") > F.lit(_Q3_CUTOFF)
+        F.to_date("l_shipdate") > F.lit(cutoff)
     )
     orders = load_table(spark, sf_dir, "orders").filter(
-        F.to_date("o_orderdate") < F.lit(_Q3_CUTOFF)
+        F.to_date("o_orderdate") < F.lit(cutoff)
     )
     cust = load_table(spark, sf_dir, "customer").filter(
-        F.col("c_mktsegment") == "BUILDING"
+        F.col("c_mktsegment") == segment
     )
     rev_i = F.sum(
         F.bround(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0)
@@ -1020,7 +1095,7 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey", F.to_date("o_orderdate").alias("order_date"), "o_orderpriority")
         .agg(rev_i, F.count(F.lit(1)).alias("n_lines"))
         .orderBy(F.col("rev_i").desc(), F.col("l_orderkey"))
-        .limit(10)
+        .limit(k)
     )
     return top.select(
         F.col("l_orderkey").alias("orderkey"),
@@ -1032,10 +1107,10 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-register(
-    "shipping_priority_topk",
-    q_shipping_priority,
-    f"""
+def shipping_priority_sql(
+    cutoff: str = _Q3_CUTOFF, segment: str = "BUILDING", k: int = 10
+) -> str:
+    return f"""
 WITH agg AS (
   SELECT l_orderkey AS orderkey,
          CAST(sum(CAST(round_even(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)) AS BIGINT) AS rev_i,
@@ -1045,9 +1120,9 @@ WITH agg AS (
   FROM lineitem
   JOIN orders ON l_orderkey = o_orderkey
   JOIN customer ON o_custkey = c_custkey
-  WHERE c_mktsegment = 'BUILDING'
-    AND CAST(o_orderdate AS DATE) < DATE '{_Q3_CUTOFF}'
-    AND CAST(l_shipdate AS DATE) > DATE '{_Q3_CUTOFF}'
+  WHERE c_mktsegment = '{segment}'
+    AND CAST(o_orderdate AS DATE) < DATE '{cutoff}'
+    AND CAST(l_shipdate AS DATE) > DATE '{cutoff}'
   GROUP BY 1, 3, 4
 )
 SELECT orderkey,
@@ -1055,30 +1130,35 @@ SELECT orderkey,
        order_date, o_orderpriority, n_lines
 FROM agg
 ORDER BY rev_i DESC, orderkey
-LIMIT 10
-""",
-)
+LIMIT {k}
+"""
 
 
-def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+register("shipping_priority_topk", q_shipping_priority, shipping_priority_sql())
+
+
+def q_local_supplier_volume(
+    spark: SparkSession, sf_dir: str, *, region: str = "ASIA", year: int = 1996
+) -> DataFrame:
     """TPC-H Q5 shape: revenue per nation from orders where customer
     and supplier share the nation, one region, one year. The
     region->nation chain collapses into ONE broadcast dim (5 rows);
     customer and supplier broadcast; the c_nationkey = s_nationkey
     equality is applied at the supplier join so mismatched rows never
-    reach the aggregate; one fact shuffle for the final group-by."""
+    reach the aggregate; one fact shuffle for the final group-by.
+    Keyword constants are fuzz-injectable (tools/fuzz_oracles.py)."""
     from ..functions.exact import exact_money_sum
 
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders").filter(
-        F.year("o_orderdate") == 1996
+        F.year("o_orderdate") == year
     ).select("o_orderkey", "o_custkey")
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     nations = (
         load_table(spark, sf_dir, "nation")
         .join(
-            load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA"),
+            load_table(spark, sf_dir, "region").filter(F.col("r_name") == region),
             F.col("n_regionkey") == F.col("r_regionkey"),
         )
         .select("n_nationkey", "n_name")
@@ -1102,10 +1182,8 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-register(
-    "local_supplier_volume",
-    q_local_supplier_volume,
-    """
+def local_supplier_volume_sql(region: str = "ASIA", year: int = 1996) -> str:
+    return f"""
 SELECT n_name,
        CAST(round_even(CAST(sum(CAST(round_even(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)) AS BIGINT) / 1e2, 0) AS BIGINT) / 1e2 AS revenue,
        count(*) AS n_lines
@@ -1115,25 +1193,37 @@ JOIN customer ON o_custkey = c_custkey
 JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
 JOIN nation   ON s_nationkey = n_nationkey
 JOIN region   ON n_regionkey = r_regionkey
-WHERE r_name = 'ASIA' AND year(o_orderdate) = 1996
+WHERE r_name = '{region}' AND year(o_orderdate) = {year}
 GROUP BY 1
-""",
-)
+"""
 
 
-def q_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+register("local_supplier_volume", q_local_supplier_volume, local_supplier_volume_sql())
+
+
+def q_nation_market_share(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    region: str = "AMERICA",
+    ptype: str = "ECONOMY",
+    nation: str = "NATION_3",
+    y0: int = 1996,
+    y1: int = 1997,
+) -> DataFrame:
     """TPC-H Q8 shape: one supplier nation's share of a region's
     revenue in one part type, per order year. Numerator and
     denominator are BOTH exact scaled-integer sums inside one
     conditional aggregate (one fact pass, no self-join); the share is
     a single BIGINT/BIGINT division — bit-identical IEEE on any
-    engine, never re-rounded."""
+    engine, never re-rounded. Keyword constants are fuzz-injectable
+    (tools/fuzz_oracles.py)."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders").filter(
-        F.year("o_orderdate").between(1996, 1997)
+        F.year("o_orderdate").between(y0, y1)
     ).select("o_orderkey", "o_custkey", F.year("o_orderdate").cast("long").alias("o_year"))
     part = load_table(spark, sf_dir, "part").filter(
-        F.col("p_type") == "ECONOMY"
+        F.col("p_type") == ptype
     ).select("p_partkey")
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
@@ -1141,7 +1231,7 @@ def q_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "nation")
         .join(
             load_table(spark, sf_dir, "region").filter(
-                F.col("r_name") == "AMERICA"
+                F.col("r_name") == region
             ),
             F.col("n_regionkey") == F.col("r_regionkey"),
         )
@@ -1163,7 +1253,7 @@ def q_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_year")
         .agg(
             F.sum(
-                F.when(F.col("supp_nation") == "NATION_3", rev_cents).otherwise(
+                F.when(F.col("supp_nation") == nation, rev_cents).otherwise(
                     F.lit(0)
                 )
             ).cast("long").alias("nation_rev_i"),
@@ -1178,13 +1268,17 @@ def q_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-register(
-    "nation_market_share",
-    q_nation_market_share,
-    """
+def nation_market_share_sql(
+    region: str = "AMERICA",
+    ptype: str = "ECONOMY",
+    nation: str = "NATION_3",
+    y0: int = 1996,
+    y1: int = 1997,
+) -> str:
+    return f"""
 WITH agg AS (
   SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
-         CAST(sum(CASE WHEN ns.n_name = 'NATION_3'
+         CAST(sum(CASE WHEN ns.n_name = '{nation}'
                        THEN CAST(round_even(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)
                        ELSE 0 END) AS BIGINT) AS nation_rev_i,
          CAST(sum(CAST(round_even(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)) AS BIGINT) AS total_rev_i
@@ -1196,28 +1290,37 @@ WITH agg AS (
   JOIN region   ON nc.n_regionkey = r_regionkey
   JOIN supplier ON l_suppkey = s_suppkey
   JOIN nation ns ON s_nationkey = ns.n_nationkey
-  WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
-    AND year(o_orderdate) BETWEEN 1996 AND 1997
+  WHERE r_name = '{region}' AND p_type = '{ptype}'
+    AND year(o_orderdate) BETWEEN {y0} AND {y1}
   GROUP BY 1
 )
 SELECT o_year,
        nation_rev_i / total_rev_i AS mkt_share,
        CAST(round_even(total_rev_i / 1e2, 0) AS BIGINT) / 1e2 AS total_revenue
 FROM agg
-""",
-)
+"""
 
 
-def q_top_supplier_quarter(spark: SparkSession, sf_dir: str) -> DataFrame:
+register("nation_market_share", q_nation_market_share, nation_market_share_sql())
+
+
+def q_top_supplier_quarter(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    q_start: str = "1996-01-01",
+    q_end: str = "1996-04-01",
+) -> DataFrame:
     """TPC-H Q15 shape: the supplier(s) with maximum revenue over one
     quarter — the classic view + correlated max. The per-supplier
     aggregate runs once and is reused for both the 1-row global max
     (broadcast) and the equality filter, via localCheckpoint (the
     repo's standard multi-consumer cut); ties on the EXACT integer
-    revenue all surface, deterministically."""
+    revenue all surface, deterministically. Keyword constants are
+    fuzz-injectable (tools/fuzz_oracles.py)."""
     li = load_table(spark, sf_dir, "lineitem").filter(
-        (F.to_date("l_shipdate") >= F.lit("1996-01-01"))
-        & (F.to_date("l_shipdate") < F.lit("1996-04-01"))
+        (F.to_date("l_shipdate") >= F.lit(q_start))
+        & (F.to_date("l_shipdate") < F.lit(q_end))
     )
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     per = (
@@ -1244,16 +1347,16 @@ def q_top_supplier_quarter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-register(
-    "top_supplier_quarter",
-    q_top_supplier_quarter,
-    """
+def top_supplier_quarter_sql(
+    q_start: str = "1996-01-01", q_end: str = "1996-04-01"
+) -> str:
+    return f"""
 WITH per AS (
   SELECT l_suppkey,
          CAST(sum(CAST(round_even(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)) AS BIGINT) AS rev_i
   FROM lineitem
-  WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
-    AND CAST(l_shipdate AS DATE) < DATE '1996-04-01'
+  WHERE CAST(l_shipdate AS DATE) >= DATE '{q_start}'
+    AND CAST(l_shipdate AS DATE) < DATE '{q_end}'
   GROUP BY 1
 )
 SELECT l_suppkey AS suppkey, s_name,
@@ -1261,22 +1364,27 @@ SELECT l_suppkey AS suppkey, s_name,
 FROM per
 JOIN supplier ON l_suppkey = s_suppkey
 WHERE rev_i = (SELECT max(rev_i) FROM per)
-""",
-)
+"""
 
 
-def q_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+register("top_supplier_quarter", q_top_supplier_quarter, top_supplier_quarter_sql())
+
+
+def q_late_shipment_priority(
+    spark: SparkSession, sf_dir: str, *, late_days: int = 90
+) -> DataFrame:
     """TPC-H Q12's core semantics on this schema (no shipmode column):
-    per order priority, how many lines shipped LATE (more than 90 days
-    after the order date) vs on time, and the late share. One
-    fact-fact join on the co-keyed order key, integer day-diff
+    per order priority, how many lines shipped LATE (more than
+    late_days after the order date) vs on time, and the late share.
+    One fact-fact join on the co-keyed order key, integer day-diff
     predicate in codegen, conditional counts in a single aggregate —
-    the share is one BIGINT/BIGINT division, never re-rounded."""
+    the share is one BIGINT/BIGINT division, never re-rounded.
+    Keyword constants are fuzz-injectable (tools/fuzz_oracles.py)."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderpriority", "o_orderdate"
     )
-    late = F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate")) > 90
+    late = F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate")) > late_days
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy("o_orderpriority")
@@ -1293,15 +1401,13 @@ def q_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-register(
-    "late_shipment_priority",
-    q_late_shipment_priority,
-    """
+def late_shipment_priority_sql(late_days: int = 90) -> str:
+    return f"""
 WITH agg AS (
   SELECT o_orderpriority,
          count(*) AS n_lines,
          CAST(sum(CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),
-                                      CAST(l_shipdate AS DATE)) > 90
+                                      CAST(l_shipdate AS DATE)) > {late_days}
                        THEN 1 ELSE 0 END) AS BIGINT) AS n_late
   FROM lineitem
   JOIN orders ON l_orderkey = o_orderkey
@@ -1310,17 +1416,26 @@ WITH agg AS (
 SELECT o_orderpriority, n_lines, n_late,
        n_late / n_lines AS late_share
 FROM agg
-""",
-)
+"""
 
 
-def q_waiting_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+register("late_shipment_priority", q_late_shipment_priority, late_shipment_priority_sql())
+
+
+def q_waiting_supplier_count(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    late_days: int = 90,
+    status: str = "F",
+) -> DataFrame:
     """TPC-H Q21 shape (suppliers who kept orders waiting) on this
-    schema: for finished ('F') orders with AT LEAST TWO suppliers,
-    count each supplier's late lines (shipped >90 days after the order
-    date) on orders where it was the ONLY late supplier — the
+    schema: for finished (status) orders with AT LEAST TWO suppliers,
+    count each supplier's late lines (shipped >late_days after the
+    order date) on orders where it was the ONLY late supplier — the
     exists(other supplier) + not-exists(other LATE supplier) pair of
-    correlated subqueries.
+    correlated subqueries. Keyword constants are fuzz-injectable
+    (tools/fuzz_oracles.py).
 
     Plan shape: the classic formulation self-joins lineitem twice
     (exists + anti); here both correlated tests collapse into window
@@ -1337,11 +1452,11 @@ def q_waiting_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     orders = (
         load_table(spark, sf_dir, "orders")
-        .filter(F.col("o_orderstatus") == "F")
+        .filter(F.col("o_orderstatus") == status)
         .select("o_orderkey", "o_orderdate")
     )
     late = (
-        F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate")) > 90
+        F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate")) > late_days
     ).cast("long")
     pso = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
@@ -1374,17 +1489,15 @@ def q_waiting_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-register(
-    "waiting_supplier_count",
-    q_waiting_supplier_count,
-    """
+def waiting_supplier_count_sql(late_days: int = 90, status: str = "F") -> str:
+    return f"""
 WITH l AS (
   SELECT l.l_orderkey, l.l_suppkey,
          CASE WHEN date_diff('day', CAST(o.o_orderdate AS DATE),
-                             CAST(l.l_shipdate AS DATE)) > 90
+                             CAST(l.l_shipdate AS DATE)) > {late_days}
               THEN 1 ELSE 0 END AS late
   FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-  WHERE o.o_orderstatus = 'F'
+  WHERE o.o_orderstatus = '{status}'
 ),
 pso AS (
   SELECT l_orderkey, l_suppkey, CAST(sum(late) AS BIGINT) AS n_late_lines
@@ -1408,18 +1521,28 @@ JOIN nation   ON s_nationkey = n_nationkey
 GROUP BY 1, 2
 ORDER BY numwait DESC, s_name
 LIMIT 100
-""",
-)
+"""
 
 
-def q_dominant_supplier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+register("waiting_supplier_count", q_waiting_supplier_count, waiting_supplier_count_sql())
+
+
+def q_dominant_supplier_parts(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    year: int = 1996,
+    name_token: str = "gear",
+    min_supps: int = 4,
+) -> DataFrame:
     """TPC-H Q20 shape (excess-availability suppliers) on this schema
     (no partsupp table): suppliers holding a DOMINANT share of a
-    contested part's 1996 shipments — per (part, supplier) quantity
-    vs the correlated per-part total (the scalar subquery threshold:
-    share > 1/2), restricted to '%gear%' parts shipped by >= 4
-    distinct suppliers that year, then a SEMI join up to the supplier
-    dimension.
+    contested part's one-year shipments — per (part, supplier)
+    quantity vs the correlated per-part total (the scalar subquery
+    threshold: share > 1/2), restricted to name-token parts shipped by
+    >= min_supps distinct suppliers that year, then a SEMI join up to
+    the supplier dimension. Keyword constants are fuzz-injectable
+    (tools/fuzz_oracles.py).
 
     Plan shape: part-name filter is a broadcast join pushed below the
     aggregation (prunes lineitem before the shuffle); the correlated
@@ -1431,12 +1554,12 @@ def q_dominant_supplier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines."""
     part = (
         load_table(spark, sf_dir, "part")
-        .filter(F.col("p_name").like("%gear%"))
+        .filter(F.col("p_name").like(f"%{name_token}%"))
         .select("p_partkey")
     )
     li = (
         load_table(spark, sf_dir, "lineitem")
-        .filter(F.year("l_shipdate") == 1996)
+        .filter(F.year("l_shipdate") == year)
         .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
         .select(
             "l_partkey",
@@ -1451,7 +1574,10 @@ def q_dominant_supplier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     dominant = (
         ps.withColumn("tot_i", F.sum("q_i").over(w).cast("long"))
         .withColumn("n_supps", F.count(F.lit(1)).over(w))
-        .filter((F.col("n_supps") >= 4) & (F.lit(2) * F.col("q_i") > F.col("tot_i")))
+        .filter(
+            (F.col("n_supps") >= min_supps)
+            & (F.lit(2) * F.col("q_i") > F.col("tot_i"))
+        )
         .select("l_suppkey")
     )
     supp = load_table(spark, sf_dir, "supplier").select(
@@ -1466,15 +1592,15 @@ def q_dominant_supplier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-register(
-    "dominant_supplier_parts",
-    q_dominant_supplier_parts,
-    """
+def dominant_supplier_parts_sql(
+    year: int = 1996, name_token: str = "gear", min_supps: int = 4
+) -> str:
+    return f"""
 WITH li AS (
   SELECT l_partkey, l_suppkey,
          CAST(round_even(l_quantity * 100, 0) AS BIGINT) AS qty_i
   FROM lineitem JOIN part ON l_partkey = p_partkey
-  WHERE year(l_shipdate) = 1996 AND p_name LIKE '%gear%'
+  WHERE year(l_shipdate) = {year} AND p_name LIKE '%{name_token}%'
 ),
 ps AS (
   SELECT l_partkey, l_suppkey, CAST(sum(qty_i) AS BIGINT) AS q_i
@@ -1484,10 +1610,16 @@ SELECT s_suppkey, s_name, s_acctbal
 FROM supplier
 WHERE s_suppkey IN (
   SELECT l_suppkey FROM ps p1
-  WHERE (SELECT count(*) FROM ps p2 WHERE p2.l_partkey = p1.l_partkey) >= 4
+  WHERE (SELECT count(*) FROM ps p2 WHERE p2.l_partkey = p1.l_partkey) >= {min_supps}
     AND 2 * p1.q_i > (SELECT CAST(sum(p3.q_i) AS BIGINT) FROM ps p3
                       WHERE p3.l_partkey = p1.l_partkey)
 )
 ORDER BY s_suppkey
-""",
+"""
+
+
+register(
+    "dominant_supplier_parts",
+    q_dominant_supplier_parts,
+    dominant_supplier_parts_sql(),
 )

@@ -78,9 +78,16 @@ synth AS (
 
 
 # -- the full generador load/clean/derive chain ----------------------------
-def q_report_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_report_enrich(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    band_lo: float = 10.0,
+    band_hi: float = 50.0,
+) -> DataFrame:
+    """Band edges fuzz-injectable (tools/fuzz_oracles.py)."""
     df = prepare_report_input(_synth_results(spark, sf_dir))
-    df = add_report_text(df)
+    df = add_report_text(df, band_lo, band_hi)
     return df.select(
         "StockCode",
         "StoreID",
@@ -99,10 +106,10 @@ def q_report_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _PARSE = PARSE_FLOAT_LIST_SQL.format(c="coalesce(Forecast, '[]')")
-register(
-    "report_enrich",
-    q_report_enrich,
-    f"""
+
+
+def report_enrich_sql(band_lo: float = 10.0, band_hi: float = 50.0) -> str:
+    return f"""
 WITH {_SYNTH_SQL.strip()},
 parsed AS (
   SELECT SKU AS StockCode, Store AS StoreID, MAPE,
@@ -129,11 +136,11 @@ SELECT StockCode, StoreID, round(MAPE, 3) AS MAPE,
   CAST(round_even(Qty_to_Order, 0) AS BIGINT) AS Qty_to_Order,
   Need_Reorder,
   round(RMSE, 2) AS RMSE,
-  CASE WHEN MAPE < 10.0 THEN 'alta precision'
-       WHEN MAPE < 50.0 THEN 'aceptable'
+  CASE WHEN MAPE < {band_lo} THEN 'alta precision'
+       WHEN MAPE < {band_hi} THEN 'aceptable'
        ELSE 'baja precision' END AS banda,
-  CASE WHEN MAPE < 10.0 THEN 'green'
-       WHEN MAPE < 50.0 THEN 'orange'
+  CASE WHEN MAPE < {band_lo} THEN 'green'
+       WHEN MAPE < {band_hi} THEN 'orange'
        ELSE 'red' END AS banda_color,
   CASE WHEN Need_Reorder THEN printf(
          'RECOMENDACION CLAVE: Se debe realizar un pedido de %d unidades para evitar una posible rotura de stock.',
@@ -141,8 +148,10 @@ SELECT StockCode, StoreID, round(MAPE, 3) AS MAPE,
        ELSE 'RECOMENDACION CLAVE: No se requiere realizar un pedido inmediato (el inventario actual esta por encima del ROP).'
   END AS pedido
 FROM derived
-""",
-)
+"""
+
+
+register("report_enrich", q_report_enrich, report_enrich_sql())
 
 
 # -- A8-A10: global summary (generador.py:180-183) -------------------------

@@ -34,17 +34,24 @@ def _epoch_s(c) -> F.Column:
 
 
 # -- sliding windows (1 h wide, 30 min hop) --------------------------------
-def q_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_sliding_counts(
+    spark: SparkSession, sf_dir: str, *, width_min: int = 60, hop_min: int = 30
+) -> DataFrame:
     """Overlapping-window event rates: every event contributes to
-    width/hop = 2 windows. Spark's ``window(ts, '1 hour', '30
-    minutes')`` emits the window struct directly from the timestamp —
-    a generator projection, NO self-union — and the aggregate shuffles
-    once on (window, event_type). The streaming twin is
-    streaming/events.sliding_counts_stream."""
+    width/hop windows (width_min must be a multiple of hop_min).
+    Spark's ``window(ts, width, hop)`` emits the window struct
+    directly from the timestamp — a generator projection, NO
+    self-union — and the aggregate shuffles once on (window,
+    event_type). The streaming twin is
+    streaming/events.sliding_counts_stream. Keyword constants are
+    fuzz-injectable (tools/fuzz_oracles.py)."""
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy(
-            F.window("ts", "1 hour", "30 minutes").alias("win"), "event_type"
+            F.window(
+                "ts", f"{width_min} minutes", f"{hop_min} minutes"
+            ).alias("win"),
+            "event_type",
         )
         .agg(
             F.count("*").alias("n"),
@@ -59,21 +66,24 @@ def q_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-register(
-    "events_sliding_counts",
-    q_sliding_counts,
-    """
+def events_sliding_counts_sql(width_min: int = 60, hop_min: int = 30) -> str:
+    hop_s, width_s = hop_min * 60, width_min * 60
+    n_off = width_min // hop_min
+    offs = ", ".join(f"({i})" for i in range(n_off))
+    return f"""
 WITH e2 AS (
   SELECT event_type, value, epoch(ts) AS es,
-         CAST(floor(epoch(ts) / 1800) * 1800 - 1800 * o.off AS BIGINT) AS ws
-  FROM events CROSS JOIN (VALUES (0), (1)) AS o(off)
+         CAST(floor(epoch(ts) / {hop_s}) * {hop_s} - {hop_s} * o.off AS BIGINT) AS ws
+  FROM events CROSS JOIN (VALUES {offs}) AS o(off)
 )
 SELECT ws AS window_start_epoch, event_type, count(*) AS n,
        round(sum(CAST(round_even(value * 100, 0) AS BIGINT)) / 100.0, 2) AS total_value
-FROM e2 WHERE es >= ws AND es < ws + 3600
+FROM e2 WHERE es >= ws AND es < ws + {width_s}
 GROUP BY 1, 2
-""",
-)
+"""
+
+
+register("events_sliding_counts", q_sliding_counts, events_sliding_counts_sql())
 
 
 # -- changelog compaction: latest-wins upsert + delete tombstones ----------

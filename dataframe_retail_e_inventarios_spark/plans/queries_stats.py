@@ -26,20 +26,29 @@ def _dense(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # -- A6: exact per-series winsorization bounds (PRACTICA3.py:103-106) ------
-def q_winsorize_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_winsorize_bounds(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    p_lo: float = 0.01,
+    p_hi: float = 0.99,
+    min_pos: int = 5,
+) -> DataFrame:
     """Every series, with bounds only where winsorization applies
-    (n_pos > 5, PRACTICA3.py:104) — null bounds mean pass-through."""
+    (n_pos > min_pos, PRACTICA3.py:104) — null bounds mean
+    pass-through. Keyword constants are fuzz-injectable
+    (tools/fuzz_oracles.py)."""
     pos = F.when(F.col("units_sold") > 0, F.col("units_sold"))
     agg = (
         _dense(spark, sf_dir)
         .groupBy(*KEYS)
         .agg(
             F.count(pos).alias("n_pos"),
-            F.round(F.percentile(pos, F.lit(0.01)), 4).alias("_lo"),
-            F.round(F.percentile(pos, F.lit(0.99)), 4).alias("_hi"),
+            F.round(F.percentile(pos, F.lit(p_lo)), 4).alias("_lo"),
+            F.round(F.percentile(pos, F.lit(p_hi)), 4).alias("_hi"),
         )
     )
-    applies = F.col("n_pos") > 5
+    applies = F.col("n_pos") > min_pos
     return agg.select(
         *KEYS,
         "n_pos",
@@ -48,25 +57,27 @@ def q_winsorize_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-register(
-    "winsorize_bounds",
-    q_winsorize_bounds,
-    f"""
+def winsorize_bounds_sql(
+    p_lo: float = 0.01, p_hi: float = 0.99, min_pos: int = 5
+) -> str:
+    return f"""
 WITH {OF.CLEAN_SALES_CTE.strip()},
 {OF.WEEKLY_CTE.strip()},
 {OF.DENSE_CTE.strip()}
 SELECT product_id, store_id, n_pos,
-  CASE WHEN n_pos > 5 THEN lo END AS lower_q,
-  CASE WHEN n_pos > 5 THEN hi END AS upper_q
+  CASE WHEN n_pos > {min_pos} THEN lo END AS lower_q,
+  CASE WHEN n_pos > {min_pos} THEN hi END AS upper_q
 FROM (
   SELECT product_id, store_id,
     count(CASE WHEN units_sold > 0 THEN 1 END) AS n_pos,
-    round(quantile_cont(CASE WHEN units_sold > 0 THEN units_sold END, 0.01), 4) AS lo,
-    round(quantile_cont(CASE WHEN units_sold > 0 THEN units_sold END, 0.99), 4) AS hi
+    round(quantile_cont(CASE WHEN units_sold > 0 THEN units_sold END, {p_lo}), 4) AS lo,
+    round(quantile_cont(CASE WHEN units_sold > 0 THEN units_sold END, {p_hi}), 4) AS hi
   FROM dense GROUP BY 1, 2
 )
-""",
-)
+"""
+
+
+register("winsorize_bounds", q_winsorize_bounds, winsorize_bounds_sql())
 
 
 # -- A7: population std-dev of train demand (PRACTICA3.py:70) --------------

@@ -46,10 +46,13 @@ def prepare_report_input(results: DataFrame) -> DataFrame:
     return df
 
 
-def add_report_text(df: DataFrame) -> DataFrame:
-    """generador.py:97-158: per-row narrative as a string column."""
-    return df.withColumn("banda", mape_band("MAPE")).withColumn(
-        "banda_color", mape_band_color("MAPE")
+def add_report_text(
+    df: DataFrame, band_lo: float = 10.0, band_hi: float = 50.0
+) -> DataFrame:
+    """generador.py:97-158: per-row narrative as a string column.
+    Band edges fuzz-injectable (tools/fuzz_oracles.py)."""
+    return df.withColumn("banda", mape_band("MAPE", band_lo, band_hi)).withColumn(
+        "banda_color", mape_band_color("MAPE", band_lo, band_hi)
     ).withColumn(
         "pedido", pedido_text("Need_Reorder", "Qty_to_Order")
     )

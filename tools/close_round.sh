@@ -12,23 +12,11 @@ set -euo pipefail
 cd "$(dirname "$0")/.."
 TAG="${1:-rX}"
 
-echo "== full sf0.01 selfcheck =="
-python tools/selfcheck.py --json SELFCHECK_full.json /root/testdata/sf0.01
+echo "== consolidated sweep matrix (full/TZ/partitioning/ANSI/sf0.1 — r8 verdict #5) =="
+python tools/matrix.py --out "MATRIX_${TAG}.json"
 
-echo "== hostile-TZ selfcheck (process + session America/New_York) =="
-TZ=America/New_York SPARK_GRAFT_SESSION_TZ=America/New_York \
-  python tools/selfcheck.py --json SELFCHECK_tz.json /root/testdata/sf0.01
-
-echo "== partitioning-invariance selfcheck (local[3], 4 shuffle partitions) =="
-SPARK_GRAFT_CPUS=3 \
-  python tools/selfcheck.py --json SELFCHECK_part.json /root/testdata/sf0.01
-
-echo "== sf0.1 headline selfcheck =="
-python tools/selfcheck.py --headline --json SELFCHECK_sf01.json /root/testdata/sf0.1
-
-echo "== legacy-mode selfcheck (spark.sql.ansi.enabled=false — Spark 4 defaults to TRUE) =="
-SPARK_GRAFT_ANSI=false \
-  python tools/selfcheck.py --json SELFCHECK_ansi.json /root/testdata/sf0.01
+echo "== fuzzed-oracle sweep (r8 verdict #1) =="
+python tools/fuzz_oracles.py --json "FUZZ_${TAG}.json" --seeds 5 /root/testdata/sf0.01
 
 echo "== bench (BENCH_full.json) =="
 python bench.py
@@ -40,8 +28,7 @@ python bench.py --scale-curve "BENCH_scale_${TAG}.json"
 echo "== plan dump =="
 python tools/explain_plans.py
 
-git add SELFCHECK_full.json SELFCHECK_tz.json SELFCHECK_part.json \
-        SELFCHECK_sf01.json SELFCHECK_ansi.json BENCH_full.json \
+git add "MATRIX_${TAG}.json" "FUZZ_${TAG}.json" BENCH_full.json \
         "BENCH_scale_${TAG}.json" PLANS.md
 git add -f BENCH_r*.json CORRECTNESS_r*.json 2>/dev/null || true
 git status --short

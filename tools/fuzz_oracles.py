@@ -1,0 +1,307 @@
+"""Parameter-fuzzed oracle sweeps (r8 verdict #1).
+
+For each constant-bearing query below, draw N seeded parameter sets,
+rebuild BOTH the Spark plan and the DuckDB oracle from the same draw,
+and run the driver-faithful strict compare. This is the sweep that
+catches FIXTURE-BAKED parity — a query whose Spark side and oracle
+side agree only at the shipped constants (e.g. the r7 `l_quantity`
+cast bug class) fails here on the first perturbed draw.
+
+    python tools/fuzz_oracles.py [--json FUZZ_r09.json] [--seeds N] [sf_dir] [name ...]
+
+Determinism: every draw comes from random.Random(f"{name}:{seed}"), so
+the artifact is reproducible bit-for-bit; parameters are recorded per
+row. Draw spaces stay inside the testdata domain (ship years
+1995-2001, real dimension vocabularies) and on clean numeric grids so
+a failure is always a real engine divergence, not float-repr noise.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import random
+
+from dataframe_retail_e_inventarios_spark.session import get_spark
+from dataframe_retail_e_inventarios_spark.testing import compare_query
+
+# -- draw spaces -------------------------------------------------------------
+YEARS = [1995, 1996, 1997, 1998, 1999, 2000]
+REGIONS = ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
+SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+PTYPES = ["ECONOMY", "LARGE", "MEDIUM", "PROMO", "SMALL", "STANDARD"]
+NAME_TOKENS = ["widget", "ring", "gear", "anvil", "bolt", "plate", "rod", "gizmo"]
+BRANDS = [f"Brand#{i}" for i in range(1, 26)]
+NATIONS = [f"NATION_{i}" for i in range(25)]
+FLAGS = ["A", "N", "R"]
+STATUSES = ["F", "O", "P"]
+
+
+def _date(rng: random.Random) -> str:
+    return f"{rng.choice(YEARS)}-{rng.randint(1, 12):02d}-{rng.randint(1, 28):02d}"
+
+
+def _bands(rng: random.Random) -> tuple:
+    out = []
+    for _ in range(rng.randint(2, 4)):
+        s_lo = rng.randint(1, 10)
+        q_lo = rng.randint(1, 20)
+        out.append(
+            (
+                rng.choice(BRANDS),
+                s_lo,
+                s_lo + rng.randint(5, 30),
+                q_lo,
+                q_lo + rng.randint(5, 20),
+            )
+        )
+    return tuple(out)
+
+
+# name -> (fn, sql_builder, sampler(rng) -> params dict)
+def _targets():
+    from dataframe_retail_e_inventarios_spark.plans import (
+        queries_core as qc,
+        queries_relational as qr,
+        queries_report as qrep,
+        queries_scale as qsc,
+        queries_stats as qst,
+    )
+
+    return {
+        "volume_shipping_nation_pairs": (
+            qr.q_volume_shipping,
+            qr.volume_shipping_sql,
+            lambda r: dict(y0=(y := r.choice(YEARS)), y1=y + r.randint(0, 2)),
+        ),
+        "returned_item_losses": (
+            qr.q_returned_item_losses,
+            qr.returned_item_losses_sql,
+            lambda r: dict(
+                year=r.choice(YEARS), flag=r.choice(FLAGS), k=r.randint(5, 40)
+            ),
+        ),
+        "forecasted_discount_revenue": (
+            qr.q_forecasted_discount_revenue,
+            qr.forecasted_discount_revenue_sql,
+            lambda r: dict(
+                year=r.choice(YEARS),
+                d_lo=(lo := r.randint(0, 6) / 100),
+                d_hi=lo + r.randint(1, 4) / 100,
+                qty_cap=r.randint(5, 50),
+            ),
+        ),
+        "promo_revenue_share": (
+            qr.q_promo_revenue_share,
+            qr.promo_revenue_share_sql,
+            lambda r: dict(
+                year=r.choice(YEARS),
+                months=tuple(sorted(r.sample(range(1, 13), r.randint(1, 4)))),
+                ptype=r.choice(PTYPES),
+            ),
+        ),
+        "small_quantity_avg_yearly": (
+            qr.q_small_quantity_avg_yearly,
+            qr.small_quantity_avg_yearly_sql,
+            lambda r: dict(inv_factor=r.randint(2, 10)),
+        ),
+        "large_volume_customers": (
+            qr.q_large_volume_customers,
+            qr.large_volume_customers_sql,
+            lambda r: dict(qty_min=r.randint(50, 250)),
+        ),
+        "brand_size_band_revenue": (
+            qr.q_brand_size_band_revenue,
+            qr.brand_size_band_revenue_sql,
+            lambda r: dict(bands=_bands(r)),
+        ),
+        "shipping_priority_topk": (
+            qr.q_shipping_priority,
+            qr.shipping_priority_sql,
+            lambda r: dict(
+                cutoff=_date(r), segment=r.choice(SEGMENTS), k=r.randint(5, 30)
+            ),
+        ),
+        "local_supplier_volume": (
+            qr.q_local_supplier_volume,
+            qr.local_supplier_volume_sql,
+            lambda r: dict(region=r.choice(REGIONS), year=r.choice(YEARS)),
+        ),
+        "nation_market_share": (
+            qr.q_nation_market_share,
+            qr.nation_market_share_sql,
+            lambda r: dict(
+                region=r.choice(REGIONS),
+                ptype=r.choice(PTYPES),
+                nation=r.choice(NATIONS),
+                y0=(y := r.choice(YEARS)),
+                y1=y + r.randint(0, 2),
+            ),
+        ),
+        "top_supplier_quarter": (
+            qr.q_top_supplier_quarter,
+            qr.top_supplier_quarter_sql,
+            lambda r: dict(
+                q_start=(d := _date(r)),
+                q_end=f"{int(d[:4]) + (int(d[5:7]) + 2) // 12}-"
+                f"{(int(d[5:7]) + 2) % 12 + 1:02d}-01",
+            ),
+        ),
+        "late_shipment_priority": (
+            qr.q_late_shipment_priority,
+            qr.late_shipment_priority_sql,
+            lambda r: dict(late_days=r.randint(10, 200)),
+        ),
+        "waiting_supplier_count": (
+            qr.q_waiting_supplier_count,
+            qr.waiting_supplier_count_sql,
+            lambda r: dict(late_days=r.randint(30, 180), status=r.choice(STATUSES)),
+        ),
+        "dominant_supplier_parts": (
+            qr.q_dominant_supplier_parts,
+            qr.dominant_supplier_parts_sql,
+            lambda r: dict(
+                year=r.choice(YEARS),
+                name_token=r.choice(NAME_TOKENS),
+                min_supps=r.randint(2, 6),
+            ),
+        ),
+        "topk_parts_per_supplier": (
+            qr.q_topk_per_group,
+            qr.topk_parts_per_supplier_sql,
+            lambda r: dict(k=r.randint(1, 8)),
+        ),
+        "trailing_moving_average": (
+            qr.q_trailing_ma,
+            qr.trailing_moving_average_sql,
+            lambda r: dict(window=r.randint(2, 8)),
+        ),
+        "semi_join_open_orders": (
+            qr.q_semi_join,
+            qr.semi_join_open_orders_sql,
+            lambda r: dict(status=r.choice(STATUSES)),
+        ),
+        "series_admission_gates": (
+            qc.q_series_gates,
+            qc.series_admission_gates_sql,
+            lambda r: dict(min_weeks=r.randint(4, 30), min_total=r.randint(1, 50)),
+        ),
+        "winsorize_bounds": (
+            qst.q_winsorize_bounds,
+            qst.winsorize_bounds_sql,
+            lambda r: dict(
+                p_lo=r.randint(1, 10) / 100,
+                p_hi=r.randint(90, 99) / 100,
+                min_pos=r.randint(2, 12),
+            ),
+        ),
+        "report_enrich": (
+            qrep.q_report_enrich,
+            qrep.report_enrich_sql,
+            lambda r: dict(
+                band_lo=float(r.randint(2, 20)), band_hi=float(r.randint(25, 80))
+            ),
+        ),
+        "events_sliding_counts": (
+            qsc.q_sliding_counts,
+            qsc.events_sliding_counts_sql,
+            lambda r: dict(
+                hop_min=(h := r.choice([10, 15, 20, 30, 60])),
+                width_min=h * r.randint(1, 4),
+            ),
+        ),
+    }
+
+
+def main() -> int:
+    argv = list(sys.argv[1:])
+    json_out, seeds = None, 5
+    rest: list[str] = []
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a == "--json":
+            json_out = argv[i + 1]
+            i += 2
+        elif a == "--seeds":
+            seeds = int(argv[i + 1])
+            i += 2
+        elif a.startswith("--"):
+            print(f"unknown flag {a!r}", file=sys.stderr)
+            return 2
+        else:
+            rest.append(a)
+            i += 1
+    sf_dir = rest[0] if rest else "/root/testdata/sf0.01"
+    filters = [p for a in rest[1:] for p in a.split(",") if p]
+
+    targets = _targets()
+    if filters:
+        targets = {k: v for k, v in targets.items() if any(f in k for f in filters)}
+        if not targets:
+            print("no targets match the filter", file=sys.stderr)
+            return 2
+
+    spark = get_spark("fuzz-oracles")
+    report: dict[str, dict] = {}
+    n_fail = 0
+    for name, (fn, sql_builder, sampler) in targets.items():
+        for seed in range(seeds):
+            rng = random.Random(f"{name}:{seed}")
+            params = sampler(rng)
+            key = f"{name}[{seed}]"
+            t0 = time.time()
+            try:
+                res = compare_query(
+                    spark,
+                    key,
+                    lambda s, d: fn(s, d, **params),
+                    sql_builder(**params),
+                    sf_dir,
+                )
+                row = {
+                    "ok": res.ok,
+                    "rows": res.rows_spark,
+                    "params": {
+                        k: list(v) if isinstance(v, tuple) else v
+                        for k, v in params.items()
+                    },
+                    "sec": round(time.time() - t0, 1),
+                }
+                if not res.ok:
+                    row["issues"] = res.issues[:4]
+                    n_fail += 1
+                    print(res)
+                else:
+                    print(f"[OK ] {key}: rows={res.rows_spark} ({row['sec']}s) {params}")
+            except Exception as e:  # noqa: BLE001 — recorded, not masked
+                row = {"ok": False, "err": f"{type(e).__name__}: {e}", "params": str(params)}
+                n_fail += 1
+                print(f"[ERR] {key}: {row['err']}")
+            report[key] = row
+
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "seeds_per_query": seeds,
+                    "n_queries": len(targets),
+                    "n_draws": len(report),
+                    "n_fail": n_fail,
+                    "results": report,
+                },
+                f,
+                indent=1,
+            )
+        print(f"wrote {json_out} ({len(report)} draws, {n_fail} failures)")
+    print("\nALL OK" if n_fail == 0 else f"\n{n_fail} FAILED")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
