@@ -1181,7 +1181,9 @@ from .queries_modern import _SESSION_ORACLE_SQL as _SESS_SQL  # noqa: E402
 register("streaming_session_windows", q_streaming_session_windows, _SESS_SQL)
 
 
-def q_streaming_view_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_streaming_view_purchase_join(
+    spark: SparkSession, sf_dir: str, *, progress_out: list | None = None
+) -> DataFrame:
     """Fourth live-streaming surface under the gate: the STREAM-STREAM
     inner join (purchases x same-user views within 30 min) drained
     availableNow, gated by the batch join's oracle. Stream-stream
@@ -1227,6 +1229,10 @@ def q_streaming_view_purchase_join(spark: SparkSession, sf_dir: str) -> DataFram
             .start()
         )
         await_bounded(q, 300)
+        if progress_out is not None:
+            # per-batch progress dicts (stateOperators carry
+            # numRowsTotal) for the state-growth stress harness
+            progress_out.extend(q.recentProgress)
         out = spark.table(name).select(
             "user_id",
             "view_id",
@@ -1264,7 +1270,7 @@ _VPJ_BUCKETS = 10
 
 
 def q_streaming_view_purchase_join_bounded(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession, sf_dir: str, *, progress_out: list | None = None
 ) -> DataFrame:
     """The PRODUCTION posture of the stream-stream join (r7 verdict
     #4): BOUNDED state under the same value-hash gate. The span-
@@ -1352,6 +1358,8 @@ def q_streaming_view_purchase_join_bounded(
             .start()
         )
         await_bounded(q, 300)
+        if progress_out is not None:
+            progress_out.extend(q.recentProgress)
         out = ns.table(name).select(
             "user_id",
             "view_id",
