@@ -26,7 +26,11 @@ def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     for t in TESTDATA_TABLES:
         path = os.path.join(sf_dir, f"{t}.parquet")
-        if os.path.exists(path):
+        if os.path.isdir(path):
+            # Spark-written table = a directory of part files; DuckDB
+            # needs the glob (stress fixtures land this way).
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}/*.parquet'")
+        elif os.path.exists(path):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
     return con
 
