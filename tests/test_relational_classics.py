@@ -406,3 +406,73 @@ def test_top_supplier_quarter_matches_pandas(spark):
     )
     names = supp.set_index("s_suppkey").s_name
     assert all(names[k] == n for k, n in zip(got.suppkey, got.s_name))
+
+
+def test_waiting_supplier_count_matches_pandas(spark):
+    """Q21 silhouette replay: independent pandas derivation of the
+    exists/not-exists qualification — per-(order,supplier) late-line
+    rollup, order-level supplier counts, only-late-supplier filter."""
+    li = pd.read_parquet(f"{SF_SMOKE}/lineitem.parquet")
+    orders = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")
+    supp = pd.read_parquet(f"{SF_SMOKE}/supplier.parquet")
+    nation = pd.read_parquet(f"{SF_SMOKE}/nation.parquet")
+    o = orders[orders.o_orderstatus == "F"][["o_orderkey", "o_orderdate"]]
+    j = li.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+    j["late"] = (
+        (j.l_shipdate.dt.normalize() - j.o_orderdate.dt.normalize()).dt.days > 90
+    ).astype("int64")
+    pso = (
+        j.groupby(["l_orderkey", "l_suppkey"])
+        .agg(n_late_lines=("late", "sum"))
+        .reset_index()
+    )
+    per_order = pso.groupby("l_orderkey").agg(
+        n_supps=("l_suppkey", "size"),
+        n_late_supps=("n_late_lines", lambda s: int((s > 0).sum())),
+    )
+    q = pso.merge(per_order, on="l_orderkey")
+    q = q[(q.n_late_lines > 0) & (q.n_supps >= 2) & (q.n_late_supps == 1)]
+    numwait = (
+        q.groupby("l_suppkey").n_late_lines.sum().rename("numwait").reset_index()
+    )
+    expect = (
+        numwait.merge(supp, left_on="l_suppkey", right_on="s_suppkey")
+        .merge(nation, left_on="s_nationkey", right_on="n_nationkey")
+        .sort_values(["numwait", "s_name"], ascending=[False, True])
+        .head(100)[["s_name", "n_name", "numwait"]]
+        .reset_index(drop=True)
+    )
+    got = queries()["waiting_supplier_count"](spark, SF_SMOKE).toPandas()
+    assert len(got) == len(expect)
+    assert got.s_name.tolist() == expect.s_name.tolist()
+    assert got.numwait.astype("int64").tolist() == expect.numwait.astype("int64").tolist()
+
+
+def test_dominant_supplier_parts_matches_pandas(spark):
+    """Q20 silhouette replay: per-(part,supplier) 1996 '%gear%'
+    quantities, contested-part gate (>=4 suppliers), dominance
+    2*q > total, distinct supplier semi-join."""
+    li = pd.read_parquet(f"{SF_SMOKE}/lineitem.parquet")
+    part = pd.read_parquet(f"{SF_SMOKE}/part.parquet")
+    supp = pd.read_parquet(f"{SF_SMOKE}/supplier.parquet")
+    gear = part[part.p_name.str.contains("gear")][["p_partkey"]]
+    j = li[li.l_shipdate.dt.year == 1996].merge(
+        gear, left_on="l_partkey", right_on="p_partkey"
+    )
+    j["qty_i"] = _round_even(j.l_quantity * 100).astype("int64")
+    ps = (
+        j.groupby(["l_partkey", "l_suppkey"]).agg(q_i=("qty_i", "sum")).reset_index()
+    )
+    pt = ps.groupby("l_partkey").agg(
+        tot_i=("q_i", "sum"), n_supps=("l_suppkey", "size")
+    )
+    d = ps.merge(pt, on="l_partkey")
+    winners = set(d[(d.n_supps >= 4) & (2 * d.q_i > d.tot_i)].l_suppkey)
+    expect = (
+        supp[supp.s_suppkey.isin(winners)]
+        .sort_values("s_suppkey")[["s_suppkey", "s_name", "s_acctbal"]]
+        .reset_index(drop=True)
+    )
+    got = queries()["dominant_supplier_parts"](spark, SF_SMOKE).toPandas()
+    assert got.s_suppkey.tolist() == expect.s_suppkey.tolist()
+    assert np.allclose(got.s_acctbal.to_numpy(), expect.s_acctbal.to_numpy())
