@@ -476,7 +476,12 @@ HAVING max(l_linenumber) != count(*) OR count(DISTINCT l_linenumber) != count(*)
 
 
 # -- heavy hitters (frequent-items sketch) ----------------------------------
-FREQ_SUPPORT = 0.01
+# 0.05% support: the part key space is ~uniform (each part ~0.05% of
+# lineitem), so the old 1% threshold certified an EMPTY set — a
+# vacuous pass. At 0.0005 the above-average tail clears the gate at
+# every test scale while the MG sketch still tracks only
+# 1/support = 2000 entries of fixed memory.
+FREQ_SUPPORT = 0.0005
 
 
 def q_frequent_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -484,20 +489,46 @@ def q_frequent_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch (`df.stat.freqItems`, Karp/Misra-Gries family): one pass,
     fixed memory, NO false negatives — every key with frequency above
     the support threshold is guaranteed present (false positives
-    possible; the exact twin in the test filters them). This completes
-    the sketch family (HLL distinct, GK quantiles, Bloom membership,
-    MG heavy hitters) — the four summaries a 100 TB profiler runs
-    where exact aggregation would shuffle the world. Approximate by
-    construction -> rows-only check; the no-false-negative guarantee
-    is asserted against exact counts in tests/test_datacleaning."""
+    possible). This completes the sketch family (HLL distinct, GK
+    quantiles, Bloom membership, MG heavy hitters) — the four
+    summaries a 100 TB profiler runs where exact aggregation would
+    shuffle the world.
+
+    Driver-visible contract (r8 verdict #7 pattern): the MG guarantee
+    itself. The sketch's returned keys, filtered to those whose EXACT
+    frequency clears the support threshold, must be exactly the exact
+    heavy-hitter set — a missed hot key drops a row (rows mismatch)
+    against the DuckDB oracle computing the exact set; sketch false
+    positives are legitimately filtered on both engines' shared exact
+    side. The audit join is one broadcast of the (tiny) sketch list
+    onto the part-grain aggregate."""
     li = load_table(spark, sf_dir, "lineitem")
     freq = li.select("l_partkey").stat.freqItems(["l_partkey"], support=FREQ_SUPPORT)
-    return freq.select(
+    sketched = freq.select(
         F.explode(F.col("l_partkey_freqItems")).alias("part_key")
-    ).orderBy("part_key")
+    )
+    exact = li.groupBy(F.col("l_partkey").alias("part_key")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    total = li.count()
+    return (
+        exact.join(F.broadcast(sketched), "part_key", "left_semi")
+        .filter(F.col("n") > FREQ_SUPPORT * total)
+        .orderBy("part_key")
+    )
 
 
-register("frequent_parts_sketch", q_frequent_parts, None)  # sketch: rows-only
+register(
+    "frequent_parts_sketch",
+    q_frequent_parts,
+    f"""
+SELECT l_partkey AS part_key, CAST(count(*) AS BIGINT) AS n
+FROM lineitem
+GROUP BY 1
+HAVING count(*) > {FREQ_SUPPORT} * (SELECT count(*) FROM lineitem)
+ORDER BY 1
+""",
+)
 
 
 APPROX_TOPK_K = 20

@@ -168,14 +168,17 @@ def test_freq_items_sketch_has_no_false_negatives(spark):
     li = load_table(spark, SF_SMOKE, "lineitem")
     n = li.count()
     exact_hot = {
-        r.l_partkey
+        r.l_partkey: r.c
         for r in li.groupBy("l_partkey")
         .agg(F.count("*").alias("c"))
         .filter(F.col("c") > FREQ_SUPPORT * n)
         .collect()
     }
-    sketched = {r.part_key for r in q_frequent_parts(spark, SF_SMOKE).collect()}
-    assert exact_hot <= sketched
+    # registered output = sketch keys gated by the exact threshold
+    # (r8 verdict #7 pattern): MG's no-false-negative guarantee means
+    # this must equal the exact heavy-hitter set, counts included.
+    got = {r.part_key: r.n for r in q_frequent_parts(spark, SF_SMOKE).collect()}
+    assert got == exact_hot
 
 
 def test_hll_sketch_rollup_merge_is_lossless_and_calibrated(spark):
