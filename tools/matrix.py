@@ -35,6 +35,20 @@ CONFIGS = [
 ]
 
 
+def _is_bad(r: dict) -> bool:
+    """A row fails the gate iff: it errored, an oracle compare
+    mismatched, or a rows-only query returned zero rows (the weaker
+    driver check those rows get)."""
+    err = r.get("err")
+    if err == "no_oracle":
+        return not (r.get("spark_rows") or 0) > 0
+    if err is not None:
+        return True
+    return not (
+        r.get("rows_match") and r.get("schema_match") and r.get("hash_match")
+    )
+
+
 def main() -> int:
     out_path = "MATRIX_r09.json"
     argv = sys.argv[1:]
@@ -58,7 +72,9 @@ def main() -> int:
         )
         dt = round(time.time() - t0, 1)
         try:
-            rows = json.load(open(tmp))
+            data = json.load(open(tmp))
+            # selfcheck --json wraps per-query rows under "results"
+            rows = data.get("results", data) if isinstance(data, dict) else {}
         except Exception:
             rows = {}
         finally:
@@ -68,13 +84,7 @@ def main() -> int:
             print(f"[ERR] {name}: selfcheck crashed\n{proc.stderr[-2000:]}")
             continue
         matrix[name] = rows
-        n_bad = sum(
-            1
-            for r in rows.values()
-            if not (r.get("rows_match") and r.get("schema_match"))
-            or (r.get("hash_match") is False)
-            or (r.get("err") not in (None, "no_oracle"))
-        )
+        n_bad = sum(1 for r in rows.values() if _is_bad(r))
         summary[name] = {
             "n_queries": len(rows),
             "n_bad": n_bad,
