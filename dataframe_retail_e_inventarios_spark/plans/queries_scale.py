@@ -87,16 +87,21 @@ register("events_sliding_counts", q_sliding_counts, events_sliding_counts_sql())
 
 
 # -- changelog compaction: latest-wins upsert + delete tombstones ----------
-def q_cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_cdc_latest_state(
+    spark: SparkSession, sf_dir: str, *, cutoff_date: str = "2024-01-16"
+) -> DataFrame:
     """MERGE-shaped compaction: events are a change stream keyed by
-    (user_id, event_type); a mid-month snapshot is the base, the rest
-    are changes; value < 1.0 marks a tombstone. One shuffle on the
-    merge keys (operators/cdc.py). The oracle ranks the undivided
+    (user_id, event_type); a snapshot at cutoff_date is the base, the
+    rest are changes; value < 1.0 marks a tombstone. One shuffle on
+    the merge keys (operators/cdc.py). The oracle ranks the undivided
     stream — the split is invisible in the result because (ts,
     event_id) totally orders versions, which is exactly the invariant
-    a resumable CDC consumer relies on."""
+    a resumable CDC consumer relies on; the fuzzer
+    (tools/fuzz_oracles.py) redraws cutoff_date against the SAME
+    oracle, making that split-invariance a tested property, not a
+    comment."""
     ev = load_table(spark, sf_dir, "events")
-    cutoff = F.lit("2024-01-16").cast("timestamp")
+    cutoff = F.lit(cutoff_date).cast("timestamp")
     merged = merge_changes(
         base=ev.filter(F.col("ts") < cutoff),
         changes=ev.filter(F.col("ts") >= cutoff),
@@ -112,10 +117,10 @@ def q_cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-register(
-    "cdc_latest_state",
-    q_cdc_latest_state,
-    """
+def cdc_latest_state_sql(cutoff_date: str = "2024-01-16") -> str:
+    # cutoff_date intentionally unused: the merge result is invariant
+    # to where the base/changes split lands — the fuzz draws prove it.
+    return """
 WITH ranked AS (
   SELECT *, row_number() OVER (
       PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC
@@ -125,8 +130,10 @@ WITH ranked AS (
 SELECT user_id, event_type,
        CAST(floor(epoch_us(ts) / 1000000) AS BIGINT) AS last_epoch, value
 FROM ranked WHERE rn = 1 AND NOT (value < 1.0)
-""",
-)
+"""
+
+
+register("cdc_latest_state", q_cdc_latest_state, cdc_latest_state_sql())
 
 
 # -- BM25 top terms per document -------------------------------------------
@@ -610,9 +617,16 @@ WHERE n_hol >= 4 AND n_base >= 4 AND base_avg > 0
 
 
 # -- ABC (Pareto) inventory classification ---------------------------------
-def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_abc_classification(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    a_cut: float = 0.80,
+    b_cut: float = 0.95,
+) -> DataFrame:
     """ABC segmentation per supplier: parts ranked by revenue, class A
-    = the head covering 80% of cumulative share, B to 95%, C the tail.
+    = the head covering a_cut of cumulative share, B to b_cut, C the
+    tail (cut points fuzz-injectable, tools/fuzz_oracles.py).
     Scalable form: classification WITHIN each supplier partition (the
     global variant would funnel everything through one sort task —
     same fix as the flagship top-k). Cumulative share uses exact
@@ -634,8 +648,8 @@ def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     klass = (
-        F.when(F.col("cum_share") <= 0.80, "A")
-        .when(F.col("cum_share") <= 0.95, "B")
+        F.when(F.col("cum_share") <= a_cut, "A")
+        .when(F.col("cum_share") <= b_cut, "B")
         .otherwise("C")
     )
     # rev stays at its exact 4-decimal value — re-rounding to 2 lands
@@ -649,10 +663,8 @@ def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-register(
-    "abc_classification",
-    q_abc_classification,
-    """
+def abc_classification_sql(a_cut: float = 0.80, b_cut: float = 0.95) -> str:
+    return f"""
 WITH rev_t AS (
   SELECT l_suppkey, l_partkey,
          sum(CAST(round_even(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)) / 10000.0 AS rev
@@ -666,12 +678,14 @@ shared AS (
   FROM rev_t
 )
 SELECT l_suppkey, l_partkey, rev, cum_share,
-       CASE WHEN cum_share <= 0.80 THEN 'A'
-            WHEN cum_share <= 0.95 THEN 'B'
+       CASE WHEN cum_share <= {a_cut} THEN 'A'
+            WHEN cum_share <= {b_cut} THEN 'B'
             ELSE 'C' END AS abc_class
 FROM shared
-""",
-)
+"""
+
+
+register("abc_classification", q_abc_classification, abc_classification_sql())
 
 
 # -- demand intermittency classification (Syntetos-Boylan quadrants) -------

@@ -19,35 +19,42 @@ def _views(spark: SparkSession, sf_dir: str, *tables: str) -> None:
         load_table(spark, sf_dir, t).createOrReplaceTempView(f"{t}_v")
 
 
-def q_sql_exists_returned(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_sql_exists_returned(
+    spark: SparkSession, sf_dir: str, *, flag: str = "R"
+) -> DataFrame:
     """Correlated EXISTS (decorrelated by Catalyst into a left-semi
-    join — same physical shape as the DataFrame semi-join query)."""
+    join — same physical shape as the DataFrame semi-join query).
+    Flag fuzz-injectable (tools/fuzz_oracles.py)."""
     _views(spark, sf_dir, "orders", "lineitem")
     return spark.sql(
-        """
+        f"""
         SELECT o_orderpriority, count(*) AS n_orders
         FROM orders_v
         WHERE EXISTS (
           SELECT 1 FROM lineitem_v
-          WHERE l_orderkey = o_orderkey AND l_returnflag = 'R'
+          WHERE l_orderkey = o_orderkey AND l_returnflag = '{flag}'
         )
         GROUP BY o_orderpriority
         """
     )
 
 
-register(
-    "sql_exists_returned_orders",
-    q_sql_exists_returned,
-    """
+def sql_exists_returned_orders_sql(flag: str = "R") -> str:
+    return f"""
 SELECT o_orderpriority, count(*) AS n_orders
 FROM orders
 WHERE EXISTS (
   SELECT 1 FROM lineitem
-  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R'
+  WHERE l_orderkey = o_orderkey AND l_returnflag = '{flag}'
 )
 GROUP BY o_orderpriority
-""",
+"""
+
+
+register(
+    "sql_exists_returned_orders",
+    q_sql_exists_returned,
+    sql_exists_returned_orders_sql(),
 )
 
 

@@ -177,8 +177,11 @@ FROM cohorted GROUP BY 1, 2
 
 
 # -- in-session conversion funnel ------------------------------------------
-def q_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ordered funnel per session: sessions counted by how far they
+def q_session_funnel(
+    spark: SparkSession, sf_dir: str, *, gap_min: int = SESSION_GAP_MIN
+) -> DataFrame:
+    """Ordered funnel per session (gap fuzz-injectable,
+    tools/fuzz_oracles.py): sessions counted by how far they
     got — any view, then a purchase at or after the first view (order
     matters: a purchase-before-any-view session does NOT convert).
     Builds on the same gaps-and-islands sessionization; the funnel is
@@ -191,7 +194,7 @@ def q_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("prev_ts").isNull()
             | (
                 F.timestamp_diff("MICROSECOND", F.col("prev_ts"), F.col("ts"))
-                > SESSION_GAP_MIN * 60 * 1_000_000
+                > gap_min * 60 * 1_000_000
             ),
             1,
         ).otherwise(0)
@@ -220,17 +223,15 @@ def q_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-register(
-    "events_session_funnel",
-    q_session_funnel,
-    f"""
+def events_session_funnel_sql(gap_min: int = SESSION_GAP_MIN) -> str:
+    return f"""
 WITH ordered AS (
   SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
   FROM events
 ),
 flagged AS (
   SELECT *, CASE WHEN prev_ts IS NULL
-                  OR (epoch_us(ts) - epoch_us(prev_ts)) > {SESSION_GAP_MIN * 60 * 1_000_000}
+                  OR (epoch_us(ts) - epoch_us(prev_ts)) > {gap_min * 60 * 1_000_000}
              THEN 1 ELSE 0 END AS new_s
   FROM ordered
 ),
@@ -251,8 +252,10 @@ SELECT CASE WHEN first_view IS NOT NULL AND last_purchase IS NOT NULL
             ELSE 'no_view' END AS stage,
        count(*) AS n_sessions
 FROM per_session GROUP BY 1
-""",
-)
+"""
+
+
+register("events_session_funnel", q_session_funnel, events_session_funnel_sql())
 
 
 register(

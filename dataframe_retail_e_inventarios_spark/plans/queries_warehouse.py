@@ -743,10 +743,16 @@ WHERE side = 1 AND state_view_value IS NOT NULL
 # ---------------------------------------------------------------------------
 
 
-def q_demand_anomalies_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_demand_anomalies_mad(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    z_gate: float = 3.5,
+    min_weeks: int = 12,
+) -> DataFrame:
     """Robust twin of demand_anomalies (queries_scale): modified
-    z-score 0.6745*(x - median)/MAD with the Iglewicz-Hoaglin 3.5
-    gate — immune to the outliers that inflate sigma and mask
+    z-score 0.6745*(x - median)/MAD with the Iglewicz-Hoaglin z_gate
+    gate (gate + history floor fuzz-injectable, tools/fuzz_oracles.py) — immune to the outliers that inflate sigma and mask
     themselves in the classic z-score screen. Medians via exact
     linear-interp percentiles as two small per-product aggregates
     (grouped, not windowed — window median isn't portable), joined
@@ -779,7 +785,7 @@ def q_demand_anomalies_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     z = (F.col("units_sold") - F.col("med")) * 0.6745 / F.col("mad_r")
     return (
         full.filter(
-            (F.col("n_weeks") >= 12) & (F.col("mad_r") > 0) & (F.abs(z) > 3.5)
+            (F.col("n_weeks") >= min_weeks) & (F.col("mad_r") > 0) & (F.abs(z) > z_gate)
         )
         .select(
             "product_id",
@@ -792,10 +798,8 @@ def q_demand_anomalies_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from . import oracle_fragments as _OF2  # noqa: E402
 
-register(
-    "demand_anomalies_mad",
-    q_demand_anomalies_mad,
-    f"""
+def demand_anomalies_mad_sql(z_gate: float = 3.5, min_weeks: int = 12) -> str:
+    return f"""
 WITH {_OF2.CLEAN_SALES_CTE.strip()},
 weekly AS (
   SELECT product_id,
@@ -820,10 +824,12 @@ SELECT product_id, week, units_sold,
        round_even((units_sold - med) * 0.6745 / mad_r * 10000.0, 0) / 10000.0
          AS robust_z
 FROM j JOIN mad USING (product_id)
-WHERE n_weeks >= 12 AND mad_r > 0
-  AND abs((units_sold - med) * 0.6745 / mad_r) > 3.5
-""",
-)
+WHERE n_weeks >= {min_weeks} AND mad_r > 0
+  AND abs((units_sold - med) * 0.6745 / mad_r) > {z_gate}
+"""
+
+
+register("demand_anomalies_mad", q_demand_anomalies_mad, demand_anomalies_mad_sql())
 
 
 def q_conversion_lag_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -69,7 +69,10 @@ def _targets():
         queries_relational as qr,
         queries_report as qrep,
         queries_scale as qsc,
+        queries_sql as qsql,
         queries_stats as qst,
+        queries_streaming as qstr,
+        queries_warehouse as qw,
     )
 
     return {
@@ -213,6 +216,36 @@ def _targets():
                 hop_min=(h := r.choice([10, 15, 20, 30, 60])),
                 width_min=h * r.randint(1, 4),
             ),
+        ),
+        # round-9 part 2: banding edges + robust gates + the CDC
+        # split-invariance property (oracle constant across draws)
+        "abc_classification": (
+            qsc.q_abc_classification,
+            qsc.abc_classification_sql,
+            lambda r: dict(
+                a_cut=(a := r.randint(50, 85) / 100),
+                b_cut=a + r.randint(5, 14) / 100,
+            ),
+        ),
+        "demand_anomalies_mad": (
+            qw.q_demand_anomalies_mad,
+            qw.demand_anomalies_mad_sql,
+            lambda r: dict(z_gate=r.randint(20, 50) / 10, min_weeks=r.randint(4, 26)),
+        ),
+        "events_session_funnel": (
+            qstr.q_session_funnel,
+            qstr.events_session_funnel_sql,
+            lambda r: dict(gap_min=r.choice([5, 10, 15, 30, 45, 60, 120])),
+        ),
+        "sql_exists_returned_orders": (
+            qsql.q_sql_exists_returned,
+            qsql.sql_exists_returned_orders_sql,
+            lambda r: dict(flag=r.choice(FLAGS)),
+        ),
+        "cdc_latest_state": (
+            qsc.q_cdc_latest_state,
+            qsc.cdc_latest_state_sql,
+            lambda r: dict(cutoff_date=_date(r)),
         ),
     }
 
