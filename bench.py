@@ -250,9 +250,12 @@ HEADLINE = [
     "llm_curation_pipeline",
     # round 9: the last two hard TPC-H join shapes — Q21 (exists +
     # not-exists collapsed to windows over one rollup exchange) and
-    # Q20 (correlated scalar threshold + left-semi qualification).
+    # Q20 (correlated scalar threshold + left-semi qualification) —
+    # plus the Q9 profit rollup (cost-proxy adaptation, part-prune
+    # below the fact join).
     "waiting_supplier_count",
     "dominant_supplier_parts",
+    "product_type_profit",
 ]
 
 # Capability demos: registered + oracle-checked, but benched apart from

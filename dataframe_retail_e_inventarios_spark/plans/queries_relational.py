@@ -1623,3 +1623,84 @@ register(
     q_dominant_supplier_parts,
     dominant_supplier_parts_sql(),
 )
+
+
+def q_product_type_profit(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    name_token: str = "widget",
+    cost_ratio: float = 0.6,
+) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit by nation and year) on this
+    schema (no partsupp, so supply cost is the documented proxy
+    cost_ratio * p_retailprice per unit): profit = revenue minus cost
+    over one part-name family, grouped by supplier nation and order
+    year.
+
+    Plan shape: part-name broadcast prune BELOW everything (shrinks
+    the fact before any other join), supplier/nation broadcast, ONE
+    fact-fact shuffle join on the order key for the year column, one
+    aggregate exchange on the tiny (nation, year) domain. Profit stays
+    exact 4dp-integer inside the plan; the emitted double is a single
+    final division. Keyword constants are fuzz-injectable
+    (tools/fuzz_oracles.py); cost_ratio draws stay on a 2-decimal grid
+    so the scaled product is exactly representable."""
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like(f"%{name_token}%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    li = load_table(spark, sf_dir, "lineitem").join(
+        F.broadcast(part), F.col("l_partkey") == part.p_partkey
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").cast("long").alias("o_year")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    profit_i = F.bround(
+        (
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            - F.lit(cost_ratio) * F.col("p_retailprice") * F.col("l_quantity")
+        )
+        * 10000,
+        0,
+    ).cast("long")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), "o_year")
+        .agg(
+            F.sum(profit_i).cast("long").alias("profit_i"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .select(
+            "nation",
+            "o_year",
+            (F.col("profit_i") / F.lit(1e4)).alias("profit"),
+            "n_lines",
+        )
+    )
+
+
+def product_type_profit_sql(
+    name_token: str = "widget", cost_ratio: float = 0.6
+) -> str:
+    return f"""
+SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(sum(CAST(round_even((l_extendedprice * (1 - l_discount)
+                                 - {cost_ratio} * p_retailprice * l_quantity) * 10000, 0) AS BIGINT)) AS BIGINT) / 1e4 AS profit,
+       count(*) AS n_lines
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%{name_token}%'
+GROUP BY 1, 2
+"""
+
+
+register("product_type_profit", q_product_type_profit, product_type_profit_sql())

@@ -47,6 +47,7 @@ _PRIORITY = [
     # certificates in the registry.
     "waiting_supplier_count",
     "dominant_supplier_parts",
+    "product_type_profit",
     "approx_distinct_users",
     "hll_sketch_rollup",
     "approx_top_k_parts",

@@ -369,3 +369,15 @@ def test_dominant_supplier_semi_join_shape(spark):
     assert plan.count("lineitem.parquet") == 1
     n_exchanges = plan.count("Exchange hashpartitioning")
     assert n_exchanges <= 2, plan
+
+
+def test_product_type_profit_prunes_part_below_fact_join(spark):
+    """Q9 silhouette: the part-name filter must broadcast-prune
+    lineitem BEFORE the orders join; supplier/nation broadcast; one
+    fact-fact exchange pair for the order join plus the final agg."""
+    plan = plan_of(spark, "product_type_profit")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3  # part + supplier + nation
+    assert plan.count("lineitem.parquet") == 1
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges <= 3, plan

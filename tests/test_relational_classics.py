@@ -476,3 +476,44 @@ def test_dominant_supplier_parts_matches_pandas(spark):
     got = queries()["dominant_supplier_parts"](spark, SF_SMOKE).toPandas()
     assert got.s_suppkey.tolist() == expect.s_suppkey.tolist()
     assert np.allclose(got.s_acctbal.to_numpy(), expect.s_acctbal.to_numpy())
+
+
+def test_product_type_profit_matches_pandas(spark):
+    """Q9 silhouette replay: profit with the cost_ratio*retailprice
+    proxy, one part family, grouped by supplier nation and year."""
+    li = pd.read_parquet(f"{SF_SMOKE}/lineitem.parquet")
+    part = pd.read_parquet(f"{SF_SMOKE}/part.parquet")
+    orders = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")
+    supp = pd.read_parquet(f"{SF_SMOKE}/supplier.parquet")
+    nation = pd.read_parquet(f"{SF_SMOKE}/nation.parquet")
+    fam = part[part.p_name.str.contains("widget")][["p_partkey", "p_retailprice"]]
+    j = (
+        li.merge(fam, left_on="l_partkey", right_on="p_partkey")
+        .merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+        .merge(supp, left_on="l_suppkey", right_on="s_suppkey")
+        .merge(nation, left_on="s_nationkey", right_on="n_nationkey")
+    )
+    j["o_year"] = j.o_orderdate.dt.year.astype("int64")
+    j["profit_i"] = _round_even(
+        (j.l_extendedprice * (1 - j.l_discount) - 0.6 * j.p_retailprice * j.l_quantity)
+        * 10000
+    ).astype("int64")
+    expect = (
+        j.groupby(["n_name", "o_year"])
+        .agg(profit_i=("profit_i", "sum"), n_lines=("profit_i", "size"))
+        .reset_index()
+        .rename(columns={"n_name": "nation"})
+        .sort_values(["nation", "o_year"])
+        .reset_index(drop=True)
+    )
+    got = (
+        queries()["product_type_profit"](spark, SF_SMOKE)
+        .toPandas()
+        .sort_values(["nation", "o_year"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(expect)
+    assert got.n_lines.tolist() == expect.n_lines.tolist()
+    assert np.allclose(
+        got.profit.to_numpy(), (expect.profit_i / 1e4).to_numpy(), atol=1e-9
+    )

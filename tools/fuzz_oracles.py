@@ -247,6 +247,14 @@ def _targets():
             qsc.cdc_latest_state_sql,
             lambda r: dict(cutoff_date=_date(r)),
         ),
+        "product_type_profit": (
+            qr.q_product_type_profit,
+            qr.product_type_profit_sql,
+            lambda r: dict(
+                name_token=r.choice(NAME_TOKENS),
+                cost_ratio=r.randint(30, 90) / 100,
+            ),
+        ),
     }
 
 
