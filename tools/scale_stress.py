@@ -74,6 +74,12 @@ STRESS_QUERIES = [
     ("shipping_priority_topk", "lineitem"),
     ("local_supplier_volume", "lineitem"),
     ("nation_market_share", "lineitem"),
+    # round-9 additions: the Q21 exists/not-exists qualification (the
+    # per-(order,supplier) rollup is the key-cardinality axis), the
+    # Q20 semi-join, and the Q9 profit rollup.
+    ("waiting_supplier_count", "lineitem"),
+    ("dominant_supplier_parts", "lineitem"),
+    ("product_type_profit", "lineitem"),
 ]
 
 # Tables any stress query touches (flagship etc. may read dims).
