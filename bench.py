@@ -401,6 +401,11 @@ CURVE = [
     # round 8: the end-to-end curation chain — corpus-linear feature
     # pass + broadcast decontamination + block-window packing.
     "llm_curation_pipeline",
+    # round 9: the Q21 qualification — the one new query whose volume
+    # slope isn't obvious from an existing entry (fact-fact join into
+    # a two-level rollup + windows; the 8x key stress shows it flat on
+    # the cardinality axis, this row adds the 10x volume axis).
+    "waiting_supplier_count",
 ]
 
 
