@@ -510,10 +510,15 @@ def q_frequent_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = li.groupBy(F.col("l_partkey").alias("part_key")).agg(
         F.count(F.lit(1)).alias("n")
     )
-    total = li.count()
+    # the total arrives as a broadcast 1-row cross join, keeping the
+    # plan fully lazy (an eager li.count() here would run a whole scan
+    # job on every plan construction — explain dumps included)
+    total = li.agg(F.count(F.lit(1)).alias("_total"))
     return (
         exact.join(F.broadcast(sketched), "part_key", "left_semi")
-        .filter(F.col("n") > FREQ_SUPPORT * total)
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("n") > FREQ_SUPPORT * F.col("_total"))
+        .select("part_key", "n")
         .orderBy("part_key")
     )
 

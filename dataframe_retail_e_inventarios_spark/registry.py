@@ -38,13 +38,15 @@ def register(name: str, fn: QueryFn, oracle: str | None) -> None:
 # round regardless (SELFCHECK_full.json).
 _PRIORITY = [
     # r9 front-load (r8 verdict #6 + rotation): first every query the
-    # driver has NEVER sampled — the two new TPC-H Q21/Q20 silhouettes,
-    # the four sketches newly promoted to tolerance-banded oracles
-    # (their first possible hash rows), and the three remaining
-    # rows-only sketches (their first rows>0 certificates) — then the
-    # stalest greens, oldest vintage first, alphabetical within a
-    # vintage, so the 50-row budget re-certifies the oldest
-    # certificates in the registry.
+    # driver has NEVER sampled — the three new TPC-H Q21/Q20/Q9
+    # silhouettes, the five sketches newly promoted to value-hash
+    # oracles (HLL distinct/rollup, GK quantiles, approx top-k,
+    # frequent-items; their first possible hash rows), and the two
+    # remaining rows-only entries below (ann_pq_topk,
+    # profile_lineitem_columns_approx — their first rows>0
+    # certificates) — then the stalest greens, oldest vintage first,
+    # alphabetical within a vintage, so the 50-row budget re-certifies
+    # the oldest certificates in the registry.
     "waiting_supplier_count",
     "dominant_supplier_parts",
     "product_type_profit",

@@ -28,8 +28,11 @@ python bench.py --scale-curve "BENCH_scale_${TAG}.json"
 echo "== plan dump =="
 python tools/explain_plans.py
 
-git add "MATRIX_${TAG}.json" "FUZZ_${TAG}.json" BENCH_full.json \
-        "BENCH_scale_${TAG}.json" PLANS.md
-git add -f BENCH_r*.json CORRECTNESS_r*.json 2>/dev/null || true
+# One add per path — a multi-path `git add` is all-or-nothing on a
+# pathspec failure (one absent file would silently stage nothing).
+for f in "MATRIX_${TAG}.json" "FUZZ_${TAG}.json" BENCH_full.json \
+         "BENCH_scale_${TAG}.json" PLANS.md BENCH_r*.json CORRECTNESS_r*.json; do
+    [ -e "$f" ] && git add -f "$f"
+done
 git status --short
 echo "close_round: artifacts staged — commit them now."

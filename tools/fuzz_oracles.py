@@ -242,10 +242,15 @@ def _targets():
             qsql.sql_exists_returned_orders_sql,
             lambda r: dict(flag=r.choice(FLAGS)),
         ),
+        # cutoff drawn INSIDE the events span (2024-01-01..30, verified
+        # against the testdata) — a YEARS draw would put every cutoff
+        # before all events, i.e. the same degenerate empty-base split
+        # on every seed, and the split-invariance property would never
+        # actually be exercised.
         "cdc_latest_state": (
             qsc.q_cdc_latest_state,
             qsc.cdc_latest_state_sql,
-            lambda r: dict(cutoff_date=_date(r)),
+            lambda r: dict(cutoff_date=f"2024-01-{r.randint(2, 29):02d}"),
         ),
         "product_type_profit": (
             qr.q_product_type_profit,

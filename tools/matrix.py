@@ -79,9 +79,13 @@ def main() -> int:
             rows = {}
         finally:
             os.unlink(tmp)
-        if proc.returncode != 0 and not rows:
+        if not rows:
+            # zero parsed rows is a failure regardless of exit code —
+            # a format drift or truncated temp JSON must not count as
+            # a green config with nothing checked
             failed_cfgs.append(name)
-            print(f"[ERR] {name}: selfcheck crashed\n{proc.stderr[-2000:]}")
+            print(f"[ERR] {name}: no selfcheck rows parsed "
+                  f"(rc={proc.returncode})\n{proc.stderr[-2000:]}")
             continue
         matrix[name] = rows
         n_bad = sum(1 for r in rows.values() if _is_bad(r))

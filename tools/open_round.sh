@@ -12,8 +12,12 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
-git add -f BENCH_r*.json CORRECTNESS_r*.json 2>/dev/null || true
-git add VERDICT.md ADVICE.md PROGRESS.jsonl 2>/dev/null || true
+# One add per path: `git add a b c` is all-or-nothing on a pathspec
+# failure, so a single absent file would silently stage NOTHING (the
+# exact failure mode this script exists to prevent).
+for f in BENCH_r*.json CORRECTNESS_r*.json VERDICT.md ADVICE.md PROGRESS.jsonl; do
+    [ -e "$f" ] && git add -f "$f"
+done
 
 if git diff --cached --quiet; then
     echo "open_round: nothing to adopt — driver artifacts already committed."

@@ -98,6 +98,14 @@ def _shifted(df, table: str, i: int):
         return df.withColumn("l_suppkey", F.col("l_suppkey") + 10_000 * i).withColumn(
             "l_orderkey", F.col("l_orderkey") + 100_000_000 * i
         )
+    if table == "orders":
+        # Shift o_orderkey IN LOCKSTEP with lineitem's l_orderkey so
+        # the fact-fact join keeps every shifted copy (r9 review: with
+        # orders unscaled, shifted lineitem rows dropped at the inner
+        # join and every order-joining stress row certified only scan
+        # growth). o_custkey stays unshifted — customer is a dim, and
+        # the join must keep matching it.
+        return df.withColumn("o_orderkey", F.col("o_orderkey") + 100_000_000 * i)
     if table == "events":
         return (
             df.withColumn("event_id", F.col("event_id") + 1_000_000_000 * i)
@@ -124,7 +132,7 @@ def build_scaled(spark, base_dir: str, k: int, out_dir: str) -> None:
         if os.path.exists(dst):
             continue
         base = load_table(spark, base_dir, table)
-        if table in ("lineitem", "events", "documents", "embeddings"):
+        if table in ("lineitem", "orders", "events", "documents", "embeddings"):
             df = base
             scaled = df
             for i in range(1, k):
@@ -144,7 +152,9 @@ def main() -> None:
     global SPARK
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     base = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
-    out = os.path.join(tempfile.gettempdir(), f"spark_graft_scale_{k}x")
+    # _v2: the pre-r9-review fixture lacked scaled orders — a stale
+    # cached dir would silently reproduce the vacuous-join measurement.
+    out = os.path.join(tempfile.gettempdir(), f"spark_graft_scale_{k}x_v2")
     os.makedirs(out, exist_ok=True)
     SPARK = get_spark("scale_stress")
     build_scaled(SPARK, base, k, out)
