@@ -886,6 +886,13 @@ def q_winnow_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         hashed.filter(n_grams >= _WIN_W)
         .select("doc_id", F.explode_outer(fps_arr).alias("fp"))
         .filter(F.col("fp").isNotNull())
+        # Four consumers read this frame (per-doc counts, the df gate,
+        # and BOTH sides of the pair self-join); without materialization
+        # Catalyst re-tokenizes + re-winnows the corpus four times —
+        # measured 2x wall at sf0.1 (r9 idle-box 7.0 s -> 3.4 s). The
+        # checkpoint is (doc_id, fp) longs — ~1/w of the gram index —
+        # the standard shared-scan posture used by the curation chain.
+        .localCheckpoint(eager=True)
     )
     per_doc = fp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
     df_ok = (
