@@ -337,8 +337,9 @@ def test_waiting_supplier_single_qualification_shuffle(spark):
     """Q21 silhouette: the exists/not-exists pair must collapse into
     window aggs over ONE per-(order,supplier) rollup — no fact-fact
     self-joins, no cartesian, broadcast supplier/nation dims, and the
-    window must reuse the groupBy's exchange (hash partitioning on a
-    key subset satisfies the window's required distribution)."""
+    window must reuse the rollup's exchange (the rollup repartitions
+    on l_orderkey ALONE — a subset of the grouping keys — which
+    satisfies the pair aggregate AND both windows' distributions)."""
     plan = plan_of(spark, "waiting_supplier_count")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
@@ -347,11 +348,14 @@ def test_waiting_supplier_single_qualification_shuffle(spark):
     assert plan.count("lineitem.parquet") == 1
     # the top-100 is a distributed top-k, not a global sort
     assert "TakeOrderedAndProject" in plan
-    # qualification pipeline = join exchange + (order,supp) agg
-    # exchange + final per-supplier agg exchange; the two Window ops
-    # must NOT add exchanges of their own.
+    # qualification pipeline = ONE l_orderkey exchange shared by the
+    # pair agg and both windows, + the final per-supplier agg
+    # exchange; no exchange keyed on the (order,supp) pair (r10: was
+    # <=3 with an avoidable pair-keyed agg shuffle before the window).
     n_exchanges = plan.count("Exchange hashpartitioning")
-    assert n_exchanges <= 3, plan
+    assert n_exchanges <= 2, plan
+    assert "hashpartitioning(l_orderkey" in plan
+    assert "hashpartitioning(l_orderkey, l_suppkey" not in plan, plan
 
 
 def test_dominant_supplier_semi_join_shape(spark):
