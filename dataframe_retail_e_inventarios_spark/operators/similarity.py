@@ -17,6 +17,83 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql.functions import pandas_udf
 
 
+def planted_neighbors_corpus(
+    embeddings: DataFrame,
+    n_queries: int = 5,
+    k: int = 10,
+    eps: float = 0.001,
+    id_base: int = 100_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Corpus ∪ k deterministic planted near-neighbors per query — the
+    recall fixture the approximate-ANN driver gates run against.
+
+    The natural test corpus has NO true neighbors (max pairwise cos
+    ~0.5, pure noise floor), so raw approximate output can't be
+    oracle-gated: shortlist membership is implementation-defined
+    there. Planted neighbor j of query q is the query vector scaled by
+    (1 + eps·j) — direction preserved EXACTLY (cos = 1 up to float
+    rounding, far above the noise floor) and squared-L2 distance
+    eps·j·‖v‖, far below any natural candidate — so every correct ANN
+    index, under any partitioning/config, must retrieve them; a floor
+    on planted recall is therefore a deterministic boolean a SQL
+    oracle can assert TRUE. Planted ids are id_base + qid·100 + j
+    (j in 1..k), labels inherited from the query. All planting is
+    native column expressions (explode over a sequence + a transform
+    over the array) — no driver-side materialization, scales with the
+    query set, not the corpus."""
+    q = embeddings.filter(F.col(id_col) < n_queries)
+    j = F.col("_j")
+    planted = q.select(
+        F.col(id_col),
+        F.col(label_col),
+        F.col(vec_col),
+        F.explode(F.sequence(F.lit(1), F.lit(k))).alias("_j"),
+    ).select(
+        (F.lit(id_base) + F.col(id_col) * 100 + j).alias(id_col),
+        F.transform(
+            F.col(vec_col),
+            lambda x: (x * (F.lit(1.0) + F.lit(eps) * j)).cast("float"),
+        ).alias(vec_col),
+        F.col(label_col),
+    )
+    return embeddings.select(id_col, vec_col, label_col).unionByName(planted)
+
+
+def planted_recall_gate(
+    topk: DataFrame,
+    query_col: str,
+    k: int = 10,
+    floor: int = 9,
+    id_base: int = 100_000,
+) -> DataFrame:
+    """Fold an ANN top-k result over the planted corpus into the
+    driver-visible contract: (query_id, n_retrieved, planted_recall_ok)
+    where the boolean asserts >= ``floor`` of the k planted neighbors
+    were retrieved. The approximate ranks/distances stay OUT of the
+    value hash; the exact row count and the recall floor are the
+    deterministic parts (r9 verdict #3 — same pattern as the sketch
+    tolerance bands)."""
+    hit = (F.col("cand_id") >= id_base) & (
+        F.floor((F.col("cand_id") - id_base) / 100) == F.col(query_col)
+    )
+    return (
+        topk.groupBy(query_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_retrieved"),
+            F.sum(hit.cast("long")).alias("_n_planted_found"),
+        )
+        .select(
+            F.col(query_col).cast("long").alias("query_id"),
+            F.col("n_retrieved").cast("long").alias("n_retrieved"),
+            (F.col("_n_planted_found") >= floor).alias("planted_recall_ok"),
+        )
+        .orderBy("query_id")
+    )
+
+
 def dot(a: Column, b: Column, dim: int | None = None) -> Column:
     """Inner product, bit-identical to DuckDB's ``list_inner_product``
     over DOUBLE[] (left-fold accumulation, elements widened to double

@@ -956,20 +956,57 @@ FROM lineitem"""
 register("profile_lineitem_columns", q_profile_lineitem, _profile_oracle())
 
 
+_PROFILE_RSD = 0.05
+_PROFILE_BAND = 5 * _PROFILE_RSD  # 5 sigma of the configured HLL rsd
+
+
 def q_profile_lineitem_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The production-default profile (r7 verdict #3): same one-scan
-    shape but HLL++ ``approx_count_distinct`` instead of exact
-    multi-distinct — no Expand, row volume scanned once regardless of
-    column count. Rows-only in the driver (HLL estimates are
-    implementation-specific); `tests/test_profiling.py` bounds every
-    estimate against the exact twin at 3x the configured rsd, and the
-    exact variant keeps the full value-hash oracle."""
-    from ..operators.profiling import column_profile_approx
+    """Certification of the production-default profile (r7 verdict #3,
+    r9 verdict #3): the Expand-free HLL profile
+    (operators/profiling.column_profile_approx — one true scan for any
+    column width) beside the exact twin, folded into the
+    tolerance-band contract: per column the EXACT n_rows / n_nulls /
+    n_distinct / min / max (all hash-comparable) plus
+    ``distinct_in_band`` asserting the HLL estimate sits within
+    max(2, 5·rsd·exact). The impl-specific estimate itself stays out
+    of the hash; a drifted sketch or broken unpivot now fails the
+    driver gate, not just the pytest 3·rsd bound. The certification
+    deliberately pays the exact twin's Expand pass — it is a QA job;
+    the production operator stays single-scan and is what this query
+    certifies."""
+    from ..operators.profiling import column_profile, column_profile_approx
 
-    return column_profile_approx(load_table(spark, sf_dir, "lineitem"), PROFILE_COLS)
+    li = load_table(spark, sf_dir, "lineitem")
+    exact = column_profile(li, PROFILE_COLS)
+    approx = column_profile_approx(li, PROFILE_COLS, rsd=_PROFILE_RSD).select(
+        "col_name", "n_distinct_approx"
+    )
+    band = F.greatest(F.lit(2.0), F.lit(_PROFILE_BAND) * F.col("n_distinct"))
+    return (
+        exact.join(F.broadcast(approx), "col_name")
+        .select(
+            "col_name",
+            "n_rows",
+            "n_nulls",
+            "n_distinct",
+            "min_s",
+            "max_s",
+            (
+                F.abs(F.col("n_distinct_approx") - F.col("n_distinct")).cast("double")
+                <= band
+            ).alias("distinct_in_band"),
+        )
+        .orderBy("col_name")
+    )
 
 
-register("profile_lineitem_columns_approx", q_profile_lineitem_approx, None)
+register(
+    "profile_lineitem_columns_approx",
+    q_profile_lineitem_approx,
+    "SELECT *, TRUE AS distinct_in_band FROM (\n"
+    + _profile_oracle()
+    + "\n) ORDER BY col_name",
+)
 
 
 def q_events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1192,18 +1229,45 @@ ORDER BY record_id
 
 
 # -- PQ-ADC ANN (compressed-domain shortlist + exact re-rank) --------------
+_ANN_K = 10
+_ANN_FLOOR = 9  # >= 9 of 10 planted neighbors retrieved
+
+
 def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN: 8×16 codebooks (32× compression),
-    ADC shortlist of 100 from codes only, exact L2 re-rank to top-10.
-    Approximate by construction (shortlist membership) → rows-only;
-    recall + rerank-exactness asserted in tests/test_pq."""
+    ADC shortlist of 100 from codes only, exact L2 re-rank to top-10
+    — run over the corpus plus k deterministic PLANTED near-neighbors
+    per query and folded into the tolerance-band contract (r9 verdict
+    #3): (query_id, n_retrieved, planted_recall_ok) where the boolean
+    asserts >= 9 of the 10 planted vectors (scaled copies of the
+    query: cos = 1, L2 ~ eps·‖v‖, far below the ~0.5-cos noise floor)
+    came back. Shortlist membership on NATURAL candidates remains
+    impl-defined — and stays out of the hash — but a broken codebook,
+    encoder or ADC join now fails the driver gate instead of only the
+    pytest recall floor (RECALL.json planted min_recall 1.0 at these
+    defaults, so the 0.9 floor has slack). The raw-top-k operator
+    (operators/pq.pq_topk_reranked) is unchanged and remains the
+    production API; noise-floor recall evidence lives in tools/
+    recall.py."""
     from ..operators.pq import pq_topk_reranked
+    from ..operators.similarity import planted_neighbors_corpus, planted_recall_gate
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return pq_topk_reranked(emb, F.col("vec_id") < 5, k=10, shortlist=100)
+    corpus = planted_neighbors_corpus(emb, k=_ANN_K)
+    topk = pq_topk_reranked(corpus, F.col("vec_id") < 5, k=_ANN_K, shortlist=100)
+    return planted_recall_gate(topk, "qid", k=_ANN_K, floor=_ANN_FLOOR)
 
 
-register("ann_pq_topk", q_ann_pq_topk, None)  # approximate: rows-only
+register(
+    "ann_pq_topk",
+    q_ann_pq_topk,
+    f"""
+SELECT CAST(vec_id AS BIGINT) AS query_id,
+       CAST({_ANN_K} AS BIGINT) AS n_retrieved,
+       TRUE AS planted_recall_ok
+FROM embeddings WHERE vec_id < 5 ORDER BY 1
+""",
+)
 
 
 # -- class-balanced capping (dominant-class downsampling) ------------------

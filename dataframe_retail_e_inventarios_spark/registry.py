@@ -37,16 +37,19 @@ def register(name: str, fn: QueryFn, oracle: str | None) -> None:
 # order, and tools/selfcheck.py --json covers the full registry every
 # round regardless (SELFCHECK_full.json).
 _PRIORITY = [
-    # r9 front-load (r8 verdict #6 + rotation): first every query the
-    # driver has NEVER sampled — the three new TPC-H Q21/Q20/Q9
-    # silhouettes, the five sketches newly promoted to value-hash
-    # oracles (HLL distinct/rollup, GK quantiles, approx top-k,
-    # frequent-items; their first possible hash rows), and the two
-    # remaining rows-only entries below (ann_pq_topk,
-    # profile_lineitem_columns_approx — their first rows>0
-    # certificates) — then the stalest greens, oldest vintage first,
-    # alphabetical within a vintage, so the 50-row budget re-certifies
-    # the oldest certificates in the registry.
+    # r10 front-load (r9 verdict #3): first the three queries newly
+    # promoted from rows-only to tolerance-band value-hash oracles
+    # (ann_pq_topk / ann_ivf_kmeans_topk planted-recall gates,
+    # profile_lineitem_columns_approx HLL band — their first possible
+    # hash rows), plus the r9-changed Q21 plan, then the prior
+    # rotation (stalest greens, oldest vintage first, alphabetical
+    # within a vintage) so the 50-row budget re-certifies the oldest
+    # certificates in the registry. Rows-only remainder: 2 by design
+    # (embedding_pca_projection — sign-indeterminate components;
+    # forecast_udf_ensemble — optional-model output).
+    "ann_pq_topk",
+    "ann_ivf_kmeans_topk",
+    "profile_lineitem_columns_approx",
     "waiting_supplier_count",
     "dominant_supplier_parts",
     "product_type_profit",
@@ -54,11 +57,8 @@ _PRIORITY = [
     "hll_sketch_rollup",
     "approx_top_k_parts",
     "approx_quantiles_events",
-    "ann_pq_topk",
     "frequent_parts_sketch",
-    "profile_lineitem_columns_approx",
     # r2-vintage (last driver row: round 2):
-    "ann_ivf_kmeans_topk",
     "forecast_udf_ensemble",
     # r3-vintage (last driver row: round 3):
     "embedding_pca_projection",

@@ -193,9 +193,25 @@ def main() -> int:
     report["planted_nprobe_curve"] = {"n_cells": n_cells, "points": pcurve}
 
     # -- noise-floor regime: the stress exhibit ---------------------------
+    # r10: ann_pq_topk / ann_ivf_kmeans_topk registered queries now emit
+    # the planted-recall GATE contract (booleans), so the noise-floor
+    # regime calls the underlying operators at the registered defaults
+    # (same code path the gates exercise, raw top-k shape).
+    from dataframe_retail_e_inventarios_spark.sources.readers import (
+        load_table as _lt,
+    )
+
+    _emb = _lt(spark, sf_dir, "embeddings")
+    _qf = F.col("vec_id") < 5
+    noise_runs = {
+        "ann_lsh_bucketed_topk": lsh_bucketed_topk(_emb, _qf, k=k),
+        "ann_ivf_topk": ivf_topk(_emb, _qf, k=k, nprobe=2),
+        "ann_ivf_kmeans_topk": ivf_kmeans_topk(_emb, _qf, k=k, nprobe=3),
+        "ann_pq_topk": pq_topk_reranked(_emb, _qf, k=k, shortlist=100),
+    }
     for name, space in APPROX.items():
         exact = exact_cos if space == "cosine" else exact_l2
-        approx = _topk_sets(qs[name](spark, sf_dir).collect())
+        approx = _topk_sets(noise_runs[name].collect())
         recalls = [
             len(exact[q] & approx.get(q, set())) / len(exact[q]) for q in exact
         ]
