@@ -394,14 +394,18 @@ FROM per p JOIN sized s USING (l_linestatus)
 
 
 # -- As-of join with a staleness tolerance ---------------------------------
-def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_asof_tolerance(
+    spark: SparkSession, sf_dir: str, *, max_stale_days: int = 7
+) -> DataFrame:
     """asof_join_latest_order's production variant: a state older than
-    7 days is treated as NO state (feature-store / market-data
+    max_stale_days is treated as NO state (feature-store / market-data
     semantics — a quote from last month must not leak into today's
     row). Same union-trick as-of plan (one key shuffle, no inequality
     join); the tolerance is a post-pass null-out on the matched state's
     age, so the scale shape is unchanged. days_stale carries the
-    matched state's age for the rows that survive."""
+    matched state's age for the rows that survive. The tolerance is
+    fuzz-injectable (tools/fuzz_oracles.py) — the <= boundary
+    convention is re-proved per drawn horizon."""
     from pyspark.sql import Window as W
 
     from ..operators.asof import asof_join
@@ -432,7 +436,7 @@ def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         payload_cols=["o_orderkey", "o_totalprice", "o_date"],
     )
     stale = F.datediff(wall_date(F.col("ts")), F.col("o_date"))
-    fresh = stale <= 7
+    fresh = stale <= max_stale_days
     return joined.select(
         "event_id",
         "user_id",
@@ -442,10 +446,8 @@ def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-register(
-    "asof_join_tolerance",
-    q_asof_tolerance,
-    """
+def asof_join_tolerance_sql(max_stale_days: int = 7) -> str:
+    return f"""
 WITH dedup AS (
   SELECT * FROM (
     SELECT o_custkey, CAST(o_orderdate AS DATE) AS o_date,
@@ -456,15 +458,17 @@ WITH dedup AS (
   ) WHERE _r = 1
 )
 SELECT e.event_id, e.user_id,
-  CASE WHEN datediff('day', d.o_date, CAST(e.ts AS DATE)) <= 7
+  CASE WHEN datediff('day', d.o_date, CAST(e.ts AS DATE)) <= {max_stale_days}
        THEN d.o_orderkey END AS o_orderkey,
-  CASE WHEN datediff('day', d.o_date, CAST(e.ts AS DATE)) <= 7
+  CASE WHEN datediff('day', d.o_date, CAST(e.ts AS DATE)) <= {max_stale_days}
        THEN round(d.o_totalprice, 2) END AS o_totalprice,
-  CASE WHEN datediff('day', d.o_date, CAST(e.ts AS DATE)) <= 7
+  CASE WHEN datediff('day', d.o_date, CAST(e.ts AS DATE)) <= {max_stale_days}
        THEN CAST(datediff('day', d.o_date, CAST(e.ts AS DATE)) AS BIGINT)
        END AS days_stale
 FROM events e
 ASOF LEFT JOIN dedup d
   ON e.user_id = d.o_custkey AND CAST(e.ts AS DATE) >= d.o_date
-""",
-)
+"""
+
+
+register("asof_join_tolerance", q_asof_tolerance, asof_join_tolerance_sql())

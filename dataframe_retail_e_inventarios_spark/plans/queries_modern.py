@@ -425,19 +425,23 @@ GROUP BY 1
 
 
 # -- built-in session_window (batch) ---------------------------------------
-def q_session_window_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_session_window_builtin(
+    spark: SparkSession, sf_dir: str, *, gap_min: int = 30
+) -> DataFrame:
     """Spark's native session_window(ts, gap) run in batch — the same
-    30-minute-gap semantics events_sessionization derives from first
+    gap semantics events_sessionization derives from first
     principles (lag + cumulative flag). Registering BOTH against
     independent oracles cross-validates Spark's built-in operator
     against the gaps-and-islands construction: window.end is
     last_event + gap by definition, which the oracle reproduces as
-    max(ts) + INTERVAL 30 MINUTE. One user-keyed shuffle; the session
-    merge happens inside the aggregate (no self-join)."""
+    max(ts) + INTERVAL gap MINUTE. One user-keyed shuffle; the session
+    merge happens inside the aggregate (no self-join). Gap geometry is
+    fuzz-injectable (tools/fuzz_oracles.py) — the closed-interval
+    merge boundary is re-proved at every drawn gap."""
     from ..functions.timewall import wall_epoch_seconds
 
     ev = load_table(spark, sf_dir, "events")
-    sw = F.session_window("ts", "30 minutes")
+    sw = F.session_window("ts", f"{gap_min} minutes")
     return (
         ev.groupBy("user_id", sw)
         .agg(F.count("*").alias("n_events"))
@@ -450,7 +454,8 @@ def q_session_window_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SESSION_ORACLE_SQL = """
+def session_window_builtin_sql(gap_min: int = 30) -> str:
+    return f"""
 WITH seq AS (
   SELECT user_id, ts, event_id,
          lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
@@ -461,8 +466,8 @@ flagged AS (
          -- Spark merges on a CLOSED interval: an event at exactly
          -- prev + gap still joins the session (probed on 4.1.2; the
          -- boundary unit test locks it in) -> new session only when
-         -- the gap strictly exceeds 30:00.
-         CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTE
+         -- the gap strictly exceeds the gap interval.
+         CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL {gap_min} MINUTE
               THEN 1 ELSE 0 END AS new_s
   FROM seq
 ),
@@ -477,27 +482,35 @@ numbered AS (
 )
 SELECT user_id,
        CAST(floor(epoch_us(min(ts)) / 1000000) AS BIGINT) AS start_epoch,
-       CAST(floor(epoch_us(max(ts) + INTERVAL 30 MINUTE) / 1000000) AS BIGINT) AS end_epoch,
+       CAST(floor(epoch_us(max(ts) + INTERVAL {gap_min} MINUTE) / 1000000) AS BIGINT) AS end_epoch,
        count(*) AS n_events
 FROM numbered
 GROUP BY user_id, session_no
 """
 
+
 register(
     "events_session_window_builtin",
     q_session_window_builtin,
-    _SESSION_ORACLE_SQL,
+    session_window_builtin_sql(),
 )
 
 
 # -- time-RANGE window frame (trailing 28 days) ----------------------------
-def q_trailing_28d_range(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Trailing-28-day demand per product per day using a RANGE frame
-    over epoch-day ordering — the time-based frame the rowsBetween
-    family can't express (rows != days when days are missing; a RANGE
-    frame weights actual dates, so gaps shrink the window's content
-    instead of stretching its span). One product-keyed sort; integral
-    demand sums stay BIGINT-exact inside the frame."""
+def q_trailing_28d_range(
+    spark: SparkSession, sf_dir: str, *, window_days: int = 28
+) -> DataFrame:
+    """Trailing-window_days demand per product per day using a RANGE
+    frame over epoch-day ordering — the time-based frame the
+    rowsBetween family can't express (rows != days when days are
+    missing; a RANGE frame weights actual dates, so gaps shrink the
+    window's content instead of stretching its span). One
+    product-keyed sort; integral demand sums stay BIGINT-exact inside
+    the frame. Frame geometry is fuzz-injectable
+    (tools/fuzz_oracles.py) — the N-1 PRECEDING off-by-one between
+    'trailing N days' and the frame bound is re-proved per draw. The
+    output column stays named units_28d at every drawn width (schema
+    stability across draws)."""
     from ..operators.cleaning import clean_sales
 
     sales = clean_sales(load_table(spark, sf_dir, "lineitem"))
@@ -511,7 +524,7 @@ def q_trailing_28d_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = (
         Window.partitionBy("product_id")
         .orderBy("epoch_day")
-        .rangeBetween(-27, 0)
+        .rangeBetween(-(window_days - 1), 0)
     )
     return daily.select(
         "product_id",
@@ -521,10 +534,8 @@ def q_trailing_28d_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-register(
-    "trailing_28d_range_frame",
-    q_trailing_28d_range,
-    f"""
+def trailing_28d_range_sql(window_days: int = 28) -> str:
+    return f"""
 WITH {_OF.CLEAN_SALES_CTE.strip()},
 daily AS (
   -- CAST around both sums: DuckDB's sum(BIGINT) (incl. window sum)
@@ -539,10 +550,12 @@ keyed AS (
 )
 SELECT product_id, epoch_day, units,
        CAST(sum(units) OVER (PARTITION BY product_id ORDER BY epoch_day
-                             RANGE BETWEEN 27 PRECEDING AND CURRENT ROW) AS BIGINT) AS units_28d
+                             RANGE BETWEEN {window_days - 1} PRECEDING AND CURRENT ROW) AS BIGINT) AS units_28d
 FROM keyed
-""",
-)
+"""
+
+
+register("trailing_28d_range_frame", q_trailing_28d_range, trailing_28d_range_sql())
 
 
 # -- SQL LATERAL correlated subquery ---------------------------------------

@@ -45,6 +45,11 @@ def q_sliding_counts(
     event_type). The streaming twin is
     streaming/events.sliding_counts_stream. Keyword constants are
     fuzz-injectable (tools/fuzz_oracles.py)."""
+    if width_min % hop_min != 0:
+        # The oracle enumerates floor(width/hop) hop offsets; a
+        # non-multiple draw would silently diverge from Spark's
+        # window() semantics and read as an engine bug (r9 ADVICE).
+        raise ValueError("width_min must be a multiple of hop_min")
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy(
@@ -67,6 +72,8 @@ def q_sliding_counts(
 
 
 def events_sliding_counts_sql(width_min: int = 60, hop_min: int = 30) -> str:
+    if width_min % hop_min != 0:
+        raise ValueError("width_min must be a multiple of hop_min")
     hop_s, width_s = hop_min * 60, width_min * 60
     n_off = width_min // hop_min
     offs = ", ".join(f"({i})" for i in range(n_off))

@@ -51,10 +51,14 @@ FROM events GROUP BY 1, 2
 
 
 # -- gap-based sessionization (batch twin of session_window) ---------------
-def q_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_sessions(
+    spark: SparkSession, sf_dir: str, *, gap_min: int = SESSION_GAP_MIN
+) -> DataFrame:
     """Gaps-and-islands: a new session starts when the gap to the
-    previous event of the same user exceeds 30 minutes. Matches
-    session_window(ts, '30 minutes') semantics on static data."""
+    previous event of the same user exceeds gap_min minutes. Matches
+    session_window(ts, gap) semantics on static data. Gap geometry is
+    fuzz-injectable (tools/fuzz_oracles.py) — the strict-vs-closed
+    boundary convention is re-proved at every drawn gap, not just 30."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap_flag = (
@@ -62,7 +66,7 @@ def q_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("prev_ts").isNull()
             | (
                 F.timestamp_diff("MICROSECOND", F.col("prev_ts"), F.col("ts"))
-                > SESSION_GAP_MIN * 60 * 1_000_000
+                > gap_min * 60 * 1_000_000
             ),
             1,
         ).otherwise(0)
@@ -258,17 +262,15 @@ FROM per_session GROUP BY 1
 register("events_session_funnel", q_session_funnel, events_session_funnel_sql())
 
 
-register(
-    "events_sessionization",
-    q_sessions,
-    f"""
+def events_sessionization_sql(gap_min: int = SESSION_GAP_MIN) -> str:
+    return f"""
 WITH ordered AS (
   SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
   FROM events
 ),
 flagged AS (
   SELECT *, CASE WHEN prev_ts IS NULL
-                  OR (epoch_us(ts) - epoch_us(prev_ts)) > {SESSION_GAP_MIN * 60 * 1_000_000}
+                  OR (epoch_us(ts) - epoch_us(prev_ts)) > {gap_min * 60 * 1_000_000}
              THEN 1 ELSE 0 END AS new_s
   FROM ordered
 ),
@@ -282,8 +284,10 @@ SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
        CAST(floor(epoch_us(max(ts)) / 1000000) AS BIGINT) AS session_last_epoch,
        count(*) AS n_events, round(sum(CAST(round_even(value * 100, 0) AS BIGINT)) / 100.0, 2) AS total_value
 FROM numbered GROUP BY 1, 2
-""",
-)
+"""
+
+
+register("events_sessionization", q_sessions, events_sessionization_sql())
 
 
 # -- Ordered window funnel (ClickHouse windowFunnel shape) -----------------

@@ -582,19 +582,26 @@ WHERE event_type = 'purchase' AND touch_event_id IS NOT NULL
 # ---------------------------------------------------------------------------
 
 
-def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact DAU / trailing-7d WAU / trailing-28d MAU per day. The
-    fact collapses to the (user, day) grid FIRST (one dedup shuffle —
-    at 100 TB this is the compression step: grid size is
+def q_rolling_active_users(
+    spark: SparkSession, sf_dir: str, *, wau_days: int = 7, mau_days: int = 28
+) -> DataFrame:
+    """Exact DAU / trailing-wau_days WAU / trailing-mau_days MAU per
+    day. The fact collapses to the (user, day) grid FIRST (one dedup
+    shuffle — at 100 TB this is the compression step: grid size is
     users × active-days, not raw events); each grid row then EXPLODES
-    over exactly the 28 window-end days it can contribute to
-    (sequence(day, day+27)) and an equi-join against the observed-day
-    spine keeps real windows — a true constant ≤28× fan-out. (The
-    previous broadcast range join compiled to a nested loop over
-    grid-rows × ALL spine days, i.e. work scaling with the full day
-    span — the r3 ADVICE item.) Three conditional distinct-counts
-    close per window. The sketch twin (approx_distinct_users) is the
-    100-TB approximate path."""
+    over exactly the mau_days window-end days it can contribute to
+    (sequence(day, day+mau_days-1)) and an equi-join against the
+    observed-day spine keeps real windows — a true constant ≤mau_days×
+    fan-out. (The previous broadcast range join compiled to a nested
+    loop over grid-rows × ALL spine days, i.e. work scaling with the
+    full day span — the r3 ADVICE item.) Three conditional
+    distinct-counts close per window. The sketch twin
+    (approx_distinct_users) is the 100-TB approximate path. Window
+    geometry is fuzz-injectable (tools/fuzz_oracles.py; requires
+    wau_days <= mau_days) — both N-1 frame off-by-ones re-proved per
+    draw."""
+    if wau_days > mau_days:
+        raise ValueError("wau_days must be <= mau_days (WAU frame inside MAU fan-out)")
     ev = load_table(spark, sf_dir, "events")
     day = F.floor(wall_epoch_seconds("ts") / 86400).cast("long")
     # grid materialized: both the spine derivation and the fan-out
@@ -602,7 +609,7 @@ def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid = ev.select("user_id", day.alias("day")).distinct().localCheckpoint(eager=True)
     spine = grid.select("day").distinct().select(F.col("day").alias("d"))
     fan = grid.withColumn(
-        "d", F.explode(F.sequence(F.col("day"), F.col("day") + 27))
+        "d", F.explode(F.sequence(F.col("day"), F.col("day") + (mau_days - 1)))
     ).join(F.broadcast(spine), "d")
     return (
         fan.groupBy("d")
@@ -611,7 +618,7 @@ def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.when(F.col("day") == F.col("d"), F.col("user_id"))
             ).alias("dau"),
             F.countDistinct(
-                F.when(F.col("day") >= F.col("d") - 6, F.col("user_id"))
+                F.when(F.col("day") >= F.col("d") - (wau_days - 1), F.col("user_id"))
             ).alias("wau"),
             F.countDistinct("user_id").alias("mau"),
         )
@@ -619,10 +626,10 @@ def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-register(
-    "rolling_active_users",
-    q_rolling_active_users,
-    """
+def rolling_active_users_sql(wau_days: int = 7, mau_days: int = 28) -> str:
+    if wau_days > mau_days:
+        raise ValueError("wau_days must be <= mau_days (WAU frame inside MAU fan-out)")
+    return f"""
 WITH grid AS (
   SELECT DISTINCT user_id,
          CAST(floor(floor(epoch_us(ts) / 1000000) / 86400) AS BIGINT) AS day
@@ -631,12 +638,14 @@ WITH grid AS (
 spine AS (SELECT DISTINCT day AS d FROM grid)
 SELECT d AS epoch_day,
        count(DISTINCT CASE WHEN day = d THEN user_id END) AS dau,
-       count(DISTINCT CASE WHEN day >= d - 6 THEN user_id END) AS wau,
+       count(DISTINCT CASE WHEN day >= d - {wau_days - 1} THEN user_id END) AS wau,
        count(DISTINCT user_id) AS mau
-FROM grid JOIN spine ON day <= d AND day >= d - 27
+FROM grid JOIN spine ON day <= d AND day >= d - {mau_days - 1}
 GROUP BY d
-""",
-)
+"""
+
+
+register("rolling_active_users", q_rolling_active_users, rolling_active_users_sql())
 
 
 # ---------------------------------------------------------------------------
@@ -1182,9 +1191,9 @@ def q_streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
-from .queries_modern import _SESSION_ORACLE_SQL as _SESS_SQL  # noqa: E402
+from .queries_modern import session_window_builtin_sql as _sess_sql  # noqa: E402
 
-register("streaming_session_windows", q_streaming_session_windows, _SESS_SQL)
+register("streaming_session_windows", q_streaming_session_windows, _sess_sql())
 
 
 def q_streaming_view_purchase_join(
@@ -1276,7 +1285,12 @@ _VPJ_BUCKETS = 10
 
 
 def q_streaming_view_purchase_join_bounded(
-    spark: SparkSession, sf_dir: str, *, progress_out: list | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    progress_out: list | None = None,
+    window_min: int = 30,
+    watermark_min: int = 60,
 ) -> DataFrame:
     """The PRODUCTION posture of the stream-stream join (r7 verdict
     #4): BOUNDED state under the same value-hash gate. The span-
@@ -1352,8 +1366,14 @@ def q_streaming_view_purchase_join_bounded(
         )
         views = stream.filter(F.col("event_type") == "view")
         purchases = stream.filter(F.col("event_type") == "purchase")
+        # Watermark must cover the join bound: state for a view is
+        # needed until watermark passes view_ts + window, so a horizon
+        # below the bound would be an eviction-correctness bug even on
+        # the in-order landing. Enforced here; the fuzzer draws both.
+        if watermark_min < window_min:
+            raise ValueError("watermark_min must be >= window_min")
         joined = view_purchase_join_stream(
-            views, purchases, window_min=30, watermark="1 hour"
+            views, purchases, window_min=window_min, watermark=f"{watermark_min} minutes"
         )
         name = f"vpjb_{uuid.uuid4().hex[:8]}"
         q = (
@@ -1387,10 +1407,18 @@ q_streaming_view_purchase_join_bounded.__doc__ = (
     q_streaming_view_purchase_join_bounded.__doc__.format(b=_VPJ_BUCKETS)
 )
 
-register(
-    "streaming_view_purchase_join_bounded",
-    q_streaming_view_purchase_join_bounded,
-    """
+def streaming_view_purchase_join_bounded_sql(
+    window_min: int = 30, watermark_min: int = 60
+) -> str:
+    # The oracle is the full batch interval join: the range-bucketed,
+    # mtime-ordered landing means NO row is ever late, so the result
+    # is watermark-invariant for any horizon >= the join bound — the
+    # fuzzer drawing (window, watermark) pairs against this oracle
+    # proves exactly that invariance, while the window bound itself
+    # parametrizes both sides.
+    if watermark_min < window_min:
+        raise ValueError("watermark_min must be >= window_min")
+    return f"""
 SELECT p.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
        CAST(floor((epoch_us(p.ts) - epoch_us(v.ts)) / 1000000) AS BIGINT) AS gap_s,
        p.value
@@ -1398,8 +1426,14 @@ FROM (SELECT * FROM events WHERE event_type = 'purchase') p
 JOIN (SELECT * FROM events WHERE event_type = 'view') v
   ON p.user_id = v.user_id
  AND p.ts >= v.ts
- AND epoch_us(p.ts) - epoch_us(v.ts) <= 1800000000
-""",
+ AND epoch_us(p.ts) - epoch_us(v.ts) <= {window_min * 60 * 1_000_000}
+"""
+
+
+register(
+    "streaming_view_purchase_join_bounded",
+    q_streaming_view_purchase_join_bounded,
+    streaming_view_purchase_join_bounded_sql(),
 )
 
 

@@ -66,6 +66,8 @@ def _bands(rng: random.Random) -> tuple:
 def _targets():
     from dataframe_retail_e_inventarios_spark.plans import (
         queries_core as qc,
+        queries_extra as qe,
+        queries_modern as qm,
         queries_relational as qr,
         queries_report as qrep,
         queries_scale as qsc,
@@ -258,6 +260,52 @@ def _targets():
             lambda r: dict(
                 name_token=r.choice(NAME_TOKENS),
                 cost_ratio=r.randint(30, 90) / 100,
+            ),
+        ),
+        # round-10 (r9 verdict #5): time-geometry constants — session
+        # gaps, RANGE frame widths, as-of staleness horizons, active-
+        # user window pairs, and the bounded stream-stream join's
+        # (join bound, watermark horizon) pair. These are where
+        # off-by-one bucket-edge parity bugs hide: every boundary
+        # convention (strict-gap session split, N-1 PRECEDING frame,
+        # <= staleness, closed join interval) is re-proved per draw.
+        "events_sessionization": (
+            qstr.q_sessions,
+            qstr.events_sessionization_sql,
+            lambda r: dict(gap_min=r.choice([5, 10, 15, 20, 45, 60, 90, 120])),
+        ),
+        "events_session_window_builtin": (
+            qm.q_session_window_builtin,
+            qm.session_window_builtin_sql,
+            lambda r: dict(gap_min=r.choice([5, 10, 15, 20, 45, 60, 90, 120])),
+        ),
+        "trailing_28d_range_frame": (
+            qm.q_trailing_28d_range,
+            qm.trailing_28d_range_sql,
+            lambda r: dict(window_days=r.randint(2, 60)),
+        ),
+        "asof_join_tolerance": (
+            qe.q_asof_tolerance,
+            qe.asof_join_tolerance_sql,
+            lambda r: dict(max_stale_days=r.randint(1, 45)),
+        ),
+        "rolling_active_users": (
+            qw.q_rolling_active_users,
+            qw.rolling_active_users_sql,
+            lambda r: dict(
+                wau_days=(wd := r.randint(2, 14)),
+                mau_days=wd + r.randint(0, 28),
+            ),
+        ),
+        # watermark drawn >= the join bound (the eviction-correctness
+        # floor both sides enforce); result must be watermark-
+        # INVARIANT on the in-order landing — the draw proves it.
+        "streaming_view_purchase_join_bounded": (
+            qw.q_streaming_view_purchase_join_bounded,
+            qw.streaming_view_purchase_join_bounded_sql,
+            lambda r: dict(
+                window_min=(wm := r.choice([10, 15, 20, 30, 45, 60])),
+                watermark_min=wm + r.choice([0, 15, 30, 60]),
             ),
         ),
     }
