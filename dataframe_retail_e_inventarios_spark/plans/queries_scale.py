@@ -2188,7 +2188,12 @@ def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("value", 0.5, GK_ACCURACY).alias("p50"),
         F.percentile_approx("value", 0.95, GK_ACCURACY).alias("p95"),
         F.percentile_approx("value", 0.99, GK_ACCURACY).alias("p99"),
-        F.count("*").alias("n"),
+        # NON-NULL count (r9 ADVICE): percentile_approx and the lt/le
+        # rank sums both ignore NULL values, so a count(*) n would
+        # drift the target rank q*n off the true rank window the
+        # moment `value` carries NULLs. Mirrored as count(value) in
+        # the oracle.
+        F.count("value").alias("n"),
     )
     joined = ev.join(F.broadcast(sketch), "event_type")
     ranks = joined.groupBy("event_type", "n", "p50", "p95", "p99").agg(
@@ -2223,7 +2228,7 @@ register(
     "approx_quantiles_events",
     q_approx_quantiles,
     """
-SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+SELECT event_type, CAST(count(value) AS BIGINT) AS n,
        TRUE AS p50_in_band, TRUE AS p95_in_band, TRUE AS p99_in_band
 FROM events
 GROUP BY 1

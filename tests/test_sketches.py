@@ -61,3 +61,27 @@ def test_approx_quantiles_within_rank_error_independent(spark):
                 le,
                 target,
             )
+
+
+def test_approx_quantiles_band_survives_null_values(spark, tmp_path):
+    """r9 ADVICE: percentile_approx and the lt/le rank sums ignore NULL
+    values, so the audit's n must be the NON-NULL count — with a
+    count(*) n the target rank q*n drifts off the true rank window the
+    moment `value` carries NULLs. Nulls 25% of values in a copy of the
+    events table and asserts every band boolean still holds (and n
+    reports the non-null count)."""
+    ev = load_table(spark, SF_CORRECT, "events")
+    nulled = ev.withColumn(
+        "value",
+        F.when(F.pmod(F.xxhash64("event_id"), F.lit(4)) == 0, F.lit(None)).otherwise(
+            F.col("value")
+        ),
+    )
+    nulled.write.parquet(str(tmp_path / "events.parquet"))
+    n_nonnull = nulled.filter(F.col("value").isNotNull()).count()
+    assert 0 < n_nonnull < nulled.count()  # the injection actually fired
+    rows = queries()["approx_quantiles_events"](spark, str(tmp_path)).collect()
+    assert len(rows) > 0
+    assert sum(r.n for r in rows) == n_nonnull
+    for r in rows:
+        assert r.p50_in_band and r.p95_in_band and r.p99_in_band, r

@@ -42,7 +42,15 @@ MEGA_TEXT = (
 )
 
 
+# Recipe fingerprint baked into the fixture path (r9 ADVICE): the
+# cache key was only K, so changing MEGA_TEXT, the %3 skew rule, or
+# the replication recipe silently reused a stale fixture and mislabeled
+# old measurements as current. Bump with any recipe change.
+_RECIPE_V = "v2_mega3pct_variant_suffix"
+
+
 def build(spark, base_dir: str, k: int, out_dir: str, skewed: bool) -> str:
+    out_dir = f"{out_dir}_{_RECIPE_V}"
     dst = os.path.join(out_dir, "documents.parquet")
     if os.path.exists(dst):
         return out_dir

@@ -126,6 +126,17 @@ def _shifted(df, table: str, i: int):
     return df  # dims stay as-is
 
 
+def scaled_fixture_dir(k: int) -> str:
+    """The ONE versioned path for the k-fold fixture — imported by
+    every harness that builds or reuses it (r9 ADVICE: stream_state_
+    stress had its own unversioned name, so the _v2 cache-busting
+    rename that fixed the FK-preserving orders recipe would not have
+    invalidated ITS cache). Bump the _v suffix with any recipe change;
+    build_scaled skips existing table dirs, so a stale path silently
+    reuses the old recipe."""
+    return os.path.join(tempfile.gettempdir(), f"spark_graft_scale_{k}x_v2")
+
+
 def build_scaled(spark, base_dir: str, k: int, out_dir: str) -> None:
     for table in TABLES:
         dst = os.path.join(out_dir, f"{table}.parquet")
@@ -152,9 +163,10 @@ def main() -> None:
     global SPARK
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     base = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
-    # _v2: the pre-r9-review fixture lacked scaled orders — a stale
-    # cached dir would silently reproduce the vacuous-join measurement.
-    out = os.path.join(tempfile.gettempdir(), f"spark_graft_scale_{k}x_v2")
+    # _v2 (in scaled_fixture_dir): the pre-r9-review fixture lacked
+    # scaled orders — a stale cached dir would silently reproduce the
+    # vacuous-join measurement.
+    out = scaled_fixture_dir(k)
     os.makedirs(out, exist_ok=True)
     SPARK = get_spark("scale_stress")
     build_scaled(SPARK, base, k, out)

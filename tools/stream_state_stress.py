@@ -29,7 +29,7 @@ from dataframe_retail_e_inventarios_spark.plans.queries_warehouse import (
     q_streaming_view_purchase_join_bounded,
 )
 from dataframe_retail_e_inventarios_spark.session import get_spark
-from tools.scale_stress import build_scaled
+from tools.scale_stress import build_scaled, scaled_fixture_dir
 
 
 def peak_state(progresses: list) -> int:
@@ -51,7 +51,9 @@ def run(fn, spark, sf_dir: str) -> tuple[int, int]:
 def main() -> int:
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     base = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
-    scaled = os.path.join(tempfile.gettempdir(), f"spark_graft_scale_{k}")
+    # Shared versioned fixture path (r9 ADVICE): cache-busting renames
+    # in scale_stress now invalidate THIS harness's cache too.
+    scaled = scaled_fixture_dir(k)
     spark = get_spark("stream-state-stress")
     build_scaled(spark, base, k, scaled)
 
