@@ -25,4 +25,24 @@ else
     git commit -m "Adopt driver round artifacts (bench/correctness/verdict/advice)"
     echo "open_round: driver artifacts committed."
 fi
+
+# Relocate all but the NEWEST round's bench/correctness/scale files to
+# artifacts/rNN/ (r9 verdict #6: the root had 9 rounds of sprawl; the
+# driver only ever writes/reads the current round at root).
+latest=$(ls BENCH_r*.json CORRECTNESS_r*.json 2>/dev/null \
+         | sed -E 's/.*_r([0-9]+)\.json/\1/' | sort -n | tail -1)
+moved=0
+for f in BENCH_r*.json CORRECTNESS_r*.json BENCH_scale_r*.json; do
+    [ -e "$f" ] || continue
+    n=$(echo "$f" | sed -E 's/.*_r([0-9]+)\.json/\1/')
+    if [ "$((10#$n))" -lt "$((10#$latest))" ]; then
+        mkdir -p "artifacts/r$n"
+        git mv "$f" "artifacts/r$n/"
+        moved=1
+    fi
+done
+if [ "$moved" = 1 ]; then
+    git commit -m "Archive prior-round artifacts under artifacts/"
+    echo "open_round: prior-round artifacts archived."
+fi
 git status --short
