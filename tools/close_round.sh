@@ -18,6 +18,12 @@ python tools/matrix.py --out "MATRIX_${TAG}.json"
 echo "== fuzzed-oracle sweep (r8 verdict #1) =="
 python tools/fuzz_oracles.py --json "FUZZ_${TAG}.json" --seeds 5 /root/testdata/sf0.01
 
+echo "== fuzzed-oracle hostile legs (TZ + legacy ANSI, 3 seeds — r9 run these by hand) =="
+TZ=America/New_York SPARK_GRAFT_SESSION_TZ=America/New_York \
+    python tools/fuzz_oracles.py --json "FUZZ_${TAG}_tz.json" --seeds 3 /root/testdata/sf0.01
+SPARK_GRAFT_ANSI=false \
+    python tools/fuzz_oracles.py --json "FUZZ_${TAG}_ansi.json" --seeds 3 /root/testdata/sf0.01
+
 echo "== bench (BENCH_full.json) =="
 python bench.py
 
@@ -30,7 +36,8 @@ python tools/explain_plans.py
 
 # One add per path — a multi-path `git add` is all-or-nothing on a
 # pathspec failure (one absent file would silently stage nothing).
-for f in "MATRIX_${TAG}.json" "FUZZ_${TAG}.json" BENCH_full.json \
+for f in "MATRIX_${TAG}.json" "FUZZ_${TAG}.json" "FUZZ_${TAG}_tz.json" \
+         "FUZZ_${TAG}_ansi.json" BENCH_full.json \
          "BENCH_scale_${TAG}.json" PLANS.md BENCH_r*.json CORRECTNESS_r*.json; do
     [ -e "$f" ] && git add -f "$f"
 done
