@@ -882,7 +882,10 @@ def q_minhash_estimator_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     beside the pair output (two corpus passes by construction)."""
     docs = load_table(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(docs, threshold=0.3, k=16, bands=4, max_df=MAX_DF)
-    sig = minhash_signatures(docs, k=16)
+    # Both join sides (a and b) read the signature frame; checkpoint so
+    # the tokenize+minhash pass runs once, not once per side (r10 —
+    # the winnow recompute class). 17 longs per doc.
+    sig = minhash_signatures(docs, k=16).localCheckpoint(eager=True)
     a = sig.select(F.col("doc_id").alias("id_a"), *[F.col(f"h{i}").alias(f"a{i}") for i in range(16)])
     b = sig.select(F.col("doc_id").alias("id_b"), *[F.col(f"h{i}").alias(f"b{i}") for i in range(16)])
     j = pairs.join(a, "id_a").join(b, "id_b")

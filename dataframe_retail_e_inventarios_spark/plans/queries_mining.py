@@ -194,11 +194,19 @@ def q_lsh_band_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias(f"band{bn}")
         for bn in range(_AUDIT_BANDS)
     ]
-    melted = sig.select("doc_id", *band_cols).select(
-        "doc_id",
-        F.explode(F.array(*[f"band{bn}" for bn in range(_AUDIT_BANDS)])).alias(
-            "band_key"
-        ),
+    melted = (
+        sig.select("doc_id", *band_cols)
+        .select(
+            "doc_id",
+            F.explode(F.array(*[f"band{bn}" for bn in range(_AUDIT_BANDS)])).alias(
+                "band_key"
+            ),
+        )
+        # Both sides of the collision self-join read this frame;
+        # without materialization each side re-tokenizes and re-hashes
+        # the corpus through minhash_index (the winnow recompute class,
+        # r10). (doc_id, band_key) is 4 short rows per doc.
+        .localCheckpoint(eager=True)
     )
     ma, mb = melted.alias("a"), melted.alias("b")
     cands = (
