@@ -301,6 +301,14 @@ DEMO = [
     # the other drains above, so it is timed once here, not min-of-2
     # in LIGHT.
     "streaming_late_data_watermark",
+    # profile_lineitem_columns_approx (r10): since its promotion to the
+    # certification contract it deliberately pays the exact twin's
+    # Expand pass beside the HLL scan (r10 retime: 8.8 s isolated, was
+    # 1.4 s as the raw sketch) — the same multi-distinct anatomy that
+    # put profile_lineitem_columns here. The Expand-free production
+    # operator (operators/profiling.column_profile_approx) is what the
+    # certification certifies.
+    "profile_lineitem_columns_approx",
 ]
 
 # Scale-curve subset: the heaviest headline queries (r02 timings),
