@@ -17,10 +17,11 @@ from ..sources.readers import load_table
 from .queries_llm import MAX_DF, _SHINGLE_INDEX_SQL
 
 # Shared recursive-CTE oracle for min-label connected components over
-# the 0.35-Jaccard near-dup graph (DuckDB evaluates the UNION recursion
+# the Jaccard near-dup graph (DuckDB evaluates the UNION recursion
 # to fixpoint — the declarative twin of the iterative Spark loop).
-_COMPONENTS_CTES = f"""{_SHINGLE_INDEX_SQL.strip()},
-pairs AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.35),
+def components_ctes(threshold: float = 0.35) -> str:
+    return f"""{_SHINGLE_INDEX_SQL.strip()},
+pairs AS (SELECT id_a, id_b FROM jac WHERE jaccard >= {threshold}),
 edges AS (
   SELECT id_a AS u, id_b AS v FROM pairs
   UNION
@@ -34,23 +35,37 @@ reach(node, r) AS (
 comp AS (SELECT node, CAST(min(r) AS BIGINT) AS cluster_id FROM reach GROUP BY 1)"""
 
 
-def _neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+_COMPONENTS_CTES = components_ctes()
+
+
+def _neardup_components(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.35
+) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return connected_components(jaccard_pairs(docs, threshold=0.35, max_df=MAX_DF))
+    return connected_components(
+        jaccard_pairs(docs, threshold=threshold, max_df=MAX_DF)
+    )
 
 
-def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _neardup_components(spark, sf_dir)
+def q_dedup_clusters(
+    spark: SparkSession, sf_dir: str, *, threshold: float = 0.35
+) -> DataFrame:
+    """Min-label connected components over the near-dup graph; the
+    clustering threshold is fuzz-injectable (tools/fuzz_oracles.py) —
+    each drawn threshold grows/shrinks the edge set and re-proves the
+    iterative min-label loop against the recursive-CTE fixpoint on a
+    different graph."""
+    return _neardup_components(spark, sf_dir, threshold)
 
 
-register(
-    "dedup_cluster_assignment",
-    q_dedup_clusters,
-    f"""
-WITH RECURSIVE {_COMPONENTS_CTES}
+def dedup_cluster_assignment_sql(threshold: float = 0.35) -> str:
+    return f"""
+WITH RECURSIVE {components_ctes(threshold)}
 SELECT node, cluster_id FROM comp
-""",
-)
+"""
+
+
+register("dedup_cluster_assignment", q_dedup_clusters, dedup_cluster_assignment_sql())
 
 
 def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -95,21 +95,28 @@ FROM documents GROUP BY 1
 
 
 # -- N2: exact n-gram Jaccard near-dup pairs -------------------------------
-def q_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_jaccard(
+    spark: SparkSession, sf_dir: str, *, threshold: float = 0.35
+) -> DataFrame:
+    """Exact shingle-index Jaccard pairs at the drawn threshold —
+    fuzz-injectable (tools/fuzz_oracles.py): both engines compute the
+    same exact-integer intersection / union-size division in double,
+    so the >= gate agrees at every drawn threshold, including pairs
+    landing exactly on it."""
     return jaccard_pairs(
-        load_table(spark, sf_dir, "documents"), threshold=0.35, max_df=MAX_DF
+        load_table(spark, sf_dir, "documents"), threshold=threshold, max_df=MAX_DF
     )
 
 
-register(
-    "dedup_ngram_jaccard",
-    q_jaccard,
-    f"""
+def dedup_ngram_jaccard_sql(threshold: float = 0.35) -> str:
+    return f"""
 WITH {_SHINGLE_INDEX_SQL.strip()}
 SELECT id_a, id_b, round(jaccard, 4) AS jaccard
-FROM jac WHERE jaccard >= 0.35
-""",
-)
+FROM jac WHERE jaccard >= {threshold}
+"""
+
+
+register("dedup_ngram_jaccard", q_jaccard, dedup_ngram_jaccard_sql())
 
 
 # -- N2: MinHash signatures + LSH candidate/verify -------------------------
@@ -1172,37 +1179,45 @@ LIMIT 50
 
 
 # -- N2: lossless prefix-filter set-similarity join ------------------------
-def q_setsim_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PPJoin-style prefix filtering at t=0.5 over the same capped
-    shingle index as dedup_ngram_jaccard. The oracle is the ALL-PAIRS
-    Jaccard SQL — prefix filtering is lossless, so a hash match here
-    PROVES the pruning drops no qualifying pair."""
+def q_setsim_prefix(
+    spark: SparkSession, sf_dir: str, *, threshold: float = 0.5
+) -> DataFrame:
+    """PPJoin-style prefix filtering over the same capped shingle
+    index as dedup_ngram_jaccard. The oracle is the ALL-PAIRS Jaccard
+    SQL — prefix filtering is lossless, so a hash match here PROVES
+    the pruning drops no qualifying pair. Threshold is fuzz-injectable
+    (tools/fuzz_oracles.py): the prefix length ceil() arithmetic is a
+    function of t, so every drawn threshold re-proves losslessness at
+    a different prefix geometry, not just t=0.5."""
     from ..operators.dedup import setsim_prefix_pairs
 
     return setsim_prefix_pairs(
-        load_table(spark, sf_dir, "documents"), threshold=0.5, max_df=MAX_DF
+        load_table(spark, sf_dir, "documents"), threshold=threshold, max_df=MAX_DF
     )
 
 
-register(
-    "dedup_setsim_prefix",
-    q_setsim_prefix,
-    f"""
+def dedup_setsim_prefix_sql(threshold: float = 0.5) -> str:
+    return f"""
 WITH {_SHINGLE_INDEX_SQL.strip()}
 SELECT id_a, id_b, round(jaccard, 4) AS jaccard
-FROM jac WHERE jaccard >= 0.5
-""",
-)
+FROM jac WHERE jaccard >= {threshold}
+"""
+
+
+register("dedup_setsim_prefix", q_setsim_prefix, dedup_setsim_prefix_sql())
 
 
 # -- N2: directed containment pairs (quote/excerpt detection) --------------
-def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Containment at 0.6 over the capped shingle index — catches
+def q_containment(
+    spark: SparkSession, sf_dir: str, *, threshold: float = 0.6
+) -> DataFrame:
+    """Containment over the capped shingle index — catches
     excerpt/boilerplate inclusion that symmetric Jaccard misses. The
     corpus has no planted excerpts, so the query constructs them
     deterministically: for doc_id < 40, the doc's first 200 characters
     re-enter the corpus as a new doc under doc_id + 20000 — a true
-    excerpt whose shingles are (near-)subsets of the source's."""
+    excerpt whose shingles are (near-)subsets of the source's.
+    Threshold is fuzz-injectable (tools/fuzz_oracles.py)."""
     from ..operators.dedup import containment_pairs_directed
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -1211,14 +1226,12 @@ def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring("text", 1, 200).alias("text"),
     )
     return containment_pairs_directed(
-        docs.unionByName(excerpts), threshold=0.6, max_df=MAX_DF
+        docs.unionByName(excerpts), threshold=threshold, max_df=MAX_DF
     )
 
 
-register(
-    "dedup_containment_pairs",
-    q_containment,
-    f"""
+def dedup_containment_pairs_sql(threshold: float = 0.6) -> str:
+    return f"""
 WITH docs2 AS (
   SELECT doc_id, text FROM documents
   UNION ALL
@@ -1248,8 +1261,14 @@ FROM inter
 JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
 WHERE sa.n_sh >= 5 AND sb.n_sh >= 5
-  AND (n_inter / sa.n_sh >= 0.6 OR n_inter / sb.n_sh >= 0.6)
-""".format(toks=_TOKS, sh=_SH, max_df=MAX_DF),
+  AND (n_inter / sa.n_sh >= {threshold} OR n_inter / sb.n_sh >= {threshold})
+""".format(toks=_TOKS, sh=_SH, max_df=MAX_DF)
+
+
+register(
+    "dedup_containment_pairs",
+    q_containment,
+    dedup_containment_pairs_sql(),
 )
 
 

@@ -66,7 +66,9 @@ def _bands(rng: random.Random) -> tuple:
 def _targets():
     from dataframe_retail_e_inventarios_spark.plans import (
         queries_core as qc,
+        queries_curation as qcur,
         queries_extra as qe,
+        queries_llm as qllm,
         queries_modern as qm,
         queries_relational as qr,
         queries_report as qrep,
@@ -306,6 +308,52 @@ def _targets():
             lambda r: dict(
                 window_min=(wm := r.choice([10, 15, 20, 30, 45, 60])),
                 watermark_min=wm + r.choice([0, 15, 30, 60]),
+            ),
+        ),
+        # round-10 part 2: similarity thresholds — both engines compute
+        # the same exact-integer intersection / size division in
+        # double, so the >= gate must agree at EVERY drawn threshold
+        # (boundary pairs included). dedup_setsim_prefix is the prize:
+        # its prefix length is ceil arithmetic in t, so each draw
+        # re-proves PPJoin losslessness at a different prefix geometry.
+        # dedup_cluster_assignment re-proves the iterative min-label
+        # loop against the recursive-CTE fixpoint on a different graph
+        # per draw.
+        # draw spaces target where the corpus pair mass actually sits
+        # (measured at sf0.01: ~3.4k noise pairs below 0.1, 25 replica
+        # pairs above 0.9, nothing between) so draws flip boundary
+        # pairs instead of sampling the empty middle.
+        "dedup_ngram_jaccard": (
+            qllm.q_jaccard,
+            qllm.dedup_ngram_jaccard_sql,
+            lambda r: dict(
+                threshold=r.choice(
+                    [0.02, 0.03, 0.04, 0.05, 0.06, 0.08, 0.1, 0.9, 0.92, 0.95, 0.98]
+                )
+            ),
+        ),
+        "dedup_setsim_prefix": (
+            qllm.q_setsim_prefix,
+            qllm.dedup_setsim_prefix_sql,
+            lambda r: dict(
+                threshold=r.choice([0.1, 0.3, 0.5, 0.7, 0.9, 0.95])
+            ),
+        ),
+        "dedup_containment_pairs": (
+            qllm.q_containment,
+            qllm.dedup_containment_pairs_sql,
+            lambda r: dict(
+                threshold=r.choice([0.1, 0.3, 0.5, 0.7, 0.9, 0.95, 0.98])
+            ),
+        ),
+        # low draws (0.04-0.08) build a DENSE graph from the noise
+        # pairs — thousands of edges through the min-label fixpoint vs
+        # the recursive CTE, not just the 25 replica edges.
+        "dedup_cluster_assignment": (
+            qcur.q_dedup_clusters,
+            qcur.dedup_cluster_assignment_sql,
+            lambda r: dict(
+                threshold=r.choice([0.04, 0.06, 0.08, 0.3, 0.9, 0.95])
             ),
         ),
     }
