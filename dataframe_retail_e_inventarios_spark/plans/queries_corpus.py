@@ -1468,3 +1468,151 @@ FROM terms GROUP BY 1, 2
 ORDER BY source_a, source_b
 """,
 )
+
+
+# -- Naive Bayes language classifier: distributed train + score ------------
+def q_nb_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes language ID trained ON the corpus and
+    scored back over it (resubstitution confusion matrix) — the
+    train-a-model-with-aggregates exhibit beside kmeans_lite: the
+    entire "model" is two count tables (per-(lang, feature-hash)
+    occurrences and per-lang totals) plus the vocabulary size and the
+    class priors, all products of ordinary shuffles; no driver-side
+    fitting at all, which is exactly how NB scales to 100 TB (training
+    IS one groupBy). Features are CHAR TRIGRAMS of the lowercased
+    text (the standard langid feature — word tokens barely beat the
+    majority class on this corpus because the synthetic langs share
+    most of their word vocabulary; trigrams capture orthography).
+
+    Scoring is the long-form: each (doc, feature occurrence) is crossed
+    with the (broadcast, |langs|-row) class list, left-joined against
+    the count table, and each per-term Laplace-smoothed negative
+    log-likelihood round(-ln((c+1)/(N_l+V))·1e6) is scaled to BIGINT
+    BEFORE the per-(doc, class) sum — the established order-
+    independent float-parity pattern (bigram_logprob_scores /
+    source_kl_divergence). Class priors join as one more scaled
+    BIGINT; argmin by total negative log-posterior with the class
+    label as the deterministic tiebreak. Output = the confusion
+    matrix (true_lang, pred_lang, n_docs), tiny and exact. Zero-token
+    docs are excluded by construction on both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    low = F.lower(F.trim(F.col("text")))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.length(low) - 2),
+        lambda i: low.substr(i, F.lit(3)),
+    )
+    dt = (
+        docs.repartition(par, "doc_id")
+        .filter(F.length(low) >= 3)
+        .select("doc_id", "lang", F.explode(grams).alias("term"))
+        .select("doc_id", "lang", shingle_hash32("term").alias("h"))
+        .localCheckpoint(eager=True)  # feeds counts, vocab AND scoring
+    )
+    counts = dt.groupBy(F.col("lang").alias("cand"), "h").agg(
+        F.count("*").alias("c")
+    )
+    n_l = dt.groupBy(F.col("lang").alias("cand")).agg(F.count("*").alias("n_l"))
+    vocab = dt.select("h").distinct().agg(F.count("*").alias("v"))
+    d_l = docs.groupBy(F.col("lang").alias("cand")).agg(F.count("*").alias("d_l"))
+    d_tot = docs.agg(F.count("*").alias("d"))
+    prior = (
+        d_l.crossJoin(F.broadcast(d_tot))
+        .select(
+            "cand",
+            F.round(-F.log(F.col("d_l") / F.col("d")) * 1e6, 0)
+            .cast("long")
+            .alias("prior_nlp"),
+        )
+    )
+    langs = docs.select(F.col("lang").alias("cand")).distinct()
+    scored = (
+        dt.select("doc_id", F.col("lang").alias("true_lang"), "h")
+        .crossJoin(F.broadcast(langs))
+        .join(counts, ["cand", "h"], "left")
+        .join(F.broadcast(n_l), "cand")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            "true_lang",
+            "cand",
+            F.round(
+                -F.log(
+                    (F.coalesce(F.col("c"), F.lit(0)) + 1)
+                    / (F.col("n_l") + F.col("v"))
+                )
+                * 1e6,
+                0,
+            )
+            .cast("long")
+            .alias("nlp"),
+        )
+    )
+    totals = (
+        scored.groupBy("doc_id", "true_lang", "cand")
+        .agg(F.sum("nlp").alias("s"))
+        .join(F.broadcast(prior), "cand")
+        .select(
+            "doc_id", "true_lang", "cand", (F.col("s") + F.col("prior_nlp")).alias("neg_lp")
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("neg_lp").asc(), F.col("cand").asc())
+    pred = totals.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        pred.groupBy("true_lang", F.col("cand").alias("pred_lang"))
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("true_lang", "pred_lang")
+    )
+
+
+register(
+    "nb_langid_confusion",
+    q_nb_langid_confusion,
+    f"""
+WITH dt AS (
+  SELECT doc_id, lang, CAST(('0x' || substr(md5(term), 1, 8)) AS BIGINT) AS h
+  FROM (SELECT doc_id, lang,
+               unnest(list_transform(range(1, len(lower(trim(text))) - 1),
+                                     i -> substr(lower(trim(text)), CAST(i AS INTEGER), 3))) AS term
+        FROM documents
+        WHERE len(lower(trim(text))) >= 3)
+),
+counts AS (SELECT lang AS cand, h, count(*) AS c FROM dt GROUP BY 1, 2),
+nl AS (SELECT lang AS cand, count(*) AS n_l FROM dt GROUP BY 1),
+v AS (SELECT count(DISTINCT h) AS v FROM dt),
+dl AS (SELECT lang AS cand, count(*) AS d_l FROM documents GROUP BY 1),
+dd AS (SELECT count(*) AS d FROM documents),
+prior AS (
+  SELECT dl.cand,
+         CAST(round(-ln(dl.d_l / CAST(dd.d AS DOUBLE)) * 1e6, 0) AS BIGINT) AS prior_nlp
+  FROM dl CROSS JOIN dd
+),
+langs AS (SELECT DISTINCT lang AS cand FROM documents),
+scored AS (
+  SELECT dt.doc_id, dt.lang AS true_lang, l.cand,
+         CAST(round(-ln((COALESCE(c.c, 0) + 1)
+                        / CAST(nl.n_l + v.v AS DOUBLE)) * 1e6, 0) AS BIGINT) AS nlp
+  FROM dt
+  CROSS JOIN langs l
+  JOIN nl ON nl.cand = l.cand
+  CROSS JOIN v
+  LEFT JOIN counts c ON c.cand = l.cand AND c.h = dt.h
+),
+totals AS (
+  SELECT s.doc_id, s.true_lang, s.cand,
+         CAST(sum(s.nlp) AS BIGINT) + any_value(p.prior_nlp) AS neg_lp
+  FROM scored s JOIN prior p ON p.cand = s.cand
+  GROUP BY 1, 2, 3
+),
+pred AS (
+  SELECT doc_id, true_lang, cand,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY neg_lp ASC, cand ASC) AS rn
+  FROM totals
+)
+SELECT true_lang, cand AS pred_lang, count(*) AS n_docs
+FROM pred WHERE rn = 1
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+)

@@ -37,16 +37,18 @@ def register(name: str, fn: QueryFn, oracle: str | None) -> None:
 # order, and tools/selfcheck.py --json covers the full registry every
 # round regardless (SELFCHECK_full.json).
 _PRIORITY = [
-    # r10 front-load (r9 verdict #3): first the three queries newly
+    # r10 front-load (r9 verdict #3): first the brand-new NB
+    # classifier (never sampled), then the three queries newly
     # promoted from rows-only to tolerance-band value-hash oracles
     # (ann_pq_topk / ann_ivf_kmeans_topk planted-recall gates,
     # profile_lineitem_columns_approx HLL band — their first possible
-    # hash rows), plus the r9-changed Q21 plan, then the prior
+    # hash rows), plus the r10-changed Q21 plan, then the prior
     # rotation (stalest greens, oldest vintage first, alphabetical
     # within a vintage) so the 50-row budget re-certifies the oldest
     # certificates in the registry. Rows-only remainder: 2 by design
     # (embedding_pca_projection — sign-indeterminate components;
     # forecast_udf_ensemble — optional-model output).
+    "nb_langid_confusion",
     "ann_pq_topk",
     "ann_ivf_kmeans_topk",
     "profile_lineitem_columns_approx",
