@@ -256,6 +256,9 @@ HEADLINE = [
     "waiting_supplier_count",
     "dominant_supplier_parts",
     "product_type_profit",
+    # round 10: the train-with-aggregates exhibit — NB language ID
+    # (char-trigram counts, broadcast model, long-form scoring).
+    "nb_langid_confusion",
 ]
 
 # Capability demos: registered + oracle-checked, but benched apart from
@@ -414,6 +417,10 @@ CURVE = [
     # a two-level rollup + windows; the 8x key stress shows it flat on
     # the cardinality axis, this row adds the 10x volume axis).
     "waiting_supplier_count",
+    # round 10: NB training+scoring is corpus-linear by construction
+    # (one count shuffle + a |langs|-fold long-form scoring join);
+    # this row measures it on the 10x corpus.
+    "nb_langid_confusion",
 ]
 
 
