@@ -80,6 +80,12 @@ STRESS_QUERIES = [
     ("waiting_supplier_count", "lineitem"),
     ("dominant_supplier_parts", "lineitem"),
     ("product_type_profit", "lineitem"),
+    # round-10 additions: the NB classifier (8x docs AND the same 5
+    # langs — the count table grows with vocab x langs, scoring with
+    # corpus), and the re-keyed blocked-levenshtein entity join (8x
+    # part names through the new (block, length) equi-key).
+    ("nb_langid_confusion", "documents"),
+    ("fuzzy_part_name_pairs", "part"),
 ]
 
 # Tables any stress query touches (flagship etc. may read dims).
@@ -123,6 +129,15 @@ def _shifted(df, table: str, i: int):
             "embedding",
             F.transform(F.col("embedding"), lambda v: v + F.lit(float(i)) * 1e-4),
         )
+    if table == "part":
+        # shifted keys match no unscaled lineitem rows (joins keep
+        # their base semantics; part-side scans grow k-fold) and a
+        # 2i-char suffix keeps every cross-copy name pair > 1 edit
+        # apart, so blocked-levenshtein pair output grows k-fold (one
+        # replica of each base pair per copy), never k².
+        return df.withColumn("p_partkey", F.col("p_partkey") + 1_000_000 * i).withColumn(
+            "p_name", F.concat(F.col("p_name"), F.lit(" " + "x" * (2 * i)))
+        )
     return df  # dims stay as-is
 
 
@@ -133,8 +148,10 @@ def scaled_fixture_dir(k: int) -> str:
     rename that fixed the FK-preserving orders recipe would not have
     invalidated ITS cache). Bump the _v suffix with any recipe change;
     build_scaled skips existing table dirs, so a stale path silently
-    reuses the old recipe."""
-    return os.path.join(tempfile.gettempdir(), f"spark_graft_scale_{k}x_v2")
+    reuses the old recipe. _v3: part is now scaled too (shifted keys +
+    a 2i-char name suffix so cross-copy names stay > 1 edit apart —
+    entity pairs grow k-fold, not k²)."""
+    return os.path.join(tempfile.gettempdir(), f"spark_graft_scale_{k}x_v3")
 
 
 def build_scaled(spark, base_dir: str, k: int, out_dir: str) -> None:
@@ -143,7 +160,7 @@ def build_scaled(spark, base_dir: str, k: int, out_dir: str) -> None:
         if os.path.exists(dst):
             continue
         base = load_table(spark, base_dir, table)
-        if table in ("lineitem", "orders", "events", "documents", "embeddings"):
+        if table in ("lineitem", "orders", "events", "documents", "embeddings", "part"):
             df = base
             scaled = df
             for i in range(1, k):
