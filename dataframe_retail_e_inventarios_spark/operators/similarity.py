@@ -66,16 +66,19 @@ def planted_recall_gate(
     topk: DataFrame,
     query_col: str,
     k: int = 10,
-    floor: int = 9,
+    floor: int | None = None,
     id_base: int = 100_000,
 ) -> DataFrame:
     """Fold an ANN top-k result over the planted corpus into the
     driver-visible contract: (query_id, n_retrieved, planted_recall_ok)
     where the boolean asserts >= ``floor`` of the k planted neighbors
-    were retrieved. The approximate ranks/distances stay OUT of the
-    value hash; the exact row count and the recall floor are the
-    deterministic parts (r9 verdict #3 — same pattern as the sketch
-    tolerance bands)."""
+    were retrieved (default floor: k-1, i.e. 0.9 recall at k=10 — tied
+    to k so raising the planted count scales the gate with it). The
+    approximate ranks/distances stay OUT of the value hash; the exact
+    row count and the recall floor are the deterministic parts (r9
+    verdict #3 — same pattern as the sketch tolerance bands)."""
+    if floor is None:
+        floor = k - 1
     hit = (F.col("cand_id") >= id_base) & (
         F.floor((F.col("cand_id") - id_base) / 100) == F.col(query_col)
     )

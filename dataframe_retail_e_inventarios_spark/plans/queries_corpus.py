@@ -1525,7 +1525,9 @@ def q_nb_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("prior_nlp"),
         )
     )
-    langs = docs.select(F.col("lang").alias("cand")).distinct()
+    # class list reuses the per-lang doc counts — no third documents
+    # scan + distinct shuffle for a frame d_l already materializes
+    langs = d_l.select("cand")
     scored = (
         dt.select("doc_id", F.col("lang").alias("true_lang"), "h")
         .crossJoin(F.broadcast(langs))
