@@ -68,6 +68,12 @@ RESULT_SCHEMA = StructType(
         StructField("Safety_Stock", LongType()),
         StructField("Reorder_Point", LongType()),
         StructField("Qty_to_Order", LongType()),
+        # The moving-average member's (constant) forecast value. Unlike
+        # the fitted members it is deterministic (PRACTICA3.py:143-145:
+        # mean of the last 4 train weeks, floored at 0), which lets the
+        # full-ensemble query carry an oracle-checkable column even when
+        # real Prophet / Holt-Winters fits contribute to Forecast.
+        StructField("MA_Member", DoubleType()),
     ]
 )
 
@@ -176,7 +182,8 @@ def process_series(
 
     # U4: the moving-average member never fails.
     ma = train.tail(4).mean() if len(train) >= 4 else train.mean()
-    preds.append(np.full(FORECAST_HORIZON_WEEKS, max(0.0, float(ma))))
+    ma_member = max(0.0, float(ma))
+    preds.append(np.full(FORECAST_HORIZON_WEEKS, ma_member))
 
     ensemble = np.median(np.vstack(preds), axis=0)  # A16
     hist_avg = max(1.0, float(train.mean()))
@@ -193,6 +200,7 @@ def process_series(
                 "Forecast": list(map(float, ensemble)),
                 "Test": list(map(float, y_true)),
                 **inv,
+                "MA_Member": ma_member,
             }
         ]
     )

@@ -54,7 +54,21 @@ def _quantized(vec_col: str):
 def pca_fit(
     embeddings: DataFrame, vec_col: str = "embedding", k: int = 4
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Fit PCA: returns (components [k×d], mean [d], eigenvalues [k]).
+    """Fit PCA: returns (components [k×d], mean [d], eigenvalues [k])."""
+    comps, mean, evals, _ = pca_fit_full(embeddings, vec_col, k)
+    return comps, mean, evals
+
+
+def pca_fit_full(
+    embeddings: DataFrame, vec_col: str = "embedding", k: int = 4
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, dict]:
+    """Fit PCA: returns (components [k×d], mean [d], eigenvalues [k],
+    moments) where ``moments`` exposes the EXACT integer aggregates the
+    fit ran on — {"n": int, "sx": [d python ints], "sxx_diag": [d]} in
+    quantized (1e6) units. Downstream certificates (queries_llm
+    q_embedding_pca) rebuild sign-free invariants from these without a
+    second driver collect, and a SQL oracle can recompute the identical
+    integers from the raw parquet.
 
     One corpus pass builds n, per-dim sums, and upper-triangle
     cross-moments as exact BIGINT aggregates; the d×d eigenproblem is
@@ -107,7 +121,12 @@ def pca_fit(
         j = int(np.argmax(np.abs(row)))
         if row[j] < 0:
             row *= -1
-    return comps, mean / _SCALE, evals[order] / (_SCALE * _SCALE)
+    moments = {
+        "n": int(n),
+        "sx": [int(v) for v in sx],
+        "sxx_diag": [int(sxx[i, i]) for i in range(d)],
+    }
+    return comps, mean / _SCALE, evals[order] / (_SCALE * _SCALE), moments
 
 
 def pca_project(

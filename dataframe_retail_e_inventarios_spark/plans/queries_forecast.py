@@ -1,9 +1,17 @@
 """Model-UDF and multimodal queries [SURVEY §2.9 U1-U6, §2.11 N5].
 
 ``forecast_udf_ensemble`` is the applyInPandas port of the reference's
-process_sku — non-SQL-expressible once Prophet/Holt-Winters are
-present, so it's registered rows-only (the driver records the weaker
-check; pytest differential-tests it against the native flagship).
+process_sku. The model-fit floats are non-SQL-expressible once
+Prophet/Holt-Winters are present, so the registered projection hash-
+gates the pipeline's DETERMINISTIC sub-outputs instead (r10 verdict
+#1a): the admitted (SKU, Store) key set, Safety_Stock (train-only — no
+model in its formula, PRACTICA3.py:68-72), the MA member's value and
+the winsorized test actuals (both flagship-CTE-provable), plus the
+property booleans the reference guarantees for ANY model output
+(forecast >= 0 per PRACTICA3.py:125,138,154; qty/ss >= 0 and
+rop >= ss per :68-81; 4-week horizon per :35). Model-dependent floats
+(MAPE, the ensemble itself) stay out of the hash; they remain covered
+by the native MA-only twin below and the differential tests.
 
 ``multimodal_features`` runs the Arrow mapInPandas plumbing but its
 stub features are pure byte functions, so it IS oracle-checked —
@@ -29,23 +37,73 @@ from .flagship import KEYS
 
 
 def q_forecast_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-ensemble UDF run under a deterministic-sub-output hash
+    gate. test_sum folds the 4 winsorized test actuals as scaled
+    BIGINTs (1e4) so the 4-term sum is order-free across engines; the
+    booleans are computed from the ACTUAL model outputs Spark-side and
+    compared against the constants the reference guarantees — a model
+    member emitting a negative / wrong-length forecast, or inventory
+    math violating rop >= ss >= 0, flips a bit and fails the hash."""
     dense = weekly_dense_resample(
         clean_sales(load_table(spark, sf_dir, "lineitem")), KEYS, "invoice_date", "units_sold"
     )
     res = forecast_with_models(dense)
-    # Arrays are kept for consumers; the registered check is rows-only.
+    fc = F.col("Forecast")
+    test_sum = (
+        F.aggregate(
+            "Test",
+            F.lit(0).cast("long"),
+            lambda a, v: a + F.bround(v * 10000, 0).cast("long"),
+        )
+        / 10000.0
+    )
     return res.select(
         "SKU",
         "Store",
-        "MAPE",
         "Safety_Stock",
-        "Reorder_Point",
-        "Qty_to_Order",
-        F.round(F.element_at("Forecast", 1), 4).alias("forecast_wk1"),
+        F.round("MA_Member", 4).alias("ma_wk1"),
+        test_sum.alias("test_sum"),
+        (F.array_min(fc) >= 0).alias("forecast_nonneg"),
+        ((F.size(fc) == 4) & (F.size("Test") == 4)).alias("horizon_ok"),
+        (
+            (F.col("Qty_to_Order") >= 0)
+            & (F.col("Safety_Stock") >= 0)
+            & (F.col("Reorder_Point") >= F.col("Safety_Stock"))
+            & (F.col("MAPE") >= 0)
+        ).alias("inv_sane"),
     )
 
 
-register("forecast_udf_ensemble", q_forecast_udf, None)  # model fits: rows-only
+def _ensemble_certificate_oracle() -> str:
+    from .flagship import flagship_stats_ctes
+
+    # Safety_Stock / ens / the test actuals are model-free, so the
+    # flagship CTE chain (driver-green since r1) proves them; the
+    # booleans are reference-guaranteed invariants, TRUE by contract.
+    return f"""
+WITH {flagship_stats_ctes()},
+tsum AS (
+  SELECT product_id, store_id,
+         sum(CASE WHEN rn <= 4
+                  THEN CAST(round_even(units_w * 10000, 0) AS BIGINT) END) / 10000.0
+           AS test_sum
+  FROM ens_t
+  GROUP BY 1, 2
+)
+SELECT CAST(i.product_id AS VARCHAR) AS SKU,
+       CAST(i.store_id AS VARCHAR) AS Store,
+       CAST(round_even(greatest(0.0, i.ss), 0) AS BIGINT) AS Safety_Stock,
+       round(i.ens, 4) AS ma_wk1,
+       t.test_sum AS test_sum,
+       TRUE AS forecast_nonneg,
+       TRUE AS horizon_ok,
+       TRUE AS inv_sane
+FROM inv i
+JOIN tsum t ON i.product_id = t.product_id AND i.store_id = t.store_id
+"""
+
+
+register("forecast_udf_ensemble", q_forecast_udf, _ensemble_certificate_oracle())
 
 
 def q_forecast_udf_ma(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -29,87 +29,82 @@ def register(name: str, fn: QueryFn, oracle: str | None) -> None:
 # The correctness driver samples the FIRST 50 registry entries
 # (verified round 2: CORRECTNESS_r02's keys == the first 50 names in
 # registration order). Iteration order is therefore a verification
-# budget, and this list spends it deterministically: a few always-on
-# anchors (the flagship chain and one representative per core family)
-# followed by the queries that had no driver row in earlier rounds —
-# the trend/modern-SQL/curation families and this round's layout/skew
-# additions. Everything NOT listed still follows, in registration
-# order, and tools/selfcheck.py --json covers the full registry every
-# round regardless (SELFCHECK_full.json).
+# budget, and this list spends it deterministically. Everything NOT
+# listed still follows, in registration order, and tools/matrix.py
+# sweeps the full registry every round regardless (MATRIX_r{N}.json).
 _PRIORITY = [
-    # r10 front-load (r9 verdict #3): first the brand-new NB
-    # classifier (never sampled), then the three queries newly
-    # promoted from rows-only to tolerance-band value-hash oracles
-    # (ann_pq_topk / ann_ivf_kmeans_topk planted-recall gates,
-    # profile_lineitem_columns_approx HLL band — their first possible
-    # hash rows), plus the r10-changed Q21 plan, then the prior
-    # rotation (stalest greens, oldest vintage first, alphabetical
-    # within a vintage) so the 50-row budget re-certifies the oldest
-    # certificates in the registry. Rows-only remainder: 2 by design
-    # (embedding_pca_projection — sign-indeterminate components;
-    # forecast_udf_ensemble — optional-model output).
-    "nb_langid_confusion",
-    "ann_pq_topk",
-    "ann_ivf_kmeans_topk",
-    "profile_lineitem_columns_approx",
-    "waiting_supplier_count",
-    "dominant_supplier_parts",
-    "product_type_profit",
-    "approx_distinct_users",
-    "hll_sketch_rollup",
-    "approx_top_k_parts",
-    "approx_quantiles_events",
-    "frequent_parts_sketch",
-    # r2-vintage (last driver row: round 2):
-    "forecast_udf_ensemble",
-    # r3-vintage (last driver row: round 3):
+    # r11 front-load (r10 verdict #1 + #8): first the two queries
+    # converted this round from rows-only to deterministic-sub-output
+    # hash gates (their first possible hash rows) -> rows-only is now
+    # 0 by design; then the driver budget rotates onto the STALEST
+    # certificates (computed from artifacts/r*/CORRECTNESS*: last-cert
+    # round per query) -- the full r4 vintage (33 queries), then the
+    # r5 vintage alphabetically until the 50-row budget is spent. The
+    # remaining r5 names ride along for the r12 rotation.
     "embedding_pca_projection",
-    "holt_linear_forecast",
-    "incremental_monthly_rollup",
-    "inventory_projection_folded",
-    "inventory_projection_recursive",
-    "langid_confusion",
-    "last_touch_attribution",
-    "lateral_topk_per_brand",
-    "minhash_estimator_error",
-    "pagerank_event_graph",
-    "passage_dedup_stats",
-    "pit_join_purchase_state",
-    "rolling_active_users",
-    "scd2_user_event_history",
-    "source_kl_divergence",
-    "streaming_cdc_upsert",
-    "streaming_dedup_replay",
-    "streaming_rollup_maintenance",
-    "streaming_session_windows",
-    "streaming_view_purchase_join",
-    "theta_forecast",
-    "weekly_resample_dense",
-    # r4-vintage, oldest tier that fits the remaining budget
-    # (alphabetical; everything NOT listed follows in registration
-    # order, and selfcheck --json covers the full registry regardless):
-    "abc_classification",
-    "benford_first_digit",
-    "bm25_top_terms",
-    "cdc_latest_state",
-    "curation_funnel",
-    "dataset_split_counts",
-    "decontamination_bloom",
-    "decontamination_overlap",
-    "dedup_cluster_assignment",
-    "dedup_cluster_histogram",
-    "dedup_survivors",
-    "demand_anomalies",
-    "demand_autocorrelation",
-    "demand_intermittency",
-    "demand_mode",
-    "demand_quartiles",
+    "forecast_udf_ensemble",
+    # r4-vintage (last driver certificate: round 4), alphabetical:
     "doc_chunks",
     "dq_constraint_audit",
     "eoq_order_quantity",
     "events_props_variant",
     "events_sliding_counts",
     "events_value_histogram",
+    "forecast_udf_ensemble_native",
+    "grouping_sets_revenue",
+    "holiday_demand_lift",
+    "label_centroids",
+    "mann_kendall_trend",
+    "map_returnflag_pivot",
+    "newsvendor_stock_level",
+    "ols_demand_trend",
+    "order_linenumber_gaps",
+    "percentile_disc_quantity",
+    "pii_redaction",
+    "profile_lineitem_columns",
+    "repetition_stats",
+    "report_enrich",
+    "rollup_backfill_overwrite",
+    "sample_stratified_hash",
+    "seasonality_index",
+    "sentence_split",
+    "source_quality_rollup",
+    "sql_exists_returned_orders",
+    "sql_parts_above_brand_avg",
+    "sql_udf_discount_bands",
+    "stats_corr_by_flag",
+    "token_pack_batches",
+    "trailing_28d_range_frame",
+    "unpivot_returnflag_measures",
+    "window_value_family",
+    # r5-vintage (last driver certificate: round 5), alphabetical:
+    "asof_join_tolerance",
+    "backtest_metrics",
+    "basket_pair_lift",
+    "bpe_pair_counts",
+    "chi_square_segment_nation",
+    "clean_project_filter",
+    "conjunctive_filter",
+    "corpus_shuffle_batches",
+    "daily_lag_features",
+    "dataset_snapshot_diff",
+    "dedup_containment_pairs",
+    "dedup_minhash_lsh_incremental",
+    "doc_length_histogram",
+    "embedding_norm_outliers",
+    "event_transition_matrix",
+    "gopher_quality_flags",
+    "join_cardinality_probe",
+    "k_anonymity_audit",
+    "mixture_temperature_weights",
+    "position_based_attribution",
+    "price_elasticity_by_brand",
+    "psi_order_price_drift",
+    "quality_weighted_sample",
+    "revenue_concentration_hhi",
+    "rolling_origin_backtest",
+    "series_admission_gates",
+    "service_level_coverage",
 ]
 
 

@@ -31,7 +31,7 @@ fi
 # driver only ever writes/reads the current round at root).
 # `|| true`: under set -euo pipefail a fresh root with no round files
 # would kill the script inside the command substitution (r10 review).
-latest=$( (ls BENCH_r*.json CORRECTNESS_r*.json 2>/dev/null || true) \
+latest=$( (ls BENCH_r*.json CORRECTNESS_r*.json BENCH_scale_r*.json 2>/dev/null || true) \
          | sed -E 's/.*_r([0-9]+)\.json/\1/' | sort -n | tail -1)
 [ -n "$latest" ] || { git status --short; exit 0; }
 moved=0
