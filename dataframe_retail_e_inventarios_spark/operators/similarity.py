@@ -44,6 +44,28 @@ def planted_neighbors_corpus(
     native column expressions (explode over a sequence + a transform
     over the array) — no driver-side materialization, scales with the
     query set, not the corpus."""
+    # Guard the id arithmetic (r10 ADVICE): planted ids live at
+    # id_base + qid*100 + j, so j must stay under the 100-wide stride
+    # and every NATURAL id must stay below id_base — otherwise a
+    # natural row could masquerade as a planted hit and the recall
+    # gate could pass falsely. k is checked eagerly; the id ceiling is
+    # enforced lazily inside the plan (raise_error on the natural
+    # branch) so no extra corpus scan is spent on the assert.
+    if k >= 100:
+        raise ValueError(f"planted_neighbors_corpus: k={k} must be < 100 (id stride)")
+    natural_id = F.when(
+        F.col(id_col) >= id_base,
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"planted_neighbors_corpus: natural {id_col} >= id_base "
+                    f"{id_base} collides with planted id space: "
+                ),
+                F.col(id_col).cast("string"),
+            )
+        ),
+    ).otherwise(F.col(id_col))
+    embeddings = embeddings.withColumn(id_col, natural_id)
     q = embeddings.filter(F.col(id_col) < n_queries)
     j = F.col("_j")
     planted = q.select(

@@ -280,3 +280,29 @@ def test_dot_dec_null_element_not_misreported_as_overflow(spark):
     assert rows["null_elem_left"] is None
     assert rows["null_elem_right"] is None
     assert rows["null_array"] is None
+
+
+def test_planted_corpus_guards(spark):
+    """r10 ADVICE: planted ids live at id_base + qid*100 + j, so a
+    natural id >= id_base (or k >= 100) could collide with the planted
+    id space and let the recall gate pass falsely. Both must raise —
+    the id ceiling lazily in the plan (no extra corpus scan), k
+    eagerly."""
+    import pytest
+
+    from dataframe_retail_e_inventarios_spark.operators.similarity import (
+        planted_neighbors_corpus,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, i % 3, [float(i), 1.0]) for i in range(10)],
+        "vec_id bigint, label int, embedding array<float>",
+    )
+    assert planted_neighbors_corpus(emb, n_queries=2, k=5).count() == 10 + 2 * 5
+
+    with pytest.raises(ValueError, match="must be < 100"):
+        planted_neighbors_corpus(emb, k=100)
+
+    bad = emb.withColumn("vec_id", F.col("vec_id") + 100_000)
+    with pytest.raises(Exception, match="collides with planted id space"):
+        planted_neighbors_corpus(bad, n_queries=2, k=5).count()
