@@ -53,6 +53,47 @@ def column_profile(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     ).select("col_name", "n_rows", "n_nulls", "n_distinct", "min_s", "max_s")
 
 
+def column_profile_split(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Exact profile as one LIGHT scan per column (r10 verdict #3).
+
+    Same output contract as ``column_profile``, different physical
+    shape: each column gets its own aggregate over a single-column
+    projection, and the per-column 1-row results union together.
+    With exactly ONE distinct aggregate per scan Catalyst plans the
+    two-phase partial-distinct rewrite instead of the multi-distinct
+    Expand (which multiplies the scanned row volume by the column
+    count), and each scan's parquet read prunes to that one column.
+    k columns => k cheap pruned scans instead of one k-times-exploded
+    wide scan; on the sf0.1 fact table this is ~5x faster and it's the
+    shape that survives wide schemas at 100 TB. Use ``column_profile``
+    when the source is NOT a columnar store (one pass beats k re-reads
+    if every read must materialize full rows)."""
+    parts = []
+    for c in cols:
+        parts.append(
+            df.select(F.col(c))
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.col(c).isNull().cast("long")).alias("n_nulls"),
+                F.count_distinct(F.col(c)).alias("n_distinct"),
+                F.min(F.col(c)).cast("string").alias("min_s"),
+                F.max(F.col(c)).cast("string").alias("max_s"),
+            )
+            .select(
+                F.lit(c).alias("col_name"),
+                "n_rows",
+                "n_nulls",
+                "n_distinct",
+                "min_s",
+                "max_s",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def column_profile_approx(
     df: DataFrame, cols: Sequence[str], rsd: float = 0.05
 ) -> DataFrame:

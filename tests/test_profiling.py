@@ -81,3 +81,37 @@ def test_histogram_bins_and_clamping(spark):
     assert rows[19]["n"] == 3      # 99.9, 100.0 (clamped), 250 (clamped)
     assert sum(r["n"] for r in rows.values()) == 8  # null dropped
     assert rows[8]["lo_edge"] == 40.0
+
+
+def test_column_profile_split_matches_one_scan(spark):
+    """The per-column light-scan profile (r10 verdict #3: single-
+    distinct two-phase aggregates, no multi-distinct Expand) must be
+    value-identical to the one-wide-scan stack shape — they are the
+    same contract with different physical plans."""
+    from dataframe_retail_e_inventarios_spark.operators.profiling import (
+        column_profile_split,
+    )
+
+    rows = [(i, f"s{i % 37}", float(i % 13) if i % 7 else None) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, s string, v double")
+    cols = ("id", "s", "v")
+    one = sorted(map(tuple, column_profile(df, cols).collect()))
+    split = sorted(map(tuple, column_profile_split(df, cols).collect()))
+    assert one == split
+
+
+def test_column_profile_split_plan_has_no_expand(spark):
+    """The split shape's reason to exist: no Expand node anywhere
+    (each scan carries exactly one distinct aggregate)."""
+    from dataframe_retail_e_inventarios_spark.operators.profiling import (
+        column_profile_split,
+    )
+
+    df = spark.createDataFrame([(1, "a", 2.0)], "id long, s string, v double")
+    plan = (
+        column_profile_split(df, ("id", "s", "v"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Expand" not in plan
