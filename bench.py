@@ -21,6 +21,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from dataframe_retail_e_inventarios_spark.registry import queries
 from dataframe_retail_e_inventarios_spark.session import get_spark
 
+# 1-min load average above this at bench start = another tenant is on
+# the box; main() waits (up to 10 min) for it to clear before timing
+# (r10 verdict #2: the r10 headline ran at load 8.35 and carried a
+# warning — the gate makes a clean-box artifact the default).
+LOAD_GATE = 2.0
+
 HEADLINE = [
     "flagship_inventory",
     "weekly_resample_dense",
@@ -503,16 +509,22 @@ def main() -> None:
         return
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    # (r9 verdict #1a) Snapshot box load BEFORE starting Spark: a 1-min
-    # load average already above a quarter of the CPUs means another
-    # tenant is stealing cycles and per-query numbers will be
-    # noise-dominated. We ANNOTATE rather than refuse — the driver runs
-    # this unattended and must always get a number — but the artifact
-    # carries the warning so a hot run is never mistaken for a
-    # regression.
+    # (r9 verdict #1a, hardened per r10 verdict #2) GATE on box load,
+    # don't just annotate: a 1-min load average above LOAD_GATE at
+    # start means another tenant is stealing cycles and per-query
+    # numbers will be noise-dominated. Wait for the box to settle
+    # (poll every 30 s, up to 10 min) BEFORE starting Spark; the
+    # driver runs this unattended and must always get a number, so if
+    # the box never settles we proceed and the artifact carries
+    # load_warning — but a clean artifact is now the normal case, not
+    # a lucky one.
     load_before = _load_avg()
-    cpus = os.cpu_count() or 32
-    load_warning = bool(load_before) and load_before[0] > cpus / 4
+    load_waited = 0
+    while load_before and load_before[0] > LOAD_GATE and load_waited < 600:
+        time.sleep(30)
+        load_waited += 30
+        load_before = _load_avg()
+    load_warning = bool(load_before) and load_before[0] > LOAD_GATE
     prev = _prev_timings()
     spark = get_spark("bench")
     qs = queries()
@@ -606,14 +618,13 @@ def main() -> None:
             "isolated": round(best, 3),
         }
         gc.collect()
-        # The isolated number is the engine-cost estimate; fold it back
-        # into the reported map so the headline total reflects code,
-        # not in-suite interference (the raw in-suite value stays
-        # visible in the retimes block).
-        if name in timings:
-            timings[name] = min(timings[name], retimes[name]["isolated"])
-        else:
-            light_timings[name] = min(light_timings[name], retimes[name]["isolated"])
+        # r10 ADVICE: do NOT fold the isolated minimum back into the
+        # reported per-query maps — that mixed in-suite and isolated
+        # methodologies per query across rounds. The headline/light
+        # numbers stay pure in-suite; the isolated re-measurement
+        # lives only here, as the attribution evidence for whether a
+        # mover is code or rig. With the load gate above, in-suite is
+        # now measured on an idle box by default.
 
     load_after = _load_avg()
     total = round(sum(timings.values()), 3)
@@ -634,6 +645,8 @@ def main() -> None:
         "runs_per_query": {"headline": 3, "light": 2, "demo": 1},
         "load_avg_before": load_before,
         "load_avg_after": load_after,
+        "load_gate": LOAD_GATE,
+        "load_gate_waited_s": load_waited,
         "load_warning": load_warning,
         "retimes": retimes,  # >1.5x movers vs prev artifact, isolated min-of-3
     }
