@@ -184,7 +184,9 @@ ADC_RSD = 0.02
 ADC_BAND = 5 * ADC_RSD
 
 
-def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_approx_distinct(
+    spark: SparkSession, sf_dir: str, rsd: float = ADC_RSD
+) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) beside the exact count —
     the sketch a 100 TB pipeline uses for distinct-user/URL statistics
     where an exact distinct would shuffle every key. The sketch value
@@ -195,11 +197,11 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     emits the exact count and literal TRUE. A drifting sketch now
     fails the driver gate, not just the local test."""
     ev = load_table(spark, sf_dir, "events")
-    band = F.greatest(F.lit(2.0), F.lit(ADC_BAND) * F.col("exact_users"))
+    band = F.greatest(F.lit(2.0), F.lit(5 * rsd) * F.col("exact_users"))
     return (
         ev.groupBy("event_type")
         .agg(
-            F.approx_count_distinct("user_id", rsd=ADC_RSD).alias("approx_users"),
+            F.approx_count_distinct("user_id", rsd=rsd).alias("approx_users"),
             F.countDistinct("user_id").alias("exact_users"),
         )
         .select(
@@ -214,21 +216,26 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-register(
-    "approx_distinct_users",
-    q_approx_distinct,
-    """
+def approx_distinct_users_sql(rsd: float = ADC_RSD) -> str:
+    # rsd intentionally unused: the exact count is sketch-free and the
+    # 5-sigma band must hold at ANY configured precision — the fuzz
+    # draws prove it (r10 verdict #5).
+    return """
 SELECT event_type,
        CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
        TRUE AS approx_in_band
 FROM events
 GROUP BY 1
 ORDER BY 1
-""",
-)
+"""
 
 
-def q_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+register("approx_distinct_users", q_approx_distinct, approx_distinct_users_sql())
+
+
+def q_hll_sketch_rollup(
+    spark: SparkSession, sf_dir: str, lgk: int = 12
+) -> DataFrame:
     """MERGEABLE distinct-count sketches (Spark 4 Datasketches HLL):
     build one user sketch per (event_type, day), then hll_union_agg
     the DAILY sketch binaries up to monthly uniques — the 100 TB
@@ -258,19 +265,24 @@ def q_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
     )
     daily = keyed.groupBy("event_type", "month30", "day").agg(
-        F.hll_sketch_agg("user_id", F.lit(12)).alias("sketch")
+        F.hll_sketch_agg("user_id", F.lit(lgk)).alias("sketch")
     )
     merged = daily.groupBy("event_type", "month30").agg(
         F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("users_merged_daily"),
         F.count("*").alias("n_days"),
     )
     oneshot = keyed.groupBy("event_type", "month30").agg(
-        F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(12))).alias(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(lgk))).alias(
             "users_oneshot"
         ),
         F.countDistinct("user_id").alias("users_exact"),
     )
-    band = F.greatest(F.lit(2.0), F.lit(0.08) * F.col("users_exact"))
+    # 5 sigma of the lgK-dependent HLL rel-std-err (1.04 / sqrt(2^lgK));
+    # at the default lgK=12 this is the documented 8% envelope. lgk is
+    # fuzz-drawn (r10 verdict #5) so the envelope is re-proven at other
+    # register counts.
+    rel = 5 * 1.04 / (2.0 ** lgk) ** 0.5
+    band = F.greatest(F.lit(2.0), F.lit(rel) * F.col("users_exact"))
     return merged.join(oneshot, ["event_type", "month30"]).select(
         "event_type",
         "month30",
@@ -287,10 +299,10 @@ def q_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-register(
-    "hll_sketch_rollup",
-    q_hll_sketch_rollup,
-    """
+def hll_sketch_rollup_sql(lgk: int = 12) -> str:
+    # lgk intentionally unused: exact counts don't move and the
+    # envelope booleans are guaranteed at every register count.
+    return """
 WITH keyed AS (
   SELECT event_type,
          CAST(floor(floor(epoch_us(ts) / 1000000) / 86400) AS BIGINT) AS day,
@@ -305,8 +317,10 @@ SELECT event_type, month30,
        TRUE AS oneshot_in_band
 FROM keyed
 GROUP BY 1, 2
-""",
-)
+"""
+
+
+register("hll_sketch_rollup", q_hll_sketch_rollup, hll_sketch_rollup_sql())
 
 
 # -- N2 extension: Bloom-filter decontamination ------------------------------

@@ -435,18 +435,17 @@ register("lang_id_heuristic", q_lang_id, _lang_sql())
 
 
 # -- N3: brute-force cosine top-k ------------------------------------------
-def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_ann_topk(spark: SparkSession, sf_dir: str, k: int = 10, nq: int = 5) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return cosine_topk(emb, F.col("vec_id") < 5, k=10)
+    return cosine_topk(emb, F.col("vec_id") < nq, k=k)
 
 
-register(
-    "ann_cosine_topk",
-    q_ann_topk,
-    """
+def ann_cosine_topk_sql(k: int = 10, nq: int = 5) -> str:
+    # k / nq parameterized for the geometry fuzzer (r10 verdict #5).
+    return f"""
 WITH q AS (
   SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
-  FROM embeddings WHERE vec_id < 5
+  FROM embeddings WHERE vec_id < {nq}
 ),
 c AS (SELECT vec_id AS cand_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
 scored AS (
@@ -461,9 +460,11 @@ SELECT query_id, cand_id, round(cos, 6) AS cos, rk FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id
                                ORDER BY cos DESC, cand_id) AS rk
   FROM scored
-) WHERE rk <= 10
-""",
-)
+) WHERE rk <= {k}
+"""
+
+
+register("ann_cosine_topk", q_ann_topk, ann_cosine_topk_sql())
 
 
 # -- N1/N3: embedding-cosine near-duplicate pairs --------------------------
@@ -537,30 +538,42 @@ WHERE list_inner_product(a.v, b.v)
 
 
 # -- N3 scale path: LSH-bucketed ANN ---------------------------------------
-def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_lsh_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 10,
+    n_planes: int = 24,
+    bands: int = 12,
+    nq: int = 5,
+) -> DataFrame:
     """Banded sign-LSH ANN under the FULL value-hash oracle gate: the
     deterministic integer-Rademacher plane family (md5-seeded +/-1
     weights over 6dp-snapped BIGINT elements — exact integer sums, no
     cross-engine float accumulation) lets DuckDB rebuild the identical
     plane matrix, band keys, candidate set and exact re-rank, so this
     approximate-ALGORITHM query has a fully deterministic OUTPUT and a
-    hash-checked oracle like every exact path (r5 verdict #3)."""
+    hash-checked oracle like every exact path (r5 verdict #3). The
+    index geometry (n_planes, bands, k) is parameterized so the
+    fuzzer re-proves the twin at other band shapes (r10 verdict #5)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return lsh_bucketed_topk(emb, F.col("vec_id") < 5, k=10)
+    return lsh_bucketed_topk(emb, F.col("vec_id") < nq, k=k, n_planes=n_planes, bands=bands)
 
 
-# DuckDB twin of _rademacher_int_projections + with_sign_band_keys at
-# n_planes=24, bands=12 (r=2 planes per band): same md5-parity weights,
-# same 6dp BIGINT element snap (round_even <-> np.round half-even; CAST
-# rounds-to-nearest <-> np.rint on the ~integer scaled value), same
-# '<band>|<bit><bit>' key format, then the exact cosine re-rank of
-# ann_cosine_topk restricted to band-sharing candidates.
-register(
-    "ann_lsh_bucketed_topk",
-    q_lsh_topk,
-    """
+def ann_lsh_bucketed_topk_sql(
+    k: int = 10, n_planes: int = 24, bands: int = 12, nq: int = 5
+) -> str:
+    # DuckDB twin of _rademacher_int_projections + with_sign_band_keys:
+    # same md5-parity weights, same 6dp BIGINT element snap (round_even
+    # <-> np.round half-even; CAST rounds-to-nearest <-> np.rint on the
+    # ~integer scaled value), same '<band>|<bits>' key format (r =
+    # n_planes/bands bits per band), then the exact cosine re-rank of
+    # ann_cosine_topk restricted to band-sharing candidates.
+    if n_planes % bands != 0:
+        raise ValueError(f"n_planes={n_planes} must be divisible by bands={bands}")
+    r = n_planes // bands
+    return f"""
 WITH dims AS (SELECT unnest(range(0, (SELECT len(CAST(embedding AS DOUBLE[])) FROM embeddings LIMIT 1))) AS d),
-planes AS (SELECT unnest(range(0, 24)) AS p),
+planes AS (SELECT unnest(range(0, {n_planes})) AS p),
 w AS (
   SELECT p, d,
          CASE WHEN CAST(('0x' || substr(md5('lshw:' || p || ':' || d), 1, 8))
@@ -579,16 +592,16 @@ proj AS (
 ),
 keys AS (
   SELECT vec_id,
-         CAST(floor(p / 2) AS BIGINT) AS band,
-         concat(CAST(floor(p / 2) AS BIGINT), '|',
+         CAST(floor(p / {r}) AS BIGINT) AS band,
+         concat(CAST(floor(p / {r}) AS BIGINT), '|',
                 string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, ''
                            ORDER BY p)) AS band_key
-  FROM proj GROUP BY vec_id, floor(p / 2)
+  FROM proj GROUP BY vec_id, floor(p / {r})
 ),
 cands AS (
   SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS cand_id
   FROM keys q JOIN keys c ON q.band_key = c.band_key
-  WHERE q.vec_id < 5 AND c.vec_id != q.vec_id
+  WHERE q.vec_id < {nq} AND c.vec_id != q.vec_id
 ),
 scored AS (
   SELECT query_id, cand_id,
@@ -604,9 +617,11 @@ SELECT query_id, cand_id, round(cos, 6) AS cos, rk FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id
                                ORDER BY cos DESC, cand_id) AS rk
   FROM scored
-) WHERE rk <= 10
-""",
-)
+) WHERE rk <= {k}
+"""
+
+
+register("ann_lsh_bucketed_topk", q_lsh_topk, ann_lsh_bucketed_topk_sql())
 
 
 # -- N4: token counting (whitespace + BPE-ish regex) -----------------------
@@ -643,29 +658,30 @@ FROM t
 
 
 # -- N3 scale path: IVF-probed ANN (deterministic -> full oracle) ----------
-def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_ivf_topk(
+    spark: SparkSession, sf_dir: str, k: int = 10, nprobe: int = 2, nq: int = 5
+) -> DataFrame:
     """IVF ANN under the FULL value-hash oracle gate (r6 verdict #2):
     the label-derived coarse quantizer runs in exact snapped-integer
     arithmetic (6dp BIGINT grid, centroids = exact integer element
     sums — cosine is scale-invariant so ranking against the sum IS
     ranking against the mean, DECIMAL(38,0) dots, ONE double
     conversion at the end), so DuckDB rebuilds the identical index,
-    cell assignment, nprobe shortlist and exact re-rank."""
+    cell assignment, nprobe shortlist and exact re-rank. nprobe / k
+    parameterized for the geometry fuzzer (r10 verdict #5)."""
     from ..operators.similarity import ivf_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return ivf_topk(emb, F.col("vec_id") < 5, k=10, nprobe=2)
+    return ivf_topk(emb, F.col("vec_id") < nq, k=k, nprobe=nprobe)
 
 
-# DuckDB twin of the integer-exact ivf_index + probe at nprobe=2, k=10:
-# same 6dp BIGINT element snap, same exact HUGEINT dot/norm² sums with
-# one final double conversion (identical IEEE sqrt/divide), same
-# (sim DESC, label) tie-break, then the left-fold double cosine re-rank
-# of ann_cosine_topk restricted to the probed inverted lists.
-register(
-    "ann_ivf_topk",
-    q_ivf_topk,
-    """
+def ann_ivf_topk_sql(k: int = 10, nprobe: int = 2, nq: int = 5) -> str:
+    # DuckDB twin of the integer-exact ivf_index + probe: same 6dp
+    # BIGINT element snap, same exact HUGEINT dot/norm² sums with one
+    # final double conversion (identical IEEE sqrt/divide), same
+    # (sim DESC, label) tie-break, then the left-fold double cosine
+    # re-rank of ann_cosine_topk restricted to the probed lists.
+    return f"""
 WITH dims AS (SELECT unnest(range(0, (SELECT len(CAST(embedding AS DOUBLE[])) FROM embeddings LIMIT 1))) AS d),
 e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 el AS (
@@ -698,7 +714,7 @@ ranked AS (
 assign AS (SELECT vec_id AS cand_id, label AS cell FROM ranked WHERE rk = 1),
 qcells AS (
   SELECT vec_id AS query_id, label AS cell FROM ranked
-  WHERE vec_id < 5 AND rk <= 2
+  WHERE vec_id < {nq} AND rk <= {nprobe}
 ),
 cands AS (
   SELECT q.query_id, a.cand_id
@@ -719,22 +735,27 @@ SELECT query_id, cand_id, round(cos, 6) AS cos, rk FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id
                                ORDER BY cos DESC, cand_id) AS rk
   FROM scored
-) WHERE rk <= 10
-""",
-)
+) WHERE rk <= {k}
+"""
 
 
-def q_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+register("ann_ivf_topk", q_ivf_topk, ann_ivf_topk_sql())
+
+
+def q_ivf_kmeans_topk(
+    spark: SparkSession, sf_dir: str, k: int = 10, nprobe: int = 3
+) -> DataFrame:
     """IVF-ANN with a real (seeded MLlib KMeans) coarse quantizer,
-    nprobe=3 of 10 cells — run over the corpus plus k deterministic
+    nprobe of 10 cells — run over the corpus plus k deterministic
     PLANTED near-neighbors per query (scaled copies: cos = 1, same
     nearest centroid as the query under any converged clustering) and
     folded into the tolerance-band contract (r9 verdict #3):
-    (query_id, n_retrieved, planted_recall_ok >= 9/10). Which NATURAL
-    candidates make the probed cells is impl-defined and stays out of
-    the hash; a mis-assigned inverted list or broken probe now fails
-    the driver gate (RECALL.json planted min_recall 1.0 at nprobe=3,
-    so the floor has slack). The raw-top-k operator
+    (query_id, n_retrieved, planted_recall_ok >= (k-1)/k). Which
+    NATURAL candidates make the probed cells is impl-defined and stays
+    out of the hash; a mis-assigned inverted list or broken probe now
+    fails the driver gate (RECALL.json planted min_recall 1.0 at
+    nprobe=3, so the floor has slack). k / nprobe parameterized for
+    the geometry fuzzer (r10 verdict #5); the raw-top-k operator
     (operators/similarity.ivf_kmeans_topk) is unchanged; noise-floor
     recall evidence lives in tools/recall.py."""
     from ..operators.similarity import (
@@ -744,21 +765,24 @@ def q_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    corpus = planted_neighbors_corpus(emb, k=10)
-    topk = ivf_kmeans_topk(corpus, F.col("vec_id") < 5, k=10, nprobe=3)
-    return planted_recall_gate(topk, "query_id", k=10, floor=9)
+    corpus = planted_neighbors_corpus(emb, k=k)
+    topk = ivf_kmeans_topk(corpus, F.col("vec_id") < 5, k=k, nprobe=nprobe)
+    return planted_recall_gate(topk, "query_id", k=k, floor=k - 1)
 
 
-register(
-    "ann_ivf_kmeans_topk",
-    q_ivf_kmeans_topk,
-    """
+def ann_ivf_kmeans_topk_sql(k: int = 10, nprobe: int = 3) -> str:
+    # nprobe intentionally unused: the recall contract must hold at
+    # ANY probed width >= 1 (planted copies share the query's nearest
+    # centroid) — the fuzz draws prove that invariance.
+    return f"""
 SELECT CAST(vec_id AS BIGINT) AS query_id,
-       CAST(10 AS BIGINT) AS n_retrieved,
+       CAST({k} AS BIGINT) AS n_retrieved,
        TRUE AS planted_recall_ok
 FROM embeddings WHERE vec_id < 5 ORDER BY 1
-""",
-)
+"""
+
+
+register("ann_ivf_kmeans_topk", q_ivf_kmeans_topk, ann_ivf_kmeans_topk_sql())
 
 
 # -- N3 dimensionality reduction: distributed PCA --------------------------

@@ -67,6 +67,7 @@ def _targets():
     from dataframe_retail_e_inventarios_spark.plans import (
         queries_core as qc,
         queries_curation as qcur,
+        queries_datacleaning as qdc,
         queries_extra as qe,
         queries_llm as qllm,
         queries_modern as qm,
@@ -355,6 +356,87 @@ def _targets():
             lambda r: dict(
                 threshold=r.choice([0.04, 0.06, 0.08, 0.3, 0.9, 0.95])
             ),
+        ),
+        # round-11: ANN-index / sketch GEOMETRY (r10 verdict #5) — the
+        # parameters that decide recall and band correctness the way
+        # time geometry decided bucket edges. Deterministic-twin
+        # queries (cosine/LSH/IVF) rebuild BOTH engines' index from
+        # each draw, so a geometry-dependent divergence (band key
+        # packing, probe rank ties, top-k cutoff) fails the hash;
+        # planted-recall / tolerance-band queries re-prove the
+        # contract booleans at every precision.
+        "ann_cosine_topk": (
+            qllm.q_ann_topk,
+            qllm.ann_cosine_topk_sql,
+            lambda r: dict(k=r.randint(3, 20), nq=r.randint(2, 8)),
+        ),
+        "ann_lsh_bucketed_topk": (
+            qllm.q_lsh_topk,
+            qllm.ann_lsh_bucketed_topk_sql,
+            lambda r: dict(
+                k=r.randint(5, 15),
+                nq=r.randint(3, 7),
+                **r.choice(
+                    [
+                        dict(n_planes=24, bands=12),
+                        dict(n_planes=16, bands=8),
+                        dict(n_planes=24, bands=8),
+                        dict(n_planes=32, bands=16),
+                        dict(n_planes=24, bands=6),
+                        dict(n_planes=16, bands=4),
+                    ]
+                ),
+            ),
+        ),
+        "ann_ivf_topk": (
+            qllm.q_ivf_topk,
+            qllm.ann_ivf_topk_sql,
+            lambda r: dict(
+                k=r.randint(5, 15), nprobe=r.randint(1, 4), nq=r.randint(3, 7)
+            ),
+        ),
+        "ann_ivf_kmeans_topk": (
+            qllm.q_ivf_kmeans_topk,
+            qllm.ann_ivf_kmeans_topk_sql,
+            lambda r: dict(k=r.choice([5, 8, 10, 12]), nprobe=r.randint(2, 4)),
+        ),
+        "ann_pq_topk": (
+            qsc.q_ann_pq_topk,
+            qsc.ann_pq_topk_sql,
+            lambda r: dict(
+                k=r.choice([5, 8, 10, 12]),
+                m=r.choice([4, 8, 16]),
+                shortlist=r.choice([60, 100, 150]),
+            ),
+        ),
+        "profile_lineitem_columns_approx": (
+            qsc.q_profile_lineitem_approx,
+            qsc.profile_lineitem_columns_approx_sql,
+            lambda r: dict(rsd=r.choice([0.02, 0.03, 0.05, 0.08, 0.1])),
+        ),
+        "events_value_histogram": (
+            qsc.q_events_value_histogram,
+            qsc.events_value_histogram_sql,
+            lambda r: dict(
+                lo=0.0,
+                hi=r.choice([50.0, 100.0, 200.0]),
+                n_bins=r.choice([5, 10, 16, 20, 40]),
+            ),
+        ),
+        "approx_quantiles_events": (
+            qsc.q_approx_quantiles,
+            qsc.approx_quantiles_events_sql,
+            lambda r: dict(accuracy=r.choice([100, 1000, 10000, 50000])),
+        ),
+        "approx_distinct_users": (
+            qdc.q_approx_distinct,
+            qdc.approx_distinct_users_sql,
+            lambda r: dict(rsd=r.choice([0.02, 0.03, 0.05, 0.08, 0.1])),
+        ),
+        "hll_sketch_rollup": (
+            qdc.q_hll_sketch_rollup,
+            qdc.hll_sketch_rollup_sql,
+            lambda r: dict(lgk=r.choice([11, 12, 13, 14])),
         ),
     }
 
