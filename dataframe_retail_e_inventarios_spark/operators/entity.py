@@ -88,28 +88,50 @@ def blocked_levenshtein_pairs(
     #    O(len·max_dist) algorithm with early exit and returns -1 past
     #    the threshold; within it, it returns the true distance — the
     #    kept rows are bitwise identical to the unbounded form.
+    # 3. r11 investigation (r10 verdict #6, 32x decade): a PassJoin-
+    #    style d=1 pigeonhole segment key (one edit leaves the first m
+    #    or last m chars intact when 2m <= min_len - 1) was prototyped
+    #    here in three shapes — pair-dedup, union-of-two-joins, and a
+    #    single 4-part-key join with a disjointness residual — to
+    #    shrink buckets from "same (block, length)" to "same half-
+    #    name". All three measured SLOWER at the 32x point (276 s /
+    #    448 s / 479 s vs 274 s) because this corpus's cost is the
+    #    OUTPUT, not the probes: part names repeat in ~300-member
+    #    exact-duplicate groups, so candidate volume ~= output volume
+    #    under ANY key, and the segment machinery only added exploded
+    #    rows and join lanes. The decisive measurement: pair
+    #    throughput is CONSTANT across scales on the plain key
+    #    (3.12 M pairs / 8.5 s at sf0.1, 99.94 M / 273 s at 32x —
+    #    365 k pairs/s both, cold-vs-cold ratio 32.1 = k). The plain
+    #    (block, length) key is therefore kept; the pigeonhole
+    #    losslessness property (the part a segment key must never
+    #    break) stays pinned by the brute-force differential in
+    #    tests/test_entity.py. If a future corpus hits the OTHER
+    #    regime — fixed blocking vocabulary, buckets growing with the
+    #    corpus, few true matches — the segment key is the published
+    #    fix (PassJoin); resurrect it from this file's history and
+    #    re-measure there.
     probe = t.withColumn(
         "lkey",
         F.explode(F.sequence(F.col("ln") - max_dist, F.col("ln") + max_dist)),
     )
     a, b = probe.alias("a"), t.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.blk") == F.col("b.blk"))
+        & (F.col("a.lkey") == F.col("b.ln"))
+        & (F.col("a.eid") < F.col("b.eid")),
+    ).select(
+        F.col("a.eid").alias("id_a"),
+        F.col("b.eid").alias("id_b"),
+        F.col("a.name").alias("name_a"),
+        F.col("b.name").alias("name_b"),
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.blk") == F.col("b.blk"))
-            & (F.col("a.lkey") == F.col("b.ln"))
-            & (F.col("a.eid") < F.col("b.eid")),
-        )
-        .withColumn(
+        pairs.withColumn(
             "lev",
-            F.levenshtein(F.col("a.name"), F.col("b.name"), max_dist).cast("long"),
+            F.levenshtein(F.col("name_a"), F.col("name_b"), max_dist).cast("long"),
         )
         .filter((F.col("lev") >= 0) & (F.col("lev") <= max_dist))
-        .select(
-            F.col("a.eid").alias("id_a"),
-            F.col("b.eid").alias("id_b"),
-            F.col("a.name").alias("name_a"),
-            F.col("b.name").alias("name_b"),
-            "lev",
-        )
+        .select("id_a", "id_b", "name_a", "name_b", "lev")
     )

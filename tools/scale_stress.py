@@ -170,16 +170,34 @@ def build_scaled(spark, base_dir: str, k: int, out_dir: str) -> None:
         scaled.write.mode("overwrite").parquet(dst)
 
 
-def time_query(qs, name: str, sf_dir: str) -> float:
-    t0 = time.time()
-    qs[name](SPARK, sf_dir).count()
-    return round(time.time() - t0, 2)
+def time_query(qs, name: str, sf_dir: str, runs: int = 2) -> float:
+    """min-of-N (r11: was single-shot — the r10-verdict-#6 32x point
+    first read ratio 60, then 48, then 32.1 purely from base-leg
+    variance of a ~5 s query on a busy box; the stress RATIO is the
+    evidence, so both legs get the same min-of-2 the bench's light
+    group uses)."""
+    best = None
+    for _ in range(runs):
+        t0 = time.time()
+        qs[name](SPARK, sf_dir).count()
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    return round(best, 2)
 
 
 def main() -> None:
     global SPARK
-    k = int(sys.argv[1]) if len(sys.argv) > 1 else 8
-    base = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    argv = list(sys.argv[1:])
+    only: list[str] = []
+    if "--queries" in argv:
+        # r10 verdict #6: a deeper decade (32x/64x) is affordable only
+        # for a targeted subset — the queries whose blocked/prefix-
+        # filter math carries the heaviest scale load.
+        i = argv.index("--queries")
+        only = [q for q in argv[i + 1].split(",") if q]
+        del argv[i : i + 2]
+    k = int(argv[0]) if argv else 8
+    base = argv[1] if len(argv) > 1 else "/root/testdata/sf0.1"
     # _v2 (in scaled_fixture_dir): the pre-r9-review fixture lacked
     # scaled orders — a stale cached dir would silently reproduce the
     # vacuous-join measurement.
@@ -190,8 +208,15 @@ def main() -> None:
 
     qs = queries()
     qs["flagship_inventory"](SPARK, "/root/testdata/sf0.001").count()  # warm
+    stress = STRESS_QUERIES
+    if only:
+        stress = [(n, t) for n, t in STRESS_QUERIES if n in only]
+        missing = set(only) - {n for n, _ in stress}
+        if missing:
+            print(f"unknown stress queries: {sorted(missing)}", file=sys.stderr)
+            raise SystemExit(2)
     results = {}
-    for name, table in STRESS_QUERIES:
+    for name, table in stress:
         t_base = time_query(qs, name, base)
         t_big = time_query(qs, name, out)
         ratio = round(t_big / max(t_base, 1e-9), 1)
