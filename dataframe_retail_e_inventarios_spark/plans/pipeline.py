@@ -60,7 +60,9 @@ def forecast_inventory(
     ensemble, zero Python UDFs, oracle-checkable.
     ``use_models=True``: routes per-series model fitting through the
     applyInPandas port (Prophet/Holt-Winters when installed).
-    Both return the reference's result schema.
+    Both return the reference's result schema (the UDF path appends
+    one extra diagnostic column, MA_Member — the deterministic
+    moving-average member the certificate query hash-gates).
     """
     keys = keys or KEYS
     if use_models:

@@ -43,3 +43,17 @@ for f in "MATRIX_${TAG}.json" "FUZZ_${TAG}.json" "FUZZ_${TAG}_tz.json" \
 done
 git status --short
 echo "close_round: artifacts staged — commit them now."
+cat <<'CHECKLIST'
+close_round MANUAL CHECKLIST (r10 verdict #7 — the audits that caught
+the r9 Q21 overclaim and the r10 vacuous plan test; do them, they are
+cheap and they have each caught a real bug):
+  [ ] docstring-vs-plan audit: for every query CHANGED this round,
+      re-read its docstring claims (shuffle count, broadcast, pruned
+      scan, no-Expand, single-exchange) against PLANS.md / an
+      .explain("formatted") — claims must match the CURRENT plan.
+  [ ] plan-test vacuity audit: any NEW plan-shape test must fail when
+      its target optimization is reverted (try it), not match
+      trivially against a literal that is always present.
+  [ ] BENCH_full.json load_warning must be false (load gate r10 #2);
+      if true, rerun bench on an idle box before committing.
+CHECKLIST
