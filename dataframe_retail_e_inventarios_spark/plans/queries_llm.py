@@ -157,36 +157,66 @@ FROM ds_h GROUP BY doc_id
 )
 
 
-def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_minhash_lsh(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.3,
+    k: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """MinHash-LSH dedup under the full value-hash gate. The index
+    geometry (k signature rows x band count, plus the verify
+    threshold) is parameterized for the fuzzer (r11: the geometry
+    sweep extended to the dedup family) — DuckDB rebuilds the same
+    universal-hash permutations, band keys and exact-Jaccard verify
+    at every drawn (k, bands, threshold)."""
     return minhash_lsh_pairs(
-        load_table(spark, sf_dir, "documents"), threshold=0.3, k=16, bands=4,
-        max_df=MAX_DF,
+        load_table(spark, sf_dir, "documents"), threshold=threshold, k=k,
+        bands=bands, max_df=MAX_DF,
     )
 
 
+# Fixed 16x4 band columns for the incremental-index and estimator-error
+# oracles (their geometry stays at the registered default; only
+# dedup_minhash_lsh itself is geometry-fuzzed).
 _BANDS = ",\n  ".join(
     "concat_ws('|', '%d', %s) AS band%d"
     % (b, ", ".join(f"h{b * 4 + r}" for r in range(4)), b)
     for b in range(4)
 )
-register(
-    "dedup_minhash_lsh",
-    q_minhash_lsh,
-    f"""
+
+
+def _band_exprs_sql(k: int, bands: int) -> tuple[str, str]:
+    """(band column SELECT list, band list for unnest) mirroring
+    minhash_lsh_pairs_from_index's concat_ws('|', band_no, h...)."""
+    if k % bands != 0:
+        raise ValueError(f"k={k} must be divisible by bands={bands}")
+    rows = k // bands
+    cols = ",\n  ".join(
+        "concat_ws('|', '%d', %s) AS band%d"
+        % (b, ", ".join(f"h{b * rows + r}" for r in range(rows)), b)
+        for b in range(bands)
+    )
+    return cols, ", ".join(f"band{b}" for b in range(bands))
+
+
+def dedup_minhash_lsh_sql(threshold: float = 0.3, k: int = 16, bands: int = 4) -> str:
+    band_cols, band_list = _band_exprs_sql(k, bands)
+    return f"""
 WITH {_SHINGLE_INDEX_SQL.strip()},
 ds_h AS (SELECT doc_id, {_HS} AS hs FROM ds),
 sig AS (
   SELECT doc_id,
-  {_minhash_aggs_sql(16)}
+  {_minhash_aggs_sql(k)}
   FROM ds_h GROUP BY doc_id
 ),
 banded AS (
   SELECT doc_id,
-  {_BANDS}
+  {band_cols}
   FROM sig
 ),
 melted AS (
-  SELECT doc_id, unnest([band0, band1, band2, band3]) AS band_key FROM banded
+  SELECT doc_id, unnest([{band_list}]) AS band_key FROM banded
 ),
 cands AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -195,9 +225,11 @@ cands AS (
 )
 SELECT c.id_a, c.id_b, round(j.jaccard, 4) AS jaccard
 FROM cands c JOIN jac j ON c.id_a = j.id_a AND c.id_b = j.id_b
-WHERE j.jaccard >= 0.3
-""",
-)
+WHERE j.jaccard >= {threshold}
+"""
+
+
+register("dedup_minhash_lsh", q_minhash_lsh, dedup_minhash_lsh_sql())
 
 
 # -- N2: incremental LSH-index dedup maintenance ---------------------------

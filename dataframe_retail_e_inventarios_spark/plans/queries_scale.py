@@ -290,7 +290,9 @@ FROM t
 EWMA_ALPHA = 0.3
 
 
-def q_ewma_weekly_demand(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_ewma_weekly_demand(
+    spark: SparkSession, sf_dir: str, alpha: float = EWMA_ALPHA
+) -> DataFrame:
     """Per-series exponentially weighted demand level over observed
     weeks: s_1 = x_1, s_t = α·x_t + (1-α)·s_{t-1} — the recursive
     form, not the (1-α)^(-j) prefix-sum trick that overflows doubles
@@ -314,7 +316,7 @@ def q_ewma_weekly_demand(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda s: s["units_sold"],
         ).alias("xs"),
     )
-    a = EWMA_ALPHA
+    a = alpha
     ewma = F.aggregate(
         F.slice(F.col("xs"), 2, F.greatest(F.size("xs") - 1, F.lit(0))),
         F.element_at(F.col("xs"), 1),
@@ -334,10 +336,10 @@ def q_ewma_weekly_demand(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-register(
-    "ewma_weekly_demand",
-    q_ewma_weekly_demand,
-    f"""
+def ewma_weekly_demand_sql(alpha: float = EWMA_ALPHA) -> str:
+    # alpha is injected via repr (shortest round-trip float), so both
+    # engines fold the SAME double — fuzz-drawn on a clean grid.
+    return f"""
 WITH {_OF.CLEAN_SALES_CTE.strip()},
 {_OF.WEEKLY_CTE.strip()},
 series AS (
@@ -347,10 +349,12 @@ series AS (
 )
 SELECT product_id, store_id, n_weeks, last_week,
        round_even(list_reduce(xs, (acc, x) ->
-             {EWMA_ALPHA}::DOUBLE * x + (1::DOUBLE - {EWMA_ALPHA}::DOUBLE) * acc) * 10000.0, 0) / 10000.0 AS ewma
+             {alpha!r}::DOUBLE * x + (1::DOUBLE - {alpha!r}::DOUBLE) * acc) * 10000.0, 0) / 10000.0 AS ewma
 FROM series
-""",
-)
+"""
+
+
+register("ewma_weekly_demand", q_ewma_weekly_demand, ewma_weekly_demand_sql())
 
 
 # -- z-score demand anomalies ----------------------------------------------
@@ -784,7 +788,9 @@ FROM scored
 CROSTON_ALPHA = 0.1
 
 
-def q_croston_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_croston_forecast(
+    spark: SparkSession, sf_dir: str, alpha: float = CROSTON_ALPHA
+) -> DataFrame:
     """Croston (1972) per dense series — THE forecaster for the
     intermittent/lumpy classes demand_intermittency identifies, where
     plain smoothing biases toward zero: exponentially smooth the
@@ -820,7 +826,7 @@ def q_croston_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("gaps"),
     )
 
-    a = CROSTON_ALPHA
+    a = alpha
 
     def fold(arr):
         return F.aggregate(
@@ -846,10 +852,8 @@ def q_croston_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-register(
-    "croston_forecast",
-    q_croston_forecast,
-    f"""
+def croston_forecast_sql(alpha: float = CROSTON_ALPHA) -> str:
+    return f"""
 WITH {_OF.CLEAN_SALES_CTE.strip()},
 {_OF.WEEKLY_CTE.strip()},
 {_OF.DENSE_CTE.strip()},
@@ -870,17 +874,19 @@ series AS (
 , folded AS (
   SELECT product_id, store_id, n_occ,
          round_even(
-           list_reduce(sizes, (acc, x) -> {CROSTON_ALPHA}::DOUBLE * x + (1::DOUBLE - {CROSTON_ALPHA}::DOUBLE) * acc)
-           / list_reduce(gaps, (acc, x) -> {CROSTON_ALPHA}::DOUBLE * x + (1::DOUBLE - {CROSTON_ALPHA}::DOUBLE) * acc)
+           list_reduce(sizes, (acc, x) -> {alpha!r}::DOUBLE * x + (1::DOUBLE - {alpha!r}::DOUBLE) * acc)
+           / list_reduce(gaps, (acc, x) -> {alpha!r}::DOUBLE * x + (1::DOUBLE - {alpha!r}::DOUBLE) * acc)
            * 10000.0, 0) / 10000.0 AS croston_demand_per_week
   FROM series
   WHERE n_occ >= 4
 )
 SELECT product_id, store_id, n_occ, croston_demand_per_week,
-       round_even(croston_demand_per_week * (1::DOUBLE - {CROSTON_ALPHA}::DOUBLE / 2) * 10000.0, 0) / 10000.0 AS sba_demand_per_week
+       round_even(croston_demand_per_week * (1::DOUBLE - {alpha!r}::DOUBLE / 2) * 10000.0, 0) / 10000.0 AS sba_demand_per_week
 FROM folded
-""",
-)
+"""
+
+
+register("croston_forecast", q_croston_forecast, croston_forecast_sql())
 
 
 # -- newsvendor quantile stock level ---------------------------------------

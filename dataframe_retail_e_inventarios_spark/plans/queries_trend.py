@@ -244,7 +244,12 @@ HOLT_HORIZON = 4
 HOLT_FIT_WEEKS = 104
 
 
-def q_holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_holt_linear_forecast(
+    spark: SparkSession,
+    sf_dir: str,
+    alpha: float = HOLT_ALPHA,
+    beta: float = HOLT_BETA,
+) -> DataFrame:
     """Holt's linear method per dense product series — the trend-aware
     member of the recursive-smoothing family (EWMA = level only,
     Croston = intermittent): l_t = αx_t + (1−α)(l_{t−1}+b_{t−1}),
@@ -283,7 +288,7 @@ def q_holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             HOLT_FIT_WEEKS,
         ),
     )
-    a, b = HOLT_ALPHA, HOLT_BETA
+    a, b = alpha, beta
     pairs = F.transform(
         F.col("xs"), lambda x: F.struct(x.alias("l"), F.lit(0.0).alias("b"))
     )
@@ -322,16 +327,17 @@ def q_holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
 # joins element t+1 and computes (l, b) from the PREVIOUS row only.
 # Constants are pre-folded in Python (0.7 = 1-α etc.) so both engines
 # parse the identical double literal.
-_A = repr(HOLT_ALPHA)
-_1A = repr(1 - HOLT_ALPHA)
-_B = repr(HOLT_BETA)
-_1B = repr(1 - HOLT_BETA)
-_LNEW = f"{_A}::DOUBLE * x.x + {_1A}::DOUBLE * (r.l + r.b)"
 
-register(
-    "holt_linear_forecast",
-    q_holt_linear_forecast,
-    f"""
+
+def holt_linear_forecast_sql(
+    alpha: float = HOLT_ALPHA, beta: float = HOLT_BETA
+) -> str:
+    _A = repr(alpha)
+    _1A = repr(1 - alpha)
+    _B = repr(beta)
+    _1B = repr(1 - beta)
+    _LNEW = f"{_A}::DOUBLE * x.x + {_1A}::DOUBLE * (r.l + r.b)"
+    return f"""
 WITH RECURSIVE {_OF.CLEAN_SALES_CTE.strip()},
 weekly AS (
   SELECT product_id,
@@ -382,8 +388,10 @@ SELECT r.product_id, n.n_weeks,
        {_R4_SQL.format(x='r.b')} AS trend,
        {_R4_SQL.format(x=f'greatest(r.l + {HOLT_HORIZON} * r.b, 0.0::DOUBLE)')} AS forecast_h4
 FROM rec r JOIN nmax n ON r.product_id = n.product_id AND r.t = n.n_fit
-""",
-)
+"""
+
+
+register("holt_linear_forecast", q_holt_linear_forecast, holt_linear_forecast_sql())
 
 
 # -- PageRank over the event-transition graph ------------------------------
@@ -392,7 +400,12 @@ PR_ITERS = 5
 _PR_SCALE = 1_000_000_000_000.0  # 1e12: quantize per-iteration sums exact
 
 
-def q_pagerank_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_pagerank_events(
+    spark: SparkSession,
+    sf_dir: str,
+    damping: float = PR_DAMPING,
+    iters: int = PR_ITERS,
+) -> DataFrame:
     """PageRank centrality of event types in the first-order behavior
     graph (edges = consecutive-event transition counts, the same graph
     as event_transition_matrix): which states do user journeys
@@ -436,8 +449,8 @@ def q_pagerank_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ew = ew.localCheckpoint(eager=True)
     out_tot = out_tot.localCheckpoint(eager=True)
     rank = rank.localCheckpoint(eager=True)
-    d = PR_DAMPING
-    for _ in range(PR_ITERS):
+    d = damping
+    for _ in range(iters):
         dangling = (
             rank.join(out_tot, rank["node"] == out_tot["src"], "left_anti")
             .agg(
@@ -477,8 +490,10 @@ def q_pagerank_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pr_oracle() -> str:
-    d = PR_DAMPING
+def pagerank_event_graph_sql(
+    damping: float = PR_DAMPING, iters: int = PR_ITERS
+) -> str:
+    d = repr(damping)
     sc = _PR_SCALE
     cte = [
         """
@@ -497,7 +512,7 @@ out_tot AS (SELECT src, sum(n) AS out_n FROM edges GROUP BY 1),
 ew AS (SELECT src, dst, n / out_n AS wgt FROM edges JOIN out_tot USING (src)),
 pr0 AS (SELECT node, 1.0::DOUBLE / n_nodes AS pr FROM nodes CROSS JOIN nn)"""
     ]
-    for k in range(PR_ITERS):
+    for k in range(iters):
         cte.append(
             f"""
 dang{k} AS (
@@ -524,13 +539,13 @@ pr{k + 1} AS (
         body
         + f"""
 SELECT node, {_R4_SQL.format(x=f'pr * 10000.0')} AS pr_x10k
-FROM pr{PR_ITERS}
+FROM pr{iters}
 ORDER BY node
 """
     )
 
 
-register("pagerank_event_graph", q_pagerank_events, _pr_oracle())
+register("pagerank_event_graph", q_pagerank_events, pagerank_event_graph_sql())
 
 
 # -- Gopher-style document quality rules -----------------------------------
@@ -713,7 +728,11 @@ THETA_ALPHA = 0.3
 
 
 def q_theta_forecast(
-    spark: SparkSession, sf_dir: str, *, sales: DataFrame | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    alpha: float = THETA_ALPHA,
+    *,
+    sales: DataFrame | None = None,
 ) -> DataFrame:
     """Theta method (Assimakopoulos & Nikolopoulos 2000) per dense
     product series: decompose into the theta=0 line (the OLS linear
@@ -773,7 +792,7 @@ def q_theta_forecast(
     slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
     intercept = (sy - slope * sx) / n
 
-    a = THETA_ALPHA
+    a = alpha
     ys = F.col("ys")
     z = F.transform(
         F.sequence(F.lit(1).cast("long"), n),
@@ -795,10 +814,8 @@ def q_theta_forecast(
     )
 
 
-register(
-    "theta_forecast",
-    q_theta_forecast,
-    f"""
+def theta_forecast_sql(alpha: float = THETA_ALPHA) -> str:
+    return f"""
 WITH {_OF.CLEAN_SALES_CTE.strip()},
 weekly AS (
   SELECT product_id,
@@ -856,7 +873,7 @@ zline AS (
 folded AS (
   SELECT product_id, n, slope, intercept,
          list_reduce(z, (acc, x) ->
-             {THETA_ALPHA}::DOUBLE * x + (1::DOUBLE - {THETA_ALPHA}::DOUBLE) * acc) AS ses
+             {alpha!r}::DOUBLE * x + (1::DOUBLE - {alpha!r}::DOUBLE) * acc) AS ses
   FROM zline
 )
 SELECT product_id, n,
@@ -864,8 +881,10 @@ SELECT product_id, n,
        {_R4_SQL.format(x=f'intercept + slope * (n + {HOLT_HORIZON})')} AS linear_h4,
        {_R4_SQL.format(x=f'greatest(0.5::DOUBLE * (intercept + slope * (n + {HOLT_HORIZON})) + 0.5::DOUBLE * ses, 0.0::DOUBLE)')} AS theta_forecast_h4
 FROM folded
-""",
-)
+"""
+
+
+register("theta_forecast", q_theta_forecast, theta_forecast_sql())
 
 
 # -- Mann-Kendall trend test -----------------------------------------------

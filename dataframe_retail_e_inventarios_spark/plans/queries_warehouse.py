@@ -1599,7 +1599,9 @@ FROM ranked
 )
 
 
-def q_time_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_time_decay_attribution(
+    spark: SparkSession, sf_dir: str, window_h: int = 24
+) -> DataFrame:
     """Time-decay multi-touch attribution completing the first/last/
     U-shaped family: touches assigned to the same user's next purchase
     within 24h (the shared forward-window pass), each weighted by
@@ -1631,7 +1633,9 @@ def q_time_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lead_s"
         ),
     ).filter(
-        (~is_p) & F.col("conv_event_id").isNotNull() & (F.col("lead_s") <= 86400)
+        (~is_p)
+        & F.col("conv_event_id").isNotNull()
+        & (F.col("lead_s") <= window_h * 3600)
     )
     hours = F.floor(F.col("lead_s") / 3600).cast("long")
     w_scaled = F.bround(F.lit(1e6) / (F.lit(1) + hours), 0).cast("long")
@@ -1649,10 +1653,10 @@ def q_time_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-register(
-    "time_decay_attribution",
-    q_time_decay_attribution,
-    """
+def time_decay_attribution_sql(window_h: int = 24) -> str:
+    # window_h fuzz-drawn: the attribution window is the one constant
+    # whose edges decide which touches share a conversion.
+    return f"""
 WITH t AS (
   SELECT event_id, user_id, ts, event_type,
          first_value(CASE WHEN event_type = 'purchase' THEN event_id END IGNORE NULLS)
@@ -1672,7 +1676,7 @@ touches AS (
                                           / 3600)), 0) AS BIGINT) AS w_scaled
   FROM t
   WHERE event_type != 'purchase' AND conv_event_id IS NOT NULL
-    AND conv_es - floor(epoch_us(ts) / 1000000) <= 86400
+    AND conv_es - floor(epoch_us(ts) / 1000000) <= {window_h * 3600}
 )
 SELECT conv_event_id, user_id, event_id AS touch_event_id, event_type,
        hours_before,
@@ -1680,8 +1684,10 @@ SELECT conv_event_id, user_id, event_id AS touch_event_id, event_type,
                   / CAST(sum(w_scaled) OVER (PARTITION BY conv_event_id)
                          AS DOUBLE), 6) + 0.0 AS decay_share
 FROM touches
-""",
-)
+"""
+
+
+register("time_decay_attribution", q_time_decay_attribution, time_decay_attribution_sql())
 
 
 # ---------------------------------------------------------------------------

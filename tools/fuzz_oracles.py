@@ -77,6 +77,7 @@ def _targets():
         queries_sql as qsql,
         queries_stats as qst,
         queries_streaming as qstr,
+        queries_trend as qtr,
         queries_warehouse as qw,
     )
 
@@ -437,6 +438,68 @@ def _targets():
             qdc.q_hll_sketch_rollup,
             qdc.hll_sketch_rollup_sql,
             lambda r: dict(lgk=r.choice([11, 12, 13, 14])),
+        ),
+        # round-11 part 2: the dedup-index geometry everyone actually
+        # tunes (k signature rows x band count decides the LSH
+        # s-curve), plus the recursive-smoothing constants (EWMA /
+        # Croston / Holt / Theta / PageRank damping) — each draw
+        # re-proves the sequential fold agrees bit-for-bit across
+        # engines at a different recursion geometry — and the
+        # attribution window whose edges decide which touches share a
+        # conversion. Alphas drawn on clean two-decimal grids so both
+        # engines parse the identical double literal.
+        "dedup_minhash_lsh": (
+            qllm.q_minhash_lsh,
+            qllm.dedup_minhash_lsh_sql,
+            lambda r: dict(
+                threshold=r.choice([0.2, 0.3, 0.5, 0.9]),
+                **r.choice(
+                    [
+                        dict(k=16, bands=4),
+                        dict(k=24, bands=8),
+                        dict(k=32, bands=4),
+                        dict(k=16, bands=8),
+                        dict(k=12, bands=6),
+                        dict(k=24, bands=4),
+                    ]
+                ),
+            ),
+        ),
+        "ewma_weekly_demand": (
+            qsc.q_ewma_weekly_demand,
+            qsc.ewma_weekly_demand_sql,
+            lambda r: dict(alpha=r.choice([0.1, 0.2, 0.25, 0.3, 0.5, 0.7, 0.9])),
+        ),
+        "croston_forecast": (
+            qsc.q_croston_forecast,
+            qsc.croston_forecast_sql,
+            lambda r: dict(alpha=r.choice([0.05, 0.1, 0.2, 0.3, 0.5])),
+        ),
+        "holt_linear_forecast": (
+            qtr.q_holt_linear_forecast,
+            qtr.holt_linear_forecast_sql,
+            lambda r: dict(
+                alpha=r.choice([0.2, 0.3, 0.5, 0.7]),
+                beta=r.choice([0.05, 0.1, 0.2, 0.3]),
+            ),
+        ),
+        "theta_forecast": (
+            qtr.q_theta_forecast,
+            qtr.theta_forecast_sql,
+            lambda r: dict(alpha=r.choice([0.1, 0.2, 0.3, 0.5, 0.7])),
+        ),
+        "pagerank_event_graph": (
+            qtr.q_pagerank_events,
+            qtr.pagerank_event_graph_sql,
+            lambda r: dict(
+                damping=r.choice([0.7, 0.8, 0.85, 0.9]),
+                iters=r.randint(3, 6),
+            ),
+        ),
+        "time_decay_attribution": (
+            qw.q_time_decay_attribution,
+            qw.time_decay_attribution_sql,
+            lambda r: dict(window_h=r.choice([6, 12, 24, 48, 72])),
         ),
     }
 
