@@ -33,66 +33,15 @@ def register(name: str, fn: QueryFn, oracle: str | None) -> None:
 # listed still follows, in registration order, and tools/matrix.py
 # sweeps the full registry every round regardless (MATRIX_r{N}.json).
 _PRIORITY = [
-    # r11 front-load (r10 verdict #1 + #8): first the two queries
-    # converted this round from rows-only to deterministic-sub-output
-    # hash gates (their first possible hash rows) -> rows-only is now
-    # 0 by design; then the driver budget rotates onto the STALEST
-    # certificates (computed from artifacts/r*/CORRECTNESS*: last-cert
-    # round per query) -- the full r4 vintage (33 queries), then the
-    # r5 vintage alphabetically until the 50-row budget is spent. The
-    # remaining r5 names ride along for the r12 rotation.
-    "embedding_pca_projection",
-    "forecast_udf_ensemble",
-    # r4-vintage (last driver certificate: round 4), alphabetical:
-    "doc_chunks",
-    "dq_constraint_audit",
-    "eoq_order_quantity",
-    "events_props_variant",
-    "events_sliding_counts",
-    "events_value_histogram",
-    "forecast_udf_ensemble_native",
-    "grouping_sets_revenue",
-    "holiday_demand_lift",
-    "label_centroids",
-    "mann_kendall_trend",
-    "map_returnflag_pivot",
-    "newsvendor_stock_level",
-    "ols_demand_trend",
-    "order_linenumber_gaps",
-    "percentile_disc_quantity",
-    "pii_redaction",
-    "profile_lineitem_columns",
-    "repetition_stats",
-    "report_enrich",
-    "rollup_backfill_overwrite",
-    "sample_stratified_hash",
-    "seasonality_index",
-    "sentence_split",
-    "source_quality_rollup",
-    "sql_exists_returned_orders",
-    "sql_parts_above_brand_avg",
-    "sql_udf_discount_bands",
-    "stats_corr_by_flag",
-    "token_pack_batches",
-    "trailing_28d_range_frame",
-    "unpivot_returnflag_measures",
-    "window_value_family",
+    # r12 rotation (r11 verdict #1): the driver's 50-row budget goes to
+    # the STALEST certificates, measured by tools/cert_age.py over
+    # artifacts/r*/CORRECTNESS* + the current round's file (vintage
+    # table at r12-open: r5=21, r6=46, r7=49, r8=50, r9=1, r10=48,
+    # r11=50; never-sampled=0). Budget = the full r5 vintage (21) +
+    # the r6 vintage alphabetically (29); the r6 remainder rides along
+    # for the r13 rotation. tools/matrix.py still sweeps all 265 every
+    # round regardless.
     # r5-vintage (last driver certificate: round 5), alphabetical:
-    "asof_join_tolerance",
-    "backtest_metrics",
-    "basket_pair_lift",
-    "bpe_pair_counts",
-    "chi_square_segment_nation",
-    "clean_project_filter",
-    "conjunctive_filter",
-    "corpus_shuffle_batches",
-    "daily_lag_features",
-    "dataset_snapshot_diff",
-    "dedup_containment_pairs",
-    "dedup_minhash_lsh_incremental",
-    "doc_length_histogram",
-    "embedding_norm_outliers",
-    "event_transition_matrix",
     "gopher_quality_flags",
     "join_cardinality_probe",
     "k_anonymity_audit",
@@ -105,6 +54,63 @@ _PRIORITY = [
     "rolling_origin_backtest",
     "series_admission_gates",
     "service_level_coverage",
+    "streaming_static_enrichment",
+    "supplier_lead_times",
+    "survival_km_signup_purchase",
+    "target_encoding_brand",
+    "tokenizer_oov_rate",
+    "triangle_count_copurchase",
+    "weekly_resample_sparse",
+    "window_funnel_levels",
+    "woe_information_value",
+    # r6-vintage (last driver certificate: round 6), alphabetical:
+    "ann_gemm_topk",
+    "ann_lsh_bucketed_topk",
+    "apriori_triple_itemsets",
+    "backtest_mase",
+    "bitemporal_snapshot_revenue",
+    "bootstrap_ci_weekly_demand",
+    "calibration_bins_brier",
+    "char_entropy_scores",
+    "class_balanced_cap",
+    "conformal_forecast_intervals",
+    "copurchase_node_jaccard",
+    "cross_source_ngram_leakage",
+    "cusum_change_points",
+    "dataset_stats_manifest",
+    "dedup_jaccard_threshold_sweep",
+    "doc_vector_hashing",
+    "event_path_trigrams",
+    "fk_containment_discovery",
+    "forecast_reconciliation_topdown",
+    "fuzzy_part_name_pairs",
+    "gini_revenue_by_nation",
+    "hard_negative_mining",
+    "kmeans_lite_clusters",
+    "ks_price_segments",
+    "length_bucketed_padding",
+    "ngram_novelty_rate",
+    "ols_two_factor_demand",
+    "perplexity_bucket_mix",
+    "phrase_search_positional",
+    # r6 remainder (positions 51+; ride along for r13):
+    "reciprocal_rank_fusion",
+    "rfm_segmentation",
+    "roc_auc_langid",
+    "rolling_median_demand",
+    "rollup_backfill_empty_restatement",
+    "semantic_dedup_signature",
+    "silhouette_lite_labels",
+    "sparse_cosine_topk",
+    "spearman_qty_discount",
+    "sql_pipe_pricing_summary",
+    "streaming_late_data_watermark",
+    "time_decay_attribution",
+    "token_cooccurrence_pmi",
+    "tokenizer_fertility",
+    "video_frame_schedule",
+    "vocab_coverage_curve",
+    "welch_ttest_price_segments",
 ]
 
 
