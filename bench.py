@@ -13,6 +13,7 @@ from __future__ import annotations
 import gc
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -488,14 +489,36 @@ def _load_avg() -> list[float]:
 
 
 def _prev_timings() -> dict[str, float]:
-    """Per-query seconds from the previous round's committed
+    """Per-query seconds from the previous round's COMMITTED
     BENCH_full.json (headline + light merged) — the baseline for the
-    >1.5x-mover auto-retime. Read BEFORE this run overwrites the file."""
-    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_full.json")
+    >=1.5x-mover auto-retime.
+
+    Read from git HEAD, not the working tree (r11 verdict #2 root
+    cause): bench runs several times per round (close_round, then the
+    driver), each overwriting the on-disk file, so a disk read compares
+    against hour-old same-round numbers and a query that regressed
+    vs the PRIOR round's committed artifact — the comparison the judge
+    actually makes — can escape the retime (dedup_simhash_pairs, r11).
+    HEAD's copy only changes when a round commits it, which is exactly
+    the cross-round baseline semantics the trigger needs."""
+    root = os.path.dirname(os.path.abspath(__file__))
+    raw = None
     try:
-        with open(path) as f:
-            prev = json.load(f)
-    except (OSError, ValueError):
+        raw = subprocess.run(
+            ["git", "-C", root, "show", "HEAD:BENCH_full.json"],
+            capture_output=True, text=True, timeout=30,
+        ).stdout or None
+    except (OSError, subprocess.SubprocessError):
+        raw = None
+    if raw is None:
+        try:
+            with open(os.path.join(root, "BENCH_full.json")) as f:
+                raw = f.read()
+        except OSError:
+            return {}
+    try:
+        prev = json.loads(raw)
+    except ValueError:
         return {}
     merged: dict[str, float] = {}
     merged.update(prev.get("queries", {}))
@@ -600,8 +623,9 @@ def main() -> None:
         and t > 0.1
         # both directions (r10 review): an apparent 3x WIN can be the
         # previous artifact's own interference; speedup claims deserve
-        # the same isolated re-measurement as regressions.
-        and (t / prev[n] > 1.5 or prev[n] / t > 1.5)
+        # the same isolated re-measurement as regressions. Inclusive
+        # >= (r11 verdict #2): 1.50-exactly must not escape.
+        and (t / prev[n] >= 1.5 or prev[n] / t >= 1.5)
     ]
     spark.catalog.clearCache()
     gc.collect()
@@ -638,6 +662,12 @@ def main() -> None:
         "metric": "headline_suite_wall_sec",
         "value": total,
         "unit": "sec",
+        # r11 verdict #3: self-describing methodology tag so cross-round
+        # wall comparisons don't re-litigate the r10->r11 change.
+        # "in-suite-v2" = headline/light numbers are pure in-suite
+        # (retimes recorded separately, never folded back in), baseline
+        # for the retime trigger is HEAD's committed BENCH_full.json.
+        "methodology": "in-suite-v2",
         "queries": timings,
         "demo_queries": demo_timings,  # excluded from value/n_queries
         "light_queries": light_timings,  # excluded from value/n_queries
@@ -660,6 +690,7 @@ def main() -> None:
                 "metric": "headline_suite_wall_sec",
                 "value": total,
                 "unit": "sec",
+                "methodology": "in-suite-v2",
                 "sf": sf_val,
                 "n_queries": len(timings),
                 "n_light": len(light_timings),

@@ -326,6 +326,12 @@ def minhash_lsh_pairs_from_index(
     full index, history x history is never re-joined. Requires delta
     ids to sort after history ids (monotone ingest ids), so every
     delta-involving pair has its larger id in the delta."""
+    if k % bands != 0:
+        # Same loud rejection as the SQL twin (_band_exprs_sql): a
+        # silent rows = k // bands truncation would drop the tail
+        # signature rows and shrink the candidate set only on the
+        # Spark side — divergent engines for the same geometry.
+        raise ValueError(f"k={k} not divisible by bands={bands}")
     rows = k // bands
     band_cols = [
         F.concat_ws("|", F.lit(str(b)), *[F.col(f"h{b * rows + r}") for r in range(rows)]).alias(

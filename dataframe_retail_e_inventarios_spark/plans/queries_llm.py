@@ -775,7 +775,7 @@ register("ann_ivf_topk", q_ivf_topk, ann_ivf_topk_sql())
 
 
 def q_ivf_kmeans_topk(
-    spark: SparkSession, sf_dir: str, k: int = 10, nprobe: int = 3
+    spark: SparkSession, sf_dir: str, k: int = 10, nprobe: int = 3, nq: int = 5
 ) -> DataFrame:
     """IVF-ANN with a real (seeded MLlib KMeans) coarse quantizer,
     nprobe of 10 cells — run over the corpus plus k deterministic
@@ -797,12 +797,15 @@ def q_ivf_kmeans_topk(
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    corpus = planted_neighbors_corpus(emb, k=k)
-    topk = ivf_kmeans_topk(corpus, F.col("vec_id") < 5, k=k, nprobe=nprobe)
+    # nq threads through all three coupled sites (Spark filter, planted
+    # corpus, oracle WHERE) like the sibling ANN queries — a single
+    # source of truth so a fuzz draw can't desync them (r11 ADVICE).
+    corpus = planted_neighbors_corpus(emb, n_queries=nq, k=k)
+    topk = ivf_kmeans_topk(corpus, F.col("vec_id") < nq, k=k, nprobe=nprobe)
     return planted_recall_gate(topk, "query_id", k=k, floor=k - 1)
 
 
-def ann_ivf_kmeans_topk_sql(k: int = 10, nprobe: int = 3) -> str:
+def ann_ivf_kmeans_topk_sql(k: int = 10, nprobe: int = 3, nq: int = 5) -> str:
     # nprobe intentionally unused: the recall contract must hold at
     # ANY probed width >= 1 (planted copies share the query's nearest
     # centroid) — the fuzz draws prove that invariance.
@@ -810,7 +813,7 @@ def ann_ivf_kmeans_topk_sql(k: int = 10, nprobe: int = 3) -> str:
 SELECT CAST(vec_id AS BIGINT) AS query_id,
        CAST({k} AS BIGINT) AS n_retrieved,
        TRUE AS planted_recall_ok
-FROM embeddings WHERE vec_id < 5 ORDER BY 1
+FROM embeddings WHERE vec_id < {nq} ORDER BY 1
 """
 
 

@@ -1283,6 +1283,7 @@ def q_ann_pq_topk(
     k: int = _ANN_K,
     m: int = 8,
     shortlist: int = 100,
+    nq: int = 5,
 ) -> DataFrame:
     """Product-quantization ANN: 8×16 codebooks (32× compression),
     ADC shortlist of 100 from codes only, exact L2 re-rank to top-10
@@ -1306,12 +1307,15 @@ def q_ann_pq_topk(
     from ..operators.similarity import planted_neighbors_corpus, planted_recall_gate
 
     emb = load_table(spark, sf_dir, "embeddings")
-    corpus = planted_neighbors_corpus(emb, k=k)
-    topk = pq_topk_reranked(corpus, F.col("vec_id") < 5, k=k, shortlist=shortlist, m=m)
+    # nq threads through all three coupled sites (Spark filter, planted
+    # corpus, oracle WHERE) like the sibling ANN queries — a single
+    # source of truth so a fuzz draw can't desync them (r11 ADVICE).
+    corpus = planted_neighbors_corpus(emb, n_queries=nq, k=k)
+    topk = pq_topk_reranked(corpus, F.col("vec_id") < nq, k=k, shortlist=shortlist, m=m)
     return planted_recall_gate(topk, "qid", k=k, floor=k - 1)
 
 
-def ann_pq_topk_sql(k: int = _ANN_K, m: int = 8, shortlist: int = 100) -> str:
+def ann_pq_topk_sql(k: int = _ANN_K, m: int = 8, shortlist: int = 100, nq: int = 5) -> str:
     # m / shortlist intentionally unused: the planted-recall floor is
     # invariant to the index geometry (planted copies quantize to the
     # query's own codes, ADC distance ~0) — the fuzz draws prove it.
@@ -1319,7 +1323,7 @@ def ann_pq_topk_sql(k: int = _ANN_K, m: int = 8, shortlist: int = 100) -> str:
 SELECT CAST(vec_id AS BIGINT) AS query_id,
        CAST({k} AS BIGINT) AS n_retrieved,
        TRUE AS planted_recall_ok
-FROM embeddings WHERE vec_id < 5 ORDER BY 1
+FROM embeddings WHERE vec_id < {nq} ORDER BY 1
 """
 
 

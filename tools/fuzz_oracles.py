@@ -399,7 +399,9 @@ def _targets():
         "ann_ivf_kmeans_topk": (
             qllm.q_ivf_kmeans_topk,
             qllm.ann_ivf_kmeans_topk_sql,
-            lambda r: dict(k=r.choice([5, 8, 10, 12]), nprobe=r.randint(2, 4)),
+            lambda r: dict(
+                k=r.choice([5, 8, 10, 12]), nprobe=r.randint(2, 4), nq=r.randint(3, 7)
+            ),
         ),
         "ann_pq_topk": (
             qsc.q_ann_pq_topk,
@@ -408,6 +410,7 @@ def _targets():
                 k=r.choice([5, 8, 10, 12]),
                 m=r.choice([4, 8, 16]),
                 shortlist=r.choice([60, 100, 150]),
+                nq=r.randint(3, 7),
             ),
         ),
         "profile_lineitem_columns_approx": (

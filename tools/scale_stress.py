@@ -194,6 +194,9 @@ def main() -> None:
         # for a targeted subset — the queries whose blocked/prefix-
         # filter math carries the heaviest scale load.
         i = argv.index("--queries")
+        if i + 1 >= len(argv):
+            print("--queries requires a comma-separated name list", file=sys.stderr)
+            raise SystemExit(2)
         only = [q for q in argv[i + 1].split(",") if q]
         del argv[i : i + 2]
     k = int(argv[0]) if argv else 8
