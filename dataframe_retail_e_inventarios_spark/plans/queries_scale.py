@@ -1083,10 +1083,14 @@ register("events_value_histogram", q_events_value_histogram, events_value_histog
 # -- window VALUE-function family (completes §2.5 beside the rank family) --
 def q_window_value_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lead / first_value / last_value / nth_value over one per-product
-    weekly ordering — one shuffle, one sort, four outputs (the value
-    twin of window_rank_family). last_value needs the full-partition
-    frame; the default RANGE..CURRENT ROW frame would return the
-    current row itself."""
+    weekly ordering — four outputs off one window sort (the value twin
+    of window_rank_family). Two shuffles by design: the (product, week)
+    resample aggregate exchanges AFTER the map-side partial sum, and
+    the per-product window then exchanges only the weekly rows —
+    cheaper at scale than pre-clustering raw rows on product alone
+    (plan_audit: max 2). last_value needs the full-partition frame;
+    the default RANGE..CURRENT ROW frame would return the current row
+    itself."""
     from ..operators.cleaning import clean_sales
     from ..operators.resample import weekly_resample_sum
 

@@ -619,8 +619,10 @@ def q_welch_ttest_price_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums overflow int64) — exact and associative under any shuffle
     order. The t/dof closed forms then run on doubles cast from those
     identical integers with an expression tree mirrored verbatim in
-    the oracle. One broadcast join + one 5-row aggregate; the pair
-    join is 5x5 driver-trivial.
+    the oracle. One broadcast join + one 5-row aggregate, materialized
+    once (localCheckpoint) so the self-pair join neither rescans
+    orders nor plans a CartesianProduct — the 5-row right side
+    broadcasts into a nested-loop theta join.
     """
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
@@ -634,6 +636,10 @@ def q_welch_ttest_price_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("c").alias("sx"),
             F.sum((F.col("c") * F.col("c")).cast("decimal(30,0)")).alias("sxx"),
         )
+        # 5 rows; materialize once so the a/b self-join below doesn't
+        # recompute the orders scan per side (2x full scan at 100 TB)
+        # and the theta join broadcasts instead of CartesianProduct.
+        .localCheckpoint(eager=False)
     )
 
     def _stats(side: str):
@@ -654,7 +660,7 @@ def q_welch_ttest_price_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         sea * sea / (na - F.lit(1.0)) + seb * seb / (nb - F.lit(1.0))
     )
     return (
-        a.join(b, F.col("a.seg") < F.col("b.seg"))
+        a.join(F.broadcast(b), F.col("a.seg") < F.col("b.seg"))
         .select(
             F.col("a.seg").alias("seg_a"),
             F.col("b.seg").alias("seg_b"),

@@ -34,23 +34,28 @@ python bench.py --scale-curve "BENCH_scale_${TAG}.json"
 echo "== plan dump =="
 python tools/explain_plans.py
 
+echo "== plan audit (r11 verdict #6: docstring-vs-plan, CI-style) =="
+python tools/plan_audit.py
+
+echo "== certificate-age dashboard (r11 verdict #8) =="
+python tools/cert_age.py > CERT_AGE.md
+
 # One add per path — a multi-path `git add` is all-or-nothing on a
 # pathspec failure (one absent file would silently stage nothing).
 for f in "MATRIX_${TAG}.json" "FUZZ_${TAG}.json" "FUZZ_${TAG}_tz.json" \
-         "FUZZ_${TAG}_ansi.json" BENCH_full.json \
+         "FUZZ_${TAG}_ansi.json" BENCH_full.json CERT_AGE.md \
          "BENCH_scale_${TAG}.json" PLANS.md BENCH_r*.json CORRECTNESS_r*.json; do
     [ -e "$f" ] && git add -f "$f"
 done
 git status --short
 echo "close_round: artifacts staged — commit them now."
 cat <<'CHECKLIST'
-close_round MANUAL CHECKLIST (r10 verdict #7 — the audits that caught
-the r9 Q21 overclaim and the r10 vacuous plan test; do them, they are
-cheap and they have each caught a real bug):
-  [ ] docstring-vs-plan audit: for every query CHANGED this round,
-      re-read its docstring claims (shuffle count, broadcast, pruned
-      scan, no-Expand, single-exchange) against PLANS.md / an
-      .explain("formatted") — claims must match the CURRENT plan.
+close_round MANUAL CHECKLIST (r10 verdict #7; the docstring-vs-plan
+leg is now AUTOMATED above by tools/plan_audit.py — keep its CLAIMS
+table in sync when you add or change a query with a plan claim):
+  [ ] plan-audit CLAIMS coverage: every query CHANGED this round that
+      claims a plan shape in its docstring has a CLAIMS row in
+      tools/plan_audit.py (the script only checks what's encoded).
   [ ] plan-test vacuity audit: any NEW plan-shape test must fail when
       its target optimization is reverted (try it), not match
       trivially against a literal that is always present.
