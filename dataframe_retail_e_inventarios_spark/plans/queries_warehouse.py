@@ -80,24 +80,57 @@ def scd2_history(
     )
 
 
-def q_scd2_user_event_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_scd2_user_event_history(
+    spark: SparkSession,
+    sf_dir: str,
+    etypes: tuple[str, ...] | None = None,
+    as_of_epoch: int | None = None,
+) -> DataFrame:
     """events as a change stream keyed by (user_id, event_type) with
     `value` the tracked attribute — the SCD2 twin of cdc_latest_state
     (queries_scale.py): where CDC keeps only the latest version, SCD2
-    keeps every distinct-value version with its validity interval."""
+    keeps every distinct-value version with its validity interval.
+
+    Fuzz geometry (r11 verdict #5): `etypes` restricts the change
+    stream (re-deriving version_n / is_current over the survivors),
+    and `as_of_epoch` keeps only the version VALID AT that instant
+    (valid_from <= t < valid_to, open current version included) —
+    the half-open validity-edge semantics the PIT join relies on,
+    value-hash-compared against DuckDB at drawn boundaries."""
     ev = load_table(spark, sf_dir, "events")
-    return scd2_history(
+    if etypes is not None:
+        ev = ev.filter(F.col("event_type").isin(*etypes))
+    hist = scd2_history(
         ev,
         keys=("user_id", "event_type"),
         attr="value",
         seq_cols=("ts", "event_id"),
     )
+    if as_of_epoch is not None:
+        hist = hist.filter(
+            (F.col("valid_from_epoch") <= as_of_epoch)
+            & (
+                F.col("valid_to_epoch").isNull()
+                | (F.lit(as_of_epoch) < F.col("valid_to_epoch"))
+            )
+        )
+    return hist
 
 
-register(
-    "scd2_user_event_history",
-    q_scd2_user_event_history,
-    """
+def scd2_user_event_history_sql(
+    etypes: tuple[str, ...] | None = None, as_of_epoch: int | None = None
+) -> str:
+    where = ""
+    if etypes is not None:
+        quoted = ", ".join(f"'{t}'" for t in etypes)
+        where = f"WHERE event_type IN ({quoted})"
+    asof = ""
+    if as_of_epoch is not None:
+        asof = (
+            f"WHERE valid_from_epoch <= {as_of_epoch} "
+            f"AND (valid_to_epoch IS NULL OR {as_of_epoch} < valid_to_epoch)"
+        )
+    return f"""
 WITH ordered AS (
   SELECT user_id, event_type, ts, event_id, value,
          lag(value) OVER (
@@ -107,20 +140,31 @@ WITH ordered AS (
            PARTITION BY user_id, event_type ORDER BY ts, event_id
          ) AS rn
   FROM events
+  {where}
 ),
 suppressed AS (
   SELECT * FROM ordered WHERE rn = 1 OR value IS DISTINCT FROM prev
+),
+hist AS (
+  SELECT user_id, event_type,
+         CAST(row_number() OVER w AS INT) AS version_n,
+         CAST(floor(epoch_us(ts) / 1000000) AS BIGINT) AS valid_from_epoch,
+         CAST(lead(floor(epoch_us(ts) / 1000000)) OVER w AS BIGINT) AS valid_to_epoch,
+         value,
+         lead(value) OVER w IS NULL AS is_current
+  FROM suppressed
+  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
 )
-SELECT user_id, event_type,
-       CAST(row_number() OVER w AS INT) AS version_n,
-       CAST(floor(epoch_us(ts) / 1000000) AS BIGINT) AS valid_from_epoch,
-       CAST(lead(floor(epoch_us(ts) / 1000000)) OVER w AS BIGINT) AS valid_to_epoch,
-       value,
-       lead(value) OVER w IS NULL AS is_current
-FROM suppressed
-WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
-""",
+SELECT * FROM hist {asof}
+"""
+
+
+register(
+    "scd2_user_event_history",
+    q_scd2_user_event_history,
+    scd2_user_event_history_sql(),
 )
+
 
 
 # ---------------------------------------------------------------------------
@@ -513,13 +557,17 @@ GROUP BY 1, 2
 # ---------------------------------------------------------------------------
 
 
-def q_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_last_touch_attribution(
+    spark: SparkSession, sf_dir: str, lookback_s: int = 86400
+) -> DataFrame:
     """Marketing-style last-touch attribution: each purchase is
     credited to the same user's most recent PRIOR non-purchase event
-    within a 24h lookback. One per-user window pass (conditional
-    last-ignore-nulls over rows-preceding) — the as-of-join semantics
-    without a join: at 100 TB this is one shuffle on user_id, and the
-    carried state per row is a single (ts, id, type) triple."""
+    within a `lookback_s` (default 24h) lookback. One per-user window
+    pass (conditional last-ignore-nulls over rows-preceding) — the
+    as-of-join semantics without a join: at 100 TB this is one shuffle
+    on user_id, and the carried state per row is a single (ts, id,
+    type) triple. lookback_s fuzz-drawn (r11 verdict #5): the lookback
+    edge decides which touches attribute."""
     ev = load_table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
@@ -544,16 +592,16 @@ def q_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(
             (F.col("event_type") == "purchase")
             & F.col("touch_event_id").isNotNull()
-            & (F.col("gap_s") <= 86400)
+            & (F.col("gap_s") <= lookback_s)
         )
         .select("event_id", "user_id", "touch_event_id", "touch_type", "gap_s")
     )
 
 
-register(
-    "last_touch_attribution",
-    q_last_touch_attribution,
-    """
+def _last_touch_sql_prefix(lookback_s: int) -> str:
+    """Shared WITH-clause of the last-touch attribution oracle —
+    conversion_lag_quantiles builds on the same attributed set."""
+    return f"""
 WITH t AS (
   SELECT event_id, user_id, event_type,
          floor(epoch_us(ts) / 1000000) AS es,
@@ -568,12 +616,23 @@ WITH t AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
 )
+"""
+
+
+def last_touch_attribution_sql(lookback_s: int = 86400) -> str:
+    return _last_touch_sql_prefix(lookback_s) + f"""
 SELECT event_id, user_id, touch_event_id, touch_type,
        CAST(es - touch_es AS BIGINT) AS gap_s
 FROM t
 WHERE event_type = 'purchase' AND touch_event_id IS NOT NULL
-  AND es - touch_es <= 86400
-""",
+  AND es - touch_es <= {lookback_s}
+"""
+
+
+register(
+    "last_touch_attribution",
+    q_last_touch_attribution,
+    last_touch_attribution_sql(),
 )
 
 
@@ -841,52 +900,48 @@ WHERE n_weeks >= {min_weeks} AND mad_r > 0
 register("demand_anomalies_mad", q_demand_anomalies_mad, demand_anomalies_mad_sql())
 
 
-def q_conversion_lag_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Time-to-convert distribution per attributed touch type: median /
-    p90 of the purchase-minus-touch gap from last_touch_attribution —
-    the funnel-latency metric the attribution table exists to feed.
-    One extra tiny aggregate over the attribution output."""
-    att = q_last_touch_attribution(spark, sf_dir)
+def q_conversion_lag_quantiles(
+    spark: SparkSession,
+    sf_dir: str,
+    lookback_s: int = 86400,
+    p_lo: float = 0.5,
+    p_hi: float = 0.9,
+) -> DataFrame:
+    """Time-to-convert distribution per attributed touch type: p_lo /
+    p_hi quantiles of the purchase-minus-touch gap from
+    last_touch_attribution — the funnel-latency metric the attribution
+    table exists to feed. One extra tiny aggregate over the
+    attribution output. lookback_s and both quantile points fuzz-drawn
+    (exact linear-interp percentile on integer gaps on both engines)."""
+    att = q_last_touch_attribution(spark, sf_dir, lookback_s=lookback_s)
     return att.groupBy("touch_type").agg(
         F.count("*").alias("n"),
-        F.round(F.percentile("gap_s", F.lit(0.5)), 4).alias("p50_gap_s"),
-        F.round(F.percentile("gap_s", F.lit(0.9)), 4).alias("p90_gap_s"),
+        F.round(F.percentile("gap_s", F.lit(p_lo)), 4).alias("p50_gap_s"),
+        F.round(F.percentile("gap_s", F.lit(p_hi)), 4).alias("p90_gap_s"),
     )
 
 
-_ATTRIBUTION_SQL_BODY = """
-WITH t AS (
-  SELECT event_id, user_id, event_type,
-         floor(epoch_us(ts) / 1000000) AS es,
-         last_value(CASE WHEN event_type != 'purchase' THEN event_id END IGNORE NULLS)
-           OVER w AS touch_event_id,
-         last_value(CASE WHEN event_type != 'purchase' THEN event_type END IGNORE NULLS)
-           OVER w AS touch_type,
-         last_value(CASE WHEN event_type != 'purchase'
-                         THEN floor(epoch_us(ts) / 1000000) END IGNORE NULLS)
-           OVER w AS touch_es
-  FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-),
+def conversion_lag_quantiles_sql(
+    lookback_s: int = 86400, p_lo: float = 0.5, p_hi: float = 0.9
+) -> str:
+    return _last_touch_sql_prefix(lookback_s) + f""",
 att AS (
   SELECT touch_type, CAST(es - touch_es AS BIGINT) AS gap_s
   FROM t
   WHERE event_type = 'purchase' AND touch_event_id IS NOT NULL
-    AND es - touch_es <= 86400
+    AND es - touch_es <= {lookback_s}
 )
+SELECT touch_type, count(*) AS n,
+       round(quantile_cont(gap_s, {p_lo!r}), 4) AS p50_gap_s,
+       round(quantile_cont(gap_s, {p_hi!r}), 4) AS p90_gap_s
+FROM att GROUP BY touch_type
 """
+
 
 register(
     "conversion_lag_quantiles",
     q_conversion_lag_quantiles,
-    _ATTRIBUTION_SQL_BODY
-    + """
-SELECT touch_type, count(*) AS n,
-       round(quantile_cont(gap_s, 0.5), 4) AS p50_gap_s,
-       round(quantile_cont(gap_s, 0.9), 4) AS p90_gap_s
-FROM att GROUP BY touch_type
-""",
+    conversion_lag_quantiles_sql(),
 )
 
 
@@ -1060,12 +1115,15 @@ FROM ranked WHERE rn = 1 AND NOT (value < 1.0)
 )
 
 
-def q_first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_first_touch_attribution(
+    spark: SparkSession, sf_dir: str, lookback_s: int = 86400
+) -> DataFrame:
     """First-touch twin of last_touch_attribution: each purchase is
     credited to the EARLIEST non-purchase event inside the trailing
-    24h window — a RANGE frame over wall-epoch-micros (the window
-    membership is value-based, so the lookback bound lives in the
-    frame itself instead of a post-filter). Precondition: (user, ts)
+    `lookback_s` (default 24h) window — a RANGE frame over
+    wall-epoch-micros (the window membership is value-based, so the
+    lookback bound lives in the frame itself instead of a
+    post-filter; fuzz-drawn, r11 verdict #5). Precondition: (user, ts)
     is unique (true of the event stream; duplicate instants would
     make first_value order-ambiguous — the last-touch form's (ts,
     event_id) ROWS ordering is the tie-robust variant)."""
@@ -1076,7 +1134,7 @@ def q_first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = (
         Window.partitionBy("user_id")
         .orderBy(eus)
-        .rangeBetween(-86_400_000_000, -1)
+        .rangeBetween(-lookback_s * 1_000_000, -1)
     )
     nonp = F.col("event_type") != "purchase"
     touch_id = F.first(F.when(nonp, F.col("event_id")), ignorenulls=True).over(w)
@@ -1096,10 +1154,8 @@ def q_first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-register(
-    "first_touch_attribution",
-    q_first_touch_attribution,
-    """
+def first_touch_attribution_sql(lookback_s: int = 86400) -> str:
+    return f"""
 WITH t AS (
   SELECT event_id, user_id, event_type,
          epoch_us(ts) AS eus,
@@ -1111,23 +1167,32 @@ WITH t AS (
            OVER w AS touch_us
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
-               RANGE BETWEEN 86400000000 PRECEDING AND 1 PRECEDING)
+               RANGE BETWEEN {lookback_s * 1_000_000} PRECEDING AND 1 PRECEDING)
 )
 SELECT event_id, user_id, touch_event_id, touch_type,
        CAST((eus - touch_us) // 1000000 AS BIGINT) AS gap_s
 FROM t
 WHERE event_type = 'purchase' AND touch_event_id IS NOT NULL
-""",
+"""
+
+
+register(
+    "first_touch_attribution",
+    q_first_touch_attribution,
+    first_touch_attribution_sql(),
 )
 
 
-def q_streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_streaming_session_windows(
+    spark: SparkSession, sf_dir: str, gap_min: int = 30
+) -> DataFrame:
     """Third live-streaming surface under the oracle gate: the
     STATEFUL session_window aggregation run as a real availableNow
     stream (watermarked state, micro-batch session merging) and
     drained complete into a memory sink; the result is gated by the
     same first-principles gaps-and-islands oracle as the batch
-    session_window query. Session-merge across micro-batch boundaries
+    session_window query (session_window_builtin_sql, sharing the
+    fuzz-drawn gap). Session-merge across micro-batch boundaries
     is exactly what this exercises — a session split over two batches
     must still come out as one row."""
     import uuid
@@ -1160,7 +1225,9 @@ def q_streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         # watermarked production form is user_sessions_stream
         # (streaming/events.py), covered by the streaming tests.
         sessions = (
-            stream.groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+            stream.groupBy(
+                F.session_window("ts", f"{gap_min} minutes").alias("sw"), "user_id"
+            )
             .agg(F.count("*").alias("n_events"))
             .select(
                 F.col("sw.start").alias("session_start"),
@@ -1504,14 +1571,22 @@ FROM events
 # ---------------------------------------------------------------------------
 
 
-def q_position_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_position_attribution(
+    spark: SparkSession,
+    sf_dir: str,
+    window_s: int = 86400,
+    w_edge: float = 0.4,
+) -> DataFrame:
     """U-shaped multi-touch attribution beside the first/last-touch
     pair: every non-purchase event is assigned to the SAME USER's next
-    purchase within 24h (one forward-looking window pass — no join),
-    then each conversion's touch list is weighted 40/20/40: first and
-    last touch get 0.4, interior touches split the middle 0.2 evenly;
-    2 touches -> 0.5 each, 1 touch -> 1.0. All passes are user- or
-    conversion-keyed windows — one shuffle each, no data-sized state."""
+    purchase within `window_s` (one forward-looking window pass — no
+    join), then each conversion's touch list is U-weighted: first and
+    last touch get `w_edge`, interior touches split the remaining
+    1 - 2*w_edge evenly; 2 touches -> 0.5 each, 1 touch -> 1.0. All
+    passes are user- or conversion-keyed windows — one shuffle each,
+    no data-sized state. window_s and w_edge fuzz-drawn (r11 verdict
+    #5; w_edge on a 2-decimal grid so the interior literal is the
+    same double in both engines)."""
     ev = load_table(spark, sf_dir, "events")
     w_fwd = (
         Window.partitionBy("user_id")
@@ -1535,7 +1610,7 @@ def q_position_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(
             (~is_p)
             & F.col("conv_event_id").isNotNull()
-            & (F.col("lead_s") <= 86400)
+            & (F.col("lead_s") <= window_s)
         )
     )
     w_conv = Window.partitionBy("conv_event_id").orderBy("ts", "event_id")
@@ -1545,8 +1620,8 @@ def q_position_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     weight = (
         F.when(n == 1, F.lit(1.0))
         .when(n == 2, F.lit(0.5))
-        .when((pos == 1) | (pos == n), F.lit(0.4))
-        .otherwise(F.lit(0.2) / (n - F.lit(2)))
+        .when((pos == 1) | (pos == n), F.lit(w_edge))
+        .otherwise(F.lit(round(1.0 - 2 * w_edge, 2)) / (n - F.lit(2)))
     )
     return touches.select(
         "conv_event_id",
@@ -1559,10 +1634,11 @@ def q_position_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-register(
-    "position_based_attribution",
-    q_position_attribution,
-    """
+def position_based_attribution_sql(
+    window_s: int = 86400, w_edge: float = 0.4
+) -> str:
+    w_mid = round(1.0 - 2 * w_edge, 2)
+    return f"""
 WITH t AS (
   SELECT event_id, user_id, ts, event_type,
          first_value(CASE WHEN event_type = 'purchase' THEN event_id END IGNORE NULLS)
@@ -1579,7 +1655,7 @@ touches AS (
          conv_es - floor(epoch_us(ts) / 1000000) AS lead_s
   FROM t
   WHERE event_type != 'purchase' AND conv_event_id IS NOT NULL
-    AND conv_es - floor(epoch_us(ts) / 1000000) <= 86400
+    AND conv_es - floor(epoch_us(ts) / 1000000) <= {window_s}
 ),
 ranked AS (
   SELECT conv_event_id, user_id, event_id AS touch_event_id, event_type,
@@ -1592,10 +1668,16 @@ SELECT conv_event_id, user_id, touch_event_id, event_type,
        CAST(n_touches AS BIGINT) AS n_touches,
        round(CASE WHEN n_touches = 1 THEN 1.0
                   WHEN n_touches = 2 THEN 0.5
-                  WHEN touch_pos = 1 OR touch_pos = n_touches THEN 0.4
-                  ELSE 0.2 / (n_touches - 2) END, 6) AS weight
+                  WHEN touch_pos = 1 OR touch_pos = n_touches THEN {w_edge!r}
+                  ELSE {w_mid!r} / (n_touches - 2) END, 6) AS weight
 FROM ranked
-""",
+"""
+
+
+register(
+    "position_based_attribution",
+    q_position_attribution,
+    position_based_attribution_sql(),
 )
 
 
@@ -1760,11 +1842,15 @@ GROUP BY 1, 2
 # ---------------------------------------------------------------------------
 # Streaming watermark late-data semantics, fully deterministic
 # ---------------------------------------------------------------------------
-_WM_DELAY_US = 36 * 3600 * 1_000_000  # 36 h — deliberately off the day grid
+# Default watermark delay is 36 h — deliberately off the day grid so a
+# window edge never lands exactly on the default watermark; the fuzzer
+# draws ON-grid delays (24/48 h) too, which is the equality-edge probe.
 _WM_CHUNKS = 3
 
 
-def q_streaming_late_data_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_streaming_late_data_watermark(
+    spark: SparkSession, sf_dir: str, delay_h: int = 36, chunks: int | None = None
+) -> DataFrame:
     """Watermark LATE-DATA DROP semantics under the value-hash gate —
     the one streaming behavior the other drains deliberately avoid
     (they use complete mode or a span-exceeding delay). Here lateness
@@ -1800,6 +1886,8 @@ def q_streaming_late_data_watermark(spark: SparkSession, sf_dir: str) -> DataFra
 
     from ..functions.timewall import wall_epoch_micros
 
+    if chunks is None:
+        chunks = _WM_CHUNKS
     ev = load_table(spark, sf_dir, "events")
     ev = ev.select(
         "event_id",
@@ -1826,13 +1914,13 @@ def q_streaming_late_data_watermark(spark: SparkSession, sf_dir: str) -> DataFra
         chunked = os.path.join(work, "chunked")
         (
             ev.withColumn(
-                "_chunk", (F.col("event_id") % _WM_CHUNKS).cast("int")
+                "_chunk", (F.col("event_id") % chunks).cast("int")
             )
-            .repartition(_WM_CHUNKS, "_chunk")
+            .repartition(chunks, "_chunk")
             .write.partitionBy("_chunk")
             .parquet(chunked)
         )
-        for k in range(_WM_CHUNKS):
+        for k in range(chunks):
             d = os.path.join(chunked, f"_chunk={k}")
             part = [f for f in os.listdir(d) if f.endswith(".parquet")][0]
             place(os.path.join(d, part), k)
@@ -1853,12 +1941,12 @@ def q_streaming_late_data_watermark(spark: SparkSession, sf_dir: str) -> DataFra
             part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
             place(os.path.join(tmp, part), k)
 
-        land_one_row(sentinel, _WM_CHUNKS)
+        land_one_row(sentinel, chunks)
         land_one_row(
-            sentinel.withColumn("event_id", F.lit(10**12 + 1)), _WM_CHUNKS + 1
+            sentinel.withColumn("event_id", F.lit(10**12 + 1)), chunks + 1
         )
         land_one_row(
-            sentinel.withColumn("event_id", F.lit(10**12 + 2)), _WM_CHUNKS + 2
+            sentinel.withColumn("event_id", F.lit(10**12 + 2)), chunks + 2
         )
 
         stream = (
@@ -1867,7 +1955,7 @@ def q_streaming_late_data_watermark(spark: SparkSession, sf_dir: str) -> DataFra
             .parquet(src)
         )
         agg = (
-            stream.withWatermark("ts", "36 hours")
+            stream.withWatermark("ts", f"{delay_h} hours")
             .groupBy(F.window("ts", "1 day").alias("win"), "event_type")
             .agg(F.count("*").alias("n_events"))
         )
@@ -1898,13 +1986,16 @@ q_streaming_late_data_watermark.__doc__ = q_streaming_late_data_watermark.__doc_
     chunks=_WM_CHUNKS
 )
 
-register(
-    "streaming_late_data_watermark",
-    q_streaming_late_data_watermark,
-    f"""
+def streaming_late_data_watermark_sql(
+    delay_h: int = 36, chunks: int | None = None
+) -> str:
+    if chunks is None:
+        chunks = _WM_CHUNKS
+    delay_us = delay_h * 3600 * 1_000_000
+    return f"""
 WITH e AS (
   SELECT event_id, event_type, epoch_us(ts) AS us,
-         event_id % {_WM_CHUNKS} AS chunk
+         event_id % {chunks} AS chunk
   FROM events
 ),
 bmax AS (SELECT chunk, max(us) AS mx FROM e GROUP BY chunk),
@@ -1912,7 +2003,7 @@ wm AS (
   SELECT chunk,
          max(mx) OVER (ORDER BY chunk
                        ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING)
-           - {_WM_DELAY_US} AS wm_before
+           - {delay_us} AS wm_before
   FROM bmax
 ),
 kept AS (
@@ -1925,7 +2016,13 @@ SELECT CAST(floor(us / 86400000000) * 86400 AS BIGINT) AS win_start_s,
        event_type,
        CAST(count(*) AS BIGINT) AS n_events
 FROM kept GROUP BY 1, 2
-""",
+"""
+
+
+register(
+    "streaming_late_data_watermark",
+    q_streaming_late_data_watermark,
+    streaming_late_data_watermark_sql(),
 )
 
 
@@ -1935,24 +2032,36 @@ FROM kept GROUP BY 1, 2
 _BT_SNAPSHOTS = ["1997-01-01", "1999-01-01", "2001-01-01", "2002-06-01"]
 
 
-def q_bitemporal_snapshot_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_bitemporal_snapshot_revenue(
+    spark: SparkSession,
+    sf_dir: str,
+    mod1: int = 7,
+    mod2: int = 21,
+    lag1: int = 30,
+    lag2: int = 60,
+    snapshots: tuple[str, ...] | None = None,
+) -> DataFrame:
     """Bi-temporal reporting — the restatement question SCD2/PIT don't
     answer: monthly revenue BY VALID TIME (order month) as it was
     KNOWN at each transaction-time snapshot. The correction history is
-    synthesized deterministically (v1 at +30 days for orderkey % 7 = 0
-    adds the 5% audit adjustment, v2 at +60 days for % 21 = 0 takes
-    2% back off), all in exact integer cents (the +5% is
-    cents + floor(cents/20) — pure BIGINT arithmetic, no percentage
+    synthesized deterministically (v1 at +lag1 days for orderkey %
+    mod1 = 0 adds the 5% audit adjustment, v2 at +lag2 days for %
+    mod2 = 0 takes 2% back off), all in exact integer cents (the +5%
+    is cents + floor(cents/20) — pure BIGINT arithmetic, no percentage
     float). For each snapshot the report takes every order's LATEST
     version with tx_date <= snapshot, so the same order month reports
     different revenue under different snapshots — exactly the drift a
-    restatement audit reads.
+    restatement audit reads. The correction geometry (mods, tx-lags,
+    snapshot dates) is fuzz-drawn (r11 verdict #5): every draw
+    rebuilds the version store AND the oracle from the same constants,
+    so a tx_date<=snapshot edge bug on either engine fails the hash.
 
     Plan: the version frame is a 3-way union projection (no shuffle),
     snapshots are a 4-row broadcast, latest-version-per-(snapshot,
     order) is a keyed window, and the report is one aggregate. At
     100 TB the version store is what a lakehouse table's change log
     already is; nothing here is quadratic."""
+    snapshot_dates = list(snapshots) if snapshots is not None else _BT_SNAPSHOTS
     orders = load_table(spark, sf_dir, "orders")
     base = orders.select(
         "o_orderkey",
@@ -1964,18 +2073,18 @@ def q_bitemporal_snapshot_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("odate").alias("tx_date"), F.col("cents").alias("vcents"),
     )
     c1 = F.col("cents") + F.floor(F.col("cents") / 20).cast("long")
-    v1 = base.filter(F.col("o_orderkey") % 7 == 0).select(
+    v1 = base.filter(F.col("o_orderkey") % mod1 == 0).select(
         "o_orderkey", "odate", F.lit(1).alias("version"),
-        F.date_add("odate", 30).alias("tx_date"), c1.alias("vcents"),
+        F.date_add("odate", lag1).alias("tx_date"), c1.alias("vcents"),
     )
     c2 = c1 - F.floor(c1 / 50).cast("long")
-    v2 = base.filter(F.col("o_orderkey") % 21 == 0).select(
+    v2 = base.filter(F.col("o_orderkey") % mod2 == 0).select(
         "o_orderkey", "odate", F.lit(2).alias("version"),
-        F.date_add("odate", 60).alias("tx_date"), c2.alias("vcents"),
+        F.date_add("odate", lag2).alias("tx_date"), c2.alias("vcents"),
     )
     versions = v0.unionByName(v1).unionByName(v2)
     snaps = spark.createDataFrame(
-        [(d,) for d in _BT_SNAPSHOTS], "snapshot string"
+        [(d,) for d in snapshot_dates], "snapshot string"
     ).select(F.col("snapshot").cast("date").alias("snapshot"))
     known = versions.join(
         F.broadcast(snaps), F.col("tx_date") <= F.col("snapshot")
@@ -2004,12 +2113,16 @@ def q_bitemporal_snapshot_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-_BT_SNAPS_SQL = ", ".join(f"DATE '{d}'" for d in _BT_SNAPSHOTS)
-
-register(
-    "bitemporal_snapshot_revenue",
-    q_bitemporal_snapshot_revenue,
-    f"""
+def bitemporal_snapshot_revenue_sql(
+    mod1: int = 7,
+    mod2: int = 21,
+    lag1: int = 30,
+    lag2: int = 60,
+    snapshots: tuple[str, ...] | None = None,
+) -> str:
+    snapshot_dates = list(snapshots) if snapshots is not None else _BT_SNAPSHOTS
+    snaps_sql = ", ".join(f"DATE '{d}'" for d in snapshot_dates)
+    return f"""
 WITH base AS (
   SELECT o_orderkey, CAST(o_orderdate AS DATE) AS odate,
          CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
@@ -2019,16 +2132,16 @@ versions AS (
   SELECT o_orderkey, odate, 0 AS version, odate AS tx_date, cents AS vcents
   FROM base
   UNION ALL
-  SELECT o_orderkey, odate, 1, odate + INTERVAL 30 DAY,
+  SELECT o_orderkey, odate, 1, odate + INTERVAL {lag1} DAY,
          cents + CAST(floor(cents / 20) AS BIGINT)
-  FROM base WHERE o_orderkey % 7 = 0
+  FROM base WHERE o_orderkey % {mod1} = 0
   UNION ALL
-  SELECT o_orderkey, odate, 2, odate + INTERVAL 60 DAY,
+  SELECT o_orderkey, odate, 2, odate + INTERVAL {lag2} DAY,
          (cents + CAST(floor(cents / 20) AS BIGINT))
            - CAST(floor((cents + CAST(floor(cents / 20) AS BIGINT)) / 50) AS BIGINT)
-  FROM base WHERE o_orderkey % 21 = 0
+  FROM base WHERE o_orderkey % {mod2} = 0
 ),
-snaps AS (SELECT unnest([{_BT_SNAPS_SQL}]) AS snapshot),
+snaps AS (SELECT unnest([{snaps_sql}]) AS snapshot),
 known AS (
   SELECT v.*, s.snapshot,
          row_number() OVER (PARTITION BY s.snapshot, v.o_orderkey
@@ -2041,5 +2154,11 @@ SELECT snapshot, CAST(date_trunc('month', odate) AS DATE) AS order_month,
        round(sum(vcents) / 1e2, 2) AS revenue
 FROM known WHERE rk = 1
 GROUP BY 1, 2 ORDER BY 1, 2
-""",
+"""
+
+
+register(
+    "bitemporal_snapshot_revenue",
+    q_bitemporal_snapshot_revenue,
+    bitemporal_snapshot_revenue_sql(),
 )

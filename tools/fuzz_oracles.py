@@ -312,6 +312,103 @@ def _targets():
                 watermark_min=wm + r.choice([0, 15, 30, 60]),
             ),
         ),
+        # round-12 (r11 verdict #5): warehouse time semantics. SCD2
+        # validity edges — etypes reshapes the version chains, as_of
+        # probes the half-open [valid_from, valid_to) interval at a
+        # drawn instant (None = full-history registered default path).
+        # Events span 2024-01 (epoch 1704067200..1706659200).
+        "scd2_user_event_history": (
+            qw.q_scd2_user_event_history,
+            qw.scd2_user_event_history_sql,
+            lambda r: dict(
+                etypes=tuple(
+                    sorted(
+                        r.sample(
+                            ["click", "error", "purchase", "signup", "view"],
+                            r.randint(2, 4),
+                        )
+                    )
+                ),
+                as_of_epoch=(
+                    None if r.random() < 0.3 else r.randint(1704067200, 1706659200)
+                ),
+            ),
+        ),
+        # attribution lookback edges: the window bound decides which
+        # touches attribute; the first-touch twin runs it as a RANGE
+        # frame bound (micros), the last-touch as a post-filter.
+        "last_touch_attribution": (
+            qw.q_last_touch_attribution,
+            qw.last_touch_attribution_sql,
+            lambda r: dict(
+                lookback_s=r.choice([1800, 3600, 7200, 21600, 43200, 86400, 172800])
+            ),
+        ),
+        "first_touch_attribution": (
+            qw.q_first_touch_attribution,
+            qw.first_touch_attribution_sql,
+            lambda r: dict(
+                lookback_s=r.choice([1800, 3600, 7200, 21600, 43200, 86400, 172800])
+            ),
+        ),
+        "conversion_lag_quantiles": (
+            qw.q_conversion_lag_quantiles,
+            qw.conversion_lag_quantiles_sql,
+            lambda r: dict(
+                lookback_s=r.choice([3600, 21600, 86400, 172800]),
+                p_lo=r.choice([0.25, 0.5]),
+                p_hi=r.choice([0.75, 0.9, 0.95]),
+            ),
+        ),
+        # U-shape geometry: w_edge on a 2-decimal grid so the interior
+        # literal round(1 - 2*w_edge, 2) is the same double on both
+        # engines.
+        "position_based_attribution": (
+            qw.q_position_attribution,
+            qw.position_based_attribution_sql,
+            lambda r: dict(
+                window_s=r.choice([3600, 21600, 43200, 86400, 172800]),
+                w_edge=r.choice([0.3, 0.35, 0.4, 0.45]),
+            ),
+        ),
+        # bitemporal correction history: mods/tx-lags/snapshot dates
+        # rebuild the version store AND the oracle per draw; mod2 a
+        # multiple of mod1 keeps the v1->v2 nesting story.
+        "bitemporal_snapshot_revenue": (
+            qw.q_bitemporal_snapshot_revenue,
+            qw.bitemporal_snapshot_revenue_sql,
+            lambda r: dict(
+                mod1=(m1 := r.choice([5, 7, 9, 11])),
+                mod2=m1 * r.choice([2, 3]),
+                lag1=(l1 := r.choice([15, 30, 45])),
+                lag2=l1 + r.choice([15, 30, 45]),
+                snapshots=tuple(
+                    sorted(
+                        f"{r.randint(1996, 2002)}-{r.randint(1, 12):02d}-01"
+                        for _ in range(r.randint(3, 5))
+                    )
+                ),
+            ),
+        ),
+        # watermark delay drawn ON the day grid too (24/48 h): if either
+        # engine treated window_end == watermark as surviving, the
+        # equality-edge draw diverges. chunks reshapes the replay.
+        "streaming_late_data_watermark": (
+            qw.q_streaming_late_data_watermark,
+            qw.streaming_late_data_watermark_sql,
+            lambda r: dict(
+                delay_h=r.choice([12, 24, 36, 48, 60, 84]),
+                chunks=r.choice([2, 3, 4]),
+            ),
+        ),
+        # live session_window stream vs the gaps-and-islands oracle at
+        # a drawn gap — micro-batch session merging must agree at every
+        # geometry, not just 30 min.
+        "streaming_session_windows": (
+            qw.q_streaming_session_windows,
+            qm.session_window_builtin_sql,
+            lambda r: dict(gap_min=r.choice([10, 20, 30, 45, 60, 90])),
+        ),
         # round-10 part 2: similarity thresholds — both engines compute
         # the same exact-integer intersection / size division in
         # double, so the >= gate must agree at EVERY drawn threshold
