@@ -549,14 +549,31 @@ register("pagerank_event_graph", q_pagerank_events, pagerank_event_graph_sql())
 
 
 # -- Gopher-style document quality rules -----------------------------------
-def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_gopher_quality(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    words_lo: int = 50,
+    words_hi: int = 100_000,
+    wl_lo: float = 3.0,
+    wl_hi: float = 10.0,
+    sym_max: float = 0.1,
+    bullet_max: float = 0.9,
+    ellip_max: float = 0.3,
+    alpha_min: float = 0.8,
+    min_stop: int = 2,
+) -> DataFrame:
     """Gopher rule-based quality flags per document (Rae et al. 2021,
-    Appendix A1.1, thresholds as published): word count in [50, 100k],
-    mean word length in [3, 10], symbol-to-word ratio (# / ellipsis)
-    ≤ 0.1, ≤ 90% of lines bullet-led, ≤ 30% of lines ellipsis-ended,
-    ≥ 80% of words containing an alphabetic char, and ≥ 2 distinct
+    Appendix A1.1, thresholds as published defaults): word count in
+    [words_lo, words_hi], mean word length in [wl_lo, wl_hi],
+    symbol-to-word ratio (# / ellipsis) ≤ sym_max, ≤ bullet_max of
+    lines bullet-led, ≤ ellip_max of lines ellipsis-ended, ≥ alpha_min
+    of words containing an alphabetic char, and ≥ min_stop distinct
     stopwords present. `gopher_keep` = conjunction — the pre-filter a
-    training pipeline applies before any model-based scoring.
+    training pipeline applies before any model-based scoring. All
+    thresholds fuzz-drawn on clean 2-decimal grids (r12): every
+    keep/drop gate is probed at perturbed boundaries against the
+    oracle rebuilt from the same constants.
 
     Scale: narrow projection (doc_id + text), zero shuffles — every
     rule is a per-row expression pipeline over the text column, so the
@@ -599,13 +616,13 @@ def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_intersect(F.array_distinct(toks), F.array(*[F.lit(s) for s in STOPWORDS]))
     ).cast("long")
     flags = {
-        "words_ok": (n_words >= 50) & (n_words <= 100_000),
-        "mean_wl_ok": (mean_wl >= 3.0) & (mean_wl <= 10.0),
-        "symbol_ok": sym_ratio <= 0.1,
-        "bullet_ok": bullet_frac <= 0.9,
-        "ellipsis_ok": ellip_frac <= 0.3,
-        "alpha_ok": alpha_frac >= 0.8,
-        "stopword_ok": n_stop >= 2,
+        "words_ok": (n_words >= words_lo) & (n_words <= words_hi),
+        "mean_wl_ok": (mean_wl >= wl_lo) & (mean_wl <= wl_hi),
+        "symbol_ok": sym_ratio <= sym_max,
+        "bullet_ok": bullet_frac <= bullet_max,
+        "ellipsis_ok": ellip_frac <= ellip_max,
+        "alpha_ok": alpha_frac >= alpha_min,
+        "stopword_ok": n_stop >= min_stop,
     }
     keep = None
     for c in flags.values():
@@ -624,7 +641,17 @@ def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _gopher_oracle() -> str:
+def _gopher_oracle(
+    words_lo: int = 50,
+    words_hi: int = 100_000,
+    wl_lo: float = 3.0,
+    wl_hi: float = 10.0,
+    sym_max: float = 0.1,
+    bullet_max: float = 0.9,
+    ellip_max: float = 0.3,
+    alpha_min: float = 0.8,
+    min_stop: int = 2,
+) -> str:
     from ..operators.textops import STOPWORDS, TOKENS_SQL
 
     toks = TOKENS_SQL.format(t="text")
@@ -662,18 +689,18 @@ r AS (
 )
 SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_line_frac,
        ellipsis_line_frac, alpha_word_frac, n_stopwords,
-       (n_words >= 50 AND n_words <= 100000) AS words_ok,
-       (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS mean_wl_ok,
-       (symbol_ratio <= 0.1) AS symbol_ok,
-       (bullet_line_frac <= 0.9) AS bullet_ok,
-       (ellipsis_line_frac <= 0.3) AS ellipsis_ok,
-       (alpha_word_frac >= 0.8) AS alpha_ok,
-       (n_stopwords >= 2) AS stopword_ok,
-       (n_words >= 50 AND n_words <= 100000
-        AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
-        AND symbol_ratio <= 0.1 AND bullet_line_frac <= 0.9
-        AND ellipsis_line_frac <= 0.3 AND alpha_word_frac >= 0.8
-        AND n_stopwords >= 2) AS gopher_keep
+       (n_words >= {words_lo} AND n_words <= {words_hi}) AS words_ok,
+       (mean_word_len >= {wl_lo!r} AND mean_word_len <= {wl_hi!r}) AS mean_wl_ok,
+       (symbol_ratio <= {sym_max!r}) AS symbol_ok,
+       (bullet_line_frac <= {bullet_max!r}) AS bullet_ok,
+       (ellipsis_line_frac <= {ellip_max!r}) AS ellipsis_ok,
+       (alpha_word_frac >= {alpha_min!r}) AS alpha_ok,
+       (n_stopwords >= {min_stop}) AS stopword_ok,
+       (n_words >= {words_lo} AND n_words <= {words_hi}
+        AND mean_word_len >= {wl_lo!r} AND mean_word_len <= {wl_hi!r}
+        AND symbol_ratio <= {sym_max!r} AND bullet_line_frac <= {bullet_max!r}
+        AND ellipsis_line_frac <= {ellip_max!r} AND alpha_word_frac >= {alpha_min!r}
+        AND n_stopwords >= {min_stop}) AS gopher_keep
 FROM r
 """
 

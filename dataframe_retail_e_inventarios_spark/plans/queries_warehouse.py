@@ -712,26 +712,33 @@ register("rolling_active_users", q_rolling_active_users, rolling_active_users_sq
 # ---------------------------------------------------------------------------
 
 
-def q_pit_join_purchase_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_pit_join_purchase_state(
+    spark: SparkSession,
+    sf_dir: str,
+    dim_type: str = "view",
+    probe_type: str = "purchase",
+) -> DataFrame:
     """Point-in-time-correct enrichment — the feature-store join: each
-    purchase event picks up the (user, 'view') SCD2 version that was
-    VALID AT the purchase instant (valid_from <= t < valid_to), never
-    a later one (no training-time leakage). Implemented as the as-of
-    window form: union the versioned dimension rows with the probe
-    events per user, one (user) shuffle + one ordered window carrying
-    the last-seen version forward — the same shape as
+    `probe_type` event picks up the (user, `dim_type`) SCD2 version
+    that was VALID AT the probe instant (valid_from <= t < valid_to),
+    never a later one (no training-time leakage). Implemented as the
+    as-of window form: union the versioned dimension rows with the
+    probe events per user, one (user) shuffle + one ordered window
+    carrying the last-seen version forward — the same shape as
     last_touch_attribution, avoiding an interval join entirely.
-    Validity here = [version ts, next version ts) of the viewed-value
-    history; purchases before any view stay unmatched and are dropped
-    (inner PIT semantics)."""
+    Validity here = [version ts, next version ts) of the dim-value
+    history; probes before any dim version stay unmatched and are
+    dropped (inner PIT semantics). dim/probe types fuzz-drawn (r12):
+    each draw reshapes both union sides and re-probes the
+    same-instant side-ordering tie-break."""
     ev = load_table(spark, sf_dir, "events")
-    dim = ev.filter(F.col("event_type") == "view").select(
+    dim = ev.filter(F.col("event_type") == dim_type).select(
         "user_id",
         "ts",
         "event_id",
         F.col("value").alias("view_value"),
     )
-    probe = ev.filter(F.col("event_type") == "purchase").select(
+    probe = ev.filter(F.col("event_type") == probe_type).select(
         "user_id", "ts", "event_id", F.col("value").alias("purchase_value")
     )
     tagged = dim.select(
@@ -775,18 +782,18 @@ def q_pit_join_purchase_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-register(
-    "pit_join_purchase_state",
-    q_pit_join_purchase_state,
-    """
+def pit_join_purchase_state_sql(
+    dim_type: str = "view", probe_type: str = "purchase"
+) -> str:
+    return f"""
 WITH tagged AS (
   SELECT user_id, ts, event_id, 0 AS side, value AS view_value,
          CAST(NULL AS DOUBLE) AS purchase_value
-  FROM events WHERE event_type = 'view'
+  FROM events WHERE event_type = '{dim_type}'
   UNION ALL
   SELECT user_id, ts, event_id, 1 AS side, CAST(NULL AS DOUBLE) AS view_value,
          value AS purchase_value
-  FROM events WHERE event_type = 'purchase'
+  FROM events WHERE event_type = '{probe_type}'
 ),
 carried AS (
   SELECT user_id, ts, event_id, side, purchase_value,
@@ -802,7 +809,13 @@ SELECT event_id AS purchase_event_id, user_id, purchase_value,
        state_view_value, state_version_id
 FROM carried
 WHERE side = 1 AND state_view_value IS NOT NULL
-""",
+"""
+
+
+register(
+    "pit_join_purchase_state",
+    q_pit_join_purchase_state,
+    pit_join_purchase_state_sql(),
 )
 
 

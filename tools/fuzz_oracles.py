@@ -312,6 +312,42 @@ def _targets():
                 watermark_min=wm + r.choice([0, 15, 30, 60]),
             ),
         ),
+        # round-12 margin targets beyond the verdict's 62 bar: the PIT
+        # feature-store join's dim/probe event types (reshapes both
+        # union sides; re-probes the same-instant side-ordering
+        # tie-break at every pairing), and the full Gopher threshold
+        # vector on clean 2-decimal grids (every keep/drop gate at
+        # perturbed boundaries, testdata-domain-centered so flags
+        # actually flip).
+        "pit_join_purchase_state": (
+            qw.q_pit_join_purchase_state,
+            qw.pit_join_purchase_state_sql,
+            lambda r: dict(
+                **dict(
+                    zip(
+                        ("dim_type", "probe_type"),
+                        r.sample(
+                            ["click", "error", "purchase", "signup", "view"], 2
+                        ),
+                    )
+                )
+            ),
+        ),
+        "gopher_quality_flags": (
+            qtr.q_gopher_quality,
+            qtr._gopher_oracle,
+            lambda r: dict(
+                words_lo=r.choice([10, 25, 50, 80]),
+                words_hi=r.choice([120, 200, 1000, 100_000]),
+                wl_lo=r.choice([2.0, 3.0, 4.0, 4.5]),
+                wl_hi=r.choice([5.0, 6.0, 8.0, 10.0]),
+                sym_max=r.choice([0.0, 0.05, 0.1, 0.2]),
+                bullet_max=r.choice([0.0, 0.25, 0.5, 0.9]),
+                ellip_max=r.choice([0.0, 0.1, 0.3]),
+                alpha_min=r.choice([0.5, 0.8, 0.95, 1.0]),
+                min_stop=r.randint(1, 4),
+            ),
+        ),
         # round-12 (r11 verdict #5): warehouse time semantics. SCD2
         # validity edges — etypes reshapes the version chains, as_of
         # probes the half-open [valid_from, valid_to) interval at a
