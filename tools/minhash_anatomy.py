@@ -20,6 +20,20 @@ Stages (matching minhash_lsh_pairs, operators/dedup.py):
 
 Usage: python tools/minhash_anatomy.py [sf_dir ...]
 Defaults to sf0.1 and the 32x stress fixture if it exists.
+
+With --linear K, additionally builds (or reuses) a CONSTANT-DENSITY
+K-fold documents fixture and reports its anatomy: copy i rewrites
+every token t as "c{i}{t}", so copy vocabularies are pairwise
+DISJOINT (cross-copy Jaccard = 0) while each copy is internally a
+token-bijection of the base corpus (intra-copy Jaccard values, and
+per-shingle df counts, are IDENTICAL to base). True-pair density is
+therefore constant by construction and EVERY stage — including the
+band-join candidate count, the only super-linear risk — must grow
+exactly K-fold if the operator is linear. This is the fixture the
+shared `_shifted` recipe is not: its " variant{i}" suffix keeps
+cross-copy Jaccard ~= 1, so its near-dup output is quadratic TRUE
+pairs (see SCALE.md round-12) and it measures output volume, not
+operator scaling.
 """
 
 from __future__ import annotations
@@ -65,14 +79,58 @@ def anatomy(spark, sf_dir: str) -> dict:
     return out
 
 
+def linear_docs_fixture(spark, base_dir: str, k: int) -> str:
+    """Build (or reuse) the constant-density k-fold documents fixture:
+    copy i shifts doc ids and prefixes every whitespace token with
+    "c{i}" — a per-copy token bijection, so intra-copy similarity
+    structure and per-shingle df are exactly the base corpus's while
+    cross-copy Jaccard is 0."""
+    import tempfile
+
+    out = os.path.join(tempfile.gettempdir(), f"spark_graft_lineardocs_{k}x_v1")
+    dst = os.path.join(out, "documents.parquet")
+    if os.path.exists(dst):
+        return out
+    base = load_table(spark, base_dir, "documents")
+    # Pre-normalize exactly like operators/textops.tokens() (lower,
+    # trim, collapse whitespace) so the per-copy prefix map is a strict
+    # bijection on the operator's own token sequences — intra-copy
+    # Jaccard values and per-shingle df counts match base exactly.
+    norm = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    scaled = base
+    for i in range(1, k):
+        tagged = F.array_join(
+            F.transform(
+                F.split(norm, " "),
+                lambda t: F.concat(F.lit(f"c{i}"), t),
+            ),
+            " ",
+        )
+        scaled = scaled.unionByName(
+            base.withColumn("doc_id", F.col("doc_id") + 1_000_000 * i)
+            .withColumn("text", tagged)
+        )
+    scaled.write.mode("overwrite").parquet(dst)
+    return out
+
+
 def main() -> int:
-    dirs = sys.argv[1:]
+    args = sys.argv[1:]
+    linear_k = None
+    if "--linear" in args:
+        i = args.index("--linear")
+        linear_k = int(args[i + 1])
+        del args[i : i + 2]
+    dirs = args
     if not dirs:
         dirs = ["/root/testdata/sf0.1"]
         k32 = scaled_fixture_dir(32)
         if os.path.exists(k32):
             dirs.append(k32)
     spark = get_spark("minhash-anatomy")
+    if linear_k:
+        dirs = ["/root/testdata/sf0.1",
+                linear_docs_fixture(spark, "/root/testdata/sf0.1", linear_k)]
     rows = []
     for d in dirs:
         r = anatomy(spark, d)
