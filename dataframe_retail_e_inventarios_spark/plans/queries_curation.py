@@ -146,11 +146,20 @@ def _hash_bucket(col):
     return (v1 * 16 + v2).cast("long")
 
 
-def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_sample_stratified(
+    spark: SparkSession,
+    sf_dir: str,
+    strata: dict[str, int] | None = None,
+    default_keep: int | None = None,
+) -> DataFrame:
+    # per-language keep thresholds fuzz-drawn (r12): the md5-bucket
+    # keep/drop edge is probed at perturbed rates per stratum.
+    strata = strata if strata is not None else _STRATA
+    default_keep = default_keep if default_keep is not None else _DEFAULT_KEEP
     docs = load_table(spark, sf_dir, "documents")
     bucket = _hash_bucket(F.col("doc_id"))
-    keep_below = F.lit(_DEFAULT_KEEP)
-    for lang, n in _STRATA.items():
+    keep_below = F.lit(default_keep)
+    for lang, n in strata.items():
         keep_below = F.when(F.col("lang") == lang, F.lit(n)).otherwise(keep_below)
     return docs.select(
         "doc_id", "lang", bucket.alias("bucket")
@@ -161,49 +170,65 @@ _BUCKET_SQL = (
     "CAST((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16"
     " + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS BIGINT)"
 )
-_KEEP_SQL = "".join(
-    f"CASE WHEN lang = '{lang}' THEN {n} ELSE " for lang, n in _STRATA.items()
-) + str(_DEFAULT_KEEP) + " END" * len(_STRATA)
+
+
+def sample_stratified_hash_sql(
+    strata: dict[str, int] | None = None, default_keep: int | None = None
+) -> str:
+    strata = strata if strata is not None else _STRATA
+    default_keep = default_keep if default_keep is not None else _DEFAULT_KEEP
+    keep_sql = "".join(
+        f"CASE WHEN lang = '{lang}' THEN {n} ELSE " for lang, n in strata.items()
+    ) + str(default_keep) + " END" * len(strata)
+    return f"""
+SELECT doc_id, lang, {_BUCKET_SQL} AS bucket
+FROM documents
+WHERE {_BUCKET_SQL} < ({keep_sql})
+"""
+
 
 register(
     "sample_stratified_hash",
     q_sample_stratified,
-    f"""
-SELECT doc_id, lang, {_BUCKET_SQL} AS bucket
-FROM documents
-WHERE {_BUCKET_SQL} < ({_KEEP_SQL})
-""",
+    sample_stratified_hash_sql(),
 )
 
 
 # -- Token-budget sequence packing -----------------------------------------
-def q_token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_token_packing(
+    spark: SparkSession, sf_dir: str, budget: int = 2048
+) -> DataFrame:
     from ..operators.packing import pack_into_batches
     from ..operators.tokenize import bpe_ish_tokens
 
     docs = load_table(spark, sf_dir, "documents")
-    return pack_into_batches(docs, F.size(bpe_ish_tokens("text")), budget=2048)
+    return pack_into_batches(docs, F.size(bpe_ish_tokens("text")), budget=budget)
 
 
 from ..operators.tokenize import BPE_ISH_PATTERN as _BPE_RAW2  # noqa: E402
 
 _BPE2 = _BPE_RAW2.replace("'", "''")
 
-register(
-    "token_pack_batches",
-    q_token_packing,
-    f"""
+
+def token_pack_batches_sql(budget: int = 2048) -> str:
+    # budget fuzz-drawn (r12): the greedy prefix-sum batch boundary
+    # must agree at every budget, including budgets smaller than a
+    # single doc's token count (the floor-division still bins them
+    # identically on both engines).
+    return f"""
 WITH t AS (
   SELECT doc_id,
          CAST(len(regexp_extract_all(text, '{_BPE2}')) AS BIGINT) AS n_tokens
   FROM documents
 )
 SELECT doc_id, n_tokens,
-       CAST(floor((sum(n_tokens) OVER (ORDER BY doc_id) - n_tokens) / 2048) AS BIGINT)
+       CAST(floor((sum(n_tokens) OVER (ORDER BY doc_id) - n_tokens) / {budget}) AS BIGINT)
          AS batch_id
 FROM t
-""",
-)
+"""
+
+
+register("token_pack_batches", q_token_packing, token_pack_batches_sql())
 
 
 # -- Curation funnel --------------------------------------------------------
@@ -343,12 +368,17 @@ GROUP BY 1, 2
 # membership never migrates when the corpus grows (a new doc lands in
 # exactly one split; existing docs never move). Zero shuffle for the
 # assignment itself; one aggregate for the audit counts.
-def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_dataset_split(
+    spark: SparkSession, sf_dir: str, train_cut: int = 250, val_cut: int = 253
+) -> DataFrame:
+    # cut points fuzz-drawn (r12): the two bucket edges decide split
+    # membership; a drawn train_cut == val_cut makes val empty — both
+    # engines must agree there too.
     docs = load_table(spark, sf_dir, "documents")
     bucket = _hash_bucket(F.col("doc_id"))
     split = (
-        F.when(bucket < 250, F.lit("train"))
-        .when(bucket < 253, F.lit("val"))
+        F.when(bucket < train_cut, F.lit("train"))
+        .when(bucket < val_cut, F.lit("val"))
         .otherwise(F.lit("test"))
     )
     return (
@@ -358,26 +388,32 @@ def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-register(
-    "dataset_split_counts",
-    q_dataset_split,
-    f"""
+def dataset_split_counts_sql(train_cut: int = 250, val_cut: int = 253) -> str:
+    return f"""
 WITH b AS (
   SELECT lang, length(text) AS nc,
-         CASE WHEN {_BUCKET_SQL} < 250 THEN 'train'
-              WHEN {_BUCKET_SQL} < 253 THEN 'val'
+         CASE WHEN {_BUCKET_SQL} < {train_cut} THEN 'train'
+              WHEN {_BUCKET_SQL} < {val_cut} THEN 'val'
               ELSE 'test' END AS split
   FROM documents
 )
 SELECT split, lang, count(*) AS n_docs, CAST(sum(nc) AS BIGINT) AS total_chars
 FROM b
 GROUP BY 1, 2
-""",
+"""
+
+
+register(
+    "dataset_split_counts",
+    q_dataset_split,
+    dataset_split_counts_sql(),
 )
 
 
 # -- deterministic global corpus shuffle + batch assignment ----------------
-def q_corpus_shuffle_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_corpus_shuffle_batches(
+    spark: SparkSession, sf_dir: str, seed: str = "epoch0", batch: int = 64
+) -> DataFrame:
     """The 'shuffle the corpus before epoch 0' step of a training
     pipeline, made deterministic AND distributed: shuffle order is
     md5(seed || doc_id) — uniform pseudo-random yet bitwise-stable
@@ -391,7 +427,7 @@ def q_corpus_shuffle_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.distributed_rank import with_global_rank
 
     docs = load_table(spark, sf_dir, "documents")
-    key = F.md5(F.concat(F.lit("epoch0:"), F.col("doc_id").cast("string")))
+    key = F.md5(F.concat(F.lit(f"{seed}:"), F.col("doc_id").cast("string")))
     shuffled = with_global_rank(
         docs.select("doc_id", key.alias("shuffle_key")),
         [F.col("shuffle_key").asc(), F.col("doc_id").asc()],
@@ -401,16 +437,19 @@ def q_corpus_shuffle_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "shuffle_key",
         F.col("position").cast("long").alias("position"),
-        F.floor((F.col("position") - 1) / F.lit(64)).cast("long").alias("batch_id"),
+        F.floor((F.col("position") - 1) / F.lit(batch)).cast("long").alias("batch_id"),
     )
 
 
-register(
-    "corpus_shuffle_batches",
-    q_corpus_shuffle_batches,
-    """
+def corpus_shuffle_batches_sql(seed: str = "epoch0", batch: int = 64) -> str:
+    # seed + batch size fuzz-drawn (r12): every seed induces a fresh
+    # global order, so each draw re-proves the distributed range-
+    # repartition rank against the oracle's window row_number on a
+    # DIFFERENT permutation — the strongest kind of probe for the
+    # broadcast prefix-sum offset logic.
+    return f"""
 WITH keyed AS (
-  SELECT doc_id, md5('epoch0:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+  SELECT doc_id, md5('{seed}:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
   FROM documents
 ),
 pos AS (
@@ -419,9 +458,15 @@ pos AS (
   FROM keyed
 )
 SELECT doc_id, shuffle_key, position,
-       CAST(floor((position - 1) / 64) AS BIGINT) AS batch_id
+       CAST(floor((position - 1) / {batch}) AS BIGINT) AS batch_id
 FROM pos
-""",
+"""
+
+
+register(
+    "corpus_shuffle_batches",
+    q_corpus_shuffle_batches,
+    corpus_shuffle_batches_sql(),
 )
 
 
@@ -563,7 +608,9 @@ register("dsir_importance_selection", q_dsir_importance_selection, _dsir_sql())
 _TOKEN_BUDGET = 4000
 
 
-def q_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_token_budget_selection(
+    spark: SparkSession, sf_dir: str, budget: int | None = None
+) -> DataFrame:
     """Per-source token-budget curation: order each source's documents
     by quality and keep documents until the source's TOKEN budget is
     exhausted — the "fill the mixture to N tokens per source" step of
@@ -609,16 +656,18 @@ def q_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     cum = F.sum("n_tokens").over(w)
     return (
         base.withColumn("cum_tokens", cum.cast("long"))
-        .filter(F.col("cum_tokens") <= _TOKEN_BUDGET)
+        .filter(F.col("cum_tokens") <= (budget if budget is not None else _TOKEN_BUDGET))
         .select("source", "doc_id", "n_tokens", "qi", "cum_tokens")
         .orderBy("source", "doc_id")
     )
 
 
-register(
-    "token_budget_selection",
-    q_token_budget_selection,
-    f"""
+def token_budget_selection_sql(budget: int | None = None) -> str:
+    # budget fuzz-drawn (r12): the running-sum cutoff edge (the first
+    # document that overflows is dropped, everything before it kept)
+    # must agree at every drawn budget.
+    b = budget if budget is not None else _TOKEN_BUDGET
+    return f"""
 WITH t AS (
   SELECT source, doc_id,
          CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens,
@@ -641,9 +690,15 @@ c AS (
   FROM q
 )
 SELECT source, doc_id, n_tokens, qi, cum_tokens
-FROM c WHERE cum_tokens <= {_TOKEN_BUDGET}
+FROM c WHERE cum_tokens <= {b}
 ORDER BY source, doc_id
-""".replace("{stop_in}", ", ".join(f"'{s}'" for s in STOPWORDS)),
+""".replace("{stop_in}", ", ".join(f"'{s}'" for s in STOPWORDS))
+
+
+register(
+    "token_budget_selection",
+    q_token_budget_selection,
+    token_budget_selection_sql(),
 )
 
 

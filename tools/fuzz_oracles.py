@@ -312,6 +312,48 @@ def _targets():
                 watermark_min=wm + r.choice([0, 15, 30, 60]),
             ),
         ),
+        # round-12: curation-family constants — packing/selection
+        # budgets at running-sum cutoff edges, stratified keep rates on
+        # the md5-bucket grid (0..256), split cut points including the
+        # degenerate train_cut == val_cut (empty val) draw, and the
+        # corpus-shuffle seed (every seed is a fresh global permutation
+        # re-proving the distributed rank's prefix-sum offsets).
+        "token_pack_batches": (
+            qcur.q_token_packing,
+            qcur.token_pack_batches_sql,
+            lambda r: dict(budget=r.choice([64, 256, 1024, 2048, 8192])),
+        ),
+        "token_budget_selection": (
+            qcur.q_token_budget_selection,
+            qcur.token_budget_selection_sql,
+            lambda r: dict(budget=r.choice([500, 1000, 4000, 16000, 64000])),
+        ),
+        "sample_stratified_hash": (
+            qcur.q_sample_stratified,
+            qcur.sample_stratified_hash_sql,
+            lambda r: dict(
+                strata={
+                    lang: r.randrange(0, 257, 16)
+                    for lang in r.sample(["en", "es", "de", "fr", "it"], r.randint(2, 4))
+                },
+                default_keep=r.randrange(16, 257, 16),
+            ),
+        ),
+        "dataset_split_counts": (
+            qcur.q_dataset_split,
+            qcur.dataset_split_counts_sql,
+            lambda r: dict(
+                train_cut=(tc := r.choice([128, 200, 240, 250])),
+                val_cut=tc + r.choice([0, 3, 8, 16]),
+            ),
+        ),
+        "corpus_shuffle_batches": (
+            qcur.q_corpus_shuffle_batches,
+            qcur.corpus_shuffle_batches_sql,
+            lambda r: dict(
+                seed=f"epoch{r.randint(0, 9)}", batch=r.choice([16, 64, 256, 1024])
+            ),
+        ),
         # round-12 margin targets beyond the verdict's 62 bar: the PIT
         # feature-store join's dim/probe event types (reshapes both
         # union sides; re-probes the same-instant side-ordering
