@@ -437,7 +437,13 @@ _RRF_CANDIDATES = 64
 _RRF_TOP = 5
 
 
-def q_reciprocal_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_reciprocal_rank_fusion(
+    spark: SparkSession,
+    sf_dir: str,
+    rrf_k: int = _RRF_K,
+    candidates: int = _RRF_CANDIDATES,
+    top: int = _RRF_TOP,
+) -> DataFrame:
     """Hybrid-retrieval rank fusion per source: fuse a token-count
     ranking and a char-length ranking with RRF
     (score = sum over lists of 1/(60 + rank)), keep the fused top-5.
@@ -460,12 +466,12 @@ def q_reciprocal_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     la = (
         docs.withColumn("rank_tok", F.row_number().over(w_tok))
-        .where(F.col("rank_tok") <= _RRF_CANDIDATES)
+        .where(F.col("rank_tok") <= candidates)
         .select("source", "doc_id", "rank_tok")
     )
     lb = (
         docs.withColumn("rank_len", F.row_number().over(w_len))
-        .where(F.col("rank_len") <= _RRF_CANDIDATES)
+        .where(F.col("rank_len") <= candidates)
         .select("source", "doc_id", "rank_len")
     )
     fused = la.join(lb, ["source", "doc_id"], "full").select(
@@ -475,10 +481,10 @@ def q_reciprocal_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rank_len",
         (
             F.coalesce(
-                F.lit(1.0) / (F.lit(float(_RRF_K)) + F.col("rank_tok")), F.lit(0.0)
+                F.lit(1.0) / (F.lit(float(rrf_k)) + F.col("rank_tok")), F.lit(0.0)
             )
             + F.coalesce(
-                F.lit(1.0) / (F.lit(float(_RRF_K)) + F.col("rank_len")), F.lit(0.0)
+                F.lit(1.0) / (F.lit(float(rrf_k)) + F.col("rank_len")), F.lit(0.0)
             )
         ).alias("_rrf"),
     )
@@ -487,7 +493,7 @@ def q_reciprocal_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         fused.withColumn("fused_rank", F.row_number().over(w_out))
-        .where(F.col("fused_rank") <= _RRF_TOP)
+        .where(F.col("fused_rank") <= top)
         .select(
             "source",
             "fused_rank",
@@ -500,10 +506,15 @@ def q_reciprocal_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-register(
-    "reciprocal_rank_fusion",
-    q_reciprocal_rank_fusion,
-    f"""
+def reciprocal_rank_fusion_sql(
+    rrf_k: int = _RRF_K,
+    candidates: int = _RRF_CANDIDATES,
+    top: int = _RRF_TOP,
+) -> str:
+    # RRF geometry fuzz-drawn (r12): the k smoothing constant, the
+    # per-list candidate cutoff (WindowGroupLimit bound) and the fused
+    # top-N must agree at every drawn shape.
+    return f"""
 WITH d AS (
   SELECT doc_id, source, n_chars, len({_TOKS}) AS n_toks FROM documents
 ),
@@ -513,7 +524,7 @@ la AS (
            row_number() OVER (PARTITION BY source
                               ORDER BY n_toks DESC, doc_id ASC) AS rank_tok
     FROM d
-  ) WHERE rank_tok <= {_RRF_CANDIDATES}
+  ) WHERE rank_tok <= {candidates}
 ),
 lb AS (
   SELECT source, doc_id, rank_len FROM (
@@ -521,14 +532,14 @@ lb AS (
            row_number() OVER (PARTITION BY source
                               ORDER BY n_chars DESC, doc_id ASC) AS rank_len
     FROM d
-  ) WHERE rank_len <= {_RRF_CANDIDATES}
+  ) WHERE rank_len <= {candidates}
 ),
 fused AS (
   SELECT coalesce(la.source, lb.source) AS source,
          coalesce(la.doc_id, lb.doc_id) AS doc_id,
          la.rank_tok, lb.rank_len,
-         coalesce(1e0 / ({_RRF_K} + la.rank_tok), 0e0)
-           + coalesce(1e0 / ({_RRF_K} + lb.rank_len), 0e0) AS rrf
+         coalesce(1e0 / ({rrf_k} + la.rank_tok), 0e0)
+           + coalesce(1e0 / ({rrf_k} + lb.rank_len), 0e0) AS rrf
   FROM la FULL OUTER JOIN lb
     ON la.source = lb.source AND la.doc_id = lb.doc_id
 )
@@ -539,9 +550,15 @@ FROM (
                                ORDER BY rrf DESC, doc_id ASC) AS fused_rank
   FROM fused
 )
-WHERE fused_rank <= {_RRF_TOP}
+WHERE fused_rank <= {top}
 ORDER BY source, fused_rank
-""",
+"""
+
+
+register(
+    "reciprocal_rank_fusion",
+    q_reciprocal_rank_fusion,
+    reciprocal_rank_fusion_sql(),
 )
 
 
@@ -551,7 +568,13 @@ _CONF_TEST_WEEKS = 4
 _CONF_MIN_CAL = 10
 
 
-def q_conformal_forecast_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_conformal_forecast_intervals(
+    spark: SparkSession,
+    sf_dir: str,
+    alpha_num: int = _CONF_ALPHA_NUM,
+    test_weeks: int = _CONF_TEST_WEEKS,
+    min_cal: int = _CONF_MIN_CAL,
+) -> DataFrame:
     """Split-conformal prediction intervals around the 4-week trailing
     MA forecast, per weekly series: calibration residuals -> the
     ceil(0.9*(n+1))-th order statistic is the interval half-width
@@ -589,7 +612,7 @@ def q_conformal_forecast_intervals(spark: SparkSession, sf_dir: str) -> DataFram
         n_weeks.alias("_nw"),
     ).where(F.col("_idx") >= 5)
     r_scaled = F.abs(F.col("_diff"))
-    is_test = F.col("_idx") > F.col("_nw") - _CONF_TEST_WEEKS
+    is_test = F.col("_idx") > F.col("_nw") - test_weeks
     g = (
         rows.groupBy(*KEYS)
         .agg(
@@ -598,11 +621,11 @@ def q_conformal_forecast_intervals(spark: SparkSession, sf_dir: str) -> DataFram
             ).alias("_cal"),
             F.collect_list(F.when(is_test, r_scaled)).alias("_test"),
         )
-        .where(F.size("_cal") >= _CONF_MIN_CAL)
+        .where(F.size("_cal") >= min_cal)
     )
     n_cal = F.size("_cal")
     k = F.floor(
-        (F.lit(_CONF_ALPHA_NUM) * (n_cal + 1) + F.lit(_CONF_ALPHA_NUM))
+        (F.lit(alpha_num) * (n_cal + 1) + F.lit(alpha_num))
         / F.lit(10)
     ).cast("int")
     # k can exceed n_cal only when n_cal < 9; the >=10 gate excludes it
@@ -620,7 +643,15 @@ def q_conformal_forecast_intervals(spark: SparkSession, sf_dir: str) -> DataFram
     ).orderBy(*KEYS)
 
 
-def _conformal_sql() -> str:
+def conformal_forecast_intervals_sql(
+    alpha_num: int = _CONF_ALPHA_NUM,
+    test_weeks: int = _CONF_TEST_WEEKS,
+    min_cal: int = _CONF_MIN_CAL,
+) -> str:
+    # Conformal geometry fuzz-drawn (r12): coverage level (the
+    # alpha_num/10 order-statistic index), holdout span, and the
+    # calibration floor. alpha_num <= 9 with min_cal >= 10 keeps
+    # k <= n_cal (k = floor(a*(n+2)/10) <= n iff n >= (2a-9)/(10-a)).
     from . import oracle_fragments as _OF
 
     return f"""
@@ -640,7 +671,7 @@ seq AS (
 res AS (
   SELECT product_id, store_id,
          abs(4 * u - sum4) AS r_scaled,
-         idx > nw - {_CONF_TEST_WEEKS} AS is_test
+         idx > nw - {test_weeks} AS is_test
   FROM seq WHERE idx >= 5
 ),
 g AS (
@@ -648,21 +679,21 @@ g AS (
          list_sort(list(r_scaled) FILTER (NOT is_test)) AS cal,
          list(r_scaled) FILTER (is_test) AS test
   FROM res GROUP BY 1, 2
-  HAVING len(list(r_scaled) FILTER (NOT is_test)) >= {_CONF_MIN_CAL}
+  HAVING len(list(r_scaled) FILTER (NOT is_test)) >= {min_cal}
 )
 SELECT product_id, store_id,
        CAST(len(cal) AS BIGINT) AS n_cal,
-       round(CAST(cal[CAST(({_CONF_ALPHA_NUM} * (len(cal) + 1)
-                            + {_CONF_ALPHA_NUM}) // 10 AS INT)] AS DOUBLE)
+       round(CAST(cal[CAST(({alpha_num} * (len(cal) + 1)
+                            + {alpha_num}) // 10 AS INT)] AS DOUBLE)
              / 4.0, 4) AS q_hat,
        CAST(len(test) AS BIGINT) AS n_test,
        CAST(len(list_filter(test,
-            x -> x <= cal[CAST(({_CONF_ALPHA_NUM} * (len(cal) + 1)
-                                + {_CONF_ALPHA_NUM}) // 10 AS INT)]))
+            x -> x <= cal[CAST(({alpha_num} * (len(cal) + 1)
+                                + {alpha_num}) // 10 AS INT)]))
          AS BIGINT) AS n_covered,
        round_even(CAST(len(list_filter(test,
-            x -> x <= cal[CAST(({_CONF_ALPHA_NUM} * (len(cal) + 1)
-                                + {_CONF_ALPHA_NUM}) // 10 AS INT)]))
+            x -> x <= cal[CAST(({alpha_num} * (len(cal) + 1)
+                                + {alpha_num}) // 10 AS INT)]))
          AS DOUBLE) / CAST(len(test) AS DOUBLE), 6) + 0.0 AS coverage
 FROM g
 ORDER BY product_id, store_id
@@ -672,7 +703,7 @@ ORDER BY product_id, store_id
 register(
     "conformal_forecast_intervals",
     q_conformal_forecast_intervals,
-    _conformal_sql(),
+    conformal_forecast_intervals_sql(),
 )
 
 

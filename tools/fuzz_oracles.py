@@ -68,6 +68,7 @@ def _targets():
         queries_core as qc,
         queries_curation as qcur,
         queries_datacleaning as qdc,
+        queries_eval as qev,
         queries_extra as qe,
         queries_llm as qllm,
         queries_modern as qm,
@@ -310,6 +311,29 @@ def _targets():
             lambda r: dict(
                 window_min=(wm := r.choice([10, 15, 20, 30, 45, 60])),
                 watermark_min=wm + r.choice([0, 15, 30, 60]),
+            ),
+        ),
+        # round-12: eval-family geometry — RRF fusion shape (smoothing
+        # k, per-list candidate cutoff, fused top-N) and the conformal
+        # order-statistic index (coverage level alpha_num/10, holdout
+        # span, calibration floor; alpha_num <= 9 with min_cal >= 10
+        # keeps the rank inside the calibration list).
+        "reciprocal_rank_fusion": (
+            qev.q_reciprocal_rank_fusion,
+            qev.reciprocal_rank_fusion_sql,
+            lambda r: dict(
+                rrf_k=r.choice([10, 30, 60, 100]),
+                candidates=r.choice([8, 16, 64, 128]),
+                top=r.choice([3, 5, 10]),
+            ),
+        ),
+        "conformal_forecast_intervals": (
+            qev.q_conformal_forecast_intervals,
+            qev.conformal_forecast_intervals_sql,
+            lambda r: dict(
+                alpha_num=r.randint(5, 9),
+                test_weeks=r.choice([2, 4, 6]),
+                min_cal=r.choice([10, 15, 20]),
             ),
         ),
         # round-12: curation-family constants — packing/selection
