@@ -86,6 +86,12 @@ STRESS_QUERIES = [
     # part names through the new (block, length) equi-key).
     ("nb_langid_confusion", "documents"),
     ("fuzzy_part_name_pairs", "part"),
+    # round-12 additions: the three steepest 10x-curve queries after
+    # dedup_setsim_prefix (BENCH_scale_r12 slopes 7.3 / 6.1 / 5.9) —
+    # targeted-decade candidates for attribution.
+    ("time_decay_attribution", "events"),
+    ("bpe_pair_counts", "documents"),
+    ("association_rules", "lineitem"),
 ]
 
 # Tables any stress query touches (flagship etc. may read dims).
