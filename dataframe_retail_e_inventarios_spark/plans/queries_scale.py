@@ -144,24 +144,39 @@ register("cdc_latest_state", q_cdc_latest_state, cdc_latest_state_sql())
 
 
 # -- BM25 top terms per document -------------------------------------------
-def q_bm25_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-5 BM25 terms per document (keyword extraction). Scores are
+def q_bm25_top_terms(
+    spark: SparkSession,
+    sf_dir: str,
+    k1: float = 1.2,
+    b: float = 0.75,
+    top: int = 5,
+) -> DataFrame:
+    """Top-N BM25 terms per document (keyword extraction). Scores are
     rounded to 6 decimals BEFORE ranking so the order is identical on
-    both engines even if a libm ln() differs in the last ulp."""
+    both engines even if a libm ln() differs in the last ulp. k1/b/top
+    fuzz-drawn (r12): the saturation constants reach the oracle as the
+    same Python-computed (k1+1) and (1-b) literals the Spark
+    expression embeds, so every drawn geometry is bit-comparable."""
     docs = load_table(spark, sf_dir, "documents")
-    scored = bm25_scores(docs).withColumn("score", F.round("score", 6))
+    scored = bm25_scores(docs, k1=k1, b=b).withColumn(
+        "score", F.round("score", 6)
+    )
     w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
     return (
         scored.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rnk") <= 5)
+        .filter(F.col("rnk") <= top)
         .select("doc_id", "term", "tf", "df", "score", "rnk")
     )
 
 
-register(
-    "bm25_top_terms",
-    q_bm25_top_terms,
-    """
+def bm25_top_terms_sql(k1: float = 1.2, b: float = 0.75, top: int = 5) -> str:
+    # Mirror the Spark expression exactly: (k1 + 1) and (1 - b) are
+    # Python-computed literals there, so they are emitted pre-computed
+    # here too (same IEEE doubles), and the saturation denominator
+    # keeps the same association order.
+    k1p1 = k1 + 1
+    one_b = 1 - b
+    return f"""
 WITH tok AS (
   SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
   FROM documents
@@ -174,15 +189,21 @@ scored AS (
   SELECT t.doc_id, t.term, t.tf, d.df,
          round(
            ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
-           * ((t.tf * 2.2) / (t.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / (s.tot_len / s.n_docs)))),
+           * ((t.tf * {k1p1!r}) / (t.tf + {k1!r} * ({one_b!r} + {b!r} * l.dl / (s.tot_len / s.n_docs)))),
          6) AS score
   FROM tf_t t JOIN df_t d USING (term) JOIN dl_t l USING (doc_id) CROSS JOIN stats s
 )
 SELECT doc_id, term, tf, df, score, rnk FROM (
   SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rnk
   FROM scored
-) WHERE rnk <= 5
-""",
+) WHERE rnk <= {top}
+"""
+
+
+register(
+    "bm25_top_terms",
+    q_bm25_top_terms,
+    bm25_top_terms_sql(),
 )
 
 

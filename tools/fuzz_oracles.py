@@ -313,6 +313,19 @@ def _targets():
                 watermark_min=wm + r.choice([0, 15, 30, 60]),
             ),
         ),
+        # round-12: BM25 saturation geometry — k1/b on exact-literal
+        # grids ((k1+1) and (1-b) are Python-computed in BOTH engines'
+        # expressions, so every draw is bit-comparable), plus the
+        # per-doc top-N cut.
+        "bm25_top_terms": (
+            qsc.q_bm25_top_terms,
+            qsc.bm25_top_terms_sql,
+            lambda r: dict(
+                k1=r.choice([0.5, 0.9, 1.2, 1.5, 2.0]),
+                b=r.choice([0.0, 0.25, 0.5, 0.75, 1.0]),
+                top=r.choice([3, 5, 10]),
+            ),
+        ),
         # round-12: eval-family geometry — RRF fusion shape (smoothing
         # k, per-list candidate cutoff, fused top-N) and the conformal
         # order-statistic index (coverage level alpha_num/10, holdout
