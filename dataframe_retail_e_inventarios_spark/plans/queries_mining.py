@@ -862,7 +862,13 @@ _WIN_W = 4    # winnowing window (consecutive gram hashes)
 _WIN_MAX_DF = 50
 
 
-def q_winnow_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_winnow_fingerprint_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = _WIN_K,
+    w: int = _WIN_W,
+    max_df: int = _WIN_MAX_DF,
+) -> DataFrame:
     """Cross-doc overlap via WINNOWED fingerprints: each document keeps
     only the minimum gram hash of every w-gram window (the classic
     guarantee: any shared run of w+k-1 tokens shares >=1 fingerprint),
@@ -880,18 +886,18 @@ def q_winnow_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", _token_hashes(tokens("text")).alias("hs")
     )
     hcol = F.col("hs")
-    n_grams = F.size(hcol) - (_WIN_K - 1)
+    n_grams = F.size(hcol) - (k - 1)
     grams_arr = F.transform(
-        F.sequence(F.lit(1), n_grams), lambda i: _gram_mix(hcol, i, _WIN_K)
+        F.sequence(F.lit(1), n_grams), lambda i: _gram_mix(hcol, i, k)
     )
     fps_arr = F.array_distinct(
         F.transform(
-            F.sequence(F.lit(1), n_grams - (_WIN_W - 1)),
-            lambda p: F.array_min(F.slice(grams_arr, p, _WIN_W)),
+            F.sequence(F.lit(1), n_grams - (w - 1)),
+            lambda p: F.array_min(F.slice(grams_arr, p, w)),
         )
     )
     fp = (
-        hashed.filter(n_grams >= _WIN_W)
+        hashed.filter(n_grams >= w)
         .select("doc_id", F.explode_outer(fps_arr).alias("fp"))
         .filter(F.col("fp").isNotNull())
         # Four consumers read this frame (per-doc counts, the df gate,
@@ -906,7 +912,7 @@ def q_winnow_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     df_ok = (
         fp.groupBy("fp")
         .agg(F.count_distinct("doc_id").alias("df"))
-        .filter((F.col("df") >= 2) & (F.col("df") <= _WIN_MAX_DF))
+        .filter((F.col("df") >= 2) & (F.col("df") <= max_df))
         .select("fp")
     )
     g = fp.join(df_ok, "fp")
@@ -942,28 +948,31 @@ def q_winnow_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-register(
-    "winnow_fingerprint_pairs",
-    q_winnow_fingerprint_pairs,
-    f"""
+def winnow_fingerprint_pairs_sql(
+    k: int = _WIN_K, w: int = _WIN_W, max_df: int = _WIN_MAX_DF
+) -> str:
+    # k/w/max_df fuzz-drawn (r12): the winnow guarantee (any shared
+    # w+k-1-token run shares >= 1 fingerprint) must reproduce on both
+    # engines at every drawn geometry.
+    return f"""
 WITH h AS (SELECT doc_id, {_SUB_HS_SQL} AS hs FROM documents),
 ga AS (
   SELECT doc_id,
-         list_transform(range(1, len(hs) - {_WIN_K - 2}),
-                        i -> {_gram_mix_sql('hs', 'i', _WIN_K)}) AS grams
-  FROM h WHERE len(hs) - {_WIN_K - 1} >= {_WIN_W}
+         list_transform(range(1, len(hs) - {k - 2}),
+                        i -> {_gram_mix_sql('hs', 'i', k)}) AS grams
+  FROM h WHERE len(hs) - {k - 1} >= {w}
 ),
 fp AS (
   SELECT DISTINCT doc_id,
          unnest(list_distinct(list_transform(
-             range(1, len(grams) - {_WIN_W - 2}),
-             p -> list_min(list_slice(grams, p, p + {_WIN_W - 1}))))) AS fp
+             range(1, len(grams) - {w - 2}),
+             p -> list_min(list_slice(grams, p, p + {w - 1}))))) AS fp
   FROM ga
 ),
 per_doc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp FROM fp GROUP BY 1),
 df_ok AS (
   SELECT fp FROM fp GROUP BY fp
-  HAVING count(DISTINCT doc_id) BETWEEN 2 AND {_WIN_MAX_DF}
+  HAVING count(DISTINCT doc_id) BETWEEN 2 AND {max_df}
 ),
 g AS (SELECT fp.* FROM fp JOIN df_ok USING (fp)),
 pairs AS (
@@ -979,5 +988,11 @@ SELECT id_a, id_b, shared_fp,
 FROM pairs
 JOIN per_doc na ON na.doc_id = id_a
 JOIN per_doc nb ON nb.doc_id = id_b
-""",
+"""
+
+
+register(
+    "winnow_fingerprint_pairs",
+    q_winnow_fingerprint_pairs,
+    winnow_fingerprint_pairs_sql(),
 )

@@ -246,18 +246,22 @@ FROM ex GROUP BY 1, 2
 
 
 # -- document chunking: overlapping token windows --------------------------
-def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-token chunks with 16-token overlap (stride 48) — the
-    curation→trainer handoff granularity. Generator-only plan: no
-    shuffle, no join; linear in corpus size."""
-    docs = load_table(spark, sf_dir, "documents")
-    return chunk_documents(docs)
-
-
-register(
-    "doc_chunks",
-    q_doc_chunks,
+def q_doc_chunks(
+    spark: SparkSession, sf_dir: str, chunk: int = 64, stride: int = 48
+) -> DataFrame:
+    """`chunk`-token chunks advancing by `stride` tokens (default 64
+    with 16-token overlap) — the curation→trainer handoff granularity.
+    Generator-only plan: no shuffle, no join; linear in corpus size.
+    chunk/stride fuzz-drawn (r12): the tail-emission rule (a chunk is
+    emitted only if it covers tokens its predecessor did not) is
+    probed at every geometry, including stride == chunk (no overlap).
     """
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk=chunk, stride=stride)
+
+
+def doc_chunks_sql(chunk: int = 64, stride: int = 48) -> str:
+    return f"""
 WITH toks_t AS (
   SELECT doc_id,
          list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS toks
@@ -265,15 +269,21 @@ WITH toks_t AS (
 ),
 nz AS (SELECT doc_id, toks, len(toks) AS n FROM toks_t WHERE len(toks) > 0),
 starts AS (
-  SELECT doc_id, toks, n, unnest(range(1, n + 1, 48)) AS s FROM nz
+  SELECT doc_id, toks, n, unnest(range(1, n + 1, {stride})) AS s FROM nz
 )
 SELECT doc_id,
-       CAST((s - 1) // 48 AS BIGINT) AS chunk_no,
-       CAST(len(list_slice(toks, s, s + 63)) AS BIGINT) AS n_tokens,
-       array_to_string(list_slice(toks, s, s + 63), ' ') AS chunk_text
+       CAST((s - 1) // {stride} AS BIGINT) AS chunk_no,
+       CAST(len(list_slice(toks, s, s + {chunk - 1})) AS BIGINT) AS n_tokens,
+       array_to_string(list_slice(toks, s, s + {chunk - 1}), ' ') AS chunk_text
 FROM starts
-WHERE s = 1 OR s - 48 + 63 < n
-""",
+WHERE s = 1 OR s - {stride} + {chunk - 1} < n
+"""
+
+
+register(
+    "doc_chunks",
+    q_doc_chunks,
+    doc_chunks_sql(),
 )
 
 

@@ -71,6 +71,7 @@ def _targets():
         queries_eval as qev,
         queries_extra as qe,
         queries_llm as qllm,
+        queries_mining as qmi,
         queries_modern as qm,
         queries_relational as qr,
         queries_report as qrep,
@@ -311,6 +312,27 @@ def _targets():
             lambda r: dict(
                 window_min=(wm := r.choice([10, 15, 20, 30, 45, 60])),
                 watermark_min=wm + r.choice([0, 15, 30, 60]),
+            ),
+        ),
+        # round-12: chunking + winnowing geometry — the chunk/stride
+        # tail-emission rule (incl. stride == chunk, no overlap) and
+        # the winnow k-gram/window/df-cap triple (the w+k-1 shared-run
+        # guarantee at every drawn shape).
+        "doc_chunks": (
+            qsc.q_doc_chunks,
+            qsc.doc_chunks_sql,
+            lambda r: dict(
+                chunk=(c := r.choice([32, 64, 128])),
+                stride=c - r.choice([0, c // 4, c // 2]),
+            ),
+        ),
+        "winnow_fingerprint_pairs": (
+            qmi.q_winnow_fingerprint_pairs,
+            qmi.winnow_fingerprint_pairs_sql,
+            lambda r: dict(
+                k=r.choice([3, 4, 5, 7]),
+                w=r.choice([2, 4, 6]),
+                max_df=r.choice([20, 50, 100]),
             ),
         ),
         # round-12: BM25 saturation geometry — k1/b on exact-literal
