@@ -182,7 +182,9 @@ FROM unpivoted GROUP BY 1, 2
 _TE_SMOOTH = 50
 
 
-def q_target_encoding_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_target_encoding_brand(
+    spark: SparkSession, sf_dir: str, m: int | None = None
+) -> DataFrame:
     """Smoothed mean target encoding of p_brand against line quantity:
     encoded = (sum_brand + m * prior) / (n_brand + m) with m=50 — the
     additive-smoothing encoder every tabular-ML pipeline ships, which
@@ -196,6 +198,7 @@ def q_target_encoding_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     a broadcast of the single-row prior."""
     li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity")
     pt = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    m = m if m is not None else _TE_SMOOTH
     j = li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
     per_brand = j.groupBy("p_brand").agg(
         F.count("*").alias("n"),
@@ -205,7 +208,7 @@ def q_target_encoding_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("s") / F.sum("n")).alias("prior")
     )
     out = per_brand.crossJoin(F.broadcast(prior))
-    enc = (F.col("s") + _TE_SMOOTH * F.col("prior")) / (F.col("n") + _TE_SMOOTH)
+    enc = (F.col("s") + m * F.col("prior")) / (F.col("n") + m)
     return out.select(
         "p_brand",
         "n",
@@ -215,10 +218,11 @@ def q_target_encoding_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("p_brand")
 
 
-register(
-    "target_encoding_brand",
-    q_target_encoding_brand,
-    f"""
+def target_encoding_brand_sql(m: int | None = None) -> str:
+    # smoothing strength fuzz-drawn (r12): the shrinkage toward the
+    # prior must agree at every m, including m far beyond any brand n.
+    m = m if m is not None else _TE_SMOOTH
+    return f"""
 WITH per_brand AS (
   SELECT p.p_brand, count(*) AS n,
          sum(CAST(round_even(l.l_quantity, 0) AS BIGINT)) AS s
@@ -228,11 +232,17 @@ WITH per_brand AS (
 pr AS (SELECT sum(s) / CAST(sum(n) AS DOUBLE) AS prior FROM per_brand)
 SELECT p_brand, CAST(n AS BIGINT) AS n,
        round(s / CAST(n AS DOUBLE), 6) AS raw_mean,
-       round((s + {_TE_SMOOTH} * prior) / (n + {_TE_SMOOTH}), 6) AS encoded,
+       round((s + {m} * prior) / (n + {m}), 6) AS encoded,
        round(prior, 6) AS prior
 FROM per_brand CROSS JOIN pr
 ORDER BY p_brand
-""",
+"""
+
+
+register(
+    "target_encoding_brand",
+    q_target_encoding_brand,
+    target_encoding_brand_sql(),
 )
 
 
@@ -535,7 +545,9 @@ CROSS JOIN tot
 _PSI_BIN = 20000  # $20k price bins
 
 
-def q_psi_order_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_psi_order_price_drift(
+    spark: SparkSession, sf_dir: str, bin_width: int | None = None
+) -> DataFrame:
     """Population Stability Index between the first and second half of
     the order history, over fixed $20k total-price bins — the standard
     production-ML drift monitor (PSI < 0.1 stable, > 0.25 shifted).
@@ -548,6 +560,7 @@ def q_psi_order_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     and each bin's PSI term is snapped to a scaled BIGINT before the
     total. Bin count is value-range-bounded, so everything after the
     first aggregate is metadata-scale."""
+    bin_width = bin_width if bin_width is not None else _PSI_BIN
     o = load_table(spark, sf_dir, "orders").select("o_orderdate", "o_totalprice")
     bounds = o.agg(
         F.min("o_orderdate").alias("mn"), F.max("o_orderdate").alias("mx")
@@ -557,7 +570,7 @@ def q_psi_order_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("mn"), (F.datediff(F.col("mx"), F.col("mn")) / 2).cast("int")
     )
     binned = x.select(
-        F.floor(F.col("o_totalprice") / _PSI_BIN).cast("long").alias("bin"),
+        F.floor(F.col("o_totalprice") / bin_width).cast("long").alias("bin"),
         F.when(F.col("o_orderdate") <= mid, 1).otherwise(0).alias("is_a"),
     )
     g = binned.groupBy("bin").agg(
@@ -577,13 +590,14 @@ def q_psi_order_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-register(
-    "psi_order_price_drift",
-    q_psi_order_price_drift,
-    f"""
+def psi_order_price_drift_sql(bin_width: int | None = None) -> str:
+    # bin width fuzz-drawn (r12): coarser/finer bins reshape the whole
+    # PSI term set (and which bins hit the 1e-6 floor).
+    bin_width = bin_width if bin_width is not None else _PSI_BIN
+    return f"""
 WITH bounds AS (SELECT min(o_orderdate) AS mn, max(o_orderdate) AS mx FROM orders),
 binned AS (
-  SELECT CAST(floor(o_totalprice / {_PSI_BIN}) AS BIGINT) AS bin,
+  SELECT CAST(floor(o_totalprice / {bin_width}) AS BIGINT) AS bin,
          CASE WHEN o_orderdate <= mn + CAST(date_diff('day', mn, mx) // 2 AS INT) * INTERVAL 1 DAY
               THEN 1 ELSE 0 END AS is_a
   FROM orders CROSS JOIN bounds
@@ -600,7 +614,13 @@ SELECT
   CAST(sum(n_a) AS BIGINT) AS n_period_a,
   CAST(sum(n_b) AS BIGINT) AS n_period_b
 FROM g CROSS JOIN t
-""",
+"""
+
+
+register(
+    "psi_order_price_drift",
+    q_psi_order_price_drift,
+    psi_order_price_drift_sql(),
 )
 
 

@@ -314,6 +314,20 @@ def _targets():
                 watermark_min=wm + r.choice([0, 15, 30, 60]),
             ),
         ),
+        # round-12: drift/encoding constants — the PSI bin width
+        # (reshapes the term set and which bins hit the 1e-6 floor)
+        # and the target-encoding smoothing strength (shrinkage toward
+        # the prior at every m, including m >> any brand's n).
+        "psi_order_price_drift": (
+            qst.q_psi_order_price_drift,
+            qst.psi_order_price_drift_sql,
+            lambda r: dict(bin_width=r.choice([5000, 10000, 20000, 50000])),
+        ),
+        "target_encoding_brand": (
+            qst.q_target_encoding_brand,
+            qst.target_encoding_brand_sql,
+            lambda r: dict(m=r.choice([1, 10, 50, 200, 5000])),
+        ),
         # round-12: chunking + winnowing geometry — the chunk/stride
         # tail-emission rule (incl. stride == chunk, no overlap) and
         # the winnow k-gram/window/df-cap triple (the w+k-1 shared-run
