@@ -1885,7 +1885,9 @@ FROM m WHERE n >= 10 ORDER BY p_brand
 _CUSUM_MIN_WEEKS = 12
 
 
-def q_cusum_change_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_cusum_change_points(
+    spark: SparkSession, sf_dir: str, min_weeks: int | None = None
+) -> DataFrame:
     """Offline CUSUM change-point scan per product series: S_t =
     sum_{i<=t}(x_i - mean), change point = the week at argmax |S_t| —
     the standard level-shift detector a demand-monitoring job runs
@@ -1904,6 +1906,7 @@ def q_cusum_change_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     scales only the pre-aggregate."""
     from ..operators.cleaning import clean_sales
 
+    min_weeks = min_weeks if min_weeks is not None else _CUSUM_MIN_WEEKS
     sales = clean_sales(load_table(spark, sf_dir, "lineitem"))
     weekly = (
         sales.withColumn(
@@ -1923,7 +1926,7 @@ def q_cusum_change_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("total", F.sum("xq").over(per))
         .withColumn("csum", F.sum("xq").over(wseq))
         .withColumn("t", F.row_number().over(per.orderBy("week")))
-        .filter(F.col("n") >= _CUSUM_MIN_WEEKS)
+        .filter(F.col("n") >= min_weeks)
         .withColumn(
             "T_t", F.col("n") * F.col("csum") - F.col("t") * F.col("total")
         )
@@ -1945,10 +1948,11 @@ def q_cusum_change_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-register(
-    "cusum_change_points",
-    q_cusum_change_points,
-    f"""
+def cusum_change_points_sql(min_weeks: int | None = None) -> str:
+    # history floor fuzz-drawn (r12): the admission edge decides which
+    # series get a change point at all.
+    min_weeks = min_weeks if min_weeks is not None else _CUSUM_MIN_WEEKS
+    return f"""
 WITH {_OF.CLEAN_SALES_CTE.strip()},
 weekly AS (
   SELECT product_id,
@@ -1970,7 +1974,7 @@ peaks AS (
   SELECT *, n * csum - t * total AS T_t,
          row_number() OVER (PARTITION BY product_id
                             ORDER BY abs(n * csum - t * total) DESC, week ASC) AS rk
-  FROM scanned WHERE n >= {_CUSUM_MIN_WEEKS}
+  FROM scanned WHERE n >= {min_weeks}
 )
 SELECT product_id,
        CAST(n AS BIGINT) AS n_weeks,
@@ -1978,7 +1982,13 @@ SELECT product_id,
        week AS change_week,
        round(T_t / CAST(n AS DOUBLE), 4) AS cusum_peak
 FROM peaks WHERE rk = 1 ORDER BY product_id
-""",
+"""
+
+
+register(
+    "cusum_change_points",
+    q_cusum_change_points,
+    cusum_change_points_sql(),
 )
 
 
@@ -1987,7 +1997,13 @@ _BOOT_B = 100
 _BOOT_MIN_WEEKS = 20
 
 
-def q_bootstrap_ci_weekly_demand(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_bootstrap_ci_weekly_demand(
+    spark: SparkSession,
+    sf_dir: str,
+    n_boot: int | None = None,
+    min_weeks: int | None = None,
+    tail: float = 0.025,
+) -> DataFrame:
     """Bootstrap 95% confidence interval for each product's mean
     weekly demand — uncertainty quantification for the planner, with
     a DETERMINISTIC resampler: resample b draws its n indices from
@@ -2010,6 +2026,8 @@ def q_bootstrap_ci_weekly_demand(spark: SparkSession, sf_dir: str) -> DataFrame:
     collect; the per-product output is 1 row."""
     from ..operators.cleaning import clean_sales
 
+    n_boot = n_boot if n_boot is not None else _BOOT_B
+    min_weeks = min_weeks if min_weeks is not None else _BOOT_MIN_WEEKS
     sales = clean_sales(load_table(spark, sf_dir, "lineitem"))
     weekly = (
         sales.withColumn(
@@ -2031,7 +2049,7 @@ def q_bootstrap_ci_weekly_demand(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda s: s["xq"],
             ).alias("xs"),
         )
-        .filter(F.col("n") >= _BOOT_MIN_WEEKS)
+        .filter(F.col("n") >= min_weeks)
         # deterministic 10% hash sample of the catalog (md5 bucket, the
         # sample_stratified_hash convention): the bootstrap costs n x B
         # lambda evaluations per series, so the registered query bounds
@@ -2045,7 +2063,7 @@ def q_bootstrap_ci_weekly_demand(spark: SparkSession, sf_dir: str) -> DataFrame:
             == 0
         )
     )
-    b = F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b")
+    b = F.explode(F.sequence(F.lit(0), F.lit(n_boot - 1))).alias("b")
     draws = series.select("product_id", "n", "xs", b)
     j = F.sequence(F.lit(0), F.col("n") - 1)
     idx_hash = lambda jj: F.pmod(  # noqa: E731
@@ -2079,13 +2097,13 @@ def q_bootstrap_ci_weekly_demand(spark: SparkSession, sf_dir: str) -> DataFrame:
         means.groupBy("product_id", "n")
         .agg(
             F.round(
-                F.expr("percentile_approx(mean_b, 0.025, 2147483647)"), 4
+                F.expr(f"percentile_approx(mean_b, {tail!r}, 2147483647)"), 4
             ).alias("ci_lo"),
             F.round(
                 F.expr("percentile_approx(mean_b, 0.5, 2147483647)"), 4
             ).alias("ci_med"),
             F.round(
-                F.expr("percentile_approx(mean_b, 0.975, 2147483647)"), 4
+                F.expr(f"percentile_approx(mean_b, {1 - tail!r}, 2147483647)"), 4
             ).alias("ci_hi"),
         )
         .select(
@@ -2099,10 +2117,19 @@ def q_bootstrap_ci_weekly_demand(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-register(
-    "bootstrap_ci_weekly_demand",
-    q_bootstrap_ci_weekly_demand,
-    f"""
+def bootstrap_ci_weekly_demand_sql(
+    n_boot: int | None = None,
+    min_weeks: int | None = None,
+    tail: float = 0.025,
+) -> str:
+    # resample count, history floor and CI tail fuzz-drawn (r12): the
+    # deterministic md5 resampler and the DISCRETE order-statistic
+    # quantile must agree at every (B, floor, level). 1 - tail is
+    # Python-computed on both sides (same IEEE double).
+    n_boot = n_boot if n_boot is not None else _BOOT_B
+    min_weeks = min_weeks if min_weeks is not None else _BOOT_MIN_WEEKS
+    hi = 1 - tail
+    return f"""
 WITH {_OF.CLEAN_SALES_CTE.strip()},
 weekly AS (
   SELECT product_id,
@@ -2114,11 +2141,11 @@ weekly AS (
 series AS (
   SELECT product_id, count(*) AS n, list(xq ORDER BY week) AS xs
   FROM weekly GROUP BY 1
-  HAVING count(*) >= {_BOOT_MIN_WEEKS}
+  HAVING count(*) >= {min_weeks}
      AND CAST(('0x' || substr(md5(CAST(product_id AS VARCHAR)), 1, 2)) AS BIGINT) % 10 = 0
 ),
 draws AS (
-  SELECT product_id, n, xs, unnest(range(0, {_BOOT_B})) AS b FROM series
+  SELECT product_id, n, xs, unnest(range(0, {n_boot})) AS b FROM series
 ),
 means AS (
   SELECT product_id, n,
@@ -2130,11 +2157,17 @@ means AS (
   FROM draws
 )
 SELECT product_id, CAST(n AS BIGINT) AS n_weeks,
-       round(quantile_disc(mean_b, 0.025), 4) AS ci_lo,
+       round(quantile_disc(mean_b, {tail!r}), 4) AS ci_lo,
        round(quantile_disc(mean_b, 0.5), 4) AS ci_med,
-       round(quantile_disc(mean_b, 0.975), 4) AS ci_hi
+       round(quantile_disc(mean_b, {hi!r}), 4) AS ci_hi
 FROM means GROUP BY product_id, n ORDER BY product_id
-""",
+"""
+
+
+register(
+    "bootstrap_ci_weekly_demand",
+    q_bootstrap_ci_weekly_demand,
+    bootstrap_ci_weekly_demand_sql(),
 )
 
 

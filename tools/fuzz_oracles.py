@@ -314,6 +314,24 @@ def _targets():
                 watermark_min=wm + r.choice([0, 15, 30, 60]),
             ),
         ),
+        # round-12: change-point + bootstrap geometry — the CUSUM
+        # admission floor, and the bootstrap (resample count, history
+        # floor, CI tail) triple: the deterministic md5 resampler and
+        # the DISCRETE order-statistic quantile at every level.
+        "cusum_change_points": (
+            qtr.q_cusum_change_points,
+            qtr.cusum_change_points_sql,
+            lambda r: dict(min_weeks=r.choice([6, 12, 20, 30])),
+        ),
+        "bootstrap_ci_weekly_demand": (
+            qtr.q_bootstrap_ci_weekly_demand,
+            qtr.bootstrap_ci_weekly_demand_sql,
+            lambda r: dict(
+                n_boot=r.choice([40, 100, 200]),
+                min_weeks=r.choice([15, 20, 30]),
+                tail=r.choice([0.025, 0.05, 0.1]),
+            ),
+        ),
         # round-12: drift/encoding constants — the PSI bin width
         # (reshapes the term set and which bins hit the 1e-6 floor)
         # and the target-encoding smoothing strength (shrinkage toward
