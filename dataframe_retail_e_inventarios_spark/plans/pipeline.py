@@ -66,10 +66,13 @@ def forecast_inventory(
     """
     keys = keys or KEYS
     if use_models:
-        from ..operators.forecast_udf import forecast_with_models
+        from ..operators.forecast_udf import MIN_TOTAL_SALES, MIN_WEEKS, forecast_with_models
 
-        dense = weekly_dense_resample(sales, keys, "invoice_date", "units_sold")
-        return forecast_with_models(dense)
+        dense = weekly_dense_resample(
+            sales, keys, "invoice_date", "units_sold",
+            min_span_weeks=MIN_WEEKS, min_total=MIN_TOTAL_SALES,
+        )
+        return forecast_with_models(dense, assume_gated=True)
 
     from .flagship import series_stats
 

@@ -71,7 +71,13 @@ def q_series_gates(
     min_total: int = 10,
 ) -> DataFrame:
     """HAVING thresholds fuzz-injectable (tools/fuzz_oracles.py)."""
-    dense = weekly_dense_resample(_sales(spark, sf_dir), KEYS, "invoice_date", "units_sold")
+    # Pre-gate = the same thresholds the filter below applies (dense
+    # count == span; integral sums make round(sum, 2) == sum) — the
+    # filter below stays as the semantic gate.
+    dense = weekly_dense_resample(
+        _sales(spark, sf_dir), KEYS, "invoice_date", "units_sold",
+        min_span_weeks=min_weeks, min_total=min_total,
+    )
     return (
         dense.groupBy(*KEYS)
         .agg(

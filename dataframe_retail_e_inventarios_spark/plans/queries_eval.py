@@ -594,11 +594,17 @@ def q_conformal_forecast_intervals(
     from ..operators.resample import weekly_dense_resample
     from .flagship import KEYS
 
+    # Pre-gate (r12): _cal counts dense rows with idx in
+    # [5, nw - test_weeks], so size(_cal) >= min_cal requires
+    # nw >= min_cal + test_weeks + 4 — a lossless candidate bound
+    # derived from the same kwargs the fuzzer draws; the size(_cal)
+    # gate below stays as the semantic one.
     dense = weekly_dense_resample(
         clean_sales(load_table(spark, sf_dir, "lineitem")),
         KEYS,
         "invoice_date",
         "units_sold",
+        min_span_weeks=min_cal + test_weeks + 4,
     )
     w_ord = Window.partitionBy(*KEYS).orderBy("week")
     u = F.bround(F.col("units_sold"), 0).cast("long")
@@ -727,11 +733,15 @@ def q_backtest_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.resample import weekly_dense_resample
     from .flagship import KEYS
 
+    # Pre-gate (r12): n_train counts dense rows with idx in
+    # [2, nw - test], so n_train >= 10 requires nw >= 10 + test + 1 —
+    # lossless; the n_train/den gate below stays as the semantic one.
     dense = weekly_dense_resample(
         clean_sales(load_table(spark, sf_dir, "lineitem")),
         KEYS,
         "invoice_date",
         "units_sold",
+        min_span_weeks=10 + _CONF_TEST_WEEKS + 1,
     )
     w_ord = Window.partitionBy(*KEYS).orderBy("week")
     u = F.bround(F.col("units_sold"), 0).cast("long")

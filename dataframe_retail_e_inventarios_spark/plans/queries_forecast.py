@@ -44,10 +44,13 @@ def q_forecast_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     compared against the constants the reference guarantees — a model
     member emitting a negative / wrong-length forecast, or inventory
     math violating rop >= ss >= 0, flips a bit and fails the hash."""
+    from ..operators.forecast_udf import MIN_TOTAL_SALES, MIN_WEEKS
+
     dense = weekly_dense_resample(
-        clean_sales(load_table(spark, sf_dir, "lineitem")), KEYS, "invoice_date", "units_sold"
+        clean_sales(load_table(spark, sf_dir, "lineitem")), KEYS, "invoice_date", "units_sold",
+        min_span_weeks=MIN_WEEKS, min_total=MIN_TOTAL_SALES,
     )
-    res = forecast_with_models(dense)
+    res = forecast_with_models(dense, assume_gated=True)
     fc = F.col("Forecast")
     test_sum = (
         F.aggregate(
@@ -114,10 +117,13 @@ def q_forecast_udf_ma(spark: SparkSession, sf_dir: str) -> DataFrame:
     split, safe-MAPE, SS/ROP/Q int rounding, Arrow transport) runs
     under the driver's hash gate, not just rows-only. The model-fit
     members stay covered by the differential tests."""
+    from ..operators.forecast_udf import MIN_TOTAL_SALES, MIN_WEEKS
+
     dense = weekly_dense_resample(
-        clean_sales(load_table(spark, sf_dir, "lineitem")), KEYS, "invoice_date", "units_sold"
+        clean_sales(load_table(spark, sf_dir, "lineitem")), KEYS, "invoice_date", "units_sold",
+        min_span_weeks=MIN_WEEKS, min_total=MIN_TOTAL_SALES,
     )
-    res = forecast_with_models(dense, ma_only=True)
+    res = forecast_with_models(dense, ma_only=True, assume_gated=True)
     return res.select(
         "SKU",
         "Store",

@@ -2114,7 +2114,17 @@ def q_service_level_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     # One resample chain feeds BOTH the policy stats and the train
     # scan — materialized so the fact is read once, not once per
     # branch (same trade as the BM25 tf frame / dedup shingle index).
-    dense = weekly_dense_resample(sales, KEYS, "invoice_date", "units_sold")
+    # Pre-gated with the flagship admission thresholds (r12): ranked
+    # feeds series_stats (which applies the semantic HAVING) and the
+    # train join against the ADMITTED policy keys — non-admitted
+    # series never survive either consumer, so dropping them before
+    # the winsorize/rank windows and the checkpoint is lossless.
+    from .flagship import MIN_TOTAL_SALES, MIN_WEEKS
+
+    dense = weekly_dense_resample(
+        sales, KEYS, "invoice_date", "units_sold",
+        min_span_weeks=MIN_WEEKS, min_total=MIN_TOTAL_SALES,
+    )
     dense = winsorize_by_group(dense, KEYS, "units_sold", "units_w")
     ranked = add_recency_rank(dense, KEYS, "week").localCheckpoint(eager=True)
     stats = series_stats(sales, dense_ranked=ranked)
