@@ -33,67 +33,16 @@ def register(name: str, fn: QueryFn, oracle: str | None) -> None:
 # listed still follows, in registration order, and tools/matrix.py
 # sweeps the full registry every round regardless (MATRIX_r{N}.json).
 _PRIORITY = [
-    # r12 rotation (r11 verdict #1): the driver's 50-row budget goes to
-    # the STALEST certificates, measured by tools/cert_age.py over
-    # artifacts/r*/CORRECTNESS* + the current round's file (vintage
-    # table at r12-open: r5=21, r6=46, r7=49, r8=50, r9=1, r10=48,
-    # r11=50; never-sampled=0). Budget = the full r5 vintage (21) +
-    # the r6 vintage alphabetically (29); the r6 remainder rides along
-    # for the r13 rotation. tools/matrix.py still sweeps all 265 every
-    # round regardless.
-    # r5-vintage (last driver certificate: round 5), alphabetical:
-    "gopher_quality_flags",
-    "join_cardinality_probe",
-    "k_anonymity_audit",
-    "mixture_temperature_weights",
-    "position_based_attribution",
-    "price_elasticity_by_brand",
-    "psi_order_price_drift",
-    "quality_weighted_sample",
-    "revenue_concentration_hhi",
-    "rolling_origin_backtest",
-    "series_admission_gates",
-    "service_level_coverage",
-    "streaming_static_enrichment",
-    "supplier_lead_times",
-    "survival_km_signup_purchase",
-    "target_encoding_brand",
-    "tokenizer_oov_rate",
-    "triangle_count_copurchase",
-    "weekly_resample_sparse",
-    "window_funnel_levels",
-    "woe_information_value",
-    # r6-vintage (last driver certificate: round 6), alphabetical:
-    "ann_gemm_topk",
-    "ann_lsh_bucketed_topk",
-    "apriori_triple_itemsets",
-    "backtest_mase",
-    "bitemporal_snapshot_revenue",
-    "bootstrap_ci_weekly_demand",
-    "calibration_bins_brier",
-    "char_entropy_scores",
-    "class_balanced_cap",
-    "conformal_forecast_intervals",
-    "copurchase_node_jaccard",
-    "cross_source_ngram_leakage",
-    "cusum_change_points",
-    "dataset_stats_manifest",
-    "dedup_jaccard_threshold_sweep",
-    "doc_vector_hashing",
-    "event_path_trigrams",
-    "fk_containment_discovery",
-    "forecast_reconciliation_topdown",
-    "fuzzy_part_name_pairs",
-    "gini_revenue_by_nation",
-    "hard_negative_mining",
-    "kmeans_lite_clusters",
-    "ks_price_segments",
-    "length_bucketed_padding",
-    "ngram_novelty_rate",
-    "ols_two_factor_demand",
-    "perplexity_bucket_mix",
-    "phrase_search_positional",
-    # r6 remainder (positions 51+; ride along for r13):
+    # r13 rotation (continuing the r11-verdict cert-rotation policy):
+    # the driver's 50-row budget goes to the STALEST certificates,
+    # measured by tools/cert_age.py over artifacts/r*/CORRECTNESS* +
+    # the current round's file (vintage table at r13-open: r6=17,
+    # r7=49, r8=50, r9=1, r10=48, r11=50, r12=50; never-sampled=0).
+    # Budget = the full r6 remainder (17) + the r7 vintage
+    # alphabetically (33); the r7 remainder rides along for the r14
+    # rotation. tools/matrix.py still sweeps all 265 every round
+    # regardless.
+    # r6-vintage remainder (last driver certificate: round 6):
     "reciprocal_rank_fusion",
     "rfm_segmentation",
     "roc_auc_langid",
@@ -111,6 +60,57 @@ _PRIORITY = [
     "video_frame_schedule",
     "vocab_coverage_curve",
     "welch_ttest_price_segments",
+    # r7-vintage (last driver certificate: round 7), alphabetical:
+    "ann_cosine_topk",
+    "ann_ivf_topk",
+    "anti_join_no_orders",
+    "asof_join_latest_order",
+    "association_rules",
+    "brand_size_band_revenue",
+    "cohens_kappa_langid",
+    "content_fingerprint_by_month",
+    "cube_sales_summary",
+    "custdist_order_counts",
+    "dedup_exact",
+    "dedup_minhash_signatures",
+    "dedup_ngram_jaccard",
+    "dedup_simhash_pairs",
+    "demand_sigma_pop",
+    "distinct_counts_per_supplier",
+    "dsir_importance_selection",
+    "embedding_cosine_neardup",
+    "embedding_cosine_neardup_bucketed",
+    "ensemble_median",
+    "entity_clusters_fuzzy",
+    "events_cohort_retention",
+    "events_hourly_counts",
+    "events_props_json",
+    "exact_substring_overlap",
+    "forecasted_discount_revenue",
+    "global_sales_opportunity",
+    "grouping_sets_summary",
+    "histogram_quantile_sketch",
+    "large_volume_customers",
+    "lsh_band_recall_audit",
+    "pivot_qty_by_returnflag",
+    "pr_curve_quality",
+    # r7 remainder (positions 51+; ride along for r14):
+    "promo_revenue_share",
+    "range_join_holiday_seasons",
+    "returned_item_losses",
+    "semdedup_keep_decision",
+    "skew_hot_key_revenue_plain",
+    "skew_hot_key_revenue_salted",
+    "skew_salted_brand_revenue",
+    "small_quantity_avg_yearly",
+    "source_jsd_matrix",
+    "star_join_revenue",
+    "token_budget_selection",
+    "tpch_pricing_summary",
+    "volume_shipping_nation_pairs",
+    "winnow_fingerprint_pairs",
+    "zipf_slope",
+    "zipf_vocab_topk",
 ]
 
 
