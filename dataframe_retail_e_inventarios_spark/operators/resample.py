@@ -186,7 +186,15 @@ def weekly_dense_resample(
         span = (F.datediff("_w_max", "_w_min") / 7).cast("long") + 1
         per_series = per_series.filter(span >= int(min_span_weeks))
     if min_total is not None:
-        per_series = per_series.filter(F.col("_tot") >= float(min_total))
+        # round(_tot, 2) >= t, not _tot >= t (r12 ADVICE): some callers'
+        # semantic gates compare round(sum, 2) >= t, and for a
+        # fractional sum in [t - 0.005, t) the unrounded bound would
+        # drop a series the rounded gate admits. round(x, 2) >= t is a
+        # superset of BOTH gate styles when t has <= 2 decimals: for
+        # rounded gates it is exact, and x >= t implies
+        # round(x, 2) >= t (HALF_UP rounding of x >= t can reach at
+        # most t from above, never below it).
+        per_series = per_series.filter(F.round("_tot", 2) >= float(min_total))
     es = F.col("_es")
     # Tag each entry with the next entry's week (O(1) per entry in the
     # interpreted lambda; try_element_at is null past the end).
