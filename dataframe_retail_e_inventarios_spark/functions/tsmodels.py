@@ -124,6 +124,118 @@ def holt_winters_forecast(
     return fc
 
 
+def _hw_grid_many(
+    Y: np.ndarray,
+    lens: np.ndarray,
+    alpha: np.ndarray,
+    beta: np.ndarray,
+    gamma: np.ndarray,
+    m: int | None,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray | None]:
+    """_hw_grid for S series at once: Y is (S, max_n) right-padded,
+    ``lens`` the true lengths, and the level/trend/seasonal states
+    advance as (S, k) matrices through ONE time loop over max_n —
+    per-series updates past a series' own length are masked out with
+    ``np.where`` (x + 0.0 and a discarded branch change no bits), so
+    every element sees exactly the scalar-op sequence the per-series
+    grid ran. One Python-level loop per PARTITION instead of one per
+    series: inside the mapInPandas fit stage the loop overhead was the
+    cost driver (21 us/iteration x ~127 iterations x every series).
+
+    Precondition (callers group by effective m): when ``m`` is set,
+    every series has len >= 2*m — the same condition under which
+    holt_winters_forecast enables the seasonal path.
+
+    Returns (level, trend, sse, season): (S, k) each; season
+    (S, k, m) or None.
+    """
+    S, max_n = Y.shape
+    k = len(alpha)
+    if m:
+        level0 = Y[:, :m].mean(axis=1)
+        trend0 = (Y[:, m : 2 * m].mean(axis=1) - level0) / m
+        season = np.broadcast_to(
+            (Y[:, :m] - level0[:, None])[:, None, :], (S, k, m)
+        ).copy()
+    else:
+        level0 = Y[:, 0].astype(float)
+        trend0 = np.where(lens > 1, Y[:, 1] - Y[:, 0], 0.0)
+        season = None
+    level = np.broadcast_to(level0[:, None], (S, k)).copy()
+    trend = np.broadcast_to(trend0[:, None], (S, k)).copy()
+    sse = np.zeros((S, k))
+    for t in range(max_n):
+        live = (t < lens)[:, None]  # (S, 1) mask over (S, k) states
+        y_t = Y[:, t][:, None]
+        s_t = season[:, :, t % m] if m else 0.0
+        resid = y_t - (level + trend + s_t)
+        sse += np.where(live, resid * resid, 0.0)
+        prev_level = level
+        level = np.where(
+            live, alpha * (y_t - s_t) + (1.0 - alpha) * (level + trend), level
+        )
+        trend = np.where(
+            live, beta * (level - prev_level) + (1.0 - beta) * trend, trend
+        )
+        if m:
+            season[:, :, t % m] = np.where(
+                live, gamma * (y_t - level) + (1.0 - gamma) * s_t, s_t
+            )
+    return level, trend, sse, season
+
+
+def holt_winters_forecast_many(
+    ys: list[np.ndarray], horizon: int, seasonal_periods: int | None = None
+) -> list[np.ndarray]:
+    """Batched ``holt_winters_forecast``: elementwise equal to
+    ``[holt_winters_forecast(y, horizon, seasonal_periods) for y in ys]``
+    (same recursions, same grid, same first-minimum tie-break; numpy
+    elementwise ops do not reassociate across rows, and the masked
+    batch loop runs the identical scalar sequence per element — the
+    bit-identity is pinned by tests/test_tsmodels_batch.py and the
+    mapInPandas differential). Series are grouped by their EFFECTIVE
+    seasonal m (m if len >= 2*m else None — the same branch the scalar
+    path takes), each group padded to its max length and advanced
+    through one time loop."""
+    out: list[np.ndarray | None] = [None] * len(ys)
+    groups: dict[int | None, list[int]] = {}
+    for i, y in enumerate(ys):
+        y = np.asarray(y, dtype=float)
+        n = len(y)
+        if n == 0:
+            out[i] = np.zeros(horizon)
+        elif n == 1:
+            out[i] = np.full(horizon, y[0])
+        else:
+            m = (
+                seasonal_periods
+                if (seasonal_periods and n >= 2 * seasonal_periods)
+                else None
+            )
+            groups.setdefault(m, []).append(i)
+    h = np.arange(1, horizon + 1, dtype=float)
+    for m, idxs in groups.items():
+        gammas = _GAMMAS if m else (0.0,)
+        combos = [(a, b, g) for a in _ALPHAS for b in _BETAS for g in gammas]
+        alpha, beta, gamma = (np.array(c, dtype=float) for c in zip(*combos))
+        lens = np.array([len(ys[i]) for i in idxs])
+        Y = np.zeros((len(idxs), int(lens.max())))
+        for r, i in enumerate(idxs):
+            Y[r, : lens[r]] = ys[i]
+        level, trend, sse, season = _hw_grid_many(Y, lens, alpha, beta, gamma, m)
+        best = np.argmin(sse, axis=1)  # first minimum per row
+        for r, i in enumerate(idxs):
+            b = int(best[r])
+            fc = level[r, b] + h * trend[r, b]
+            if m is not None and season is not None:
+                n = int(lens[r])
+                fc = fc + np.array(
+                    [season[r, b, (n + j) % m] for j in range(horizon)]
+                )
+            out[i] = fc
+    return out  # type: ignore[return-value]
+
+
 def fourier_trend_forecast(
     y: np.ndarray,
     t_days: np.ndarray,

@@ -206,6 +206,66 @@ def process_series(
     )
 
 
+def _gate_clip(y: "np.ndarray") -> "np.ndarray | None":
+    """Admission gate + positive-quantile winsorize (PRACTICA3.py:97-99,
+    105-107) — the pre-model prefix shared by the per-series and the
+    batched fit paths."""
+    if len(y) < MIN_WEEKS or y.sum() < MIN_TOTAL_SALES:
+        return None
+    pos = y[y > 0]
+    if len(pos) > 5:
+        y = np.clip(y, np.quantile(pos, 0.01), np.quantile(pos, 0.99))
+    return y
+
+
+def _member_fourier(wk_train: "np.ndarray", train: "np.ndarray") -> "np.ndarray | None":
+    """U2 native slot: Prophet-family decomposition (see _series_result)."""
+    try:
+        from ..functions.tsmodels import fourier_trend_forecast
+
+        # weeks are midnight-aligned datetime64[ns]; the /day division
+        # is exact integer days (== DatetimeIndex.days)
+        t_days = (wk_train - wk_train[0]) / np.timedelta64(1, "D")
+        ylog = np.log1p(np.clip(train, 0.0, None))
+        yhat = fourier_trend_forecast(ylog, t_days.astype(float), FORECAST_HORIZON_WEEKS)
+        return np.maximum(np.expm1(yhat), 0.0)
+    except Exception:
+        return None  # U6
+
+
+def _assemble_row(
+    sku: str,
+    store: str,
+    train: "np.ndarray",
+    test: "np.ndarray",
+    preds: "list[np.ndarray]",
+) -> dict:
+    """Ensemble median + inventory formulas — the post-model suffix
+    shared by the per-series and the batched fit paths."""
+    ensemble = np.median(np.vstack(preds), axis=0)  # A16
+    hist_avg = max(1.0, float(np.mean(train)))
+    ensemble = np.clip(ensemble, 0.0, max(10 * hist_avg, float(ensemble.max())))
+
+    sigma = float(np.std(train)) if len(train) > 1 else 0.0
+    ss = SERVICE_LEVEL_Z * sigma * np.sqrt(LEAD_TIME_WEEKS)
+    avg_fc = float(np.mean(ensemble)) if ensemble.size else 0.0
+    rop = avg_fc * LEAD_TIME_WEEKS + ss
+    last = float(train[-1]) if len(train) else 0.0
+    q = max(0.0, rop - last)
+    ma_member = float(preds[-1][0])  # U4 member is the constant MA
+    return {
+        "SKU": sku,
+        "Store": store,
+        "MAPE": round(_safe_mape(test, ensemble), 3),
+        "Forecast": list(map(float, ensemble)),
+        "Test": list(map(float, test)),
+        "Safety_Stock": int(round(max(0.0, ss))),
+        "Reorder_Point": int(round(max(0.0, rop))),
+        "Qty_to_Order": int(round(max(0.0, q))),
+        "MA_Member": ma_member,
+    }
+
+
 def _series_result(
     sku: str,
     store: str,
@@ -224,13 +284,11 @@ def _series_result(
     /np.nanmean == np.sum/np.mean on NaN-free data; Series.quantile ->
     np.percentile's linear interpolation; Series.clip -> np.clip;
     np.std(Series) was already ndarray math. Verified bit-identical by
-    tests/test_forecast_udf.py's map-vs-group differential and the
-    ensemble certificate oracle."""
-    if len(y) < MIN_WEEKS or y.sum() < MIN_TOTAL_SALES:
+    tests/test_forecast_mapinpandas.py's map-vs-group differential and
+    the ensemble certificate oracle."""
+    y = _gate_clip(y)
+    if y is None:
         return None
-    pos = y[y > 0]
-    if len(pos) > 5:
-        y = np.clip(y, np.quantile(pos, 0.01), np.quantile(pos, 0.99))
 
     train, test = y[:-FORECAST_HORIZON_WEEKS], y[-FORECAST_HORIZON_WEEKS:]
     preds: list[np.ndarray] = []
@@ -256,17 +314,9 @@ def _series_result(
             except Exception:
                 pass  # U6: model isolation
         elif native_members:
-            try:
-                from ..functions.tsmodels import fourier_trend_forecast
-
-                # weeks are midnight-aligned datetime64[ns]; the /day
-                # division is exact integer days (== DatetimeIndex.days)
-                t_days = (wk_train - wk_train[0]) / np.timedelta64(1, "D")
-                ylog = np.log1p(np.clip(train, 0.0, None))
-                yhat = fourier_trend_forecast(ylog, t_days.astype(float), FORECAST_HORIZON_WEEKS)
-                preds.append(np.maximum(np.expm1(yhat), 0.0))
-            except Exception:
-                pass  # U6
+            fc = _member_fourier(wk_train, train)
+            if fc is not None:
+                preds.append(fc)
 
     if len(train) >= 8 and not ma_only:  # U3: Holt-Winters slot
         if HW_AVAILABLE:
@@ -295,66 +345,149 @@ def _series_result(
     ma_member = max(0.0, float(ma))
     preds.append(np.full(FORECAST_HORIZON_WEEKS, ma_member))
 
-    ensemble = np.median(np.vstack(preds), axis=0)  # A16
-    hist_avg = max(1.0, float(np.mean(train)))
-    ensemble = np.clip(ensemble, 0.0, max(10 * hist_avg, float(ensemble.max())))
+    return _assemble_row(sku, store, train, test, preds)
 
-    sigma = float(np.std(train)) if len(train) > 1 else 0.0
-    ss = SERVICE_LEVEL_Z * sigma * np.sqrt(LEAD_TIME_WEEKS)
-    avg_fc = float(np.mean(ensemble)) if ensemble.size else 0.0
-    rop = avg_fc * LEAD_TIME_WEEKS + ss
-    last = float(train[-1]) if len(train) else 0.0
-    q = max(0.0, rop - last)
-    return {
-        "SKU": sku,
-        "Store": store,
-        "MAPE": round(_safe_mape(test, ensemble), 3),
-        "Forecast": list(map(float, ensemble)),
-        "Test": list(map(float, test)),
-        "Safety_Stock": int(round(max(0.0, ss))),
-        "Reorder_Point": int(round(max(0.0, rop))),
-        "Qty_to_Order": int(round(max(0.0, q))),
-        "MA_Member": ma_member,
-    }
+
+def _fit_series_batch(items: list) -> list[dict]:
+    """Batched twin of per-series ``_series_result`` for the native
+    fallback ensemble (no prophet/statsmodels importable — this
+    container's configuration): the Holt-Winters grid search, whose
+    Python-level time loop was ~60% of the fit stage, runs ONCE over
+    all admitted series via ``holt_winters_forecast_many`` (elementwise
+    identical recursions — see tsmodels); gate/clip, the Fourier
+    member, MA and assembly reuse the exact helpers _series_result
+    runs. ``items`` = [(sku, store, weeks, y), ...]; returns the same
+    dicts in the same order as the per-series loop."""
+    pend: list[tuple] = []
+    hw_inputs: list[np.ndarray] = []
+    for sku, store, weeks, y in items:
+        y = _gate_clip(y)
+        if y is None:
+            continue
+        train, test = y[:-FORECAST_HORIZON_WEEKS], y[-FORECAST_HORIZON_WEEKS:]
+        preds: list[np.ndarray] = []
+        if len(train) >= MIN_WEEKS:  # U2: Prophet slot (native member)
+            fc = _member_fourier(weeks[: len(train)], train)
+            if fc is not None:
+                preds.append(fc)
+        want_hw = len(train) >= 8  # U3: Holt-Winters slot
+        if want_hw:
+            hw_inputs.append(np.log1p(train))
+        pend.append((sku, store, train, test, preds, want_hw))
+    hw_fcs: list | None = None
+    if hw_inputs:
+        try:
+            from ..functions.tsmodels import holt_winters_forecast_many
+
+            # sp=52 for every series: holt_winters_forecast_many takes
+            # the same internal len>=2*52 seasonal branch per series
+            # that the scalar sp = 52 if len >= 52 else None dance
+            # resolves to (len in [52, 104) is non-seasonal either way).
+            hw_fcs = holt_winters_forecast_many(
+                hw_inputs, FORECAST_HORIZON_WEEKS, seasonal_periods=52
+            )
+        except Exception:
+            hw_fcs = None  # U6 fallback: per-series isolation below
+    rows: list[dict] = []
+    hw_i = 0
+    for sku, store, train, test, preds, want_hw in pend:
+        if want_hw:
+            if hw_fcs is not None:
+                yhat = hw_fcs[hw_i]
+                preds.append(np.maximum(np.expm1(yhat), 0.0))
+            else:
+                try:
+                    from ..functions.tsmodels import holt_winters_forecast
+
+                    ts = np.log1p(train)
+                    sp = 52 if len(ts) >= 52 else None
+                    yhat = holt_winters_forecast(
+                        ts, FORECAST_HORIZON_WEEKS, seasonal_periods=sp
+                    )
+                    preds.append(np.maximum(np.expm1(yhat), 0.0))
+                except Exception:
+                    pass
+            hw_i += 1
+        # U4: the moving-average member never fails.
+        ma = np.mean(train[-4:]) if len(train) >= 4 else np.mean(train)
+        ma_member = max(0.0, float(ma))
+        preds.append(np.full(FORECAST_HORIZON_WEEKS, ma_member))
+        rows.append(_assemble_row(sku, store, train, test, preds))
+    return rows
 
 
 def _fit_partition(
     batches, native_members: bool = True, ma_only: bool = False
 ):
-    """Whole-partition fit loop for mapInPandas [guide §4.5 shape]:
-    concat the partition's Arrow batches once (narrow rows — 4 columns
-    of the admitted weekly table; per-partition volume is bounded by
-    the repartition factor the caller sizes from executor parallelism),
-    sort once by (series, week) instead of per-group sort_values, then
-    run the per-series model math on numpy slices and emit ONE result
-    DataFrame — replacing a per-group pandas DataFrame construction +
-    Arrow slice round-trip per series (measured 239.6 -> 57.0
-    task-seconds on the sf0.1 full-ensemble python stage, 4.2x)."""
-    dfs = list(batches)
-    if not dfs:
-        return
-    pdf = dfs[0] if len(dfs) == 1 else pd.concat(dfs, ignore_index=True)
-    if pdf.empty:
-        return
-    pids = pdf["product_id"].to_numpy()
-    sids = pdf["store_id"].to_numpy()
-    wk = pd.to_datetime(pdf["week"]).to_numpy()
-    vals = pdf["units_sold"].to_numpy(dtype=float)
-    order = np.lexsort((wk, sids, pids))
-    pids, sids, wk, vals = pids[order], sids[order], wk[order], vals[order]
-    # group boundaries: positions where (pid, sid) changes
-    change = np.flatnonzero((pids[1:] != pids[:-1]) | (sids[1:] != sids[:-1])) + 1
-    starts = np.concatenate(([0], change))
-    ends = np.concatenate((change, [len(pids)]))
+    """Streaming fit loop for mapInPandas [guide §4.5 shape]: the caller
+    sorts the partition by (series, week) in the JVM
+    (sortWithinPartitions — same post-exchange stage, codegen), so each
+    Arrow batch arrives as contiguous group runs and the per-series
+    model math runs on numpy slices batch by batch. Only the (possibly
+    incomplete) TRAILING group of each batch is carried into the next,
+    so peak Python memory is one Arrow batch + one series —
+    independent of partition size (r12 verdict #4: the previous
+    whole-partition concat made peak memory grow with admitted volume
+    / partition count at 100 TB). Replaces a per-group pandas
+    DataFrame construction + Arrow slice round-trip per series
+    (measured 239.6 -> 57.0 task-seconds on the sf0.1 full-ensemble
+    python stage, 4.2x vs applyInPandas)."""
+    cols = [f.name for f in RESULT_SCHEMA.fields]
+    carry: pd.DataFrame | None = None
     out: list[dict] = []
-    for s, e in zip(starts, ends):
-        row = _series_result(
-            str(pids[s]), str(sids[s]), wk[s:e], vals[s:e], native_members, ma_only
-        )
-        if row is not None:
-            out.append(row)
+    # The batched Holt-Winters grid applies to the native-fallback
+    # ensemble configuration (this container: no prophet/statsmodels);
+    # every other configuration keeps the per-series reference loop.
+    use_batch = (
+        native_members and not ma_only
+        and not PROPHET_AVAILABLE and not HW_AVAILABLE
+    )
+
+    def fit_runs(pdf: pd.DataFrame, last_is_open: bool) -> pd.DataFrame | None:
+        """Fit every complete group run in (sorted) pdf; return the
+        trailing open run unfitted when ``last_is_open``."""
+        pids = pdf["product_id"].to_numpy()
+        sids = pdf["store_id"].to_numpy()
+        change = np.flatnonzero((pids[1:] != pids[:-1]) | (sids[1:] != sids[:-1])) + 1
+        starts = np.concatenate(([0], change))
+        ends = np.concatenate((change, [len(pids)]))
+        if last_is_open:
+            tail = pdf.iloc[starts[-1]:]
+            starts, ends = starts[:-1], ends[:-1]
+        else:
+            tail = None
+        if len(starts):
+            wk = pd.to_datetime(pdf["week"]).to_numpy()
+            vals = pdf["units_sold"].to_numpy(dtype=float)
+            if use_batch:
+                out.extend(
+                    _fit_series_batch(
+                        [
+                            (str(pids[s]), str(sids[s]), wk[s:e], vals[s:e])
+                            for s, e in zip(starts, ends)
+                        ]
+                    )
+                )
+            else:
+                for s, e in zip(starts, ends):
+                    row = _series_result(
+                        str(pids[s]), str(sids[s]), wk[s:e], vals[s:e],
+                        native_members, ma_only,
+                    )
+                    if row is not None:
+                        out.append(row)
+        return tail
+
+    for pdf in batches:
+        if pdf.empty:
+            continue
+        if carry is not None:
+            pdf = pd.concat([carry, pdf], ignore_index=True)
+        carry = fit_runs(pdf, last_is_open=True)
+    if carry is not None and len(carry):
+        fit_runs(carry.reset_index(drop=True), last_is_open=False)
     if out:
-        yield pd.DataFrame(out, columns=[f.name for f in RESULT_SCHEMA.fields])
+        yield pd.DataFrame(out, columns=cols)
 
 
 def forecast_with_models(
@@ -363,7 +496,8 @@ def forecast_with_models(
     ma_only: bool = False,
     assume_gated: bool = False,
 ) -> DataFrame:
-    """groupBy(series).applyInPandas over the densified weekly table.
+    """mapInPandas model-fit pass over the densified weekly table (the
+    key-clustered repartition replaces groupBy().applyInPandas — r12).
 
     The admission gates run BOTH natively before the shuffle (cheap
     group pruning Catalyst can't infer through a UDF — the reference
@@ -404,14 +538,21 @@ def forecast_with_models(
     gated = gated.repartition(parallelism * 2, "product_id", "store_id")
     # mapInPandas over the key-clustered partitions instead of
     # groupBy().applyInPandas (r12, guide §4.2/§4.5): the repartition
-    # above already co-locates every series' rows, so the partition
-    # function groups them itself with one lexsort and runs the
-    # identical per-series math on numpy slices — no per-group Arrow
-    # slice, no per-group pandas DataFrame. Only the four columns the
-    # fit needs cross the boundary (explicit select — Spark cannot see
-    # inside the function; guide §4.1).
+    # above already co-locates every series' rows, and the JVM-side
+    # sortWithinPartitions (same post-exchange stage, codegen — r13)
+    # delivers them as contiguous (series, week) runs, so the partition
+    # function streams group runs batch by batch and runs the identical
+    # per-series math on numpy slices — no per-group Arrow slice, no
+    # per-group pandas DataFrame, and peak Python memory of one Arrow
+    # batch + one series instead of the whole partition. Only the four
+    # columns the fit needs cross the boundary (explicit select — Spark
+    # cannot see inside the function; guide §4.1).
     cols = ["product_id", "store_id", "week", "units_sold"]
-    return gated.select(*cols).mapInPandas(
-        lambda it: _fit_partition(it, native_members=native_members, ma_only=ma_only),
-        RESULT_SCHEMA,
+    return (
+        gated.select(*cols)
+        .sortWithinPartitions("product_id", "store_id", "week")
+        .mapInPandas(
+            lambda it: _fit_partition(it, native_members=native_members, ma_only=ma_only),
+            RESULT_SCHEMA,
+        )
     )
