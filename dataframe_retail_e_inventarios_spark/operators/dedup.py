@@ -153,14 +153,21 @@ def doc_shingles(
     if materialize:
         idx = idx.localCheckpoint(eager=True)
     if max_df is not None:
-        hot = (
-            idx.groupBy("shingle")
-            .agg(F.count("*").alias("df"))
-            .filter(F.col("df") > max_df)
-            .select("shingle")
-        )
-        idx = idx.join(F.broadcast(hot), "shingle", "left_anti")
+        idx = _cap_max_df(idx, max_df)
     return idx
+
+
+def _cap_max_df(idx: DataFrame, max_df: int) -> DataFrame:
+    """Drop index rows whose shingle's document frequency exceeds
+    ``max_df`` — the broadcast LEFT ANTI join against the (tiny)
+    hot-shingle list (see doc_shingles)."""
+    hot = (
+        idx.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > max_df)
+        .select("shingle")
+    )
+    return idx.join(F.broadcast(hot), "shingle", "left_anti")
 
 
 def jaccard_pairs(
@@ -170,6 +177,7 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     max_df: int | None = None,
+    idx: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by exact n-gram Jaccard similarity [N2 exact
     baseline]. Candidates from the inverted shingle index (pairs must
@@ -179,11 +187,22 @@ def jaccard_pairs(
     case from corpus-quadratic into max_df-quadratic. The inverted
     index joins on the 32-bit shingle hash, not the string — identical
     pair counts (the hash is set-operation-invariant) with a ~3x
-    narrower shuffle."""
-    ds = doc_shingles(
-        docs, text_col, id_col, n, max_df, hashed=True,
-        materialize=max_df is not None,
-    )
+    narrower shuffle.
+
+    ``idx`` (r13, guide §6 read-once): a prebuilt UNCAPPED hashed
+    exploded index from ``doc_shingles(..., hashed=True,
+    materialize=True)`` — queries that need BOTH exact-Jaccard truth
+    and a MinHash index (lsh_band_recall_audit) pass the one
+    checkpointed index to both operators instead of each re-running
+    the tokenize+shingle+hash corpus pass; identical dataflow from the
+    index on."""
+    if idx is not None:
+        ds = idx if max_df is None else _cap_max_df(idx, max_df)
+    else:
+        ds = doc_shingles(
+            docs, text_col, id_col, n, max_df, hashed=True,
+            materialize=max_df is not None,
+        )
     sizes = ds.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = ds.alias("a")
     b = ds.alias("b")
@@ -221,7 +240,11 @@ def _mix_cols(k: int, col: str = "shingle") -> list:
 
 
 def minhash_signatures(
-    docs: DataFrame, k: int = 16, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    k: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    idx: DataFrame | None = None,
 ) -> DataFrame:
     """k-permutation MinHash signature per doc [N2].
 
@@ -230,8 +253,11 @@ def minhash_signatures(
     partial reduction — the only shuffle carries (doc_id, k longs),
     nothing text-sized. Docs with no shingles have no index rows and
     therefore no signature row (no size() filter anywhere — see
-    doc_shingles)."""
-    idx = doc_shingles(docs, text_col, id_col, hashed=True)
+    doc_shingles). ``idx``: a prebuilt uncapped hashed exploded index
+    (see jaccard_pairs) to share the corpus pass with a sibling
+    operator in the same query."""
+    if idx is None:
+        idx = doc_shingles(docs, text_col, id_col, hashed=True)
     mixed = idx.select(id_col, *_mix_cols(k))
     return mixed.groupBy(id_col).agg(
         *[F.min(f"m{i}").alias(f"h{i}") for i in range(k)]
@@ -246,6 +272,7 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_df: int | None = None,
+    idx: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidate generation + exact Jaccard verification [N2].
 
@@ -266,7 +293,7 @@ def minhash_lsh_pairs(
     free). With ``max_df`` set, the hot-shingle aggregation is the only
     second corpus pass, and its output broadcast is tiny.
     """
-    sig = minhash_index(docs, k, text_col, id_col, max_df)
+    sig = minhash_index(docs, k, text_col, id_col, max_df, idx=idx)
     return minhash_lsh_pairs_from_index(sig, threshold, k, bands, id_col)
 
 
@@ -276,6 +303,7 @@ def minhash_index(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_df: int | None = None,
+    idx: DataFrame | None = None,
 ) -> DataFrame:
     """The persistable MinHash dedup-index state: one row per doc with
     its hashed shingle set and k signature mins (id, shingles,
@@ -294,11 +322,16 @@ def minhash_index(
     One groupBy delivers BOTH the signature mins (map-side partial
     reduction) and the shingle set for verification (collect_list of
     the already-distinct hashed shingles) — a single narrow shuffle
-    of (doc_id, hash) rows replaces any per-doc array recomputation."""
-    idx = doc_shingles(
-        docs, text_col, id_col, max_df=max_df, hashed=True,
-        materialize=max_df is not None,
-    )
+    of (doc_id, hash) rows replaces any per-doc array recomputation.
+    ``idx``: a prebuilt uncapped hashed exploded index (see
+    jaccard_pairs) to share the corpus pass with a sibling operator."""
+    if idx is not None:
+        idx = idx if max_df is None else _cap_max_df(idx, max_df)
+    else:
+        idx = doc_shingles(
+            docs, text_col, id_col, max_df=max_df, hashed=True,
+            materialize=max_df is not None,
+        )
     return (
         idx.select(id_col, "shingle", *_mix_cols(k))
         .groupBy(id_col)

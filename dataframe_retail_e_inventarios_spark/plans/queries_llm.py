@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from ..operators.dedup import (
     MINHASH_AB,
     MINHASH_P,
+    doc_shingles,
     exact_dedup_groups,
     jaccard_pairs,
     minhash_lsh_pairs,
@@ -1046,11 +1047,18 @@ def q_minhash_estimator_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     diagnostic run, not a production path: it re-derives signatures
     beside the pair output (two corpus passes by construction)."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(docs, threshold=0.3, k=16, bands=4, max_df=MAX_DF)
+    # ONE tokenize+shingle+hash corpus pass (r13, guide §6 read-once):
+    # the capped pairs index and the UNCAPPED estimator signatures both
+    # derive from the same checkpointed shingle index — previously each
+    # re-ran the full pass.
+    idx = doc_shingles(docs, hashed=True, materialize=True)
+    pairs = minhash_lsh_pairs(
+        docs, threshold=0.3, k=16, bands=4, max_df=MAX_DF, idx=idx
+    )
     # Both join sides (a and b) read the signature frame; checkpoint so
     # the tokenize+minhash pass runs once, not once per side (r10 —
     # the winnow recompute class). 17 longs per doc.
-    sig = minhash_signatures(docs, k=16).localCheckpoint(eager=True)
+    sig = minhash_signatures(docs, k=16, idx=idx).localCheckpoint(eager=True)
     a = sig.select(F.col("doc_id").alias("id_a"), *[F.col(f"h{i}").alias(f"a{i}") for i in range(16)])
     b = sig.select(F.col("doc_id").alias("id_b"), *[F.col(f"h{i}").alias(f"b{i}") for i in range(16)])
     j = pairs.join(a, "id_a").join(b, "id_b")

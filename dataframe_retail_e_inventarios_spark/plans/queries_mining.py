@@ -30,7 +30,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from ..operators.dedup import jaccard_pairs, minhash_index
+from ..operators.dedup import doc_shingles, jaccard_pairs, minhash_index
 from ..operators.textops import tokens
 from ..registry import register
 from ..sources.readers import load_table
@@ -185,8 +185,13 @@ def q_lsh_band_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output is one bounded row per bin: the audit a pipeline operator
     reads before picking a banding config for a new corpus."""
     docs = load_table(spark, sf_dir, "documents")
-    truth = jaccard_pairs(docs, threshold=0.1, max_df=MAX_DF)
-    sig = minhash_index(docs, k=_AUDIT_K, max_df=MAX_DF)
+    # ONE tokenize+shingle+hash corpus pass (r13, guide §6 read-once):
+    # the truth (exact Jaccard) and the signature index both derive
+    # from the same checkpointed uncapped shingle index — previously
+    # jaccard_pairs and minhash_index each re-ran the full pass.
+    idx = doc_shingles(docs, hashed=True, materialize=True)
+    truth = jaccard_pairs(docs, threshold=0.1, max_df=MAX_DF, idx=idx)
+    sig = minhash_index(docs, k=_AUDIT_K, max_df=MAX_DF, idx=idx)
     rows = _AUDIT_K // _AUDIT_BANDS
     band_cols = [
         F.concat_ws(
@@ -688,18 +693,33 @@ def q_cohens_kappa_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .queries_llm import q_lang_id
 
     p = q_lang_id(spark, sf_dir).select("labeled_lang", "pred_lang", "agree")
-    lab = p.groupBy(F.col("labeled_lang").alias("cls")).agg(
-        F.count(F.lit(1)).alias("n_lab")
+    # ONE corpus pass (r13, guide §2.3 "aggregate before you shuffle"):
+    # the label margin, prediction margin and agreement total are all
+    # exact-integer functions of the tiny confusion matrix, so the
+    # tokenize+predict subtree collapses to a single
+    # groupBy(labeled, pred) — previously lab, prd and tot each
+    # re-evaluated it (3 corpus passes). The matrix is |langs|^2 rows;
+    # checkpointing it keeps the three readers trivially off the scan.
+    cm = (
+        p.groupBy("labeled_lang", "pred_lang")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("agree").cast("long")).alias("agree_cnt"),
+        )
+        .localCheckpoint(eager=True)
     )
-    prd = p.groupBy(F.col("pred_lang").alias("cls")).agg(
-        F.count(F.lit(1)).alias("n_prd")
+    lab = cm.groupBy(F.col("labeled_lang").alias("cls")).agg(
+        F.sum("cnt").alias("n_lab")
+    )
+    prd = cm.groupBy(F.col("pred_lang").alias("cls")).agg(
+        F.sum("cnt").alias("n_prd")
     )
     pe_num = lab.join(prd, "cls").agg(
         F.sum(F.col("n_lab") * F.col("n_prd")).cast("long").alias("pe_num")
     )
-    tot = p.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("agree").cast("long")).cast("long").alias("n_agree"),
+    tot = cm.agg(
+        F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("n"),
+        F.sum("agree_cnt").cast("long").alias("n_agree"),
     )
     joined = tot.crossJoin(F.broadcast(pe_num))
     n = F.col("n")

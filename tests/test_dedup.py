@@ -190,3 +190,34 @@ def test_setsim_prefix_matches_allpairs_and_prunes(spark):
         F.sum(F.col("m") - F.ceil(F.col("m") * 0.5) + 1)
     ).collect()[0][0]
     assert n_prefix_bound < n_full
+
+
+def test_prebuilt_index_paths_match_derived(spark):
+    """The ``idx=`` shared-corpus-pass plumbing (r13): jaccard_pairs /
+    minhash_index / minhash_signatures over a prebuilt uncapped hashed
+    index must return exactly what the docs-derived path returns —
+    capped and uncapped, so the read-once restructure of
+    lsh_band_recall_audit / minhash_estimator_error cannot move a row."""
+    from dataframe_retail_e_inventarios_spark.operators.dedup import (
+        minhash_index,
+        minhash_signatures,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(300)
+    idx = doc_shingles(docs, hashed=True, materialize=True)
+    for max_df in (None, 40):
+        jp_idx = {tuple(r) for r in jaccard_pairs(docs, 0.1, max_df=max_df, idx=idx).collect()}
+        jp_raw = {tuple(r) for r in jaccard_pairs(docs, 0.1, max_df=max_df).collect()}
+        assert jp_idx == jp_raw
+        mi_idx = {
+            (r["doc_id"], tuple(sorted(r["shingles"])), *[r[f"h{i}"] for i in range(8)])
+            for r in minhash_index(docs, k=8, max_df=max_df, idx=idx).collect()
+        }
+        mi_raw = {
+            (r["doc_id"], tuple(sorted(r["shingles"])), *[r[f"h{i}"] for i in range(8)])
+            for r in minhash_index(docs, k=8, max_df=max_df).collect()
+        }
+        assert mi_idx == mi_raw
+    sig_idx = {tuple(r) for r in minhash_signatures(docs, k=8, idx=idx).collect()}
+    sig_raw = {tuple(r) for r in minhash_signatures(docs, k=8).collect()}
+    assert sig_idx == sig_raw
