@@ -414,26 +414,44 @@ def q_rollup_backfill_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem")
     month = (F.year("l_shipdate") * 100 + F.month("l_shipdate")).cast("long")
-    rev_cents = F.sum(
-        F.bround(F.col("l_extendedprice") * 100, 0).cast("long")
-    ).alias("rev_cents")
-
-    def rollup(df: DataFrame) -> DataFrame:
-        return (
-            df.select(month.alias("ship_month"), "l_extendedprice")
-            .groupBy("ship_month")
-            .agg(F.count("*").alias("n_rows"), rev_cents)
-        )
+    cents = F.bround(F.col("l_extendedprice") * 100, 0).cast("long")
 
     from ..operators.partitioning import backfill_partition_overwrite
 
     cutoff = 199801
+    # ONE lineitem scan (r13, guide §6 read-once / §2.3): the initial
+    # rollup and the restatement are both per-month integer aggregates,
+    # so one conditional groupBy delivers (all-rows, non-returned)
+    # partials together — previously the restated frame re-scanned the
+    # fact. Exact: counts and bround-cent sums are associative BIGINTs,
+    # and a restated month with zero qualifying rows yields n_keep = 0
+    # here exactly where the filtered re-aggregation yielded no row —
+    # the n_keep > 0 filter reproduces that absence (which is what
+    # lets backfill_partition_overwrite delete emptied partitions).
+    keep = F.col("l_returnflag") != "R"
+    combined = (
+        li.select(month.alias("ship_month"), "l_extendedprice", "l_returnflag")
+        .groupBy("ship_month")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(cents).alias("rev_cents"),
+            F.count(F.when(keep, F.lit(1))).alias("n_keep"),
+            F.sum(F.when(keep, cents)).alias("rev_keep"),
+        )
+        .localCheckpoint(eager=True)  # ~84 rows; both writes read it
+    )
     work = tempfile.mkdtemp(prefix="spark_graft_backfill_")
     try:
         path = f"{work}/rollup"
-        rollup(li).write.partitionBy("ship_month").parquet(path)
-        restated = rollup(
-            li.filter((month >= cutoff) & (F.col("l_returnflag") != "R"))
+        combined.select("ship_month", "n_rows", "rev_cents").write.partitionBy(
+            "ship_month"
+        ).parquet(path)
+        restated = combined.filter(
+            (F.col("ship_month") >= cutoff) & (F.col("n_keep") > 0)
+        ).select(
+            "ship_month",
+            F.col("n_keep").alias("n_rows"),
+            F.col("rev_keep").alias("rev_cents"),
         )
         backfill_partition_overwrite(
             restated, path, "ship_month", lambda raw: int(raw) >= cutoff
@@ -484,28 +502,42 @@ def q_rollup_backfill_empty_restatement(spark: SparkSession, sf_dir: str) -> Dat
 
     li = load_table(spark, sf_dir, "lineitem")
     month = (F.year("l_shipdate") * 100 + F.month("l_shipdate")).cast("long")
-    rev_cents = F.sum(
-        F.bround(F.col("l_extendedprice") * 100, 0).cast("long")
-    ).alias("rev_cents")
-
-    def rollup(df: DataFrame) -> DataFrame:
-        return (
-            df.select(month.alias("ship_month"), "l_extendedprice")
-            .groupBy("ship_month")
-            .agg(F.count("*").alias("n_rows"), rev_cents)
-        )
+    cents = F.bround(F.col("l_extendedprice") * 100, 0).cast("long")
 
     cutoff = 199801
+    # ONE lineitem scan via conditional aggregation — same single-scan
+    # restructure as q_rollup_backfill_overwrite above (r13, guide §6);
+    # here the recall cutoff joins the keep predicate, and months whose
+    # restatement empties (1998-10..12) get n_keep = 0, reproducing the
+    # no-row absence the partition-deletion contract relies on.
+    keep = (F.col("l_returnflag") != "R") & (
+        F.col("l_shipdate") < F.lit("1998-10-01").cast("date")
+    )
+    combined = (
+        li.select(
+            month.alias("ship_month"), "l_extendedprice", "l_returnflag", "l_shipdate"
+        )
+        .groupBy("ship_month")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(cents).alias("rev_cents"),
+            F.count(F.when(keep, F.lit(1))).alias("n_keep"),
+            F.sum(F.when(keep, cents)).alias("rev_keep"),
+        )
+        .localCheckpoint(eager=True)
+    )
     work = tempfile.mkdtemp(prefix="spark_graft_backfill_empty_")
     try:
         path = f"{work}/rollup"
-        rollup(li).write.partitionBy("ship_month").parquet(path)
-        restated = rollup(
-            li.filter(
-                (month >= cutoff)
-                & (F.col("l_returnflag") != "R")
-                & (F.col("l_shipdate") < F.lit("1998-10-01").cast("date"))
-            )
+        combined.select("ship_month", "n_rows", "rev_cents").write.partitionBy(
+            "ship_month"
+        ).parquet(path)
+        restated = combined.filter(
+            (F.col("ship_month") >= cutoff) & (F.col("n_keep") > 0)
+        ).select(
+            "ship_month",
+            F.col("n_keep").alias("n_rows"),
+            F.col("rev_keep").alias("rev_cents"),
         )
         backfill_partition_overwrite(
             restated, path, "ship_month", lambda raw: int(raw) >= cutoff
