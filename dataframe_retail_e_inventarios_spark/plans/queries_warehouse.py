@@ -2113,32 +2113,44 @@ def q_bitemporal_snapshot_revenue(
         F.col("o_orderdate").cast("date").alias("odate"),
         F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
     )
-    v0 = base.select(
-        "o_orderkey", "odate", F.lit(0).alias("version"),
-        F.col("odate").alias("tx_date"), F.col("cents").alias("vcents"),
-    )
+    # r13 (guide §2.4 "remove shuffles outright"): the 3-way version
+    # union + per-(snapshot, order) row_number window shuffled ~2.2x
+    # the order count only to pick max(version | tx_date <= snapshot),
+    # which is a closed-form CASE per (order, snapshot) row: version v
+    # exists iff its mod gate passes, and its tx_date is odate + lag_v,
+    # so "latest known" = 2 if (key%mod2=0 AND odate+lag2<=s) else
+    # 1 if (key%mod1=0 AND odate+lag1<=s) else 0 — exactly the
+    # row_number()-desc winner for ANY lag/mod draw (each arm tests its
+    # own version's existence + visibility independently; the oracle's
+    # recursive definition is unchanged and pins equivalence per draw).
+    # v0 is visible iff odate <= s, which is also the order's own
+    # membership condition, so the join condition becomes odate <= s.
+    # Plan: union + window exchange + sort are gone; the 4-row
+    # broadcast nested-loop join feeds a partially-aggregated groupBy.
     c1 = F.col("cents") + F.floor(F.col("cents") / 20).cast("long")
-    v1 = base.filter(F.col("o_orderkey") % mod1 == 0).select(
-        "o_orderkey", "odate", F.lit(1).alias("version"),
-        F.date_add("odate", lag1).alias("tx_date"), c1.alias("vcents"),
-    )
     c2 = c1 - F.floor(c1 / 50).cast("long")
-    v2 = base.filter(F.col("o_orderkey") % mod2 == 0).select(
-        "o_orderkey", "odate", F.lit(2).alias("version"),
-        F.date_add("odate", lag2).alias("tx_date"), c2.alias("vcents"),
-    )
-    versions = v0.unionByName(v1).unionByName(v2)
     snaps = spark.createDataFrame(
         [(d,) for d in snapshot_dates], "snapshot string"
     ).select(F.col("snapshot").cast("date").alias("snapshot"))
-    known = versions.join(
-        F.broadcast(snaps), F.col("tx_date") <= F.col("snapshot")
-    )
-    w = Window.partitionBy("snapshot", "o_orderkey").orderBy(
-        F.col("version").desc()
-    )
-    latest = known.withColumn("rk", F.row_number().over(w)).filter(
-        F.col("rk") == 1
+    known = base.join(F.broadcast(snaps), F.col("odate") <= F.col("snapshot"))
+    latest = known.withColumn(
+        "version",
+        F.when(
+            (F.col("o_orderkey") % mod2 == 0)
+            & (F.date_add("odate", lag2) <= F.col("snapshot")),
+            F.lit(2),
+        )
+        .when(
+            (F.col("o_orderkey") % mod1 == 0)
+            & (F.date_add("odate", lag1) <= F.col("snapshot")),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0)),
+    ).withColumn(
+        "vcents",
+        F.when(F.col("version") == 2, c2)
+        .when(F.col("version") == 1, c1)
+        .otherwise(F.col("cents")),
     )
     return (
         latest.groupBy("snapshot", F.date_trunc("month", "odate").cast("date").alias("order_month"))
