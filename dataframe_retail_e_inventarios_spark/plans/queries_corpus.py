@@ -743,47 +743,42 @@ def q_char_entropy_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id — a scan + bounded-fanout aggregate at any scale."""
     docs = load_table(spark, sf_dir, "documents")
     low = F.lower(F.col("text"))
-    chars = F.array(*[F.lit(c) for c in _ENTROPY_ALPHABET])
-    per_char = docs.select(
-        "doc_id",
-        F.length(low).alias("n"),
-        F.explode(chars).alias("ch"),
-        low.alias("_t"),
+    # r13 (guide §2.4): the 37-way alphabet explode copied the full
+    # document text into every generated row (Tungsten materializes
+    # generate output) and shuffled 37 rows/doc into a hash aggregate
+    # only to sum terms that are a pure per-doc expression. Same
+    # length-minus-replace counts, same 1e9-scaled BIGINT per-term
+    # snap (order-independent by construction, so a left-to-right
+    # array aggregate sums the identical longs the hash aggregate
+    # summed) — now one codegen projection per doc: scan -> project ->
+    # sort. No Generate, no Exchange before the final orderBy.
+    n = F.length(low)
+    cnts = F.array(
+        *[n - F.length(F.replace(low, F.lit(c))) for c in _ENTROPY_ALPHABET]
+    )
+    term = lambda cnt: F.when(  # noqa: E731 — per-count entropy term
+        cnt > 0,
+        F.round(-(cnt / F.col("n")) * F.log(cnt / F.col("n")) * 1e9, 0).cast(
+            "long"
+        ),
+    ).otherwise(F.lit(0).cast("long"))
+    per_doc = docs.select(
+        "doc_id", n.alias("n"), cnts.alias("_cnts")
     ).select(
         "doc_id",
         "n",
-        (F.length("_t") - F.length(F.replace(F.col("_t"), F.col("ch")))).alias(
-            "cnt"
-        ),
-    )
-    # per-char entropy terms + the lumped 'other' remainder per doc
-    agg = per_char.groupBy("doc_id", "n").agg(
-        F.sum("cnt").alias("alpha_cnt"),
-        F.sum(
-            F.when(
-                F.col("cnt") > 0,
-                F.round(
-                    -(F.col("cnt") / F.col("n"))
-                    * F.log(F.col("cnt") / F.col("n"))
-                    * 1e9,
-                    0,
-                ).cast("long"),
-            ).otherwise(F.lit(0))
+        F.aggregate(
+            "_cnts", F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("alpha_cnt"),
+        F.aggregate(
+            F.transform("_cnts", term), F.lit(0).cast("long"), lambda a, x: a + x
         ).alias("sum_scaled"),
     )
     other = F.col("n") - F.col("alpha_cnt")
-    with_other = agg.select(
+    with_other = per_doc.select(
         "doc_id",
         F.col("n").cast("long").alias("n_chars"),
-        (
-            F.col("sum_scaled")
-            + F.when(
-                other > 0,
-                F.round(
-                    -(other / F.col("n")) * F.log(other / F.col("n")) * 1e9, 0
-                ).cast("long"),
-            ).otherwise(F.lit(0))
-        ).alias("scaled"),
+        (F.col("sum_scaled") + term(other)).alias("scaled"),
     )
     return with_other.select(
         "doc_id",
