@@ -273,30 +273,53 @@ def q_fk_containment_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct-to-distinct left join — each candidate touches only its
     two key columns (parquet column pruning does the rest at 100 TB);
     the per-pair 1-row results union into the report."""
+    # r13 (guide §2.3/§2.4): the per-pair shape was four independent
+    # shuffling subtrees (child distinct, parent distinct, a
+    # distinct-to-distinct semi join, a countDistinct aggregate) —
+    # ~20 Exchange nodes per pair, 200 for the report, each table
+    # scanned up to twice per pair. All four statistics are functions
+    # of ONE value-level group: tag each side's key column, union, and
+    # groupBy(v) once — per distinct value we learn membership on the
+    # child side and the parent's occurrence count, from which
+    #   c_distinct  = groups seen on the child side (null group incl.,
+    #                 exactly like count(*) over child.distinct()),
+    #   n_hit       = child groups with a NON-NULL value present in
+    #                 the parent (equi-semi-join never matches null),
+    #   p_distinct  = non-null groups present in the parent
+    #                 (countDistinct ignores nulls),
+    #   p_rows      = sum of parent occurrences over non-null groups
+    #                 (count(pc) counts non-null rows).
+    # One scan per side, one value shuffle, one 1-row aggregate —
+    # identical output for any null/dup geometry, so the oracle's
+    # per-pair subquery formulation pins the rewrite.
     parts = []
     for ct, cc, pt, pc in _FK_CANDIDATES:
-        child = load_table(spark, sf_dir, ct).select(F.col(cc).alias("v")).distinct()
-        parent_tbl = load_table(spark, sf_dir, pt)
-        parent = parent_tbl.select(F.col(pc).alias("v")).distinct()
-        pstats = parent_tbl.agg(
-            F.count(pc).alias("p_rows"),
-            F.countDistinct(pc).alias("p_distinct"),
+        child = load_table(spark, sf_dir, ct).select(
+            F.col(cc).alias("v"), F.lit(1).alias("is_c"), F.lit(0).alias("is_p")
         )
-        hit = child.join(parent, "v", "left_semi").agg(
-            F.count("*").alias("n_hit")
+        parent = load_table(spark, sf_dir, pt).select(
+            F.col(pc).alias("v"), F.lit(0).alias("is_c"), F.lit(1).alias("is_p")
         )
-        cstats = child.agg(F.count("*").alias("c_distinct"))
-        row = (
-            cstats.crossJoin(F.broadcast(hit))
-            .crossJoin(F.broadcast(pstats))
-            .select(
-                F.lit(f"{ct}.{cc}").alias("child_col"),
-                F.lit(f"{pt}.{pc}").alias("parent_col"),
-                F.col("c_distinct").cast("long").alias("child_distinct"),
-                F.col("p_distinct").cast("long").alias("parent_distinct"),
-                F.round(F.col("n_hit") / F.col("c_distinct"), 6).alias("containment"),
-                (F.col("p_distinct") == F.col("p_rows")).alias("parent_unique"),
-            )
+        g = (
+            child.unionByName(parent)
+            .groupBy("v")
+            .agg(F.max("is_c").alias("in_c"), F.sum("is_p").alias("p_cnt"))
+        )
+        notnull = F.col("v").isNotNull()
+        in_c = F.col("in_c") == 1
+        in_p = F.col("p_cnt") > 0
+        row = g.agg(
+            F.count(F.when(in_c, 1)).alias("c_distinct"),
+            F.count(F.when(in_c & in_p & notnull, 1)).alias("n_hit"),
+            F.count(F.when(in_p & notnull, 1)).alias("p_distinct"),
+            F.sum(F.when(notnull, F.col("p_cnt")).otherwise(0)).alias("p_rows"),
+        ).select(
+            F.lit(f"{ct}.{cc}").alias("child_col"),
+            F.lit(f"{pt}.{pc}").alias("parent_col"),
+            F.col("c_distinct").cast("long").alias("child_distinct"),
+            F.col("p_distinct").cast("long").alias("parent_distinct"),
+            F.round(F.col("n_hit") / F.col("c_distinct"), 6).alias("containment"),
+            (F.col("p_distinct") == F.col("p_rows")).alias("parent_unique"),
         )
         parts.append(row)
     out = parts[0]
