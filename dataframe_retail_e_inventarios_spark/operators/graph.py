@@ -51,7 +51,16 @@ def connected_components(
     one band per pair) — min-aggregation is idempotent under
     duplicate edges, so even a violated promise costs join volume,
     never correctness. On a 3M-edge graph the skipped distinct() is a
-    full 2x-edge-list shuffle (measured on entity_clusters_fuzzy)."""
+    full 2x-edge-list shuffle (measured on entity_clusters_fuzzy).
+
+    The symmetrized edge union reads ``pairs`` twice, so the pair
+    GENERATOR'S subtree (jaccard index self-join, blocked levenshtein)
+    would run twice before the edge checkpoint; materializing the pair
+    list first (r13, guide §6 read-once — it is the small end of the
+    dataflow, edge-list-sized) makes the union two projections of one
+    computed frame. In-query only: the checkpoint lives inside the
+    caller's timed region like every other one in this package."""
+    pairs = pairs.localCheckpoint(eager=True)
     edges = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v")).union(
         pairs.select(F.col(dst).alias("u"), F.col(src).alias("v"))
     )
