@@ -154,6 +154,15 @@ def doc_shingles(
         idx = idx.localCheckpoint(eager=True)
     if max_df is not None:
         idx = _cap_max_df(idx, max_df)
+        if materialize:
+            # Checkpoint the CAPPED index as well (r13): the cap's
+            # hot-shingle aggregation + anti-join are lazy, so every
+            # downstream read of the returned frame (jaccard's sizes/
+            # a/b branches = 3 reads) re-ran them against the uncapped
+            # checkpoint. A second, RDD-to-RDD checkpoint makes the
+            # cap a one-time pass; probed ~0.9 s off
+            # lsh_band_recall_audit isolated at sf0.1.
+            idx = idx.localCheckpoint(eager=True)
     return idx
 
 

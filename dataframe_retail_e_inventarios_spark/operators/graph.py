@@ -35,6 +35,7 @@ def connected_components(
     max_iterations: int = 20,
     stats: dict | None = None,
     assume_distinct: bool = False,
+    materialize_pairs: bool = True,
 ) -> DataFrame:
     """(node, cluster_id) with cluster_id = min node id reachable in the
     undirected graph given by ``pairs``. Nodes not in any pair are not
@@ -59,8 +60,17 @@ def connected_components(
     list first (r13, guide §6 read-once — it is the small end of the
     dataflow, edge-list-sized) makes the union two projections of one
     computed frame. In-query only: the checkpoint lives inside the
-    caller's timed region like every other one in this package."""
-    pairs = pairs.localCheckpoint(eager=True)
+    caller's timed region like every other one in this package.
+    ``materialize_pairs=False`` opts out for callers whose pair list
+    is LARGE relative to its recompute cost — probed on
+    entity_clusters_fuzzy (3.1M blocked-levenshtein pairs): AQE's
+    exchange reuse already shares the block join across the two union
+    branches, so checkpointing the full pair list cost more than the
+    duplicated post-exchange work it saved (5.8 -> 7.3 s isolated);
+    the sparse jaccard near-dup callers (small pair lists over an
+    expensive index self-join) measure the opposite (3.0 -> 2.7 s)."""
+    if materialize_pairs:
+        pairs = pairs.localCheckpoint(eager=True)
     edges = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v")).union(
         pairs.select(F.col(dst).alias("u"), F.col(src).alias("v"))
     )

@@ -185,13 +185,18 @@ def q_lsh_band_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output is one bounded row per bin: the audit a pipeline operator
     reads before picking a banding config for a new corpus."""
     docs = load_table(spark, sf_dir, "documents")
-    # ONE tokenize+shingle+hash corpus pass (r13, guide §6 read-once):
-    # the truth (exact Jaccard) and the signature index both derive
-    # from the same checkpointed uncapped shingle index — previously
-    # jaccard_pairs and minhash_index each re-ran the full pass.
-    idx = doc_shingles(docs, hashed=True, materialize=True)
-    truth = jaccard_pairs(docs, threshold=0.1, max_df=MAX_DF, idx=idx)
-    sig = minhash_index(docs, k=_AUDIT_K, max_df=MAX_DF, idx=idx)
+    # ONE tokenize+shingle+hash+cap corpus pass (r13, guide §6
+    # read-once): the truth (exact Jaccard) and the signature index
+    # both derive from the same checkpointed CAPPED shingle index —
+    # previously jaccard_pairs and minhash_index each re-ran the full
+    # pass. Both consumers use the same MAX_DF cap, so capping happens
+    # once before the checkpoint (a first cut sharing the UNCAPPED
+    # index probed SLOWER than baseline: the raw index stores the hot
+    # shingles' rows too, and the cap's hot-shingle aggregation +
+    # anti-join then ran once per consumer).
+    idx = doc_shingles(docs, hashed=True, max_df=MAX_DF, materialize=True)
+    truth = jaccard_pairs(docs, threshold=0.1, idx=idx)
+    sig = minhash_index(docs, k=_AUDIT_K, idx=idx)
     rows = _AUDIT_K // _AUDIT_BANDS
     band_cols = [
         F.concat_ws(

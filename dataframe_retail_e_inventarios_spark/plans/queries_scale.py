@@ -1256,7 +1256,13 @@ def q_entity_clusters_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     # each record sits in exactly one levenshtein block, so every
     # undirected pair is emitted once — the edge-dedup shuffle (2x the
     # 3.1M-edge list at sf0.1) is pure overhead here
-    cc = connected_components(pairs, src="id_a", dst="id_b", assume_distinct=True)
+    # materialize_pairs=False (r13): the 3.1M-pair list is big relative
+    # to its post-exchange recompute (AQE reuses the block join across
+    # the edge-union branches); checkpointing it probed 5.8 -> 7.3 s.
+    cc = connected_components(
+        pairs, src="id_a", dst="id_b", assume_distinct=True,
+        materialize_pairs=False,
+    )
     names = part.select(
         F.col("p_partkey").alias("entity_id"),
         F.col("p_name").alias("canonical_name"),
