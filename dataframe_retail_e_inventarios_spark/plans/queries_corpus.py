@@ -1497,18 +1497,32 @@ def q_nb_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sequence(F.lit(1), F.length(low) - 2),
         lambda i: low.substr(i, F.lit(3)),
     )
+    # r13 (guide §2.3 "aggregate before you shuffle"): a trigram
+    # repeated k times in a doc scored k identical rows through the
+    # crossJoin x langs + count-table join; collapsing to per-(doc, h)
+    # counts first shrinks every downstream join input by the
+    # repetition factor, and the per-term BIGINT nll is multiplied by
+    # cnt instead of summed k times — the same long, exactly. The
+    # training-side margins are then exact-integer functions of the
+    # (lang, h) count table: n_l = sum of c per lang and vocab =
+    # distinct h OF THE COUNT TABLE, so neither re-reads the trigram
+    # stream (two fewer full-corpus aggregations).
     dt = (
         docs.repartition(par, "doc_id")
         .filter(F.length(low) >= 3)
         .select("doc_id", "lang", F.explode(grams).alias("term"))
         .select("doc_id", "lang", shingle_hash32("term").alias("h"))
-        .localCheckpoint(eager=True)  # feeds counts, vocab AND scoring
+        .groupBy("doc_id", "lang", "h")
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=True)  # feeds counts AND scoring
     )
-    counts = dt.groupBy(F.col("lang").alias("cand"), "h").agg(
-        F.count("*").alias("c")
+    counts = (
+        dt.groupBy(F.col("lang").alias("cand"), "h")
+        .agg(F.sum("cnt").alias("c"))
+        .localCheckpoint(eager=True)  # feeds scoring, n_l AND vocab
     )
-    n_l = dt.groupBy(F.col("lang").alias("cand")).agg(F.count("*").alias("n_l"))
-    vocab = dt.select("h").distinct().agg(F.count("*").alias("v"))
+    n_l = counts.groupBy("cand").agg(F.sum("c").alias("n_l"))
+    vocab = counts.select("h").distinct().agg(F.count("*").alias("v"))
     d_l = docs.groupBy(F.col("lang").alias("cand")).agg(F.count("*").alias("d_l"))
     d_tot = docs.agg(F.count("*").alias("d"))
     prior = (
@@ -1524,7 +1538,7 @@ def q_nb_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scan + distinct shuffle for a frame d_l already materializes
     langs = d_l.select("cand")
     scored = (
-        dt.select("doc_id", F.col("lang").alias("true_lang"), "h")
+        dt.select("doc_id", F.col("lang").alias("true_lang"), "h", "cnt")
         .crossJoin(F.broadcast(langs))
         .join(counts, ["cand", "h"], "left")
         .join(F.broadcast(n_l), "cand")
@@ -1533,16 +1547,17 @@ def q_nb_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "true_lang",
             "cand",
-            F.round(
-                -F.log(
-                    (F.coalesce(F.col("c"), F.lit(0)) + 1)
-                    / (F.col("n_l") + F.col("v"))
-                )
-                * 1e6,
-                0,
-            )
-            .cast("long")
-            .alias("nlp"),
+            (
+                F.col("cnt")
+                * F.round(
+                    -F.log(
+                        (F.coalesce(F.col("c"), F.lit(0)) + 1)
+                        / (F.col("n_l") + F.col("v"))
+                    )
+                    * 1e6,
+                    0,
+                ).cast("long")
+            ).alias("nlp"),
         )
     )
     totals = (
@@ -1553,10 +1568,15 @@ def q_nb_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "true_lang", "cand", (F.col("s") + F.col("prior_nlp")).alias("neg_lp")
         )
     )
-    w = Window.partitionBy("doc_id").orderBy(F.col("neg_lp").asc(), F.col("cand").asc())
-    pred = totals.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    # argmin by (neg_lp, cand) as a lexicographic min-struct aggregate
+    # (r13, guide §2.4): partial map-side aggregation replaces the
+    # full-width per-doc window sort; min(struct(neg_lp, cand)) is
+    # exactly the row_number(ORDER BY neg_lp ASC, cand ASC) = 1 winner.
+    pred = totals.groupBy("doc_id", "true_lang").agg(
+        F.min(F.struct("neg_lp", "cand")).alias("m")
+    )
     return (
-        pred.groupBy("true_lang", F.col("cand").alias("pred_lang"))
+        pred.groupBy("true_lang", F.col("m.cand").alias("pred_lang"))
         .agg(F.count("*").alias("n_docs"))
         .orderBy("true_lang", "pred_lang")
     )
