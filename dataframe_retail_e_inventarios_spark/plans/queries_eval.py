@@ -987,12 +987,24 @@ def q_forecast_reconciliation_topdown(spark: SparkSession, sf_dir: str) -> DataF
         "invoice_date",
         "units_sold",
     )
-    bw = weekly_dense_resample(sales, ["brand"], "invoice_date", "units_sold")
+    # ONE fact pass (r13, guide §6 read-once): the brand dense series
+    # is derived FROM the checkpointed product-weekly frame instead of
+    # a second clean+join+shuffle over the lineitem fact — the brand
+    # weekly sum is the sum of its products' weekly sums (integral
+    # units: every double sum is exact, so the regrouped total is
+    # bit-equal), and week_ending_sunday is idempotent on the already
+    # week-aligned column, so weekly_dense_resample over pw_raw emits
+    # the identical dense grid.
+    pw_raw = weekly_resample_sum(
+        sales, ["brand", "product_id"], "invoice_date", "units_sold"
+    ).localCheckpoint(eager=True)
+    bw = weekly_dense_resample(pw_raw, ["brand"], "week", "units_sold")
     w_ord = Window.partitionBy("brand").orderBy("week")
     ub = F.bround(F.col("units_sold"), 0).cast("long")
     # bseq feeds four consumers (train totals, test grid, product-share
-    # window, brand-level MAE) and pw feeds two — checkpoint both so
-    # the lineitem scan + resample run ONCE, not once per consumer.
+    # window, brand-level MAE) and pw_raw three (brand series, train
+    # shares, test grid) — checkpoint both so the fact scan + resample
+    # run ONCE, not once per consumer.
     bseq = bw.select(
         "brand",
         "week",
@@ -1009,17 +1021,11 @@ def q_forecast_reconciliation_topdown(spark: SparkSession, sf_dir: str) -> DataF
         .agg(F.sum("ub").alias("t_brand"), F.count(F.lit(1)).alias("n_train"))
         .where((F.col("t_brand") > 0) & (F.col("n_train") >= 10))
     )
-    pw = (
-        weekly_resample_sum(
-            sales, ["brand", "product_id"], "invoice_date", "units_sold"
-        )
-        .select(
-            "brand",
-            "product_id",
-            "week",
-            F.bround(F.col("units_sold"), 0).cast("long").alias("up"),
-        )
-        .localCheckpoint(eager=True)
+    pw = pw_raw.select(
+        "brand",
+        "product_id",
+        "week",
+        F.bround(F.col("units_sold"), 0).cast("long").alias("up"),
     )
     ti = (
         pw.join(train.select("brand", "week"), ["brand", "week"])

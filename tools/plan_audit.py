@@ -96,6 +96,27 @@ CLAIMS: dict[str, list[tuple[str, object]]] = {
     # operators/dedup.py:5 "exact dedup is a hash group-by — one
     # shuffle on the text hash".
     "dedup_exact": [("max_hash_exchanges", 1)],
+    # r13 rewrites (OPTIMIZATION_r13.md):
+    # queries_warehouse.py bitemporal: closed-form version CASE — the
+    # per-(snapshot, order) row_number window and the 3-way union are
+    # gone; the 4-row snapshot join is a broadcast nested loop.
+    "bitemporal_snapshot_revenue": [
+        ("absent", ") Window"),
+        ("contains", "BroadcastNestedLoopJoin"),
+        ("max_hash_exchanges", 1),
+    ],
+    # queries_corpus.py char entropy: one codegen projection — no
+    # 37-way alphabet Generate, no pre-sort hash exchange.
+    "char_entropy_scores": [
+        ("absent", ") Generate"),
+        ("max_hash_exchanges", 0),
+    ],
+    # queries_dq.py fk containment: one tagged-union groupBy(v) per
+    # candidate pair (10 pairs) — was ~20 Exchange mentions per pair.
+    "fk_containment_discovery": [("max_hash_exchanges", 10)],
+    # queries_corpus.py NB langid: the per-doc argmin window became a
+    # min-struct aggregate — no Window operator anywhere in the plan.
+    "nb_langid_confusion": [("absent", ") Window")],
 }
 
 
